@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the scan/join/agg/window/dedup/ANN paths a 100 TB
+deployment exercises, excluding the deliberately quadratic verifiers
+(all-pairs jaccard/cosine) which are oracle-only at small SF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from db_loader_spark.queries import all_queries
+from db_loader_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_region_revenue",
+    "q_top_customers",
+    "j1_sessionize",
+    "w_topk_per_group",
+    "eav_pivot",
+    "jn1_dim_lookup_join",
+    "jn4_anti_join_idempotence",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_lsh_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("bench")
+    registry = all_queries()
+
+    # Warm the JVM/codegen once so timings measure the plan, not startup.
+    registry["a2_max_id"].spark(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        n = df.count()  # materialize the full plan
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

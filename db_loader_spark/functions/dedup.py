@@ -1,0 +1,277 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each algorithm at 100 TB):
+
+- **exact**: one hash-partitioned groupBy on the text (or its md5) —
+  Spark's map-side partial agg means each executor emits one row per
+  distinct key before the shuffle.
+- **n-gram Jaccard**: exact pairwise similarity *after* candidate
+  generation. Never run it all-pairs at scale — it exists as the
+  verifier behind MinHash/LSH candidates and as the small-data oracle.
+- **MinHash+LSH**: the scale path. Cost is linear in corpus size:
+  explode shingles → one groupBy for signatures → band self-join whose
+  output is only colliding pairs. Hash = md5 (lexicographic MIN over
+  hex strings is a valid minhash since md5 is uniform); md5 was chosen
+  because every engine implements it identically, making results
+  engine-portable (and DuckDB-oracle-checkable).
+- **SimHash**: near-dup via Hamming distance on a 32-bit signature;
+  banded on 4×8-bit substrings so the self-join only sees candidate
+  pairs sharing a band (standard Manku et al., WWW'07 trick).
+
+All of it is Column-expression work — no Python UDFs — so the whole
+pipeline stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from db_loader_spark.functions.text import tokens
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (empty if < n tokens)."""
+    toks = tokens(text)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + off) for off in range(n)]
+    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the input to Jaccard and MinHash."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    canonical (minimum) id and the copy count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold.
+
+    Jaccard is exact integer arithmetic (|A∩B| / (|A|+|B|-|A∩B|)) so the
+    comparison against the threshold is engine-deterministic.
+    """
+    sh = shingle_frame(docs, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature columns h0..h{k-1}.
+
+    h_i(doc) = MIN over shingles of md5(i || '|' || shingle): a valid
+    minhash family because md5 output is uniform and hex strings order
+    lexicographically. One explode + one groupBy — linear in corpus size.
+    """
+    sh = shingle_frame(docs, id_col, text_col, n)
+    seeded = sh.select(
+        "id",
+        "shingle",
+        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed"),
+    ).withColumn(
+        "mh", F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+    )
+    aggs = [
+        F.min(F.when(F.col("seed") == i, F.col("mh"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return seeded.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature and self-join per band: (doc_a, doc_b, est_sim).
+
+    est_sim = fraction of matching signature components (exact rational).
+    The join key is (band_idx, band_key) so only same-band collisions
+    shuffle — the LSH guarantee that makes this linear-ish at scale.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select("id", F.explode(bands).alias("band")).select(
+        "id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    sa = signatures.alias("sa")
+    sb = signatures.alias("sb")
+    matches = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ],
+    )
+    return (
+        cand.join(sa, cand.doc_a == F.col("sa.id"))
+        .join(sb, cand.doc_b == F.col("sb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches.cast("double") / num_hashes, 4).alias("est_sim"),
+        )
+    )
+
+
+def _nibble(h: Column, nibble_idx: int) -> Column:
+    """Value 0-15 of the given hex digit (1-based position in the string)."""
+    return F.instr(F.lit(HEX_DIGITS), F.substring(h, nibble_idx + 1, 1)) - 1
+
+
+def _bit(h: Column, p: int) -> Column:
+    """Bit p (0 = MSB) of the 32-bit value held in the first 8 hex chars."""
+    shift = 3 - (p % 4)
+    return F.floor(_nibble(h, p // 4) / (2**shift)) % 2
+
+
+def simhash_bits(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash as a '0'/'1' string of length ``bits``.
+
+    Each distinct token votes ±1 per bit position (from the first 8 hex
+    chars of md5(token)); the signature bit is 1 iff the vote sum ≥ 0.
+    Expression-only — one explode + one groupBy with 32 conditional
+    aggregates, all inside codegen.
+    """
+    tok = (
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .distinct()
+        .withColumn("h8", F.substring(F.md5("tok"), 1, 8))
+    )
+    vote_aggs = [
+        F.sum(_bit(F.col("h8"), p) * 2 - 1).alias(f"v{p}") for p in range(bits)
+    ]
+    votes = tok.groupBy("id").agg(*vote_aggs)
+    bit_chars = [
+        F.when(F.col(f"v{p}") >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(bits)
+    ]
+    return votes.select("id", F.concat(*bit_chars).alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig: DataFrame, bits: int = 32, n_bands: int = 4, max_hamming: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band join (any shared band of
+    ``bits/n_bands`` consecutive signature chars) then exact Hamming
+    filter — the Manku-et-al banded Hamming search."""
+    band_w = bits // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.substring(F.col("simhash"), b * band_w + 1, band_w).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("id", "simhash", F.explode(bands).alias("band")).select(
+        "id", "simhash", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = functools.reduce(
+        operator.add,
+        [
+            F.when(
+                F.substring(F.col("a.simhash"), p + 1, 1)
+                != F.substring(F.col("b.simhash"), p + 1, 1),
+                1,
+            ).otherwise(0)
+            for p in range(bits)
+        ],
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,84 @@
+"""Text-analysis primitives for document pipelines (100 TB-scale design).
+
+Everything here is a pure Column expression — no UDFs, no shuffles of
+its own — so Catalyst inlines it into whatever scan/aggregate uses it.
+Determinism note: ratios are single FP divisions and weighted sums are
+fixed-order, so results are bit-identical across engines that follow
+IEEE-754 (the DuckDB oracles rely on this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram-free heuristic.
+# Real pipelines plug fastText/langid here; the heuristic keeps the whole
+# path JVM-side and deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token cleanup (lowercased)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    n = token_count(text)
+    return F.when(n > 0, stopword_count(text, words) / n).otherwise(F.lit(0.0))
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Length-capped token count blended with stopword ratio ∈ [0,1].
+
+    score = 0.5*min(n_tokens/100, 1) + 0.5*stopword_ratio — fixed
+    operation order for cross-engine bit-equality.
+    """
+    n = token_count(text)
+    length_part = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    return F.lit(0.5) * length_part + F.lit(0.5) * stopword_ratio(text)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language heuristic: first language (in LANG_MARKERS
+    order) with a marker hit wins; 'und' (undetermined) otherwise."""
+    toks = tokens(text)
+    expr = F.lit("und")
+    for lang in reversed(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        hit = F.size(F.filter(toks, lambda t: t.isin(*markers))) > 0
+        expr = F.when(hit, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token set — the classic 'fingerprint clustering' key (Google Refine)."""
+    toks = tokens(text)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))

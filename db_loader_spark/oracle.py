@@ -1,0 +1,110 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a Spark query and its DuckDB oracle side-by-side on the same
+parquet tables and compares row count, column names, and values
+(order-insensitively) — so oracle breakage is caught in pytest before
+the driver's CORRECTNESS gate sees it.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from db_loader_spark.tables import TABLE_NAMES
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    detail: str = ""
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        col = out[c]
+        if col.dtype == object:
+            out[c] = col.astype(str)
+        elif str(col.dtype).startswith(("float", "Float")):
+            out[c] = col.astype("float64")
+        elif str(col.dtype).startswith(("int", "Int", "uint", "UInt")):
+            out[c] = col.astype("int64")
+        elif str(col.dtype).startswith("bool"):
+            out[c] = col.astype(bool)
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        # Exact — mirrors the driver's value-hash compare. Queries are
+        # designed (rounding, fixed-order FP) to be bit-identical.
+        return af == bf
+    return a == b
+
+
+def compare(
+    name: str, spark_df: DataFrame, oracle: str, con: duckdb.DuckDBPyConnection
+) -> CompareResult:
+    sp = spark_df.toPandas()
+    du = con.execute(oracle).df()
+    if sorted(sp.columns) != sorted(du.columns):
+        return CompareResult(
+            name, False, len(sp), len(du),
+            f"column mismatch: spark={sorted(sp.columns)} duck={sorted(du.columns)}",
+        )
+    if len(sp) != len(du):
+        return CompareResult(name, False, len(sp), len(du), "row count mismatch")
+    nsp, ndu = _normalize(sp), _normalize(du)
+    for col in nsp.columns:
+        sv, dv = nsp[col].tolist(), ndu[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if not _values_equal(a, b):
+                return CompareResult(
+                    name, False, len(sp), len(du),
+                    f"value mismatch in {col!r} row {i}: spark={a!r} duck={b!r}",
+                )
+    return CompareResult(name, True, len(sp), len(du))
+
+
+def run_all(
+    spark: SparkSession, sf_dir: str, only: list[str] | None = None
+) -> list[CompareResult]:
+    from db_loader_spark.queries import all_queries
+
+    con = duck_connection(sf_dir)
+    results = []
+    for name, spec in all_queries().items():
+        if only and name not in only:
+            continue
+        df = spec.spark(spark, sf_dir)
+        if spec.oracle is None:
+            n = df.count()
+            results.append(CompareResult(name, n >= 0, n, -1, "rows-only"))
+        else:
+            results.append(compare(name, df, spec.oracle, con))
+    return results

@@ -1,0 +1,52 @@
+"""Query registry: every operator from SURVEY.md §2 as a named query.
+
+Each entry pairs a Spark implementation (``(spark, sf_dir) -> DataFrame``)
+with an equivalent ANSI-SQL oracle for DuckDB (or ``None`` for genuinely
+non-SQL-expressible operators, which get a weaker rows-only check).
+
+Determinism rules (the driver hash-compares values order-insensitively):
+- every computed column is aliased identically in Spark and oracle SQL;
+- floating-point aggregates are ROUNDed (2-4 dp) on BOTH sides so
+  FP summation order can't flip the hash;
+- no raw timestamp outputs — always formatted strings or dates;
+- DuckDB ``SUM(int)`` returns HUGEINT → always CAST to BIGINT in oracles
+  to match Spark's LongType.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """A named query: Spark impl + DuckDB oracle SQL (None = rows-only)."""
+
+    spark: SparkQuery
+    oracle: str | None
+    doc: str = ""
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    """Union of every module's registry, insertion-ordered by theme."""
+    from db_loader_spark.queries import (
+        dedup,
+        logshape,
+        multimodal,
+        relational,
+        similarity,
+        textops,
+    )
+
+    merged: dict[str, QuerySpec] = {}
+    for mod in (relational, logshape, dedup, similarity, textops, multimodal):
+        for name, spec in mod.QUERIES.items():
+            if name in merged:
+                raise ValueError(f"duplicate query name {name!r}")
+            merged[name] = spec
+    return merged

@@ -1,0 +1,182 @@
+"""Dedup queries over the documents table, with DuckDB oracles.
+
+The oracles mirror the exact algorithm semantics (md5-string MinHash,
+nibble-decoded SimHash votes) so even hash-based operators get a full
+value-level correctness check, not just a rows-only one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_loader_spark.functions import dedup as D
+from db_loader_spark.queries import QuerySpec
+from db_loader_spark.tables import load_table
+
+# Shared DuckDB fragments ----------------------------------------------------
+
+_DUCK_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+)
+
+_DUCK_SHINGLES = f"""
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(range(1, len(tokens) - 1),
+                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+           AS shingle
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents)
+  WHERE len(tokens) >= 3
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.05)
+
+
+_JACCARD_ORACLE = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.id
+JOIN sizes sb ON doc_b = sb.id
+WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= 0.05
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, num_hashes=8)
+    return D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2)
+
+
+_MINHASH_SIG_COLS = ",\n       ".join(
+    f"MIN(CASE WHEN seed = {i} THEN mh END) AS h{i}" for i in range(8)
+)
+_MINHASH_BANDS = "\nUNION ALL\n".join(
+    f"SELECT id, {b} AS band_idx, h{2 * b} || h{2 * b + 1} AS band_key FROM sig"
+    for b in range(4)
+)
+_MINHASH_MATCHES = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+)
+
+_MINHASH_ORACLE = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+seeded AS (
+  SELECT id, shingle, s.seed,
+         md5(CAST(s.seed AS VARCHAR) || '|' || shingle) AS mh
+  FROM sh, (SELECT unnest(range(8)) AS seed) s
+),
+sig AS (SELECT id, {_MINHASH_SIG_COLS} FROM seeded GROUP BY id),
+banded AS ({_MINHASH_BANDS}),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST({_MINHASH_MATCHES} AS DOUBLE) / 8, 4) AS est_sim
+FROM cand JOIN sig sa ON doc_a = sa.id JOIN sig sb ON doc_b = sb.id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.simhash_bits(docs, bits=32)
+    return D.simhash_near_pairs(sig, bits=32, n_bands=4, max_hamming=6)
+
+
+def _duck_bit(p: int) -> str:
+    """DuckDB mirror of functions.dedup._bit (same arithmetic)."""
+    shift = 3 - (p % 4)
+    nibble = f"(instr('0123456789abcdef', substr(h8, {p // 4 + 1}, 1)) - 1)"
+    return f"(CAST(FLOOR({nibble} / {2 ** shift}) AS BIGINT) % 2)"
+
+
+_SIMHASH_VOTES = ",\n       ".join(
+    f"SUM({_duck_bit(p)} * 2 - 1) AS v{p}" for p in range(32)
+)
+_SIMHASH_CHARS = ", ".join(
+    f"CASE WHEN v{p} >= 0 THEN '1' ELSE '0' END" for p in range(32)
+)
+_SIMHASH_BANDS = "\nUNION ALL\n".join(
+    f"SELECT id, simhash, {b} AS band_idx, substr(simhash, {b * 8 + 1}, 8) AS band_key FROM sig"
+    for b in range(4)
+)
+_SIMHASH_HAMMING = " + ".join(
+    f"(CASE WHEN substr(a.simhash, {p + 1}, 1) <> substr(b.simhash, {p + 1}, 1) THEN 1 ELSE 0 END)"
+    for p in range(32)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+),
+hashed AS (SELECT id, substr(md5(tok), 1, 8) AS h8 FROM tok),
+votes AS (SELECT id, {_SIMHASH_VOTES} FROM hashed GROUP BY id),
+sig AS (SELECT id, concat({_SIMHASH_CHARS}) AS simhash FROM votes),
+pairs AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, {_SIMHASH_HAMMING} AS hamming
+  FROM ({_SIMHASH_BANDS}) a JOIN ({_SIMHASH_BANDS}) b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= 6
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from db_loader_spark.functions.similarity import cosine_pairs
+
+    return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _duck_dot(a: str, b: str, dim: int = 64) -> str:
+    return " + ".join(
+        f"CAST({a}.embedding[{i}] AS DOUBLE) * CAST({b}.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+_COSINE_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(({_duck_dot('a', 'b')})
+             / (sqrt({_duck_dot('a', 'a')}) * sqrt({_duck_dot('b', 'b')})), 3)
+         AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(({_duck_dot('a', 'b')})
+            / (sqrt({_duck_dot('a', 'a')}) * sqrt({_duck_dot('b', 'b')})), 3) >= 0.4
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(dedup_exact, _EXACT_ORACLE, "exact hash-groupBy dedup"),
+    "dedup_ngram_jaccard": QuerySpec(
+        dedup_ngram_jaccard, _JACCARD_ORACLE, "3-gram Jaccard pairs"
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        dedup_minhash_lsh, _MINHASH_ORACLE, "MinHash→band→bucket-join"
+    ),
+    "dedup_simhash": QuerySpec(dedup_simhash, _SIMHASH_ORACLE, "SimHash banded Hamming"),
+    "dedup_embedding_cosine": QuerySpec(
+        dedup_embedding_cosine, _COSINE_ORACLE, "embedding cosine near-dup"
+    ),
+}

@@ -1,0 +1,538 @@
+"""Relational operator queries (SURVEY.md §2.5-§2.7) + headline bench queries.
+
+Covers: broadcast dimension joins (JN1/JN3/JN6), contains theta-join (JN2),
+anti-join idempotence (JN4), FK validation (JN7), group-by/max/filtered-count/
+count-distinct (A1-A5), run-summary aggregate (A6), max+1 id assignment (A7),
+find-first (P10), windows / top-k / set ops / rollup (§2.7), EAV pivot (§1.4).
+
+Reference parity notes cite /root/reference file:line in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from db_loader_spark.queries import QuerySpec
+from db_loader_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Headline bench queries (TPC-H-shaped; exercise scan+filter+agg+join paths)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy filter + 8-way aggregate.
+
+    Catalyst pushes the shipdate filter into the parquet scan and does
+    map-side partial aggregation; only 6 groups survive the shuffle.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+       ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+       COUNT(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer ⋈ orders ⋈ lineitem star join rolled up to market segment.
+
+    customer is tiny relative to lineitem → broadcast; the orders⋈lineitem
+    join shuffles on the shared orderkey only once.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_Q3_ORACLE = """
+SELECT c_mktsegment,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(DISTINCT o_orderkey)                        AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dimension chain lineitem⋈orders⋈customer⋈nation⋈region with a
+    date-range filter (mirrors the reference's multi-dim insert-select,
+    src/parse_logs_ecj.clj:19-25 / JN3) — all dims broadcast."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q5_ORACLE = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by spend — orderBy+limit compiles to
+    TakeOrderedAndProject (no full sort at scale). Tie-broken on custkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("c_custkey", "c_name", "total_spend")
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+_TOPCUST_ORACLE = """
+SELECT c_custkey, c_name, total_spend
+FROM (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+) s JOIN customer ON o_custkey = c_custkey
+ORDER BY total_spend DESC, c_custkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Aggregations A1-A7 (SURVEY.md §2.6)
+# --------------------------------------------------------------------------
+
+
+def a1_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: distinct (name,id) pairs via group-by — the problem-map fetch
+    (scripts/load_csv_to_cloud.sh:90)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+
+
+_A1_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def a2_max_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: max(id) (scripts/load_csv_to_cloud.sh:93)."""
+    return _t(spark, sf_dir, "orders").agg(F.max("o_orderkey").alias("max_id"))
+
+
+_A2_ORACLE = "SELECT MAX(o_orderkey) AS max_id FROM orders"
+
+
+def a3_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: count(*) with a LIKE filter — the dedup check
+    (scripts/load_csv_to_cloud.sh:110)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority").contains("URGENT")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+_A3_ORACLE = "SELECT COUNT(*) AS cnt FROM orders WHERE o_orderpriority LIKE '%URGENT%'"
+
+
+def a4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: count(distinct …) per group (src/parse_logs_ecj.clj:73-74)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_A4_ORACLE = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_parts, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a6_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-run summary collapse — successp + maxgen
+    (summary-vals, src/db_loader.clj:204-209) mapped to events: per user,
+    did a 'purchase' happen and what was the last event id."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        (F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) == 1).alias(
+            "successp"
+        ),
+        F.max("event_id").alias("maxgen"),
+    )
+
+
+_A6_ORACLE = """
+SELECT user_id,
+       CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BOOLEAN) AS successp,
+       MAX(event_id) AS maxgen
+FROM events GROUP BY user_id
+"""
+
+
+def a7_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: max+1 sequential id assignment (src/db_loader.clj:79,82-84;
+    scripts/load_csv_to_cloud.sh:94-104): new dimension members get
+    max(existing)+row_number ids. The global window is fine because the
+    new-member set is tiny (it's a dimension delta, not fact data)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    base = n.agg(F.max("n_nationkey").alias("base_id"))
+    new_members = c.select("c_mktsegment").distinct()
+    w = W.orderBy("c_mktsegment")
+    return (
+        new_members.crossJoin(F.broadcast(base))
+        .withColumn("new_id", F.col("base_id") + F.row_number().over(w))
+        .select(F.col("c_mktsegment").alias("member"), "new_id")
+    )
+
+
+_A7_ORACLE = """
+SELECT c_mktsegment AS member,
+       (SELECT MAX(n_nationkey) FROM nation)
+         + CAST(ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS INT) AS new_id
+FROM (SELECT DISTINCT c_mktsegment FROM customer)
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins JN1-JN7 (SURVEY.md §2.5)
+# --------------------------------------------------------------------------
+
+
+def jn1_dim_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN1/JN3: dimension equi-lookup chain (new-batch,
+    src/parse_logs_ecj.clj:41-48) — customer→nation→region, both dims
+    broadcast (no shuffle of the fact side)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+_JN1_ORACLE = """
+SELECT r_name, n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def jn2_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN2: LIKE/contains theta-join (probname like '%folder%',
+    src/parse_logs_ecj.clj:43-45) — small keyword dim × documents via
+    BroadcastNestedLoopJoin (the only correct physical shape for a
+    non-equi predicate with a tiny side)."""
+    d = _t(spark, sf_dir, "documents")
+    words = spark.createDataFrame(
+        [("spark",), ("window",), ("join",), ("vector",)], ["word"]
+    )
+    return (
+        d.join(F.broadcast(words), F.col("text").contains(F.col("word")))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_JN2_ORACLE = """
+SELECT word, COUNT(*) AS n_docs
+FROM documents
+JOIN (VALUES ('spark'), ('window'), ('join'), ('vector')) AS w(word)
+  ON strpos(text, word) > 0
+GROUP BY word
+"""
+
+
+def jn4_anti_join_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN4: exists-check-then-insert as a left-anti join
+    (src/parse_logs_ecj.clj:51-59,71-77): orders not yet present in the
+    'already loaded' set (orders that have lineitems)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return o.join(
+        l.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_anti"
+    ).agg(F.count("*").alias("new_cnt"))
+
+
+_JN4_ORACLE = """
+SELECT COUNT(*) AS new_cnt FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def jn7_fk_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN7: declared-FK integrity as validation anti-joins
+    (scripts/create_tables.sql:20,35-37,45,53)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    v1 = (
+        l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("lineitem->orders").alias("fk"), "violations")
+    )
+    v2 = (
+        c.join(n.select("n_nationkey"), c.c_nationkey == F.col("n_nationkey"), "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("customer->nation").alias("fk"), "violations")
+    )
+    return v1.unionByName(v2)
+
+
+_JN7_ORACLE = """
+SELECT 'lineitem->orders' AS fk, COUNT(*) AS violations FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'customer->nation' AS fk, COUNT(*) AS violations FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
+def p10_find_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: find-first matching element (su/find-first,
+    src/db_loader.clj:112,171,205,231) — first purchase event per user.
+    Expressed as MIN over a filtered set (order-safe, unlike LIMIT 1)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("first_purchase"))
+    )
+
+
+_P10_ORACLE = """
+SELECT user_id, MIN(event_id) AS first_purchase
+FROM events WHERE event_type = 'purchase' GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Windows / top-k / set ops / rollup / pivot (SURVEY.md §2.7, §1.4)
+# --------------------------------------------------------------------------
+
+
+def w_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate — the J1 primitive shape
+    (src/db_loader.clj:54-63 maps to exactly this window)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+_WRUN_ORACLE = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events
+"""
+
+
+def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per priority class (row_number window,
+    deterministic tie-break on orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rk")
+    )
+
+
+_WTOPK_ORACLE = """
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price, CAST(rk AS INT) AS rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: nations having customers vs. having suppliers —
+    INTERSECT / EXCEPT via distinct project + join-free set operators."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("which"), "nk")
+    only_c = c.subtract(s).select(F.lit("customer_only").alias("which"), "nk")
+    only_s = s.subtract(c).select(F.lit("supplier_only").alias("which"), "nk")
+    return both.unionByName(only_c).unionByName(only_s)
+
+
+_SETOPS_ORACLE = """
+SELECT 'both' AS which, nk FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer
+   INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'customer_only', nk FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer
+   EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'supplier_only', nk FROM
+  (SELECT DISTINCT s_nationkey AS nk FROM supplier
+   EXCEPT SELECT DISTINCT c_nationkey FROM customer)
+"""
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy subtotals (region → nation → grand total)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT r_name, n_name, ROUND(SUM(c_acctbal), 2) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def eav_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAV long→wide pivot (SURVEY.md §1.4): per-user event-type counts as
+    wide columns via conditional aggregation (shuffle-once, no extra pass
+    that .pivot()'s value-discovery scan would add)."""
+    e = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return e.groupBy("user_id").agg(*aggs)
+
+
+_EAV_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1 shape"),
+    "q3_segment_revenue": QuerySpec(q3_segment_revenue, _Q3_ORACLE, "3-way star join"),
+    "q5_region_revenue": QuerySpec(q5_region_revenue, _Q5_ORACLE, "5-way dim chain JN3"),
+    "q_top_customers": QuerySpec(q_top_customers, _TOPCUST_ORACLE, "top-k order+limit"),
+    "a1_distinct_pairs": QuerySpec(a1_distinct_pairs, _A1_ORACLE, "A1 group-by"),
+    "a2_max_id": QuerySpec(a2_max_id, _A2_ORACLE, "A2 max"),
+    "a3_filtered_count": QuerySpec(a3_filtered_count, _A3_ORACLE, "A3 LIKE count"),
+    "a4_count_distinct": QuerySpec(a4_count_distinct, _A4_ORACLE, "A4 count distinct"),
+    "a6_run_summary": QuerySpec(a6_run_summary, _A6_ORACLE, "A6 summary collapse"),
+    "a7_id_assignment": QuerySpec(a7_id_assignment, _A7_ORACLE, "A7 max+1 ids"),
+    "jn1_dim_lookup_join": QuerySpec(jn1_dim_lookup_join, _JN1_ORACLE, "JN1 broadcast dims"),
+    "jn2_contains_join": QuerySpec(jn2_contains_join, _JN2_ORACLE, "JN2 contains join"),
+    "jn4_anti_join_idempotence": QuerySpec(jn4_anti_join_idempotence, _JN4_ORACLE, "JN4"),
+    "jn7_fk_validation": QuerySpec(jn7_fk_validation, _JN7_ORACLE, "JN7 FK anti-joins"),
+    "p10_find_first": QuerySpec(p10_find_first, _P10_ORACLE, "P10 find-first"),
+    "w_running_sum": QuerySpec(w_running_sum, _WRUN_ORACLE, "cumulative window"),
+    "w_topk_per_group": QuerySpec(w_topk_per_group, _WTOPK_ORACLE, "top-k per group"),
+    "set_ops": QuerySpec(set_ops, _SETOPS_ORACLE, "intersect/except"),
+    "rollup_revenue": QuerySpec(rollup_revenue, _ROLLUP_ORACLE, "rollup subtotals"),
+    "eav_pivot": QuerySpec(eav_pivot, _EAV_PIVOT_ORACLE, "EAV long→wide"),
+}

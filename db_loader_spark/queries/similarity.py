@@ -1,0 +1,88 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_loader_spark.functions import similarity as S
+from db_loader_spark.queries import QuerySpec
+from db_loader_spark.tables import load_table
+
+
+def _duck_dot(a: str, b: str, dim: int = S.EMBEDDING_DIM) -> str:
+    return " + ".join(
+        f"CAST({a}.embedding[{i}] AS DOUBLE) * CAST({b}.embedding[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+_DUCK_BUCKET = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
+) + ")"
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, F.col("vec_id") < 8, k=3)
+
+
+_BRUTE_ORACLE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(({_duck_dot('q', 'c')})
+               / (sqrt({_duck_dot('q', 'q')}) * sqrt({_duck_dot('c', 'c')})), 4)
+           AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 8
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(emb, F.col("vec_id") < 8, k=3)
+
+
+_LSH_TOPK_ORACLE = f"""
+WITH bucketed AS (SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(({_duck_dot('q', 'c')})
+               / (sqrt({_duck_dot('q', 'q')}) * sqrt({_duck_dot('c', 'c')})), 4)
+           AS cos_sim
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 8
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+def ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.lsh_bucket_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+_BUCKET_ORACLE = f"""
+SELECT {_DUCK_BUCKET} AS bucket, COUNT(*) AS n_vectors
+FROM embeddings GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "ann_bruteforce_topk": QuerySpec(
+        ann_bruteforce_topk, _BRUTE_ORACLE, "exact cosine top-k"
+    ),
+    "ann_lsh_topk": QuerySpec(ann_lsh_topk, _LSH_TOPK_ORACLE, "sign-LSH bucketed ANN"),
+    "ann_bucket_stats": QuerySpec(ann_bucket_stats, _BUCKET_ORACLE, "LSH bucket sizing"),
+}

@@ -1,0 +1,109 @@
+"""Text-analysis queries over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_loader_spark.functions import text as TX
+from db_loader_spark.queries import QuerySpec
+from db_loader_spark.tables import load_table
+
+_DUCK_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+)
+
+
+def _in_list(var: str, words: tuple[str, ...]) -> str:
+    lits = ", ".join(f"'{w}'" for w in words)
+    return f"{var} IN ({lits})"
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+
+
+_TOKEN_ORACLE = f"""
+SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS INT) AS n_tokens FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.round(TX.avg_token_len(F.col("text")), 4).alias("avg_token_len"),
+        F.round(TX.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+        F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+_SW = _in_list("t", TX.STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(tokens) AS INT) AS n_tokens,
+         len(list_filter(tokens, t -> {_SW})) AS n_stop,
+         list_sum(list_transform(tokens, t -> length(t))) AS total_len
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       ROUND(CASE WHEN n_tokens > 0
+                  THEN CAST(total_len AS DOUBLE) / n_tokens ELSE 0.0 END, 4)
+         AS avg_token_len,
+       ROUND(CASE WHEN n_tokens > 0
+                  THEN n_stop / n_tokens ELSE 0.0 END, 4) AS stopword_ratio,
+       ROUND(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.5 * (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END), 4)
+         AS quality
+FROM m
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts: stored lang label × marker-heuristic prediction."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("actual"), TX.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_MARKER_CASES = "\n            ".join(
+    f"WHEN len(list_filter(tokens, t -> {_in_list('t', TX.LANG_MARKERS[lang])})) > 0 THEN '{lang}'"
+    for lang in TX.LANG_MARKERS
+)
+
+_LANG_ORACLE = f"""
+WITH toks AS (SELECT lang, {_DUCK_TOKENS} AS tokens FROM documents)
+SELECT lang AS actual,
+       CASE {_MARKER_CASES}
+            ELSE 'und' END AS predicted,
+       COUNT(*) AS cnt
+FROM toks GROUP BY 1, 2
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_DUCK_TOKENS})), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_token_count": QuerySpec(text_token_count, _TOKEN_ORACLE, "token counting"),
+    "text_quality_score": QuerySpec(text_quality_score, _QUALITY_ORACLE, "quality scoring"),
+    "text_lang_id": QuerySpec(text_lang_id, _LANG_ORACLE, "language-ID heuristic"),
+    "text_fingerprint": QuerySpec(text_fingerprint, _FP_ORACLE, "doc fingerprint"),
+}
