@@ -1,0 +1,38 @@
+"""DDL helpers (K7): the ECJ star/EAV schema as Spark SQL DDL.
+
+Re-expresses scripts/create_tables.sql:1-54 for a lakehouse: parquet
+tables via Spark SQL; FKs become validation anti-joins
+(operators.idempotence.fk_violations) since Spark doesn't enforce
+constraints. Drop order mirrors scripts/drop_tables.sql:1-7 (children
+first) — cosmetic for parquet, load-bearing if passed through to an
+RDBMS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# child → parent dependency order (drop in this order, create reversed)
+ECJ_TABLES: dict[str, str] = {
+    "generations": "genid INT, expid INT, param STRING, value STRING",
+    "experiment": "expid INT, batchid INT, param STRING, value STRING",
+    "experiments": "batchid INT, userid INT, probid INT, locid INT, batchdate DATE",
+    "problems": "probid INT, sysid INT, probname STRING, githash STRING",
+    "locations": "locid INT, location STRING, loginid STRING",
+    "systems": "sysid INT, sysname STRING, version STRING, githash STRING",
+    "users": "userid INT, username STRING, password STRING, email STRING",
+}
+
+
+def create_all(spark: SparkSession, location: str, fmt: str = "parquet") -> None:
+    for name in reversed(list(ECJ_TABLES)):
+        cols = ECJ_TABLES[name]
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({cols}) USING {fmt} "
+            f"LOCATION '{location}/{name}'"
+        )
+
+
+def drop_all(spark: SparkSession) -> None:
+    for name in ECJ_TABLES:  # children first (drop_tables.sql order)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -1,0 +1,156 @@
+"""JDBC sinks (K3-K6, src/db_loader.clj:95-99,131-165,189-224;
+scripts/load_csv_to_cloud.sh:130,146).
+
+Three write strategies, mirroring the reference's escalation ladder:
+
+- ``jdbc_write``: plain batched append (replaces row-at-a-time
+  ``sql/insert-rows``) — ``batchsize`` rows per round trip, one
+  connection per partition.
+- ``quarantining_jdbc_write``: the reference's per-row
+  BatchUpdateException fallback (K5): insert each partition in batches;
+  on a failed batch, retry row-by-row and divert offenders to a
+  quarantine parquet/CSV path instead of aborting the load.
+- ``upsert_via_staging_sql``: ``mysqlimport --replace`` semantics (K6):
+  load into a staging table, then one atomic
+  ``INSERT ... ON DUPLICATE KEY UPDATE`` / ``ON CONFLICT`` publish —
+  also the transactional-load answer (T5): cross-table atomicity lives
+  in the RDBMS transaction, not in Spark.
+
+No RDBMS exists in this container, so ``quarantining_jdbc_write`` takes
+an injectable ``connect`` factory (tested with an in-memory fake); the
+SQL builders are pure functions with unit tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """Batched JDBC append (K3). ``numPartitions`` caps concurrent
+    connections — size it to what the database tolerates, not to the
+    cluster's parallelism."""
+    props = {"batchsize": str(batchsize), **(properties or {})}
+    if num_partitions:
+        df = df.coalesce(num_partitions)
+    df.write.jdbc(url, table, mode=mode, properties=props)
+
+
+def insert_sql(table: str, columns: list[str], dialect: str = "ansi") -> str:
+    cols = ", ".join(columns)
+    ph = ", ".join(["?"] * len(columns))
+    return f"INSERT INTO {table} ({cols}) VALUES ({ph})"
+
+
+def upsert_publish_sql(
+    table: str, staging: str, columns: list[str], keys: list[str], dialect: str = "mysql"
+) -> str:
+    """The atomic staging→target publish statement (K6/T5)."""
+    cols = ", ".join(columns)
+    if dialect == "mysql":
+        updates = ", ".join(f"{c} = VALUES({c})" for c in columns if c not in keys)
+        return (
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+            f"ON DUPLICATE KEY UPDATE {updates}"
+        )
+    if dialect == "postgres":
+        keycols = ", ".join(keys)
+        updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c not in keys)
+        return (
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging} "
+            f"ON CONFLICT ({keycols}) DO UPDATE SET {updates}"
+        )
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def upsert_via_staging_sql(
+    table: str, staging: str, columns: list[str], keys: list[str], dialect: str = "mysql"
+) -> list[str]:
+    """Full publish script: create staging is the caller's DDL concern;
+    this returns the transactional publish statements."""
+    return [
+        "BEGIN",
+        upsert_publish_sql(table, staging, columns, keys, dialect),
+        f"DELETE FROM {staging}",
+        "COMMIT",
+    ]
+
+
+def quarantining_jdbc_write(
+    df: DataFrame,
+    table: str,
+    connect: Callable[[], object],
+    quarantine_path: str,
+    batch_size: int = 1_000,
+) -> None:
+    """K5: per-partition batched insert with per-row quarantine fallback.
+
+    ``connect()`` must return a DB-API connection. Failed batches are
+    retried row-by-row; rows that still fail are appended (with the
+    error message) to ``quarantine_path`` as CSV — the reference's
+    ``db.err`` ledger (src/db_loader.clj:161-163), but per-executor
+    files so there is no driver bottleneck.
+    """
+    columns = df.columns
+    sql = insert_sql(table, columns)
+
+    def write_partition(rows: Iterator[Row]) -> Iterator[tuple[int, int]]:
+        import csv
+        import os
+        import uuid
+
+        conn = connect()
+        cur = conn.cursor()
+        ok = bad = 0
+        quarantined: list[tuple] = []
+        batch: list[tuple] = []
+
+        def flush(batch: list[tuple]) -> None:
+            nonlocal ok, bad
+            if not batch:
+                return
+            try:
+                cur.executemany(sql, batch)
+                conn.commit()  # batch granularity — a failure can't undo it
+                ok += len(batch)
+            except Exception:
+                conn.rollback()
+                for row in batch:  # row-at-a-time fallback (K5)
+                    try:
+                        cur.execute(sql, row)
+                        conn.commit()  # per-row commit: later failures
+                        ok += 1  # must not roll back earlier successes
+                    except Exception as exc:  # noqa: BLE001 — quarantine anything
+                        conn.rollback()
+                        quarantined.append((*row, str(exc)))
+                        bad += 1
+
+        for r in rows:
+            batch.append(tuple(r[c] for c in columns))
+            if len(batch) >= batch_size:
+                flush(batch)
+                batch = []
+        flush(batch)
+        conn.commit()
+        if quarantined:
+            os.makedirs(quarantine_path, exist_ok=True)
+            part = os.path.join(quarantine_path, f"part-{uuid.uuid4().hex}.csv")
+            with open(part, "w", newline="") as fh:
+                w = csv.writer(fh)
+                w.writerow([*columns, "_error"])
+                w.writerows(quarantined)
+        yield (ok, bad)
+
+    # mapPartitions (not foreachPartition) so counts surface to the driver.
+    totals = df.rdd.mapPartitions(write_partition).collect()
+    _ = totals

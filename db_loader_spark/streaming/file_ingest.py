@@ -1,0 +1,124 @@
+"""Structured Streaming incremental ingest (T1-T5).
+
+The reference's bulk shell loop (scripts/load_csv_to_cloud.sh:107-141)
+is: watch a folder, process each new file once, flush in size-triggered
+batches, final flush. All four behaviors map onto the file source:
+
+- T1 per-file ingest      → ``spark.readStream.text(dir)``
+- T2 already-seen guard   → file-source checkpoint (exactly-once file
+                            tracking replaces the DB/CSV dedup probes)
+- T3 size-triggered flush → micro-batches (``maxFilesPerTrigger``);
+                            no manual 500 MB threshold
+- T4 final flush          → ``trigger(availableNow=True)`` drains and
+                            stops
+- T5 transactional load   → ``foreachBatch``: per-batch idempotent
+                            publish (epoch id = the retry token)
+
+The parse itself reuses plans.clojush.parse_clojush_lines — windows
+aren't allowed on a streaming frame directly, but inside foreachBatch
+each micro-batch is a static DataFrame, so the whole batch plan applies
+unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_loader_spark.plans.clojush import parse_clojush_lines
+from db_loader_spark.sources.text_logs import number_lines
+
+TABLE_NAMES = ("experiments", "experiment", "generations", "summary")
+
+
+def stream_log_tables(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 100,
+    available_now: bool = True,
+    publish: Callable[[str, DataFrame, int], None] | None = None,
+    **parse_kwargs,
+):
+    """Stream logs from ``in_dir``; publish the four tables per batch.
+
+    Default publish appends parquet under ``out_dir/<table>``; pass
+    ``publish(table_name, df, epoch_id)`` to route to JDBC
+    (sinks.jdbc_sink) or anywhere else. Returns the StreamingQuery.
+    """
+
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(in_dir)
+        .select(F.input_file_name().alias("file"), F.col("value").alias("line"))
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        lines = number_lines(batch_df)
+        tables = parse_clojush_lines(batch_df.sparkSession, lines, **parse_kwargs)
+        for name in TABLE_NAMES:
+            df = tables[name]
+            if publish is not None:
+                publish(name, df, epoch_id)
+            else:
+                df.write.mode("append").parquet(os.path.join(out_dir, name))
+
+    writer = raw.writeStream.option("checkpointLocation", checkpoint_dir).foreachBatch(
+        process_batch
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_rollup(
+    spark: SparkSession,
+    events_dir: str,
+    watermark: str = "1 hour",
+    window_len: str = "1 hour",
+    query_name: str = "event_rollup",
+):
+    """Watermarked event-time windowed aggregate over a parquet stream —
+    the late-data-tolerant rollup shape (memory sink for tests).
+
+    The events testdata carries nanosecond timestamps; the stream reads
+    them as long (nanosAsLong) and converts, same as tables.load_table.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The streaming file source wants a directory; events.parquet sits in
+    # the sf dir next to the other tables, so glob-filter within it.
+    base = events_dir
+    glob = None
+    if base.endswith(".parquet"):
+        base, glob = os.path.dirname(base), os.path.basename(base)
+    static = spark.read.parquet(os.path.join(base, glob) if glob else base)
+    reader = spark.readStream.schema(static.schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = reader.parquet(base).withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_len), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,123 @@
+"""Unit + property tests for the core operators (J1/J2/P14, ids, EDN)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from db_loader_spark.operators.sessionize import (
+    merge_continuations,
+    route_sections,
+    seq_split,
+)
+from db_loader_spark.sources.edn_index import parse_edn
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    """Module-scoped alias — hypothesis forbids function-scoped fixtures."""
+    return spark
+
+
+def _lines_df(spark, lines: list[str], file: str = "f1"):
+    return spark.createDataFrame(
+        [(file, i, ln) for i, ln in enumerate(lines)],
+        "file string, line_no long, line string",
+    )
+
+
+def _py_seq_split(lines: list[str], delim: str = r";+$") -> list[list[str]]:
+    """Pure-Python reference for J1 (independent reimplementation)."""
+    groups: list[list[str]] = [[]]
+    for ln in lines:
+        if re.search(delim, ln):
+            groups.append([])
+        else:
+            groups[-1].append(ln)
+    return groups
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["a = 1", "b: 2", ";;;;", "noise", ";;", "x = nil"]),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_seq_split_matches_python_reference(spark_global, data):
+    spark = spark_global
+
+    df = _lines_df(spark, data)
+    got = seq_split(df).orderBy("line_no").collect()
+    expected = _py_seq_split(data)
+    # section_id of each surviving line must match the python grouping
+    exp_pairs = [
+        (ln, sec)
+        for sec, group in enumerate(expected)
+        for ln in group
+    ]
+    got_pairs = [(r.line, r.section_id) for r in got]
+    assert got_pairs == exp_pairs
+
+
+def test_route_sections(spark):
+    lines = [
+        "h1 = a",
+        ";;;;",
+        "-*- gen 0",
+        "k: v",
+        ";;;;",
+        "middle noise",
+        ";;;;",
+        "SUCCESS at generation 0",
+    ]
+    df = seq_split(_lines_df(spark, lines))
+    routed = {
+        (r.line): r.section_kind for r in route_sections(df).collect()
+    }
+    assert routed["h1 = a"] == "header"
+    assert routed["-*- gen 0"] == "generation"
+    assert routed["k: v"] == "generation"
+    assert routed["middle noise"] == "noise"
+    assert routed["SUCCESS at generation 0"] == "summary"
+
+
+def test_merge_continuations(spark):
+    lines = ["orphan continuation", "a: 1", "cont one", "cont two", "b: 2"]
+    df = _lines_df(spark, lines)
+    merged = merge_continuations(df, anchor=F.col("line").contains(":"))
+    got = {r.line_no: r.line for r in merged.collect()}
+    assert got == {1: "a: 1 cont one cont two", 4: "b: 2"}
+
+
+def test_assign_file_ids_modes(spark):
+    from db_loader_spark.operators.ids import assign_file_ids
+
+    df = spark.createDataFrame(
+        [("fB", 0, "x"), ("fA", 0, "y"), ("fA", 1, "z")],
+        "file string, line_no long, line string",
+    )
+    dense = assign_file_ids(df, mode="dense", base_id=10)
+    ids = {r.file: r.id for r in dense.collect()}
+    assert ids == {"fA": 11, "fB": 12}
+    hashed = assign_file_ids(df, mode="hash")
+    hids = {r.file: r.id for r in hashed.collect()}
+    assert len(set(hids.values())) == 2 and all(v >= 0 for v in hids.values())
+
+
+def test_parse_edn():
+    data = parse_edn(
+        '{:command-maps [{:uuid "u1" :argmap {:k 50 :flag true :none nil}}] '
+        ':n 3 :f 1.5 :v [1 2 "s"] :sym bare ; comment\n}'
+    )
+    assert data["n"] == 3 and data["f"] == 1.5
+    assert data["v"] == [1, 2, "s"]
+    assert data["sym"] == "bare"
+    cm = data["command-maps"][0]
+    assert cm["uuid"] == "u1"
+    assert cm["argmap"] == {"k": 50, "flag": True, "none": None}

@@ -1,0 +1,143 @@
+"""Sink + streaming tests: CSV round-trip, quarantining DB writer
+(against sqlite as the DB-API stand-in), upsert SQL builders, and the
+Structured Streaming ingest with exactly-once file tracking."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_loader_spark.sinks.csv_sink import clean_csvs, write_csv_table
+from db_loader_spark.sinks.jdbc_sink import (
+    quarantining_jdbc_write,
+    upsert_publish_sql,
+    upsert_via_staging_sql,
+)
+
+LOG = """\
+p1 = v1
+Clojush version = aaa
+;;;;;;;;;;
+;; -*- Report at generation 0
+f: 1
+;;;;;;;;;;
+SUCCESS at generation 0
+"""
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 'va"l,ue'), (2, "plain")], "id long, value string"
+    )
+    out = str(tmp_path / "t")
+    write_csv_table(df, out)
+    write_csv_table(df, out)  # append (K1)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 4
+    # quoting keeps comma-bearing values intact (reference bug fixed, K1)
+    vals = [r.value for r in back.collect()]
+    assert vals.count('va"l,ue') == 2
+    assert clean_csvs(str(tmp_path), ["t"]) == [out]
+    assert not os.path.exists(out)
+
+
+def test_upsert_sql_builders():
+    stmts = upsert_via_staging_sql(
+        "experiments", "experiments_stg", ["id", "user", "problem_id"], ["id"]
+    )
+    assert stmts[0] == "BEGIN" and stmts[-1] == "COMMIT"
+    assert "ON DUPLICATE KEY UPDATE" in stmts[1]
+    pg = upsert_publish_sql("t", "s", ["a", "b"], ["a"], dialect="postgres")
+    assert "ON CONFLICT (a) DO UPDATE SET b = EXCLUDED.b" in pg
+
+
+def test_quarantining_writer(spark, tmp_path):
+    db = str(tmp_path / "test.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT NOT NULL)")
+        conn.execute("INSERT INTO t VALUES (2, 'pre-existing')")
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, "pk-conflict"), (3, None), (4, "ok2")], "id long, v string"
+    ).coalesce(1)
+    qdir = str(tmp_path / "quarantine")
+    quarantining_jdbc_write(
+        df, "t", connect=lambda: sqlite3.connect(db), quarantine_path=qdir, batch_size=2
+    )
+    with sqlite3.connect(db) as conn:
+        rows = dict(conn.execute("SELECT id, v FROM t").fetchall())
+    assert rows == {1: "ok", 2: "pre-existing", 4: "ok2"}
+    qfiles = os.listdir(qdir)
+    assert len(qfiles) == 1
+    content = open(os.path.join(qdir, qfiles[0])).read()
+    assert "pk-conflict" in content and "_error" in content  # K5 ledger
+
+
+def test_stream_log_tables_exactly_once(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (in_dir / "run_one.log").write_text(LOG)
+
+    from db_loader_spark.streaming.file_ingest import stream_log_tables
+
+    q = stream_log_tables(spark, str(in_dir), out_dir, ckpt, id_mode="hash")
+    q.awaitTermination(120)
+    exp1 = spark.read.parquet(f"{out_dir}/experiment")
+    assert exp1.count() == 2  # p1, Clojush version
+    assert spark.read.parquet(f"{out_dir}/summary").count() == 1
+
+    # second file arrives; rerun with same checkpoint → ONLY it is ingested (T2)
+    (in_dir / "run_two.log").write_text(LOG.replace("aaa", "bbb"))
+    q2 = stream_log_tables(spark, str(in_dir), out_dir, ckpt, id_mode="hash")
+    q2.awaitTermination(120)
+    exp2 = spark.read.parquet(f"{out_dir}/experiment")
+    assert exp2.count() == 4  # 2 + 2, no re-processing of run_one
+    assert spark.read.parquet(f"{out_dir}/summary").count() == 2
+
+
+def test_stream_event_rollup(spark):
+    from db_loader_spark.streaming.file_ingest import stream_event_rollup
+
+    q = stream_event_rollup(
+        spark, "/root/testdata/sf0.001/events.parquet", query_name="roll_t"
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM roll_t")
+    # append mode emits only watermark-closed windows; at least schema+rows sane
+    assert out.columns == ["window_start", "event_type", "n", "total_value"]
+    assert out.count() >= 0
+
+
+def test_ecj_pipeline(spark, tmp_path):
+    ecj = tmp_path / "ecj"
+    ecj.mkdir()
+    (ecj / "run.log").write_text(
+        "Generation: 0\n"
+        "Fitness Mean: 0.5\n"
+        "continuation without colon\n"
+        "Best Fitness: 0.9\n"
+        "of Run: 1\n"
+        "Final Result: yes\n"
+    )
+    from db_loader_spark.plans.ecj import parse_ecj_log, parse_ecj_params
+
+    got = {
+        (r.gen_group, r.param): r.value for r in parse_ecj_log(spark, str(ecj)).collect()
+    }
+    assert got[(1, "FitnessMean")] == "0.5 continuation without colon"  # P14+P13
+    assert got[(1, "BestFitness")] == "0.9"
+    assert got[(2, "FinalResult")] == "yes"
+    assert got[(1, "Generation")] == "0"
+
+    (ecj / "params.txt").write_text("pop.size=200\nmutation = 0.1\n")
+    params = {
+        r.param: r.value
+        for r in parse_ecj_params(spark, str(ecj / "params.txt")).collect()
+    }
+    assert params == {"pop.size": "200", "mutation": "0.1"}
