@@ -30,6 +30,7 @@ import operator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from db_loader_spark.functions import fan_out
 from db_loader_spark.functions.text import tokens
 
 HEX_DIGITS = "0123456789abcdef"
@@ -52,7 +53,11 @@ def shingle_frame(
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the input to Jaccard and MinHash."""
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -110,80 +115,97 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """Per-doc MinHash signature columns h0..h{k-1}.
+    """Per-doc MinHash signature columns h0..h{k-1} (32-bit longs).
 
-    h_i(doc) = MIN over shingles of md5(i || '|' || shingle): a valid
-    minhash family because md5 output is uniform and hex strings order
-    lexicographically. One explode + one groupBy — linear in corpus size.
+    h_i(doc) = MIN over shingles of the first 32 bits of
+    md5(i || '|' || shingle) — a valid minhash family (md5 is uniform),
+    and numerically equal to the lexicographic min of the 8-char hex
+    prefix, which is what the DuckDB oracle computes.
+
+    Perf shape (measured at sf0.1): the k hashes are parallel *columns*
+    on the exploded shingle rows, not a k× row explosion, and min(long)
+    keeps the aggregate in HashAggregate with map-side partial combine —
+    the shuffle carries only one 8-long row per doc. No distinct on
+    shingles: MIN is idempotent under duplicates.
     """
-    sh = shingle_frame(docs, id_col, text_col, n)
-    seeded = sh.select(
-        "id",
-        "shingle",
-        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("seed"),
-    ).withColumn(
-        "mh", F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+    toks = shingles(F.col(text_col), n)
+    sh = fan_out(docs).select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("shingle")
     )
-    aggs = [
-        F.min(F.when(F.col("seed") == i, F.col("mh"))).alias(f"h{i}")
+    hcols = [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return seeded.groupBy("id").agg(*aggs)
+    return sh.select("id", *hcols).groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 8, band_size: int = 2
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Band the signature and self-join per band: (doc_a, doc_b, est_sim).
 
     est_sim = fraction of matching signature components (exact rational).
     The join key is (band_idx, band_key) so only same-band collisions
     shuffle — the LSH guarantee that makes this linear-ish at scale.
+
+    The full signature rides along through the band explode, so est_sim
+    comes straight off the joined rows — no second join back to the
+    signature frame (which would recompute its whole lineage twice).
+    ``materialize`` persists the (tiny: one row per doc) signature frame
+    so the self-join's two branches share one computation.
     """
+    if materialize:
+        signatures = signatures.persist()
     n_bands = num_hashes // band_size
+    sig_cols = [f"h{i}" for i in range(num_hashes)]
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.concat_ws(
-                    "", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                    "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
                 ).alias("band_key"),
             )
             for b in range(n_bands)
         ]
     )
-    banded = signatures.select("id", F.explode(bands).alias("band")).select(
-        "id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    banded = signatures.select("id", *sig_cols, F.explode(bands).alias("band")).select(
+        "id",
+        *sig_cols,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    matches = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ],
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
-    )
-    sa = signatures.alias("sa")
-    sb = signatures.alias("sb")
-    matches = functools.reduce(
-        operator.add,
-        [
-            F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
-            for i in range(num_hashes)
-        ],
-    )
-    return (
-        cand.join(sa, cand.doc_a == F.col("sa.id"))
-        .join(sb, cand.doc_b == F.col("sb.id"))
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
             F.round(matches.cast("double") / num_hashes, 4).alias("est_sim"),
         )
+        .distinct()
     )
 
 
@@ -212,7 +234,8 @@ def simhash_bits(
     aggregates, all inside codegen.
     """
     tok = (
-        docs.select(
+        fan_out(docs)
+        .select(
             F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
         )
         .distinct()

@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from db_loader_spark.functions import fan_out
+
 EMBEDDING_DIM = 64  # driver testdata dimension (TESTDATA.md / embeddings.parquet)
 
 
@@ -61,7 +63,7 @@ def cosine_pairs(
 
     O(n²) by design — the exact verifier; the LSH path is the scale
     route. Threshold compares the ROUNDed value so the cut is stable."""
-    a = emb.alias("a")
+    a = fan_out(emb).alias("a")
     b = emb.alias("b")
     cos = cosine(
         F.col(f"a.{vec_col}"),
@@ -97,7 +99,9 @@ def brute_force_topk(
     q = emb.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = fan_out(emb).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
     cos = cosine(
         F.col("q_vec"),
         F.col("c_vec"),
@@ -155,7 +159,7 @@ def ann_lsh_topk(
     q = bucketed.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
     )
-    c = bucketed.select(
+    c = fan_out(bucketed).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
     )
     cos = cosine(

@@ -81,8 +81,10 @@ _MINHASH_MATCHES = " + ".join(
 _MINHASH_ORACLE = f"""
 WITH sh AS ({_DUCK_SHINGLES}),
 seeded AS (
+  -- first 8 hex chars = the 32-bit prefix the Spark side min's as a long;
+  -- lexicographic min over fixed-width lowercase hex == numeric min
   SELECT id, shingle, s.seed,
-         md5(CAST(s.seed AS VARCHAR) || '|' || shingle) AS mh
+         substr(md5(CAST(s.seed AS VARCHAR) || '|' || shingle), 1, 8) AS mh
   FROM sh, (SELECT unnest(range(8)) AS seed) s
 ),
 sig AS (SELECT id, {_MINHASH_SIG_COLS} FROM seeded GROUP BY id),
