@@ -17,13 +17,22 @@ from pyspark.sql import DataFrame
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition before CPU-heavy per-row derivation.
+    """Round-robin repartition before work that EXPLODES per input row
+    (shingling ×~tokens, k-column hashing, quadratic pair joins).
 
     Small dimension-sized inputs often arrive as ONE file = ONE input
     split, serializing all downstream hashing / unrolled-vector math
     onto a single core. One narrow shuffle of the compact source rows
     buys full-cluster parallelism for the expensive expressions that
-    follow. At real scale inputs span many splits and this approaches a
-    no-op."""
+    follow.
+
+    Scale guard: if the input already carries at least the target
+    partition count (the normal case for a 100 TB table with thousands
+    of file splits), return it untouched — re-shuffling an entire
+    corpus to obtain parallelism it already has would be the dominant
+    cost of the job. Checking ``rdd.getNumPartitions()`` is driver-side
+    planning only; no job runs."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)

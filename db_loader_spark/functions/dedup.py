@@ -19,13 +19,14 @@ Scale design (the point of each algorithm at 100 TB):
   pairs sharing a band (standard Manku et al., WWW'07 trick).
 
 All of it is Column-expression work — no Python UDFs — so the whole
-pipeline stays inside whole-stage codegen.
+pipeline stays inside whole-stage codegen. Wide unrolled expressions
+(k hash columns, 32 bit-votes, Hamming sums) are assembled as single
+``F.expr`` SQL strings: one py4j call instead of hundreds, which takes
+plan construction from ~1 s of driver time to ~1 ms with an identical
+Catalyst tree.
 """
 
 from __future__ import annotations
-
-import functools
-import operator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -133,11 +134,9 @@ def minhash_signatures(
         F.col(id_col).alias("id"), F.explode(toks).alias("shingle")
     )
     hcols = [
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))), 1, 8), 16, 10
-        )
-        .cast("long")
-        .alias(f"h{i}")
+        F.expr(
+            f"CAST(conv(substring(md5(concat('{i}|', shingle)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.select("id", *hcols).groupBy("id").agg(
@@ -167,17 +166,14 @@ def lsh_candidate_pairs(
         signatures = signatures.persist()
     n_bands = num_hashes // band_size
     sig_cols = [f"h{i}" for i in range(num_hashes)]
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-                ).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
+    band_structs = ", ".join(
+        "struct({b} AS band_idx, concat_ws('|', {keys}) AS band_key)".format(
+            b=b,
+            keys=", ".join(f"h{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(n_bands)
     )
+    bands = F.expr(f"array({band_structs})")
     banded = signatures.select("id", *sig_cols, F.explode(bands).alias("band")).select(
         "id",
         *sig_cols,
@@ -186,12 +182,10 @@ def lsh_candidate_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    matches = functools.reduce(
-        operator.add,
-        [
-            F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
-            for i in range(num_hashes)
-        ],
+    matches = F.expr(
+        " + ".join(
+            f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+        )
     )
     return (
         a.join(
@@ -209,15 +203,13 @@ def lsh_candidate_pairs(
     )
 
 
-def _nibble(h: Column, nibble_idx: int) -> Column:
-    """Value 0-15 of the given hex digit (1-based position in the string)."""
-    return F.instr(F.lit(HEX_DIGITS), F.substring(h, nibble_idx + 1, 1)) - 1
-
-
-def _bit(h: Column, p: int) -> Column:
-    """Bit p (0 = MSB) of the 32-bit value held in the first 8 hex chars."""
+def _bit_sql(h: str, p: int) -> str:
+    """SQL for bit p (0 = MSB) of the 32-bit value in the first 8 hex
+    chars of column ``h`` — nibble decode via instr on the hex alphabet,
+    then floor-shift-mod (mirrored exactly by the DuckDB oracle)."""
     shift = 3 - (p % 4)
-    return F.floor(_nibble(h, p // 4) / (2**shift)) % 2
+    nibble = f"(instr('{HEX_DIGITS}', substring({h}, {p // 4 + 1}, 1)) - 1)"
+    return f"(FLOOR({nibble} / {2 ** shift}) % 2)"
 
 
 def simhash_bits(
@@ -242,13 +234,13 @@ def simhash_bits(
         .withColumn("h8", F.substring(F.md5("tok"), 1, 8))
     )
     vote_aggs = [
-        F.sum(_bit(F.col("h8"), p) * 2 - 1).alias(f"v{p}") for p in range(bits)
+        F.expr(f"sum({_bit_sql('h8', p)} * 2 - 1)").alias(f"v{p}") for p in range(bits)
     ]
     votes = tok.groupBy("id").agg(*vote_aggs)
-    bit_chars = [
-        F.when(F.col(f"v{p}") >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(bits)
-    ]
-    return votes.select("id", F.concat(*bit_chars).alias("simhash"))
+    bit_chars = ", ".join(
+        f"CASE WHEN v{p} >= 0 THEN '1' ELSE '0' END" for p in range(bits)
+    )
+    return votes.select("id", F.expr(f"concat({bit_chars})").alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -258,30 +250,22 @@ def simhash_near_pairs(
     ``bits/n_bands`` consecutive signature chars) then exact Hamming
     filter — the Manku-et-al banded Hamming search."""
     band_w = bits // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.substring(F.col("simhash"), b * band_w + 1, band_w).alias("band_key"),
-            )
-            for b in range(n_bands)
-        ]
+    band_structs = ", ".join(
+        f"struct({b} AS band_idx, substring(simhash, {b * band_w + 1}, {band_w}) AS band_key)"
+        for b in range(n_bands)
     )
+    bands = F.expr(f"array({band_structs})")
     banded = sig.select("id", "simhash", F.explode(bands).alias("band")).select(
         "id", "simhash", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    hamming = functools.reduce(
-        operator.add,
-        [
-            F.when(
-                F.substring(F.col("a.simhash"), p + 1, 1)
-                != F.substring(F.col("b.simhash"), p + 1, 1),
-                1,
-            ).otherwise(0)
+    hamming = F.expr(
+        " + ".join(
+            f"(CASE WHEN substring(a.simhash, {p + 1}, 1) <> substring(b.simhash, {p + 1}, 1)"
+            " THEN 1 ELSE 0 END)"
             for p in range(bits)
-        ],
+        )
     )
     return (
         a.join(

