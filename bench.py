@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "t_session_window",
     "text_quality_score",
 ]
 

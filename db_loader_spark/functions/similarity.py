@@ -146,6 +146,105 @@ def lsh_bucket_stats(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """IVF coarse-quantizer training: one centroid per cell.
+
+    Cells are the 2^n_bits sign-pattern buckets (a deterministic,
+    training-free coarse quantizer); the centroid is the per-dimension
+    mean computed in EXACT integer arithmetic — each value is floored to
+    micro-units, summed as BIGINT (order-independent, unlike FP
+    addition), divided once at the end. That makes centroid coordinates
+    bit-identical on any engine, so probe rankings (and therefore the
+    whole IVF result) are deterministic and oracle-checkable.
+
+    Scale shape: posexplode is dim× the corpus but aggregates map-side
+    to (cells × dim) partial rows per task — the shuffle carries only
+    2^n_bits × dim tiny rows, and the centroid table is broadcastable
+    by construction.
+    """
+    cells = emb.withColumn("cell", F.expr(sign_bucket_sql(vec_col, n_bits)))
+    longf = cells.select(
+        "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    per_dim = longf.groupBy("cell", "pos").agg(
+        F.expr("SUM(FLOOR(CAST(v AS DOUBLE) * 1000000))").alias("s"),
+        F.count("*").alias("n"),
+    )
+    return (
+        per_dim.withColumn("cval", F.expr("CAST(s AS DOUBLE) / (1000000.0 * n)"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cval))), x -> x.cval)"
+            ).alias("centroid")
+        )
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 4,
+    nprobe: int = 2,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """IVF-style ANN: rank cells by query↔centroid cosine, search the
+    top ``nprobe`` inverted lists, exact-rescore, top-k.
+
+    vs the sign-LSH path: probing is *adaptive* (nearest centroids, not
+    just the query's own bucket), so recall degrades gracefully when a
+    query sits near a cell boundary. The centroid table (2^n_bits rows)
+    and the probed-cells frame (queries × nprobe rows) are both
+    broadcast; the corpus is scanned once and only probed cells fan
+    into the rescoring join.
+    """
+    cells = emb.withColumn("cell", F.expr(sign_bucket_sql(vec_col, n_bits)))
+    cents = ivf_centroids(emb, vec_col, n_bits, dim)
+    q = cells.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(norm_sql(vec_col, dim)).alias("q_nrm"),
+    )
+    cent_sim = F.expr(
+        f"({dot_sql('q_vec', 'centroid', dim)}) / (q_nrm * {norm_sql('centroid', dim)})"
+    )
+    probe_w = W.partitionBy("query_id").orderBy(cent_sim.desc(), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("prk", F.row_number().over(probe_w))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "q_vec", "q_nrm", "cell")
+    )
+    c = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(norm_sql(vec_col, dim)).alias("c_nrm"),
+        "cell",
+    )
+    cos = cosine_expr("q_vec", "c_vec", "q_nrm", "c_nrm", dim)
+    scored = (
+        c.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cos_sim"))
+        # no distinct needed: cells partition the corpus, so a neighbor
+        # matches at most one probed cell per query
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_pred: Column,

@@ -36,6 +36,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Union of every module's registry, insertion-ordered by theme."""
     from db_loader_spark.queries import (
         dedup,
+        eventops,
         logshape,
         multimodal,
         relational,
@@ -44,7 +45,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, logshape, dedup, similarity, textops, multimodal):
+    for mod in (relational, logshape, eventops, dedup, similarity, textops, multimodal):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")

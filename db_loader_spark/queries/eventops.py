@@ -1,0 +1,122 @@
+"""Event-stream operator queries: gap sessionization + JSON map parsing.
+
+These are the batch faces of the streaming layer (SURVEY.md §2.8):
+
+- ``t_session_window`` uses Spark's NATIVE ``session_window`` — the same
+  operator Structured Streaming runs stateful sessionization with — so
+  the batch query and the streaming pipeline (streaming.stateful) share
+  semantics. The DuckDB oracle derives identical sessions from first
+  principles (lag + cumulative sum over gap breaks), which cross-checks
+  Spark's session-merge logic, not just our arithmetic.
+- ``p_json_props`` is the JSON analog of the reference's EDN sidecar
+  parse (S5, src/db_loader.clj:274,284): parse a string column into a
+  typed map with ``from_json`` and explode it — no regex, no UDF.
+
+Determinism: gap comparisons are integer microseconds on both engines
+(micros survive the nanos→micros load conversion identically); session
+boundaries are therefore bit-exact, not truncation-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, MapType, StringType
+
+from db_loader_spark.queries import QuerySpec
+from db_loader_spark.tables import load_table
+
+SESSION_GAP = "30 minutes"
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def t_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user via native ``session_window``.
+
+    At scale this is one shuffle on user_id with AQE-coalesced
+    partitions; in streaming mode the identical expression becomes an
+    incrementally-maintained stateful operator — that duality is why
+    the native operator beats a hand-rolled lag/cumsum here.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                / F.lit(60_000_000.0),
+                2,
+            ).alias("duration_min"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+            "duration_min",
+        )
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('microsecond', prev_ts, ts) >= {_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 60000000.0, 2) AS duration_min
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+def p_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-map JSON parse of the props column (S5 sidecar analog):
+    ``from_json`` → ``explode`` the map → per-key value stats."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        F.explode(
+            F.from_json(F.col("props"), MapType(StringType(), IntegerType()))
+        ).alias("key", "val")
+    )
+    return parsed.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("val"), 4).alias("avg_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+_JSON_ORACLE = """
+WITH kv AS (
+  SELECT k.key AS key,
+         CAST(json_extract_string(props, '$.' || k.key) AS INT) AS val
+  FROM events, UNNEST(json_keys(props)) AS k(key)
+)
+SELECT key, COUNT(*) AS n, ROUND(AVG(val), 4) AS avg_val, MAX(val) AS max_val
+FROM kv GROUP BY key
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "t_session_window": QuerySpec(
+        t_session_window, _SESSION_ORACLE, "native session_window gap sessions"
+    ),
+    "p_json_props": QuerySpec(p_json_props, _JSON_ORACLE, "from_json map explode"),
+}

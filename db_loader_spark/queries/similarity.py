@@ -69,6 +69,75 @@ FROM (
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(emb, F.col("vec_id") < 8, k=3, n_bits=4, nprobe=2)
+
+
+_DUCK_CELL = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 5)
+) + ")"
+
+
+def _duck_dot_name(a: str, b: str, dim: int = S.EMBEDDING_DIM) -> str:
+    """Dot product between two named list columns (1-based in DuckDB)."""
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    )
+
+
+_IVF_CENT_NORM = "sqrt(" + _duck_dot_name("centroid", "centroid") + ")"
+
+_IVF_ORACLE = f"""
+WITH cells AS (
+  SELECT vec_id, embedding, {_DUCK_CELL} AS cell FROM embeddings
+),
+longf AS (
+  SELECT cell, t.pos AS pos,
+         CAST(FLOOR(CAST(embedding[t.pos + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM cells, (SELECT unnest(range(64)) AS pos) t
+),
+sums AS (
+  SELECT cell, pos, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n
+  FROM longf GROUP BY cell, pos
+),
+cents AS (
+  SELECT cell, list(CAST(s AS DOUBLE) / (1000000.0 * n) ORDER BY pos) AS centroid
+  FROM sums GROUP BY cell
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec,
+         sqrt({_duck_dot_name('embedding', 'embedding')}) AS q_nrm
+  FROM cells WHERE vec_id < 8
+),
+probed AS (
+  SELECT query_id, q_vec, q_nrm, cell FROM (
+    SELECT q.query_id, q.q_vec, q.q_nrm, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ({_duck_dot_name('q_vec', 'centroid')}) / (q_nrm * {_IVF_CENT_NORM}) DESC,
+                      c.cell
+           ) AS prk
+    FROM q CROSS JOIN cents c
+  ) WHERE prk <= 2
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         ROUND(({_duck_dot_name('p.q_vec', 'c.embedding')})
+               / (p.q_nrm * sqrt({_duck_dot_name('c.embedding', 'c.embedding')})), 4)
+           AS cos_sim
+  FROM probed p JOIN cells c ON c.cell = p.cell
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 def ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_stats(load_table(spark, sf_dir, "embeddings"))
 
@@ -84,5 +153,8 @@ QUERIES: dict[str, QuerySpec] = {
         ann_bruteforce_topk, _BRUTE_ORACLE, "exact cosine top-k"
     ),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, _LSH_TOPK_ORACLE, "sign-LSH bucketed ANN"),
+    "ann_ivf_topk": QuerySpec(
+        ann_ivf_topk, _IVF_ORACLE, "IVF centroid-probed ANN (nprobe=2)"
+    ),
     "ann_bucket_stats": QuerySpec(ann_bucket_stats, _BUCKET_ORACLE, "LSH bucket sizing"),
 }

@@ -1,0 +1,138 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (SURVEY.md §2.8 — the stateful shape the
+reference's batch-emulated incremental loop never had).
+
+Semantics match the batch ``queries.eventops.t_session_window``
+(native ``session_window``): events of one user belong to one session
+while consecutive gaps stay < gap; a session is emitted when the event
+-time watermark passes its close (last event + gap). Output rows are
+bit-compatible with the batch query so the two can be equi-joined in
+tests — the streaming answer must be a subset (open sessions not yet
+flushed) of the batch answer.
+
+Scale design: state is 4 numbers per active user key — an
+executor-partitioned hash map keyed by user_id, so the operator scales
+horizontally with key cardinality; watermark-driven timeouts bound
+state size (idle keys are evicted as they flush). Arrow batches carry
+the per-key rows, so the Python boundary is vectorized, not per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", StringType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("duration_min", DoubleType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _make_session_fn(gap_us: int):
+    """Build the per-key state-update function as a CLOSURE so it pickles
+    by value — executors must not need this package importable."""
+
+    def update(key, pdfs, state):
+        import datetime as _dt
+
+        import pandas as pd
+
+        def finish(start_us, last_us, n, total):
+            start_s = _dt.datetime.fromtimestamp(
+                start_us // 1_000_000, _dt.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S")
+            return {
+                "user_id": key[0],
+                "session_start": start_s,
+                "n_events": n,
+                "total_value": round(total, 2),
+                "duration_min": round((last_us - start_us) / 60_000_000.0, 2),
+            }
+
+        out = []
+        if state.hasTimedOut:
+            # Watermark passed last+gap with no new data: flush and evict.
+            start_us, last_us, n, total = state.get
+            out.append(finish(start_us, last_us, n, total))
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            ts_us = (
+                (rows["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
+            ).astype("int64")
+            order = ts_us.sort_values(kind="stable").index
+            for i in order:
+                t, v = int(ts_us[i]), float(rows["value"][i])
+                if cur is None:
+                    cur = (t, t, 1, v)
+                elif t - cur[1] >= gap_us:
+                    out.append(finish(*cur))
+                    cur = (t, t, 1, v)
+                else:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+            state.update(cur)
+            # Event-time timeout fires when the watermark passes this (ms).
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "session_start",
+                "n_events",
+                "total_value",
+                "duration_min",
+            ],
+        )
+
+    return update
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "5 seconds",
+) -> DataFrame:
+    """Stateful gap sessionization of a streaming events frame.
+
+    ``events`` must carry ``ts TIMESTAMP, user_id LONG, value DOUBLE``.
+    Returns the streaming DataFrame of closed sessions (append mode).
+    Within a micro-batch rows are sorted per key; across batches the
+    watermark bounds disorder — late rows inside the watermark merge
+    into the still-open session, later ones start a new one (standard
+    at-watermark-granularity semantics).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_us),
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
