@@ -1,0 +1,117 @@
+"""Physical-plan shape assertions — the 100 TB scale contract.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives a 1000-executor, 100 TB deployment: filters and
+column pruning reach the parquet scan, small dimensions broadcast
+(never sort-merge or nested-loop), aggregates combine map-side, and
+shuffle counts stay bounded. A regression here is a performance bug
+even when every value still matches.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from db_loader_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def count_ops(plan: str, op: str) -> int:
+    """Count numbered physical operators (ignores plan text quoted inside
+    InMemoryRelation's cached-plan dump)."""
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, flags=re.MULTILINE))
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    reg = all_queries()
+
+    def plan(name: str) -> str:
+        df = reg[name].spark(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    return plan
+
+
+def test_q1_filter_pushdown_and_pruning(plans):
+    s = plans("q1_pricing_summary")
+    # shipdate predicate reaches the parquet reader
+    assert "LessThanOrEqual(l_shipdate" in s
+    # only the 7 needed columns are read — never the wide remainder
+    assert "l_comment" not in s and "l_shipinstruct" not in s
+    # map-side partial aggregation before the shuffle (partial + final)
+    assert count_ops(s, "HashAggregate") >= 2
+
+
+def test_star_joins_broadcast(plans):
+    for name in ("q3_segment_revenue", "q5_region_revenue", "jn1_dim_lookup_join"):
+        s = plans(name)
+        assert "BroadcastHashJoin" in s, f"{name}: dimension join must broadcast"
+        assert "SortMergeJoin" not in s, f"{name}: no SMJ for dim-sized sides"
+        assert "CartesianProduct" not in s, name
+
+
+def test_join_scans_prune_columns(plans):
+    s = plans("q3_segment_revenue")
+    # lineitem scan reads only join key + revenue inputs
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in s
+
+
+def test_ann_joins_are_hash_not_nested_loop(plans):
+    for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_bruteforce_topk"):
+        s = plans(name)
+        assert "CartesianProduct" not in s, f"{name}: bucket join degenerated"
+    # the bucketed candidate join is a broadcast hash join on the bucket key
+    assert "BroadcastHashJoin" in plans("ann_lsh_topk")
+
+
+def test_minhash_bounded_shuffles(plans):
+    s = plans("dedup_minhash_lsh")
+    # fan_out + signature agg + band join side(s) + final distinct;
+    # anything beyond that means a new unplanned shuffle crept in
+    n_shuffles = count_ops(s, "Exchange") + count_ops(s, "BroadcastExchange")
+    assert n_shuffles <= 5, s
+    assert (
+        count_ops(s, "SortMergeJoin")
+        + count_ops(s, "ShuffledHashJoin")
+        + count_ops(s, "BroadcastHashJoin")
+        >= 1
+    )
+
+
+def test_exact_dedup_partial_agg(plans):
+    s = plans("dedup_exact")
+    # partial (map-side) + final HashAggregate pair, exactly one shuffle
+    assert count_ops(s, "HashAggregate") >= 2
+    assert count_ops(s, "Exchange") <= 1
+
+
+def test_no_python_udfs_in_core_queries(plans):
+    # Everything SQL-expressible stays JVM-side (multimodal is the one
+    # deliberate mapInPandas surface and is excluded here).
+    for name in (
+        "q1_pricing_summary",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_ivf_topk",
+        "text_quality_score",
+        "t_session_window",
+    ):
+        s = plans(name)
+        assert "BatchEvalPython" not in s, f"{name}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in s, f"{name}: unexpected pandas UDF"
+
+
+def test_sessionize_single_window_pass(plans):
+    s = plans("j1_sessionize")
+    # one Window node over (user, order) then the aggregate — no repeat
+    assert count_ops(s, "Window") <= 1
+    assert "HashAggregate" in s or "ObjectHashAggregate" in s
