@@ -36,3 +36,25 @@ def create_all(spark: SparkSession, location: str, fmt: str = "parquet") -> None
 def drop_all(spark: SparkSession) -> None:
     for name in ECJ_TABLES:  # children first (drop_tables.sql order)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def write_bucketed(
+    df,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a fact table bucketed (and sorted) by its join key.
+
+    Two tables bucketed the same way equi-join with ZERO exchange — the
+    scan is already hash-partitioned on the key — which at 100 TB turns
+    the repeated fact⋈fact shuffle (e.g. orders⋈lineitem on orderkey)
+    into a local merge per bucket. Bucket count should be a multiple of
+    target parallelism; sorting makes the join a streaming merge.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(name)

@@ -110,6 +110,36 @@ def test_no_python_udfs_in_core_queries(plans):
         assert "ArrowEvalPython" not in s, f"{name}: unexpected pandas UDF"
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located fact⋈fact: same bucketing on both sides ⇒ the equi-join
+    runs with ZERO exchanges — the 100 TB answer to repeated key joins."""
+    from pyspark.sql import functions as F
+
+    from db_loader_spark.sinks.ddl import write_bucketed
+    from db_loader_spark.tables import load_table
+
+    o = load_table(spark, SF, "orders")
+    for t in ("tb_orders_a", "tb_orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(o, "tb_orders_a", "o_orderkey", n_buckets=4)
+    write_bucketed(
+        o.select("o_orderkey", "o_totalprice"), "tb_orders_b", "o_orderkey", n_buckets=4
+    )
+    try:
+        a = spark.table("tb_orders_a")
+        b = spark.table("tb_orders_b").withColumnRenamed("o_totalprice", "tp2")
+        j = a.hint("merge").join(b, "o_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        s = buf.getvalue()
+        assert count_ops(s, "Exchange") == 0, s
+        assert j.count() == o.count()
+    finally:
+        for t in ("tb_orders_a", "tb_orders_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_sessionize_single_window_pass(plans):
     s = plans("j1_sessionize")
     # one Window node over (user, order) then the aggregate — no repeat
