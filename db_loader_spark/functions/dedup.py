@@ -203,6 +203,65 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over a pair
+    graph by iterative min-label propagation → (id, component_id).
+
+    The iterative algorithm the dedup pipeline needs after candidate
+    generation: every doc in a near-dup cluster gets the cluster's
+    minimum id, so "keep one per cluster" is a trivial filter.
+
+    Scale shape: each iteration is one hash join (labels ⋈ edges) + one
+    min-aggregate — all distributed; the driver only checks the
+    converged flag. Iterations ≤ graph diameter (near-dup clusters are
+    shallow in practice); ``localCheckpoint`` truncates lineage so plans
+    don't grow with iterations. This is the one operator family
+    (iterative fixpoint) that SQL can't express — the oracle uses a
+    recursive CTE instead.
+    """
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges.dst == labels.id, "inner"
+        ).select(F.col("src").alias("id"), "component_id")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component_id").alias("component_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component_id", "old"), "id"
+            )
+            .filter(F.col("component_id") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "component_id")
+
+
 def _bit_sql(h: str, p: int) -> str:
     """SQL for bit p (0 = MSB) of the 32-bit value in the first 8 hex
     chars of column ``h`` — nibble decode via instr on the hex alphabet,

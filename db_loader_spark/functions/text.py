@@ -77,6 +77,19 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs whose
+# semantics are identical in Java regex (Spark) and RE2 (DuckDB): no
+# lookarounds, ASCII classes only. Splits contractions, letter runs,
+# digit runs, punctuation runs, each with an optional leading space.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Subword-ish tokens via the BPE pre-tokenizer regex (the token
+    COUNT proxy LLM-data pipelines budget with, minus the merge table)."""
+    return F.regexp_extract_all(F.lower(F.trim(text)), F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set — the classic 'fingerprint clustering' key (Google Refine)."""

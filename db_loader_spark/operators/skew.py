@@ -1,0 +1,49 @@
+"""Skew-resistant aggregation: two-phase salted groupBy.
+
+When one group key carries a disproportionate share of rows (the
+power-law reality of user/document keys at 100 TB), a plain groupBy
+sends the whole hot key to one reducer. Salting splits each key into
+``n_salts`` sub-groups for the first (map-heavy) aggregation, then
+re-aggregates the tiny salted partials — the hot key's work spreads
+across ``n_salts`` tasks and the second shuffle carries only
+keys × n_salts rows.
+
+Only associative-commutative aggregates (sum/count/min/max) decompose
+this way; avg = salted sum / salted count. AQE's skew-join splitting
+handles *join* skew automatically (session.py); this operator is the
+equivalent for aggregation, where AQE cannot help because the skew is
+inside a single group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_alias: str | None = None,
+    n_salts: int = 16,
+    salt_src: Column | None = None,
+) -> DataFrame:
+    """GroupBy ``keys`` with salted two-phase sum/count.
+
+    ``sum_cols`` maps input column → output alias. The salt derives from
+    a value column hash (deterministic, data-dependent) so rows of one
+    key scatter over ``n_salts`` sub-groups regardless of partitioning.
+    Result is exactly a plain ``groupBy(keys).agg(sum…, count…)``.
+    """
+    if salt_src is None:
+        salt_src = F.xxhash64(*[F.col(c) for c in sum_cols])
+    salted = df.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[F.sum(c).alias(f"_s_{a}") for c, a in sum_cols.items()],
+        F.count("*").alias("_n"),
+    )
+    final_aggs = [F.sum(f"_s_{a}").alias(a) for a in sum_cols.values()]
+    if count_alias:
+        final_aggs.append(F.sum("_n").alias(count_alias))
+    return partial.groupBy(*keys).agg(*final_aggs)

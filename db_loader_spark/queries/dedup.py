@@ -145,6 +145,37 @@ FROM pairs WHERE hamming <= 6
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash/LSH pairs (est_sim ≥ 0.5) → connected
+    components → (doc_id, component_id). The iterative-fixpoint operator;
+    the oracle expresses the same closure with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, num_hashes=8)
+    pairs = D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2).filter(
+        F.col("est_sim") >= 0.5
+    )
+    return D.connected_components(pairs)
+
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) q WHERE est_sim >= 0.5
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT id AS doc_id, CAST(MIN(lab) AS BIGINT) AS component_id
+FROM reach GROUP BY id
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from db_loader_spark.functions.similarity import cosine_pairs
 
@@ -178,6 +209,9 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_minhash_lsh, _MINHASH_ORACLE, "MinHash→band→bucket-join"
     ),
     "dedup_simhash": QuerySpec(dedup_simhash, _SIMHASH_ORACLE, "SimHash banded Hamming"),
+    "dedup_components": QuerySpec(
+        dedup_components, _COMPONENTS_ORACLE, "near-dup connected components"
+    ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, _COSINE_ORACLE, "embedding cosine near-dup"
     ),

@@ -514,6 +514,39 @@ FROM events GROUP BY user_id
 """
 
 
+def a_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (operators.skew.salted_agg):
+    l_returnflag has only 3 values over the whole lineitem table — the
+    worst-case hot-key shape — so each key's rows first aggregate across
+    16 salted sub-groups, then the partials combine. Result identical
+    to a plain groupBy (the oracle)."""
+    from db_loader_spark.operators.skew import salted_agg
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        l,
+        keys=["l_returnflag"],
+        sum_cols={"l_quantity": "sum_qty", "l_extendedprice": "sum_price"},
+        count_alias="n_rows",
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("sum_price", 2).alias("sum_price"),
+        "n_rows",
+    )
+
+
+_SALTED_ORACLE = """
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity), 2)      AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*)                       AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1 shape"),
     "q3_segment_revenue": QuerySpec(q3_segment_revenue, _Q3_ORACLE, "3-way star join"),
@@ -525,6 +558,7 @@ QUERIES: dict[str, QuerySpec] = {
     "a4_count_distinct": QuerySpec(a4_count_distinct, _A4_ORACLE, "A4 count distinct"),
     "a6_run_summary": QuerySpec(a6_run_summary, _A6_ORACLE, "A6 summary collapse"),
     "a7_id_assignment": QuerySpec(a7_id_assignment, _A7_ORACLE, "A7 max+1 ids"),
+    "a_salted_agg": QuerySpec(a_salted_agg, _SALTED_ORACLE, "skew-salted two-phase agg"),
     "jn1_dim_lookup_join": QuerySpec(jn1_dim_lookup_join, _JN1_ORACLE, "JN1 broadcast dims"),
     "jn2_contains_join": QuerySpec(jn2_contains_join, _JN2_ORACLE, "JN2 contains join"),
     "jn4_anti_join_idempotence": QuerySpec(jn4_anti_join_idempotence, _JN4_ORACLE, "JN4"),

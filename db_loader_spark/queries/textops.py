@@ -101,8 +101,46 @@ FROM documents
 """
 
 
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budget per doc: subword-proxy count next to the
+    whitespace count, plus their ratio (the 'tokens per word' statistic
+    used for corpus budgeting)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(TX.bpe_ish_tokens(F.col("text")))
+    n_ws = TX.token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(
+            F.when(n_ws > 0, n_bpe.cast("double") / n_ws).otherwise(F.lit(0.0)), 4
+        ).alias("tokens_per_word"),
+    )
+
+
+_BPE_PAT_SQL = TX.BPE_ISH_PATTERN.replace("'", "''")
+
+_BPE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(trim(text)), '{_BPE_PAT_SQL}')) AS INT)
+           AS n_bpe_tokens,
+         CAST(len({_DUCK_TOKENS}) AS INT) AS n_ws_tokens
+  FROM documents
+)
+SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+       ROUND(CASE WHEN n_ws_tokens > 0
+                  THEN CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens
+                  ELSE 0.0 END, 4) AS tokens_per_word
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(text_token_count, _TOKEN_ORACLE, "token counting"),
+    "text_bpe_token_count": QuerySpec(
+        text_bpe_token_count, _BPE_ORACLE, "BPE-ish subword token budget"
+    ),
     "text_quality_score": QuerySpec(text_quality_score, _QUALITY_ORACLE, "quality scoring"),
     "text_lang_id": QuerySpec(text_lang_id, _LANG_ORACLE, "language-ID heuristic"),
     "text_fingerprint": QuerySpec(text_fingerprint, _FP_ORACLE, "doc fingerprint"),
