@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 from pyspark.sql.types import IntegerType, MapType, StringType
 
 from db_loader_spark.queries import QuerySpec
@@ -114,9 +115,59 @@ FROM kv GROUP BY key
 """
 
 
+def jn_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively, composed from a
+    single window pass: each event matches the most recent signup of the
+    same user at-or-before its timestamp (DuckDB verifies with its
+    native ASOF JOIN).
+
+    Scale shape: ONE shuffle on user_id; the union of both sides rides
+    one window (signups sort first on ties so '<=' semantics hold), so
+    cost is a sort within user partitions — no range-join blow-up, no
+    per-row probe. This is the standard at-scale formulation for
+    point-in-time feature joins.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # kind 0 = signup (sorts first at equal ts → inclusive '<=' match)
+    kind = F.when(F.col("event_type") == "signup", 0).otherwise(1)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = (
+        e.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("kind", kind)
+        .withColumn(
+            "signup_us",
+            F.max(F.when(F.col("kind") == 0, F.col("ts_us"))).over(w),
+        )
+        .filter((F.col("kind") == 1) & F.col("signup_us").isNotNull())
+    )
+    return matched.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.avg((F.col("ts_us") - F.col("signup_us")) / F.lit(60_000_000.0)), 2
+        ).alias("avg_min_since_signup"),
+    )
+
+
+_ASOF_ORACLE = """
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(AVG((epoch_us(e.ts) - epoch_us(s.ts)) / 60000000.0), 2)
+         AS avg_min_since_signup
+FROM (SELECT * FROM events WHERE event_type <> 'signup') e
+ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND s.ts <= e.ts
+GROUP BY e.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "t_session_window": QuerySpec(
         t_session_window, _SESSION_ORACLE, "native session_window gap sessions"
     ),
     "p_json_props": QuerySpec(p_json_props, _JSON_ORACLE, "from_json map explode"),
+    "jn_asof_join": QuerySpec(jn_asof_join, _ASOF_ORACLE, "as-of join via one window"),
 }

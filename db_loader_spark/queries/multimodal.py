@@ -33,8 +33,35 @@ FROM documents
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: explode one frame marker per 10 payload
+    bytes (the deterministic stand-in for a video frame sampler), then
+    re-aggregate per doc — exercises the explode fan-out shape and its
+    row accounting end-to-end."""
+    from pyspark.sql import functions as F
+
+    from db_loader_spark.functions.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_binary(docs), every_n=10)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"), F.max("frame_idx").alias("last_frame")
+    )
+
+
+_FRAME_ORACLE = """
+SELECT doc_id,
+       CAST(FLOOR(strlen(text) / 10.0) + 1 AS BIGINT) AS n_frames,
+       CAST(FLOOR(strlen(text) / 10.0) AS INT) AS last_frame
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(
         multimodal_features, _MM_ORACLE, "binary payload mapInPandas features"
+    ),
+    "multimodal_frame_sample": QuerySpec(
+        multimodal_frame_sample, _FRAME_ORACLE, "frame-sample explode plumbing"
     ),
 }
