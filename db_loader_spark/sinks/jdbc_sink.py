@@ -46,6 +46,51 @@ def jdbc_write(
     df.write.jdbc(url, table, mode=mode, properties=props)
 
 
+def jdbc_read_options(
+    url: str,
+    query: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    fetchsize: int = 10_000,
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Reader options for a parameterized JDBC source (S8/S9 — the
+    reference's ``jdbc/with-query-results`` dim lookups and shell
+    ``mysql -e`` probes, src/parse_logs_ecj.clj:41-55,71-79;
+    scripts/load_csv_to_cloud.sh:90-93,110).
+
+    Pure function (unit-testable without a database): wraps the query as
+    a derived table and, when a numeric ``partition_column`` + bounds
+    are given, adds range-partitioned parallel reads — the scale path
+    for pulling a large dimension without serializing on one connection.
+    ``fetchsize`` keeps each round trip streaming instead of
+    materializing the whole result driver-side.
+    """
+    opts = {
+        "url": url,
+        "dbtable": f"({query}) q",
+        "fetchsize": str(fetchsize),
+        **(properties or {}),
+    }
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned read needs lower_bound and upper_bound")
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def jdbc_read(spark, **kwargs) -> DataFrame:
+    """Build the JDBC source DataFrame from ``jdbc_read_options``."""
+    return spark.read.format("jdbc").options(**jdbc_read_options(**kwargs)).load()
+
+
 def insert_sql(table: str, columns: list[str], dialect: str = "ansi") -> str:
     cols = ", ".join(columns)
     ph = ", ".join(["?"] * len(columns))

@@ -55,6 +55,29 @@ def test_upsert_sql_builders():
     assert "ON CONFLICT (a) DO UPDATE SET b = EXCLUDED.b" in pg
 
 
+def test_jdbc_read_options():
+    from db_loader_spark.sinks.jdbc_sink import jdbc_read_options
+
+    opts = jdbc_read_options(
+        "jdbc:mysql://host/db",
+        "SELECT problem_name, problem_id FROM experiments GROUP BY 1, 2",
+        partition_column="problem_id",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=4,
+    )
+    assert opts["dbtable"].startswith("(SELECT") and opts["dbtable"].endswith(") q")
+    assert opts["partitionColumn"] == "problem_id"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == (
+        "0",
+        "1000",
+        "4",
+    )
+    assert opts["fetchsize"] == "10000"
+    with pytest.raises(ValueError):
+        jdbc_read_options("u", "q", partition_column="x")
+
+
 def test_quarantining_writer(spark, tmp_path):
     db = str(tmp_path / "test.db")
     with sqlite3.connect(db) as conn:
