@@ -547,6 +547,71 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def a_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling — the reproducible alternative to
+    rand()-based TABLESAMPLE a training pipeline needs (same subset on
+    every engine and every re-run): keep orders whose md5(orderkey)
+    32-bit prefix mod 100 < 10, i.e. a stable ~10% slice, then
+    aggregate it. Fully parallel, no RNG state, no skew."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.expr(
+        "pmod(CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT), 100)"
+    )
+    return (
+        o.filter(bucket < 10)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_revenue"),
+        )
+    )
+
+
+_HASH_SAMPLE_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_sampled,
+       ROUND(SUM(o_totalprice), 2) AS sampled_revenue
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+      % 100 < 10
+GROUP BY o_orderstatus
+"""
+
+
+def a_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution statistics per group: linear-interpolated
+    quartiles + p95 of extended price (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``; both sort-based and exact, the scale caveat being
+    one sort per group — use approx_percentile when 4-9s of sort per
+    100 TB column matters more than exactness)."""
+    l = _t(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+    )
+    return (
+        l.groupBy("l_linestatus")
+        .agg(pct.alias("q"))
+        .select(
+            "l_linestatus",
+            F.round(F.element_at("q", 1), 4).alias("p25"),
+            F.round(F.element_at("q", 2), 4).alias("p50"),
+            F.round(F.element_at("q", 3), 4).alias("p75"),
+            F.round(F.element_at("q", 4), 4).alias("p95"),
+        )
+    )
+
+
+_QUANTILES_ORACLE = """
+SELECT l_linestatus,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5),  4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1 shape"),
     "q3_segment_revenue": QuerySpec(q3_segment_revenue, _Q3_ORACLE, "3-way star join"),
@@ -559,6 +624,8 @@ QUERIES: dict[str, QuerySpec] = {
     "a6_run_summary": QuerySpec(a6_run_summary, _A6_ORACLE, "A6 summary collapse"),
     "a7_id_assignment": QuerySpec(a7_id_assignment, _A7_ORACLE, "A7 max+1 ids"),
     "a_salted_agg": QuerySpec(a_salted_agg, _SALTED_ORACLE, "skew-salted two-phase agg"),
+    "a_hash_sample": QuerySpec(a_hash_sample, _HASH_SAMPLE_ORACLE, "deterministic sampling"),
+    "a_quantiles": QuerySpec(a_quantiles, _QUANTILES_ORACLE, "exact grouped quantiles"),
     "jn1_dim_lookup_join": QuerySpec(jn1_dim_lookup_join, _JN1_ORACLE, "JN1 broadcast dims"),
     "jn2_contains_join": QuerySpec(jn2_contains_join, _JN2_ORACLE, "JN2 contains join"),
     "jn4_anti_join_idempotence": QuerySpec(jn4_anti_join_idempotence, _JN4_ORACLE, "JN4"),
