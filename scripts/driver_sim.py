@@ -1,0 +1,37 @@
+"""Simulate the external driver: vanilla SparkSession, foreign cwd."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.driver.memory", "8g")
+    .appName("driver-sim")
+    .getOrCreate()
+)
+
+import __spark_entry__ as e
+
+df = e.entry(spark)
+rows = df.count()
+print(f"entry(): {rows} rows, schema={df.schema.simpleString()}")
+assert rows >= 0
+
+from db_loader_spark.oracle import run_all
+
+sample = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_bruteforce_topk",
+    "dedup_ngram_jaccard",
+]
+results = run_all(spark, "/root/testdata/sf0.01", only=sample)
+bad = [r for r in results if not r.ok]
+for r in results:
+    print(("OK  " if r.ok else "FAIL"), r.name, r.spark_rows, r.detail)
+print("DRIVER-SIM", "PASS" if not bad else "FAIL")
+sys.exit(1 if bad else 0)
