@@ -1,0 +1,64 @@
+"""Empty-input hardening: every custom operator must return an EMPTY
+frame with the right schema (never throw) when its input is empty —
+the behavior partition-pruned or heavily-filtered production runs hit
+constantly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from db_loader_spark.functions import dedup as D
+from db_loader_spark.functions import similarity as S
+from db_loader_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _empty_docs(spark):
+    return load_table(spark, SF, "documents").filter(F.lit(False))
+
+
+def _empty_emb(spark):
+    return load_table(spark, SF, "embeddings").filter(F.lit(False))
+
+
+def test_minhash_lsh_empty(spark):
+    sig = D.minhash_signatures(_empty_docs(spark))
+    assert sig.count() == 0
+    assert D.lsh_candidate_pairs(sig).count() == 0
+
+
+def test_simhash_empty(spark):
+    sig = D.simhash_bits(_empty_docs(spark))
+    assert sig.count() == 0
+    assert D.simhash_near_pairs(sig).count() == 0
+
+
+def test_components_empty(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = D.connected_components(pairs)
+    assert out.columns == ["doc_id", "component_id"]
+    assert out.count() == 0
+
+
+def test_ann_empty_corpus(spark):
+    e = _empty_emb(spark)
+    assert S.brute_force_topk(e, F.col("vec_id") < 8).count() == 0
+    assert S.ann_lsh_topk(e, F.col("vec_id") < 8).count() == 0
+    assert S.ann_ivf_topk(e, F.col("vec_id") < 8).count() == 0
+
+
+def test_ann_empty_query_set(spark):
+    emb = load_table(spark, SF, "embeddings")
+    assert S.brute_force_topk(emb, F.lit(False)).count() == 0
+    assert S.ann_ivf_topk(emb, F.lit(False)).count() == 0
+
+
+def test_short_docs_drop_from_shingles(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d")], "doc_id long, text string"
+    )
+    sh = D.shingle_frame(docs)
+    # doc 1 has <3 tokens → no shingles; doc 2 has exactly 2
+    assert {r.id for r in sh.select("id").distinct().collect()} == {2}
+    assert D.minhash_signatures(docs).count() == 1
