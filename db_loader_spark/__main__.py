@@ -1,0 +1,110 @@
+"""CLI entry point — reference-parity command surface (P20 + E1/E2).
+
+The reference is driven as ``lein run -m db_loader :filename f.log
+[:problemname p] [:mysql {…}] [:clean t] [:skip-nils false]``
+(README:6-8; argmap parse src/db_loader.clj:300-313). This module
+accepts the SAME keyword-style arguments:
+
+    python -m db_loader_spark :filename runs/f.log :problemname regression
+    python -m db_loader_spark :filename 'runs/*.log.gz' :csv-dir out/
+    python -m db_loader_spark :clean all :csv-dir out/
+    python -m db_loader_spark :filename f.log :jdbc-url jdbc:mysql://h/db
+
+Differences from the reference, by design (SURVEY.md §7):
+- one Spark job over ALL matching files, not a JVM per file;
+- ``.tgz`` archives are actually extracted (the reference's ``tar czf``
+  bug created archives instead, src/db_loader.clj:342-343);
+- CSV output is quoted (unquoted commas corrupted reference rows);
+- no id-reservation protocol — ids are hash-stable per file.
+"""
+
+from __future__ import annotations
+
+import sys
+import tarfile
+import tempfile
+from pathlib import Path
+
+TABLE_NAMES = ("experiments", "experiment", "generations", "summary")
+
+
+def parse_argmap(argv: list[str]) -> dict[str, str]:
+    """P20: ``:kw val`` pairs → dict (flags with no value → '')."""
+    argmap: dict[str, str] = {}
+    key = None
+    for tok in argv:
+        if tok.startswith(":"):
+            if key is not None:
+                argmap[key] = ""
+            key = tok[1:]
+        elif key is not None:
+            argmap[key] = tok
+            key = None
+        else:
+            raise SystemExit(f"positional arg {tok!r}; expected :keyword value pairs")
+    if key is not None:
+        argmap[key] = ""
+    return argmap
+
+
+def extract_tgz(path: str, workdir: str | None = None) -> str:
+    """S3 (fixed): extract a .tgz of logs, return the directory of
+    extracted files (the reference's ``tar czf`` created archives
+    instead of extracting)."""
+    out = workdir or tempfile.mkdtemp(prefix="db_loader_tgz_")
+    with tarfile.open(path, "r:gz") as tf:
+        tf.extractall(out, filter="data")
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    argmap = parse_argmap(argv if argv is not None else sys.argv[1:])
+    csv_dir = argmap.get("csv-dir", ".")
+
+    if "clean" in argmap:
+        from db_loader_spark.sinks.csv_sink import clean_csvs
+
+        tables = None if argmap["clean"] in ("all", "") else [argmap["clean"]]
+        for p in clean_csvs(csv_dir, tables):
+            print(f"removed {p}")
+        return 0
+
+    if "filename" not in argmap:
+        print(__doc__)
+        return 2
+
+    from db_loader_spark.plans.clojush import parse_clojush_logs
+    from db_loader_spark.session import get_spark
+    from db_loader_spark.sinks.csv_sink import write_csv_table
+
+    path = argmap["filename"]
+    if path.endswith((".tgz", ".tar.gz")):
+        path = extract_tgz(path)
+    skip_nils = argmap.get("skip-nils", "true").lower() != "false"
+
+    spark = get_spark("db_loader_cli")
+    tables = parse_clojush_logs(
+        spark,
+        path,
+        skip_nils=skip_nils,
+        problem_name=argmap.get("problemname"),
+        user=argmap.get("user", "spark"),
+    )
+
+    jdbc_url = argmap.get("jdbc-url")
+    if jdbc_url:
+        from db_loader_spark.sinks.jdbc_sink import jdbc_write
+
+        for name in TABLE_NAMES:
+            jdbc_write(tables[name], jdbc_url, name)
+            print(f"loaded {name} via jdbc")
+    else:
+        for name in TABLE_NAMES:
+            out = str(Path(csv_dir) / name)
+            write_csv_table(tables[name], out)
+            print(f"appended {name} -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

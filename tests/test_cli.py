@@ -1,0 +1,61 @@
+"""Reference-parity CLI: keyword argmap parsing, tgz extraction (fixed
+S3 semantics), CSV load + clean round-trip."""
+
+from __future__ import annotations
+
+import tarfile
+
+import pytest
+
+from db_loader_spark.__main__ import extract_tgz, main, parse_argmap
+
+LOG = """\
+p1 = v1
+problem-name = demo
+Clojush version = 1.2
+;;;;;;;;;;
+;; -*- Report at generation 0
+f: 7
+;;;;;;;;;;
+SUCCESS at generation 0
+"""
+
+
+def test_parse_argmap():
+    am = parse_argmap([":filename", "f.log", ":problemname", "p", ":debug"])
+    assert am == {"filename": "f.log", "problemname": "p", "debug": ""}
+    with pytest.raises(SystemExit):
+        parse_argmap(["stray"])
+
+
+def test_cli_csv_load_and_clean(spark, tmp_path):
+    log = tmp_path / "run_u1.log"
+    log.write_text(LOG)
+    out = tmp_path / "csv"
+    out.mkdir()
+    rc = main([":filename", str(log), ":csv-dir", str(out), ":problemname", "demo"])
+    assert rc == 0
+    exp = spark.read.option("header", True).csv(str(out / "experiment"))
+    assert {r.parameter for r in exp.collect()} >= {"p1", "problem-name"}
+    summ = spark.read.option("header", True).csv(str(out / "summary"))
+    assert summ.count() == 1
+    # append semantics: second run doubles rows (reference E1 behavior)
+    assert main([":filename", str(log), ":csv-dir", str(out)]) == 0
+    assert spark.read.option("header", True).csv(str(out / "summary")).count() == 2
+    # :clean one table, then all
+    assert main([":clean", "summary", ":csv-dir", str(out)]) == 0
+    assert not (out / "summary").exists()
+    assert main([":clean", "all", ":csv-dir", str(out)]) == 0
+    assert not (out / "experiment").exists()
+
+
+def test_tgz_extraction_fixed(tmp_path):
+    # the reference's S3 ran `tar czf` (creates!); ours must EXTRACT
+    log = tmp_path / "run_a.log"
+    log.write_text(LOG)
+    archive = tmp_path / "runs.tgz"
+    with tarfile.open(archive, "w:gz") as tf:
+        tf.add(log, arcname="run_a.log")
+    out = extract_tgz(str(archive), str(tmp_path / "x"))
+    assert (tmp_path / "x" / "run_a.log").read_text() == LOG
+    assert out == str(tmp_path / "x")
