@@ -336,7 +336,7 @@ def simhash_near_pairs(
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
-            hamming.alias("hamming"),
+            hamming.cast("long").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

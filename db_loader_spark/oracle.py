@@ -79,6 +79,15 @@ def compare(
         )
     if len(sp) != len(du):
         return CompareResult(name, False, len(sp), len(du), "row count mismatch")
+    # Strict dtype parity (pre-normalization): the driver's schema check
+    # may distinguish int32 from int64 etc. — catch it locally first.
+    for c in sorted(sp.columns):
+        a, b = str(sp[c].dtype), str(du[c].dtype)
+        if a != b:
+            return CompareResult(
+                name, False, len(sp), len(du),
+                f"dtype mismatch in {c!r}: spark={a} duck={b}",
+            )
     nsp, ndu = _normalize(sp), _normalize(du)
     for col in nsp.columns:
         sv, dv = nsp[col].tolist(), ndu[col].tolist()

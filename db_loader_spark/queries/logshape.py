@@ -51,9 +51,9 @@ _J1_ORACLE = """
 SELECT user_id, section_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
 FROM (
   SELECT user_id, event_id, event_type, value,
-         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)
-           AS section_id
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS section_id
   FROM events
 ) WHERE event_type <> 'error'
 GROUP BY user_id, section_id
@@ -96,9 +96,9 @@ WITH sections AS (
          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_marker_i
   FROM (
     SELECT user_id, event_id, event_type,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)
-             AS section_id
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS section_id
     FROM events
   ) WHERE event_type <> 'error'
   GROUP BY user_id, section_id
