@@ -35,6 +35,14 @@ def get_spark(app_name: str = "db_loader_spark", cpus: str | None = None) -> Spa
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime row-level filtering: build a bloom filter from the
+        # small join side and prune the big side's scan — at 100 TB this
+        # is the difference between scanning a fact table and scanning
+        # the ~join-matched slice of it.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # MIN/MAX/COUNT over parquet answered from footer statistics —
+        # no row reads for pure metadata aggregates (a2_max_id shape).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
