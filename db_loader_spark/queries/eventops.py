@@ -164,10 +164,68 @@ GROUP BY e.event_type
 """
 
 
+_RANGE_US = 60_000_000  # 1-minute interval
+_BUCKET_US = 60_000_000  # bucket width == range → offsets {-1,0,1} suffice
+
+
+def jn_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) self-join without nested-loop degeneration:
+    pairs of same-user events within 1 minute, counted per type pair.
+
+    A plain ``|Δt| ≤ r`` predicate alone gives BroadcastNestedLoopJoin —
+    quadratic per key. The scale formulation buckets time into
+    range-width windows and equi-joins on (user, bucket + offset) for
+    offset ∈ {-1,0,1}: each qualifying pair matches on EXACTLY one
+    offset (bucket distance ≤ 1 when |Δt| ≤ width), the join stays a
+    hash join on compound keys, and fan-out is bucket-local instead of
+    per-key-quadratic. DuckDB verifies with the naive inequality join.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    a = e.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("ts_us").alias("ts_a"),
+        F.floor(F.col("ts_us") / _BUCKET_US).alias("bucket_a"),
+    ).withColumn("_off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))).withColumn(
+        "bucket", F.col("bucket_a") + F.col("_off")
+    )
+    b = e.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts_us").alias("ts_b"),
+        F.floor(F.col("ts_us") / _BUCKET_US).alias("bucket"),
+    )
+    pairs = a.join(b, ["user_id", "bucket"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("ts_b") - F.col("ts_a")) <= _RANGE_US)
+    )
+    return pairs.groupBy("type_a", "type_b").agg(F.count("*").alias("n_pairs"))
+
+
+_RANGE_ORACLE = f"""
+SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= {_RANGE_US}
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "t_session_window": QuerySpec(
         t_session_window, _SESSION_ORACLE, "native session_window gap sessions"
     ),
     "p_json_props": QuerySpec(p_json_props, _JSON_ORACLE, "from_json map explode"),
     "jn_asof_join": QuerySpec(jn_asof_join, _ASOF_ORACLE, "as-of join via one window"),
+    "jn_range_join": QuerySpec(
+        jn_range_join, _RANGE_ORACLE, "bucketed interval join (no BNLJ)"
+    ),
 }

@@ -73,6 +73,18 @@ def test_ann_joins_are_hash_not_nested_loop(plans):
     assert "BroadcastHashJoin" in plans("ann_lsh_topk")
 
 
+def test_range_join_is_hash_not_nested_loop(plans):
+    s = plans("jn_range_join")
+    # the bucket trick must keep the interval join a hash/merge join
+    assert "BroadcastNestedLoopJoin" not in s and "CartesianProduct" not in s, s
+    assert (
+        count_ops(s, "SortMergeJoin")
+        + count_ops(s, "ShuffledHashJoin")
+        + count_ops(s, "BroadcastHashJoin")
+        == 1
+    )
+
+
 def test_minhash_bounded_shuffles(plans):
     s = plans("dedup_minhash_lsh")
     # fan_out + signature agg + band join side(s) + final distinct;
