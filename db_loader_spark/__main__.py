@@ -64,7 +64,14 @@ def main(argv: list[str] | None = None) -> int:
     if "clean" in argmap:
         from db_loader_spark.sinks.csv_sink import clean_csvs
 
-        tables = None if argmap["clean"] in ("all", "") else [argmap["clean"]]
+        # ':clean all' means the four OUTPUT tables, never every child
+        # dir of csv-dir (which defaults to cwd — rmtree there would be
+        # catastrophic).
+        tables = (
+            list(TABLE_NAMES)
+            if argmap["clean"] in ("all", "")
+            else [argmap["clean"]]
+        )
         for p in clean_csvs(csv_dir, tables):
             print(f"removed {p}")
         return 0

@@ -26,13 +26,20 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     buys full-cluster parallelism for the expensive expressions that
     follow.
 
-    Scale guard: if the input already carries at least the target
-    partition count (the normal case for a 100 TB table with thousands
-    of file splits), return it untouched — re-shuffling an entire
-    corpus to obtain parallelism it already has would be the dominant
-    cost of the job. Checking ``rdd.getNumPartitions()`` is driver-side
-    planning only; no job runs."""
+    Scale guard: if the input scans at least the target number of files
+    (the normal case for a 100 TB table with thousands of splits),
+    return it untouched — re-shuffling an entire corpus to obtain
+    parallelism it already has would be the dominant cost of the job.
+    The probe is ``inputFiles()``, which only walks the analyzed plan;
+    ``rdd.getNumPartitions()`` would MATERIALIZE upstream shuffle
+    stages under AQE (it runs the job to learn the final partitioning),
+    executing the lineage once at plan-construction time and again at
+    query time."""
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= n:
         return df
     return df.repartition(n)

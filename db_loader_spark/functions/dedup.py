@@ -160,7 +160,12 @@ def lsh_candidate_pairs(
     comes straight off the joined rows — no second join back to the
     signature frame (which would recompute its whole lineage twice).
     ``materialize`` persists the (tiny: one row per doc) signature frame
-    so the self-join's two branches share one computation.
+    so the self-join's two branches share one computation. The entry
+    stays cached for the session (Spark's CacheManager dedups by plan,
+    so repeated builds of the same query share ONE entry rather than
+    leaking per call); pass ``materialize=False`` or call
+    ``spark.catalog.clearCache()`` in long-lived sessions that cycle
+    many distinct corpora.
     """
     if materialize:
         signatures = signatures.persist()
@@ -207,7 +212,7 @@ def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Duplicate-cluster formation: connected components over a pair
     graph by iterative min-label propagation → (id, component_id).
@@ -238,6 +243,7 @@ def connected_components(
         .withColumn("component_id", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(
             labels, edges.dst == labels.id, "inner"
@@ -257,8 +263,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # Non-converged labels are silently WRONG (far ends of a long
+        # chain keep non-minimal ids) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "raise max_iter (graph diameter exceeds it)"
+        )
     return labels.select(F.col("id").alias("doc_id"), "component_id")
 
 

@@ -31,13 +31,17 @@ def salted_agg(
 ) -> DataFrame:
     """GroupBy ``keys`` with salted two-phase sum/count.
 
-    ``sum_cols`` maps input column → output alias. The salt derives from
-    a value column hash (deterministic, data-dependent) so rows of one
-    key scatter over ``n_salts`` sub-groups regardless of partitioning.
-    Result is exactly a plain ``groupBy(keys).agg(sum…, count…)``.
+    ``sum_cols`` maps input column → output alias. The default salt is
+    row-position-based (``monotonically_increasing_id``), NOT value
+    -based: a hot key whose rows all carry identical values would
+    collapse a value hash into one salt bucket and silently defeat the
+    mitigation. Position salting spreads any key's rows round-robin-ish
+    over ``n_salts`` sub-groups; associative re-aggregation makes the
+    result independent of which row got which salt — exactly a plain
+    ``groupBy(keys).agg(sum…, count…)``.
     """
     if salt_src is None:
-        salt_src = F.xxhash64(*[F.col(c) for c in sum_cols])
+        salt_src = F.monotonically_increasing_id()
     salted = df.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[F.sum(c).alias(f"_s_{a}") for c, a in sum_cols.items()],

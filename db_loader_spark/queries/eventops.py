@@ -63,18 +63,19 @@ def t_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_ORACLE = f"""
 WITH ordered AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ), flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN prev_ts IS NULL
                    OR date_diff('microsecond', prev_ts, ts) >= {_GAP_US}
               THEN 1 ELSE 0 END AS is_new
   FROM ordered
 ), numbered AS (
+  -- order ties by event_id too, or tied rows could split sessions
   SELECT user_id, ts, value,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
 )

@@ -42,7 +42,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from db_loader_spark.functions.multimodal import frame_sample
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text would silently vanish from the explode side while the
+    # oracle's direct arithmetic kept the row — filter identically.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     frames = frame_sample(attach_binary(docs), every_n=10)
     return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_frames"), F.max("frame_idx").alias("last_frame")
@@ -54,6 +56,7 @@ SELECT doc_id,
        CAST(FLOOR(strlen(text) / 10.0) + 1 AS BIGINT) AS n_frames,
        CAST(FLOOR(strlen(text) / 10.0) AS INT) AS last_frame
 FROM documents
+WHERE text IS NOT NULL
 """
 
 

@@ -78,24 +78,34 @@ def _make_session_fn(gap_us: int):
             out.append(finish(start_us, last_us, n, total))
             state.remove()
         else:
-            cur = state.get if state.exists else None
             rows = pd.concat(list(pdfs), ignore_index=True)
             ts_us = (
                 (rows["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)
             ).astype("int64")
-            order = ts_us.sort_values(kind="stable").index
-            for i in order:
-                t, v = int(ts_us[i]), float(rows["value"][i])
-                if cur is None:
-                    cur = (t, t, 1, v)
-                elif t - cur[1] >= gap_us:
-                    out.append(finish(*cur))
-                    cur = (t, t, 1, v)
+            # Each event is a singleton interval; the carried state is an
+            # interval too. Folding them SORTED BY START handles late
+            # rows inside the watermark correctly — an event before the
+            # open session's start min-merges or forms its own earlier
+            # session, instead of corrupting the open one's span.
+            items = [
+                (int(t), int(t), 1, float(v))
+                for t, v in zip(ts_us, rows["value"])
+            ]
+            if state.exists:
+                items.append(tuple(state.get))
+            items.sort(key=lambda it: (it[0], it[1]))
+            acc = None
+            for s, l, n, tot in items:
+                if acc is None:
+                    acc = (s, l, n, tot)
+                elif s - acc[1] >= gap_us:
+                    out.append(finish(*acc))
+                    acc = (s, l, n, tot)
                 else:
-                    cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
-            state.update(cur)
+                    acc = (acc[0], max(acc[1], l), acc[2] + n, acc[3] + tot)
+            state.update(acc)
             # Event-time timeout fires when the watermark passes this (ms).
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+            state.setTimeoutTimestamp(acc[1] // 1000 + gap_us // 1000)
         yield pd.DataFrame(
             out,
             columns=[
@@ -119,10 +129,12 @@ def sessionize_stream(
 
     ``events`` must carry ``ts TIMESTAMP, user_id LONG, value DOUBLE``.
     Returns the streaming DataFrame of closed sessions (append mode).
-    Within a micro-batch rows are sorted per key; across batches the
-    watermark bounds disorder — late rows inside the watermark merge
-    into the still-open session, later ones start a new one (standard
-    at-watermark-granularity semantics).
+    Per key and micro-batch, events and the carried open-session
+    interval fold in start order, so late rows inside the watermark
+    merge correctly (extending the open session's start, or forming
+    their own earlier session). Inherent append-mode limit: a session
+    emitted mid-stream cannot retroactively absorb a row that arrives
+    even later — the watermark is the contract bounding that disorder.
     """
     gap_us = gap_minutes * 60 * 1_000_000
     return (

@@ -50,6 +50,63 @@ def chunked_events_dir(spark, sf_dir, tmp_path_factory):
     return out
 
 
+def test_late_events_fold_correctly(spark, tmp_path):
+    """A batch-2 event EARLIER than the open session (but inside the
+    watermark) must min-merge or form its own earlier session — never
+    corrupt the open session's span."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+    def mk(minute_offsets, name):
+        rows = [
+            (base + dt.timedelta(minutes=m), 1, 1.0) for m in minute_offsets
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+        chunk_dir = str(tmp_path / f"tmp_{name}")
+        df.coalesce(1).write.parquet(chunk_dir)
+        part = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")][0]
+        final = str(tmp_path / f"chunk_{name}.parquet")
+        os.rename(os.path.join(chunk_dir, part), final)
+        return final
+
+    # batch 0: events at t=100,101min (open session A)
+    # batch 1: LATE event at t=99min (inside watermark → must extend A's
+    #          start), plus t=200min (new session B forces A's flush via
+    #          gap) and t=0min (its own, long-closed session C)
+    f0 = mk([100, 101], "0")
+    f1 = mk([99, 0, 200], "1")
+    os.utime(f0, (1_700_000_000, 1_700_000_000))
+    os.utime(f1, (1_700_000_010, 1_700_000_010))
+
+    static = spark.read.parquet(f0)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "chunk_*.parquet")
+        .parquet(str(tmp_path))
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="10 hours")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.session_start, r.n_events): r.duration_min
+        for r in spark.table("late_sessions").collect()
+    }
+    # session C (t=0) closed: singleton; session A closed when B opened:
+    # events 99,100,101 → start=12:00+99min=13:39:00, span 2.0 min
+    assert ("2024-06-01 12:00:00", 1) in got
+    assert ("2024-06-01 13:39:00", 3) in got, got
+    assert got[("2024-06-01 13:39:00", 3)] == 2.0
+
+
 def test_stateful_sessions_match_batch(spark, sf_dir, chunked_events_dir, tmp_path):
     static = spark.read.parquet(chunked_events_dir + "/chunk_0.parquet")
     stream = (
