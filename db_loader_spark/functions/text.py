@@ -26,9 +26,14 @@ STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to")
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization with empty-token cleanup (lowercased)."""
+    """Whitespace tokenization with empty-token cleanup (lowercased).
+
+    NULL text tokenizes as empty ([]), not NULL — otherwise
+    ``size(tokens)`` returns -1 and every downstream ratio/score goes
+    out of range (the DuckDB oracles coalesce identically)."""
     return F.filter(
-        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+"),
+        lambda t: t != F.lit(""),
     )
 
 

@@ -87,7 +87,8 @@ def parse_clojush_lines(
 
     # --- experiment (EAV header params, src/db_loader.clj:139-143) ----
     header = routed.filter(F.col("section_kind") == "header")
-    experiment = _kv_split(header, " = ").select("id", "parameter", "value")
+    header_kv = _kv_split(header, " = ")  # shared with experiments below
+    experiment = header_kv.select("id", "parameter", "value")
     if skip_nils:  # P5 (src/db_loader.clj:141-142)
         experiment = experiment.filter(F.trim(F.col("value")) != "nil")
 
@@ -124,7 +125,6 @@ def parse_clojush_lines(
     version = F.max(
         F.when(F.col("parameter") == "Clojush version", F.col("value"))
     )  # P10 find-first — params are unique per header
-    header_kv = _kv_split(header, " = ")
     agg_cols = [
         F.first("file_mtime").alias("rundate"),
         version.alias("clojush_version"),
@@ -177,10 +177,13 @@ def append_sidecar_params(
     from db_loader_spark.sources.edn_index import read_edn_index
 
     index = read_edn_index(spark, index_path)
+    # uuid comes from the BASENAME — a directory component containing
+    # '_…'.' would otherwise match first and yield a wrong uuid
+    basename = F.element_at(F.split(F.col("file"), "/"), -1)
     file_ids = (
         lines_with_ids.select("file", "id")
         .distinct()
-        .withColumn("uuid", F.regexp_extract(F.col("file"), r"_([^_.]+)\.", 1))
+        .withColumn("uuid", F.regexp_extract(basename, r"_([^_.]+)\.", 1))
     )
     extra = file_ids.join(F.broadcast(index), "uuid").select("id", "parameter", "value")
     return experiment.unionByName(extra)

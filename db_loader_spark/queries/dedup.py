@@ -17,7 +17,7 @@ from db_loader_spark.tables import load_table
 # Shared DuckDB fragments ----------------------------------------------------
 
 _DUCK_TOKENS = (
-    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+    "list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '')"
 )
 
 _DUCK_SHINGLES = f"""

@@ -9,6 +9,7 @@ value-checked, not just row-counted.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from db_loader_spark.functions.multimodal import attach_binary, extract_features
 from db_loader_spark.queries import QuerySpec
@@ -16,20 +17,27 @@ from db_loader_spark.tables import load_table
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL payloads are filtered identically on both engines (a NULL
+    # would crash pandas len() executor-side and diverge from the
+    # oracle's NULL row anyway).
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return extract_features(attach_binary(docs))
 
 
-# Testdata text is ASCII, so per-char ascii() == per-byte value.
+# Testdata text is ASCII, so per-char ascii() == per-byte value (the
+# stub hashes UTF-8 bytes; a non-ASCII corpus would need a byte-wise
+# oracle). COALESCE: DuckDB list_sum over an empty list is NULL while
+# the stub computes sum(b'') % 997 = 0.
 _MM_ORACLE = """
 SELECT doc_id,
        CAST(strlen(text) AS INT) AS n_bytes,
        CAST(CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INT)
          AS first_byte,
-       CAST(list_sum(list_transform(range(1, strlen(text) + 1),
-                                    i -> ascii(substr(text, i, 1)))) % 997 AS INT)
-         AS checksum
+       CAST(COALESCE(list_sum(list_transform(range(1, strlen(text) + 1),
+                                             i -> ascii(substr(text, i, 1)))), 0) % 997
+            AS INT) AS checksum
 FROM documents
+WHERE text IS NOT NULL
 """
 
 
@@ -38,8 +46,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes (the deterministic stand-in for a video frame sampler), then
     re-aggregate per doc — exercises the explode fan-out shape and its
     row accounting end-to-end."""
-    from pyspark.sql import functions as F
-
     from db_loader_spark.functions.multimodal import frame_sample
 
     # NULL text would silently vanish from the explode side while the

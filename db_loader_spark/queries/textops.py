@@ -10,7 +10,7 @@ from db_loader_spark.queries import QuerySpec
 from db_loader_spark.tables import load_table
 
 _DUCK_TOKENS = (
-    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+    "list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '')"
 )
 
 
@@ -123,7 +123,7 @@ _BPE_PAT_SQL = TX.BPE_ISH_PATTERN.replace("'", "''")
 _BPE_ORACLE = f"""
 WITH m AS (
   SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(trim(text)), '{_BPE_PAT_SQL}')) AS INT)
+         CAST(len(regexp_extract_all(lower(trim(coalesce(text, ''))), '{_BPE_PAT_SQL}')) AS INT)
            AS n_bpe_tokens,
          CAST(len({_DUCK_TOKENS}) AS INT) AS n_ws_tokens
   FROM documents

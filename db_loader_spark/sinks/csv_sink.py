@@ -36,10 +36,12 @@ def clean_csvs(base_dir: str, tables: list[str] | None = None) -> list[str]:
     """K8: delete the named table dirs (or every child dir for 'all')."""
     base = Path(base_dir)
     removed = []
+    # `tables=[]` must delete NOTHING — only an explicit None means
+    # "every child dir" (an empty computed selection is not a wildcard).
     targets = (
-        [base / t for t in tables]
-        if tables
-        else [p for p in base.iterdir() if p.is_dir()]
+        [p for p in base.iterdir() if p.is_dir()]
+        if tables is None
+        else [base / t for t in tables]
     )
     for p in targets:
         if p.exists():

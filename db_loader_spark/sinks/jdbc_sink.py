@@ -137,14 +137,15 @@ def quarantining_jdbc_write(
     connect: Callable[[], object],
     quarantine_path: str,
     batch_size: int = 1_000,
-) -> None:
+) -> tuple[int, int]:
     """K5: per-partition batched insert with per-row quarantine fallback.
 
     ``connect()`` must return a DB-API connection. Failed batches are
     retried row-by-row; rows that still fail are appended (with the
     error message) to ``quarantine_path`` as CSV — the reference's
     ``db.err`` ledger (src/db_loader.clj:161-163), but per-executor
-    files so there is no driver bottleneck.
+    files so there is no driver bottleneck. Returns ``(ok, quarantined)``
+    row totals so callers can alert on quarantine volume.
     """
     columns = df.columns
     sql = insert_sql(table, columns)
@@ -155,7 +156,11 @@ def quarantining_jdbc_write(
         import uuid
 
         conn = connect()
-        cur = conn.cursor()
+        try:
+            cur = conn.cursor()
+        except Exception:
+            conn.close()
+            raise
         ok = bad = 0
         quarantined: list[tuple] = []
         batch: list[tuple] = []
@@ -180,13 +185,16 @@ def quarantining_jdbc_write(
                         quarantined.append((*row, str(exc)))
                         bad += 1
 
-        for r in rows:
-            batch.append(tuple(r[c] for c in columns))
-            if len(batch) >= batch_size:
-                flush(batch)
-                batch = []
-        flush(batch)
-        conn.commit()
+        try:
+            for r in rows:
+                batch.append(tuple(r[c] for c in columns))
+                if len(batch) >= batch_size:
+                    flush(batch)
+                    batch = []
+            flush(batch)
+            conn.commit()
+        finally:
+            conn.close()  # never leak the per-partition connection
         if quarantined:
             os.makedirs(quarantine_path, exist_ok=True)
             part = os.path.join(quarantine_path, f"part-{uuid.uuid4().hex}.csv")
@@ -198,4 +206,7 @@ def quarantining_jdbc_write(
 
     # mapPartitions (not foreachPartition) so counts surface to the driver.
     totals = df.rdd.mapPartitions(write_partition).collect()
-    _ = totals
+    return (
+        sum(t[0] for t in totals),
+        sum(t[1] for t in totals),
+    )

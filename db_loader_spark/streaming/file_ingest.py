@@ -67,7 +67,14 @@ def stream_log_tables(
             if publish is not None:
                 publish(name, df, epoch_id)
             else:
-                df.write.mode("append").parquet(os.path.join(out_dir, name))
+                # Idempotent under foreachBatch's at-least-once retries:
+                # each epoch owns a partition dir it OVERWRITES, so a
+                # replayed epoch (crash between tables, before the
+                # checkpoint commit) replaces its own half-written
+                # output instead of appending duplicates (T2/T5).
+                df.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, name, f"epoch={epoch_id}")
+                )
 
     writer = raw.writeStream.option("checkpointLocation", checkpoint_dir).foreachBatch(
         process_batch
@@ -83,9 +90,18 @@ def stream_event_rollup(
     watermark: str = "1 hour",
     window_len: str = "1 hour",
     query_name: str = "event_rollup",
+    output_mode: str = "complete",
 ):
     """Watermarked event-time windowed aggregate over a parquet stream —
     the late-data-tolerant rollup shape (memory sink for tests).
+
+    Default ``complete`` mode emits every window on each trigger, so a
+    single-batch ``availableNow`` drain still produces the full rollup
+    (in ``append`` mode a window only emits once the watermark passes
+    its end — which never happens for the final batch, so a one-file
+    source would emit NOTHING). For an unbounded production stream use
+    ``append`` + a real sink, where the watermark also bounds state;
+    complete mode keeps all windows in state by design.
 
     The events testdata carries nanosecond timestamps; the stream reads
     them as long (nanosAsLong) and converts, same as tables.load_table.
@@ -116,7 +132,7 @@ def stream_event_rollup(
         )
     )
     return (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -36,6 +36,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read nanos as long and convert (floor) to micros.
+        # CAVEAT: nanosAsLong has no per-read form, so this flips a
+        # session-wide conf — any OTHER nanos-timestamp parquet read in
+        # the same session will also surface raw longs (convert like
+        # below). The driver's testdata has exactly one nanos table.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 

@@ -88,9 +88,10 @@ def test_quarantining_writer(spark, tmp_path):
         [(1, "ok"), (2, "pk-conflict"), (3, None), (4, "ok2")], "id long, v string"
     ).coalesce(1)
     qdir = str(tmp_path / "quarantine")
-    quarantining_jdbc_write(
+    ok, bad = quarantining_jdbc_write(
         df, "t", connect=lambda: sqlite3.connect(db), quarantine_path=qdir, batch_size=2
     )
+    assert (ok, bad) == (2, 2)
     with sqlite3.connect(db) as conn:
         rows = dict(conn.execute("SELECT id, v FROM t").fetchall())
     assert rows == {1: "ok", 2: "pre-existing", 4: "ok2"}
@@ -126,15 +127,28 @@ def test_stream_log_tables_exactly_once(spark, tmp_path):
 
 def test_stream_event_rollup(spark):
     from db_loader_spark.streaming.file_ingest import stream_event_rollup
+    from db_loader_spark.tables import load_table
 
     q = stream_event_rollup(
         spark, "/root/testdata/sf0.001/events.parquet", query_name="roll_t"
     )
     q.awaitTermination(120)
     out = spark.sql("SELECT * FROM roll_t")
-    # append mode emits only watermark-closed windows; at least schema+rows sane
     assert out.columns == ["window_start", "event_type", "n", "total_value"]
-    assert out.count() >= 0
+    # complete mode must emit EVERY window — equal to the batch rollup
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    assert out.count() == batch.count() > 0
+    assert out.exceptAll(batch).count() == 0
 
 
 def test_ecj_pipeline(spark, tmp_path):
