@@ -49,6 +49,21 @@ def test_cli_csv_load_and_clean(spark, tmp_path):
     assert not (out / "experiment").exists()
 
 
+def test_cli_gz_glob(spark, tmp_path):
+    """S2: gzip logs read transparently through the same CLI path."""
+    import gzip
+
+    (tmp_path / "run_g1.log.gz").write_bytes(gzip.compress(LOG.encode()))
+    (tmp_path / "run_g2.log.gz").write_bytes(
+        gzip.compress(LOG.replace("v1", "v9").encode())
+    )
+    out = tmp_path / "csv"
+    rc = main([":filename", str(tmp_path / "*.log.gz"), ":csv-dir", str(out)])
+    assert rc == 0
+    summ = spark.read.option("header", True).csv(str(out / "summary"))
+    assert summ.count() == 2  # one summary row per gz log
+
+
 def test_tgz_extraction_fixed(tmp_path):
     # the reference's S3 ran `tar czf` (creates!); ours must EXTRACT
     log = tmp_path / "run_a.log"
