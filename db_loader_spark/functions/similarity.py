@@ -195,6 +195,7 @@ def ann_ivf_topk(
     n_bits: int = 4,
     nprobe: int = 2,
     dim: int = EMBEDDING_DIM,
+    materialize: bool = True,
 ) -> DataFrame:
     """IVF-style ANN: rank cells by query↔centroid cosine, search the
     top ``nprobe`` inverted lists, exact-rescore, top-k.
@@ -205,9 +206,16 @@ def ann_ivf_topk(
     and the probed-cells frame (queries × nprobe rows) are both
     broadcast; the corpus is scanned once and only probed cells fan
     into the rescoring join.
+
+    ``materialize`` persists the centroid table — an IVF index is
+    trained once and probed by many queries, so the 2^n_bits-row
+    "index" caches across query runs (Spark's CacheManager dedups by
+    plan, one entry per corpus).
     """
     cells = emb.withColumn("cell", F.expr(sign_bucket_sql(vec_col, n_bits)))
     cents = ivf_centroids(emb, vec_col, n_bits, dim)
+    if materialize:
+        cents = cents.persist()
     q = cells.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
