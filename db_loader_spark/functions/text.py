@@ -100,3 +100,33 @@ def fingerprint(text: Column) -> Column:
     token set — the classic 'fingerprint clustering' key (Google Refine)."""
     toks = tokens(text)
     return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing)
+# --------------------------------------------------------------------------
+# Patterns restricted to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): no lookarounds, no backrefs. Order of
+# redaction matters: emails first (they contain dots/digits), then
+# phones, then bare IPv4s.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (``email`` | ``phone`` | ``ipv4``)."""
+    return F.regexp_count(F.coalesce(text, F.lit("")), F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder token.
+
+    JVM-side ``regexp_replace`` chain — one pass per pattern, no UDF; at
+    100 TB this stays inside whole-stage codegen on the scan."""
+    out = F.coalesce(text, F.lit(""))
+    for kind in ("email", "phone", "ipv4"):  # fixed order, see above
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

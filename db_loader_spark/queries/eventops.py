@@ -220,7 +220,81 @@ GROUP BY 1, 2
 """
 
 
+def t_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregate via native ``F.window`` —
+    the batch face of the canonical streaming windowed agg (readStream +
+    watermark + this exact expression). One shuffle on (window,
+    event_type); partial aggregation runs map-side, so at 100 TB the
+    shuffle carries one row per (hour, type) per input partition."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_TUMBLING_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def w_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via ``lag`` — the window-lag
+    primitive (distinct from session_window's built-in gap logic).
+
+    Gaps are integer microseconds (unix_micros) so the mean is an exact
+    int-sum / count on both engines — no FP accumulation drift. Single
+    shuffle on user_id serves both the window and the final groupBy
+    (Catalyst reuses the hash partitioning)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    gap = ts_us - F.lag(ts_us).over(w)
+    return (
+        e.select("user_id", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.round(F.avg("gap_us") / 60_000_000.0, 4).alias("avg_gap_min"),
+        )
+    )
+
+
+_EVENT_GAP_ORACLE = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps, MAX(gap_us) AS max_gap_us,
+       ROUND(AVG(gap_us) / 60000000.0, 4) AS avg_gap_min
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "t_tumbling_counts": QuerySpec(
+        t_tumbling_counts, _TUMBLING_ORACLE, "event-time tumbling-window agg"
+    ),
+    "w_event_gap": QuerySpec(
+        w_event_gap, _EVENT_GAP_ORACLE, "lag-based inter-event gaps"
+    ),
     "t_session_window": QuerySpec(
         t_session_window, _SESSION_ORACLE, "native session_window gap sessions"
     ),

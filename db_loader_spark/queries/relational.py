@@ -158,6 +158,55 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue report. The one big-big
+    join (lineitem⋈orders on orderkey) shuffles both sides; the quarter
+    filter on orders and the returnflag filter on lineitem are pushed to
+    the parquet scans first, so the shuffle carries ~1/12 of orders and
+    ~1/3 of lineitem. customer and nation ride in as broadcasts; the
+    final top-20 compiles to TakeOrderedAndProject (no global sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    # Exact decimal per-item revenue: price/discount carry 2 decimal
+    # places, so the casts are lossless and the SUM is associative —
+    # shuffle/merge order can't flip the cents digit (a double SUM here
+    # hash-mismatched the oracle on a half-cent boundary).
+    item_rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(item_rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1995-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 _TOPCUST_ORACLE = """
 SELECT c_custkey, c_name, total_spend
 FROM (
@@ -617,6 +666,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q3_segment_revenue": QuerySpec(q3_segment_revenue, _Q3_ORACLE, "3-way star join"),
     "q5_region_revenue": QuerySpec(q5_region_revenue, _Q5_ORACLE, "5-way dim chain JN3"),
     "q_top_customers": QuerySpec(q_top_customers, _TOPCUST_ORACLE, "top-k order+limit"),
+    "q10_returned_items": QuerySpec(
+        q10_returned_items, _Q10_ORACLE, "TPC-H Q10 returned-item revenue"
+    ),
     "a1_distinct_pairs": QuerySpec(a1_distinct_pairs, _A1_ORACLE, "A1 group-by"),
     "a2_max_id": QuerySpec(a2_max_id, _A2_ORACLE, "A2 max"),
     "a3_filtered_count": QuerySpec(a3_filtered_count, _A3_ORACLE, "A3 LIKE count"),

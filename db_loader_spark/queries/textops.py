@@ -136,7 +136,96 @@ FROM m
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: distinct-token ratio and the
+    frequency share of the most common token, per document.
+
+    Distributed shape: explode → two-level aggregate. The first
+    ``groupBy(doc_id, tok)`` gets map-side partial aggregation (docs are
+    co-partitioned with their tokens after the explode, so the combine
+    collapses most duplicates before the shuffle); the second collapses
+    per-doc. An O(tokens²) higher-order-function alternative would stay
+    shuffle-free but dies on long documents — this shape is linear.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_tokens"),
+            F.count("*").cast("int").alias("n_distinct"),
+            F.max("cnt").cast("int").alias("top_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 4).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_cnt").cast("double") / F.col("n_tokens"), 4).alias(
+                "top_token_ratio"
+            ),
+        )
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents),
+per AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(SUM(cnt) AS INT) AS n_tokens,
+       CAST(COUNT(*) AS INT) AS n_distinct,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT), 4) AS distinct_ratio,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT), 4) AS top_token_ratio
+FROM per GROUP BY doc_id
+"""
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over documents: per-pattern match counts and
+    the post-redaction length. All JVM-side regexp — whole-stage codegen
+    keeps this at parquet-scan speed at 100 TB. (The synthetic corpus is
+    PII-free, so counts are zero here; pattern correctness is pinned by
+    unit tests on adversarial strings in tests/test_operators.py.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.pii_count(F.col("text"), "email").alias("n_emails"),
+        TX.pii_count(F.col("text"), "phone").alias("n_phones"),
+        TX.pii_count(F.col("text"), "ipv4").alias("n_ipv4"),
+        F.length(TX.redact_pii(F.col("text"))).alias("redacted_len"),
+    )
+
+
+_PII_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{TX.PII_PATTERNS["email"]}')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{TX.PII_PATTERNS["phone"]}')) AS INT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{TX.PII_PATTERNS["ipv4"]}')) AS INT)
+         AS n_ipv4,
+       CAST(length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(coalesce(text, ''), '{TX.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+             '{TX.PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+           '{TX.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g')
+       ) AS INT) AS redacted_len
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_repetition": QuerySpec(
+        text_repetition, _REPETITION_ORACLE, "repetition-ratio quality filter"
+    ),
+    "text_pii_scrub": QuerySpec(text_pii_scrub, _PII_ORACLE, "PII detect + redact"),
     "text_token_count": QuerySpec(text_token_count, _TOKEN_ORACLE, "token counting"),
     "text_bpe_token_count": QuerySpec(
         text_bpe_token_count, _BPE_ORACLE, "BPE-ish subword token budget"

@@ -44,9 +44,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # `ts div 1000` is exact INTEGER division. `floor(ts / 1000)` would
+        # go through DOUBLE, whose 53-bit mantissa can't hold ~1.7e18 ns
+        # (ulp ≈ 256 ns) — that rounding made Spark's micros disagree with
+        # DuckDB's exact truncation by ±1 µs on ~0.4% of rows.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

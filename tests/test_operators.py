@@ -121,3 +121,40 @@ def test_parse_edn():
     cm = data["command-maps"][0]
     assert cm["uuid"] == "u1"
     assert cm["argmap"] == {"k": 50, "flag": True, "none": None}
+
+
+def test_pii_redaction_adversarial(spark):
+    """PII patterns on strings the synthetic corpus lacks: real emails,
+    phones, IPv4s, plus near-misses that must NOT match."""
+    from db_loader_spark.functions import text as TX
+
+    rows = [
+        (0, "mail me at alice.smith+tag@sub.example.co.uk today"),
+        (1, "call 555-123-4567 or 555.987.6543 now"),
+        (2, "server at 10.0.255.1 and 192.168.1.100"),
+        (3, "not-an-email @example.com, version 1.2.3, id 12345678901"),
+        (4, None),
+        (5, "combo: bob@x.io on 10.1.1.1 dial 800-555-0199"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        TX.pii_count(F.col("text"), "email").alias("e"),
+        TX.pii_count(F.col("text"), "phone").alias("p"),
+        TX.pii_count(F.col("text"), "ipv4").alias("i"),
+        TX.redact_pii(F.col("text")).alias("red"),
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert (got[0].e, got[0].p, got[0].i) == (1, 0, 0)
+    assert "<EMAIL>" in got[0].red and "alice" not in got[0].red
+    assert (got[1].e, got[1].p, got[1].i) == (0, 2, 0)
+    assert got[1].red.count("<PHONE>") == 2
+    assert (got[2].e, got[2].p, got[2].i) == (0, 0, 2)
+    # near-misses: "@example.com" has no local part before the space;
+    # "1.2.3" is not 4 octets; a bare 11-digit run is not a phone
+    assert (got[3].e, got[3].p, got[3].i) == (0, 0, 0)
+    assert got[3].red == rows[3][1]
+    assert got[4].red == ""  # NULL text redacts to empty, never NULL
+    assert (got[5].e, got[5].p, got[5].i) == (1, 1, 1)
+    for tok in ("<EMAIL>", "<PHONE>", "<IPV4>"):
+        assert tok in got[5].red
