@@ -117,8 +117,10 @@ def stream_event_rollup(
     reader = spark.readStream.schema(static.schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    # `ts div 1000`: exact integer division (floor(ts/1000) would round
+    # through double at ~1.7e18 ns — see tables.load_table).
     stream = reader.parquet(base).withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     agg = (
         stream.withWatermark("ts", watermark)
