@@ -148,7 +148,58 @@ FROM embeddings GROUP BY 1
 """
 
 
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the sign-LSH ANN path against exact brute force —
+    the self-evaluation loop every production ANN index needs (tune
+    n_bits / nprobe against measured recall, not vibes).
+
+    Both arms reuse the registered operators; the comparison is a
+    3-rows-per-query join, so the whole evaluation costs one extra
+    broadcast join over running the two searches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") < 8
+    bf = S.brute_force_topk(emb, pred, k=3).select("query_id", "neighbor_id")
+    lsh = S.ann_lsh_topk(emb, pred, k=3).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        bf.groupBy("query_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(hits, "query_id", "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            "query_id",
+            F.col("n_hits").cast("int").alias("n_hits"),
+            F.round(F.col("n_hits").cast("double") / F.col("n_true"), 4).alias(
+                "recall_at_3"
+            ),
+        )
+    )
+
+
+_RECALL_ORACLE = f"""
+WITH bf AS ({_BRUTE_ORACLE}),
+lshq AS ({_LSH_TOPK_ORACLE}),
+hits AS (
+  SELECT bf.query_id, COUNT(*) AS n_hits
+  FROM bf JOIN lshq USING (query_id, neighbor_id)
+  GROUP BY bf.query_id
+),
+tot AS (SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY query_id)
+SELECT t.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true, 4) AS recall_at_3
+FROM tot t LEFT JOIN hits h ON t.query_id = h.query_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ann_recall": QuerySpec(
+        ann_recall, _RECALL_ORACLE, "recall@3 of LSH ANN vs brute force"
+    ),
     "ann_bruteforce_topk": QuerySpec(
         ann_bruteforce_topk, _BRUTE_ORACLE, "exact cosine top-k"
     ),
