@@ -36,7 +36,11 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "t_session_window",
+    "t_tumbling_counts",
+    "w_event_gap",
+    "q10_returned_items",
     "text_quality_score",
+    "text_repetition",
 ]
 
 
