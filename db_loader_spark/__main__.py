@@ -47,6 +47,14 @@ def parse_argmap(argv: list[str]) -> dict[str, str]:
     return argmap
 
 
+def normalize_path(path: str) -> str:
+    """P17: shell-escaped spaces (``"\\ "``) → plain spaces.
+
+    Paths pasted from a shell (tab completion emits ``my\\ log.txt``)
+    would otherwise fail to resolve (reference src/db_loader.clj:229)."""
+    return path.replace("\\ ", " ")
+
+
 def extract_tgz(path: str, workdir: str | None = None) -> str:
     """S3 (fixed): extract a .tgz of logs, return the directory of
     extracted files (the reference's ``tar czf`` created archives
@@ -66,12 +74,17 @@ def main(argv: list[str] | None = None) -> int:
 
         # ':clean all' means the four OUTPUT tables, never every child
         # dir of csv-dir (which defaults to cwd — rmtree there would be
-        # catastrophic).
-        tables = (
-            list(TABLE_NAMES)
-            if argmap["clean"] in ("all", "")
-            else [argmap["clean"]]
-        )
+        # catastrophic). Anything not in TABLE_NAMES is rejected so a
+        # stray ':clean ..' or ':clean /etc' can't escape csv-dir.
+        if argmap["clean"] in ("all", ""):
+            tables = list(TABLE_NAMES)
+        elif argmap["clean"] in TABLE_NAMES:
+            tables = [argmap["clean"]]
+        else:
+            raise SystemExit(
+                f":clean target {argmap['clean']!r} not one of "
+                f"{('all',) + TABLE_NAMES}"
+            )
         for p in clean_csvs(csv_dir, tables):
             print(f"removed {p}")
         return 0
@@ -84,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
     from db_loader_spark.session import get_spark
     from db_loader_spark.sinks.csv_sink import write_csv_table
 
-    path = argmap["filename"]
+    path = normalize_path(argmap["filename"])
     if path.endswith((".tgz", ".tar.gz")):
         path = extract_tgz(path)
     skip_nils = argmap.get("skip-nils", "true").lower() != "false"

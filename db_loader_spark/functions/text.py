@@ -41,33 +41,54 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
-def stopword_count(text: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
-    toks = tokens(text)
+# ``*_of`` variants take an already-tokenized array column. Callers that
+# need several token statistics should project ``tokens(text)`` ONCE in a
+# separate select and feed the alias to these — CollapseProject refuses to
+# inline a multiply-referenced non-trivial alias, so the regex split runs
+# once per row instead of once per statistic.
+
+
+def stopword_count_of(toks: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
-def stopword_ratio(text: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
-    n = token_count(text)
-    return F.when(n > 0, stopword_count(text, words) / n).otherwise(F.lit(0.0))
+def stopword_ratio_of(toks: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    n = F.size(toks)
+    return F.when(n > 0, stopword_count_of(toks, words) / n).otherwise(F.lit(0.0))
 
 
-def avg_token_len(text: Column) -> Column:
-    toks = tokens(text)
+def avg_token_len_of(toks: Column) -> Column:
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(
         F.lit(0.0)
     )
 
 
-def quality_score(text: Column) -> Column:
+def quality_score_of(toks: Column) -> Column:
     """Length-capped token count blended with stopword ratio ∈ [0,1].
 
     score = 0.5*min(n_tokens/100, 1) + 0.5*stopword_ratio — fixed
     operation order for cross-engine bit-equality.
     """
-    n = token_count(text)
+    n = F.size(toks)
     length_part = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
-    return F.lit(0.5) * length_part + F.lit(0.5) * stopword_ratio(text)
+    return F.lit(0.5) * length_part + F.lit(0.5) * stopword_ratio_of(toks)
+
+
+def stopword_count(text: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    return stopword_count_of(tokens(text), words)
+
+
+def stopword_ratio(text: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    return stopword_ratio_of(tokens(text), words)
+
+
+def avg_token_len(text: Column) -> Column:
+    return avg_token_len_of(tokens(text))
+
+
+def quality_score(text: Column) -> Column:
+    return quality_score_of(tokens(text))
 
 
 def lang_id(text: Column) -> Column:

@@ -44,8 +44,14 @@ def all_queries() -> dict[str, QuerySpec]:
         textops,
     )
 
+    # Module order controls driver-visibility: the correctness driver
+    # value-checks the first 50 registry entries in insertion order, so
+    # the modules whose queries lack a green CORRECTNESS row from the
+    # previous round go FIRST (round 1 left similarity/textops/multimodal
+    # outside the window; every relational/logshape entry already has a
+    # green r01 row, so they can safely rotate to the back).
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, logshape, eventops, dedup, similarity, textops, multimodal):
+    for mod in (similarity, textops, multimodal, dedup, eventops, logshape, relational):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")

@@ -31,12 +31,17 @@ SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS INT) AS n_tokens FROM documents
 
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    # Tokenize ONCE in its own projection; the alias is referenced by four
+    # statistics, so CollapseProject keeps it materialized per-row instead
+    # of re-running the regex split per statistic (VERDICT r01 #8).
+    toksed = d.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    return toksed.select(
         "doc_id",
-        TX.token_count(F.col("text")).alias("n_tokens"),
-        F.round(TX.avg_token_len(F.col("text")), 4).alias("avg_token_len"),
-        F.round(TX.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
-        F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
+        F.size(toks).alias("n_tokens"),
+        F.round(TX.avg_token_len_of(toks), 4).alias("avg_token_len"),
+        F.round(TX.stopword_ratio_of(toks), 4).alias("stopword_ratio"),
+        F.round(TX.quality_score_of(toks), 4).alias("quality"),
     )
 
 

@@ -44,6 +44,11 @@ def get_spark(app_name: str = "db_loader_spark", cpus: str | None = None) -> Spa
         # no row reads for pure metadata aggregates (a2_max_id shape).
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP(NANOS) parquet (the events table) has no per-read
+        # opt-in, so set it once at session build instead of mutating the
+        # session conf per table load (spooky action at a distance);
+        # load_table still converts the raw nanos longs to micros.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

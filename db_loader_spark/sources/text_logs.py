@@ -32,13 +32,19 @@ def number_lines(raw: DataFrame, file_col: str = "file") -> DataFrame:
     """Attach 0-based per-file ``line_no`` to a (file, line, …) frame.
 
     ``monotonically_increasing_id`` is ascending within each partition,
-    so the per-file row_number reproduces file order whenever a file
-    maps to one partition (see module docstring)."""
-    w = W.partitionBy(file_col).orderBy("_mid")
+    which recovers file order when a file maps to one split. For files
+    LARGER than ``maxPartitionBytes`` Spark's split-packing does NOT
+    hand partitions out in offset order, so ``_mid`` alone would silently
+    misorder lines; when the frame carries a ``_block_start`` column
+    (the split's byte offset, selected from ``_metadata.file_block_start``
+    at read time — see :func:`read_log_lines`) the window orders by
+    (block offset, _mid), which is correct for any file size."""
+    order = ["_block_start", "_mid"] if "_block_start" in raw.columns else ["_mid"]
+    w = W.partitionBy(file_col).orderBy(*order)
     return (
         raw.withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("line_no", F.row_number().over(w) - 1)
-        .drop("_mid")
+        .drop("_mid", "_block_start")
     )
 
 
@@ -60,6 +66,10 @@ def read_log_lines(
     cols = [
         F.input_file_name().alias("file"),
         F.col("value").alias("line"),
+        # Split byte-offset: makes line numbering correct even when one
+        # file spans several input splits (ADVICE r01 — split-packing is
+        # not offset-ordered). Dropped again inside number_lines.
+        F.col("_metadata.file_block_start").alias("_block_start"),
     ]
     if with_mtime:
         cols.append(F.col("_metadata.file_modification_time").alias("file_mtime"))

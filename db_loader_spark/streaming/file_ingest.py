@@ -54,7 +54,12 @@ def stream_log_tables(
     raw = (
         spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
         .text(in_dir)
-        .select(F.input_file_name().alias("file"), F.col("value").alias("line"))
+        .select(
+            F.input_file_name().alias("file"),
+            F.col("value").alias("line"),
+            # Same split-ordering guard as the batch reader (text_logs).
+            F.col("_metadata.file_block_start").alias("_block_start"),
+        )
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -36,11 +36,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read nanos as long and convert (floor) to micros.
-        # CAVEAT: nanosAsLong has no per-read form, so this flips a
-        # session-wide conf — any OTHER nanos-timestamp parquet read in
-        # the same session will also surface raw longs (convert like
-        # below). The driver's testdata has exactly one nanos table.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Sessions built by session.get_spark set nanosAsLong at build
+        # time; the conf is only touched here when the caller brought a
+        # vanilla session (the external driver does) where the read would
+        # otherwise throw PARQUET_TYPE_ILLEGAL. nanosAsLong has no
+        # per-read form, so that fallback is unavoidably session-wide.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))

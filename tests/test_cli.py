@@ -7,7 +7,7 @@ import tarfile
 
 import pytest
 
-from db_loader_spark.__main__ import extract_tgz, main, parse_argmap
+from db_loader_spark.__main__ import extract_tgz, main, normalize_path, parse_argmap
 
 LOG = """\
 p1 = v1
@@ -47,6 +47,28 @@ def test_cli_csv_load_and_clean(spark, tmp_path):
     assert not (out / "summary").exists()
     assert main([":clean", "all", ":csv-dir", str(out)]) == 0
     assert not (out / "experiment").exists()
+
+
+def test_cli_escaped_space_path(spark, tmp_path):
+    """P17: shell-escaped spaces in :filename resolve (src/db_loader.clj:229)."""
+    assert normalize_path(r"runs/my\ log.txt") == "runs/my log.txt"
+    log = tmp_path / "run with space.log"
+    log.write_text(LOG)
+    out = tmp_path / "csv"
+    escaped = str(tmp_path) + r"/run\ with\ space.log"
+    assert main([":filename", escaped, ":csv-dir", str(out)]) == 0
+    assert spark.read.option("header", True).csv(str(out / "summary")).count() == 1
+
+
+def test_cli_clean_rejects_traversal(tmp_path):
+    """':clean ..' or an absolute path must never reach rmtree."""
+    victim = tmp_path / "precious"
+    victim.mkdir()
+    (victim / "keep.txt").write_text("x")
+    for bad in ("..", "precious", "/etc", "summary/../precious"):
+        with pytest.raises(SystemExit):
+            main([":clean", bad, ":csv-dir", str(tmp_path / "csv")])
+    assert (victim / "keep.txt").exists()
 
 
 def test_cli_gz_glob(spark, tmp_path):
