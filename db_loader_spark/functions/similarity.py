@@ -5,12 +5,13 @@ Two paths, as a 100 TB pipeline needs both:
 - **brute-force top-k**: broadcast the (small) query set against the
   candidate corpus — exact, one pass over the data, no index. The right
   baseline and the verifier for any ANN variant.
-- **sign-LSH bucketed ANN**: bucket vectors by the sign pattern of their
-  leading dimensions (a degenerate random-hyperplane LSH whose
-  hyperplanes are the axes — deterministic, no RNG, engine-portable),
-  then search only within the query's bucket. Turns the all-pairs join
-  into a per-bucket join; at scale you'd raise n_bits and OR several
-  hash tables.
+- **sign-LSH bucketed ANN**: bucket vectors by the sign pattern of a
+  dimension slice (a random-hyperplane LSH whose hyperplanes are the
+  axes — deterministic, no RNG, engine-portable), with ``n_tables``
+  hash tables over disjoint slices OR-ed together (candidate = bucket
+  collision in ANY table). Turns the all-pairs join into a per-bucket
+  join with amplified recall; n_bits trades candidate volume for
+  per-table recall, n_tables buys recall at linear fan-out cost.
 
 Dot products are *unrolled* fixed-order expressions (left-assoc
 addition over dims), not aggregations, so results are bit-identical to
@@ -127,12 +128,28 @@ def brute_force_topk(
     )
 
 
-def sign_bucket_sql(vec: str, n_bits: int = 8) -> str:
-    """Deterministic LSH bucket: sign bits of the leading dimensions."""
+def sign_bucket_sql(vec: str, n_bits: int = 8, offset: int = 0) -> str:
+    """Deterministic LSH bucket: sign bits of ``n_bits`` dimensions
+    starting at ``offset`` (a random-hyperplane LSH whose hyperplanes
+    are the axes — no RNG, engine-portable)."""
     bits = ", ".join(
-        f"CASE WHEN {vec}[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(n_bits)
+        f"CASE WHEN {vec}[{offset + i}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(n_bits)
     )
     return f"concat({bits})"
+
+
+def multi_table_buckets_sql(vec: str, n_bits: int = 8, n_tables: int = 4) -> str:
+    """Array of (tbl, bucket) structs — one sign-LSH hash table per
+    disjoint dimension slice. Exploding this is the OR-amplification
+    construction: a pair is a candidate if it collides in ANY table,
+    which lifts per-table recall r to 1-(1-r)^n_tables while each
+    table keeps its full 2^n_bits selectivity."""
+    structs = ", ".join(
+        f"struct({t} AS tbl, {sign_bucket_sql(vec, n_bits, t * n_bits)} AS bucket)"
+        for t in range(n_tables)
+    )
+    return f"array({structs})"
 
 
 def lsh_bucket_stats(
@@ -253,6 +270,85 @@ def ann_ivf_topk(
     )
 
 
+SQ_SCALE = 127  # int8 scalar-quantization scale (embeddings are unit-norm)
+
+
+def sq_codes_sql(vec: str, scale: int = SQ_SCALE) -> str:
+    """int8 scalar quantization: floor(v * scale) per dimension.
+
+    Exact integer codes on both engines (FLOOR of an IEEE-754 product is
+    deterministic), so the surrogate dot product — pure BIGINT
+    arithmetic — is bit-identical everywhere."""
+    return f"transform({vec}, v -> CAST(FLOOR(CAST(v AS DOUBLE) * {scale}) AS BIGINT))"
+
+
+def ann_sq_rerank_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    candidates: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Two-stage flat ANN: int8-quantized scan → exact rerank of the top
+    ``candidates`` surrogate hits (FAISS IndexScalarQuantizer shape).
+
+    Why this exists next to LSH/IVF: partition-pruning indexes only help
+    when the corpus has cluster structure. On isotropic embeddings (this
+    testdata; also common for whitened representations) ANY bucketing
+    scheme needs near-linear probing to reach high recall — measured by
+    ``ann_recall``: sign-LSH plateaus near 0.2 here while this path is
+    ≈1.0. The scale story is a cheaper linear pass, not pruning:
+
+    - pass 1 touches ONLY the int8 code column (4× smaller than float32
+      — in a production layout the codes are a materialized column so
+      the scan never reads the float vectors), integer MACs in codegen;
+    - pass 2 fetches full vectors for queries × ``candidates`` rows via
+      a broadcast join — a point-lookup, not a scan — and rescores
+      exactly, so the final top-k ordering is float-exact.
+
+    On clustered corpora compose with IVF: prune cells first, SQ-scan
+    inside probed cells, rerank. Recall is governed by ``candidates``
+    (surrogate ranking error is bounded by quantization error; C ≥ 4-5×k
+    is plenty in practice).
+    """
+    codes = F.expr(sq_codes_sql(vec_col))
+    c1 = emb.select(F.col(id_col).alias("neighbor_id"), codes.alias("c_z"))
+    q1 = emb.filter(query_pred).select(F.col(id_col).alias("query_id"), codes.alias("q_z"))
+    sq_score = F.expr(" + ".join(f"q_z[{i}] * c_z[{i}]" for i in range(dim)))
+    wc = W.partitionBy("query_id").orderBy(F.col("sq_score").desc(), "neighbor_id")
+    cand = (
+        c1.join(F.broadcast(q1), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sq_score.alias("sq_score"))
+        .withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= candidates)
+        .select("query_id", "neighbor_id")
+    )
+    nvec = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(norm_sql(vec_col, dim)).alias("c_nrm"),
+    )
+    qvec = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(norm_sql(vec_col, dim)).alias("q_nrm"),
+    )
+    cos = cosine_expr("q_vec", "c_vec", "q_nrm", "c_nrm", dim)
+    rer = (
+        nvec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     query_pred: Column,
@@ -260,33 +356,51 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = 8,
+    n_tables: int = 4,
     dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign bucket.
+    """Approximate top-k with OR-amplified sign-LSH: ``n_tables`` hash
+    tables over disjoint dimension slices; a corpus vector is a
+    candidate if it shares the query's bucket in ANY table.
 
-    The equi-join on bucket replaces the cross join — the scan fans out
-    only within buckets (recall is tunable via n_bits / multiple tables).
+    Scale shape: the corpus is scanned ONCE and exploded into
+    ``n_tables`` (tbl, bucket) keys per row (rows ×n_tables, no extra
+    scans); the query side explodes the same way and is broadcast, so
+    the candidate join is a broadcast hash join on (tbl, bucket) — no
+    corpus shuffle. Pairs colliding in several tables are collapsed by
+    a distinct over (query, neighbor, score) — ≤ n_tables rows per
+    pair — before ranking. Recall amplifies as 1-(1-r)^n_tables per
+    neighbor while each table keeps 2^n_bits buckets of selectivity;
+    n_bits trades candidate volume against per-table recall, n_tables
+    buys recall linearly in join fan-out (the knobs ann_recall
+    measures).
     """
-    bucketed = emb.withColumn("bucket", F.expr(sign_bucket_sql(vec_col, n_bits)))
-    q = bucketed.filter(query_pred).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.expr(norm_sql(vec_col, dim)).alias("q_nrm"),
-        "bucket",
-    )
-    # No fan_out: per-row work before the (broadcast) join is trivial;
-    # parallelism comes from the scan splits.
-    c = bucketed.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.expr(norm_sql(vec_col, dim)).alias("c_nrm"),
-        "bucket",
-    )
+    buckets = F.expr(multi_table_buckets_sql(vec_col, n_bits, n_tables))
+
+    def hashed(src: DataFrame, prefix: str, id_alias: str) -> DataFrame:
+        return src.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.expr(norm_sql(vec_col, dim)).alias(f"{prefix}_nrm"),
+            F.explode(buckets).alias("tb"),
+        ).select(
+            id_alias,
+            f"{prefix}_vec",
+            f"{prefix}_nrm",
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+
+    q = hashed(emb.filter(query_pred), "q", "query_id")
+    c = hashed(emb, "c", "neighbor_id")
     cos = cosine_expr("q_vec", "c_vec", "q_nrm", "c_nrm", dim)
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(cos, 4).alias("cos_sim"))
+        # Collapse multi-table collisions (cos_sim is deterministic, so
+        # the triple is identical across tables for the same pair).
+        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

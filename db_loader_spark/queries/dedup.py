@@ -100,48 +100,64 @@ FROM cand JOIN sig sa ON doc_a = sa.id JOIN sig sb ON doc_b = sb.id
 """
 
 
+_SIMHASH_BITS = 64  # 4 bands × 16 bits — see functions/dedup.py scale notes
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash, 4×16-bit bands, Hamming ≤ 3 — the Manku et al.
+    operating point. max_hamming=3 < n_bands=4 is the pigeonhole
+    guarantee: ≤3 flipped bits can't touch all 4 bands, so the banded
+    search finds EVERY pair within the threshold (exact, not approximate)
+    while the 65,536-bucket bands keep candidate volume near-linear."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = D.simhash_bits(docs, bits=32)
-    return D.simhash_near_pairs(sig, bits=32, n_bands=4, max_hamming=6)
+    sig = D.simhash_bits(docs, bits=_SIMHASH_BITS)
+    return D.simhash_near_pairs(sig, bits=_SIMHASH_BITS, n_bands=4, max_hamming=3)
 
 
-def _duck_bit(p: int) -> str:
-    """DuckDB mirror of functions.dedup._bit (same arithmetic)."""
-    shift = 3 - (p % 4)
-    nibble = f"(instr('0123456789abcdef', substr(h8, {p // 4 + 1}, 1)) - 1)"
-    return f"(CAST(FLOOR({nibble} / {2 ** shift}) AS BIGINT) % 2)"
+_SIMHASH_N_BANDS = _SIMHASH_BITS // 16
 
-
-_SIMHASH_VOTES = ",\n       ".join(
-    f"SUM({_duck_bit(p)} * 2 - 1) AS v{p}" for p in range(32)
+# mirror of functions.dedup.simhash_bits nibble decode (1-based substr)
+_SIMHASH_NIBBLES = ", ".join(
+    f"(instr('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1) AS n{i}"
+    for i in range(_SIMHASH_BITS // 4)
 )
-_SIMHASH_CHARS = ", ".join(
-    f"CASE WHEN v{p} >= 0 THEN '1' ELSE '0' END" for p in range(32)
+_SIMHASH_VOTES = ",\n       ".join(
+    f"SUM((CAST(FLOOR(n{p // 4} / {2 ** (3 - p % 4)}) AS BIGINT) % 2) * 2 - 1) AS v{p}"
+    for p in range(_SIMHASH_BITS)
+)
+_SIMHASH_BAND_VALS = ", ".join(
+    "("
+    + " + ".join(
+        f"(CASE WHEN v{b * 16 + j} >= 0 THEN {2 ** (15 - j)} ELSE 0 END)"
+        for j in range(16)
+    )
+    + f") AS band{b}"
+    for b in range(_SIMHASH_N_BANDS)
 )
 _SIMHASH_BANDS = "\nUNION ALL\n".join(
-    f"SELECT id, simhash, {b} AS band_idx, substr(simhash, {b * 8 + 1}, 8) AS band_key FROM sig"
-    for b in range(4)
+    f"SELECT *, {b} AS band_idx, band{b} AS band_val FROM sig"
+    for b in range(_SIMHASH_N_BANDS)
 )
+# integer Hamming: bit_count(xor) per band, same as the Spark residual
 _SIMHASH_HAMMING = " + ".join(
-    f"(CASE WHEN substr(a.simhash, {p + 1}, 1) <> substr(b.simhash, {p + 1}, 1) THEN 1 ELSE 0 END)"
-    for p in range(32)
+    f"bit_count(xor(a.band{k}, b.band{k}))" for k in range(_SIMHASH_N_BANDS)
 )
 
 _SIMHASH_ORACLE = f"""
 WITH tok AS (
   SELECT DISTINCT doc_id AS id, unnest({_DUCK_TOKENS}) AS tok FROM documents
 ),
-hashed AS (SELECT id, substr(md5(tok), 1, 8) AS h8 FROM tok),
-votes AS (SELECT id, {_SIMHASH_VOTES} FROM hashed GROUP BY id),
-sig AS (SELECT id, concat({_SIMHASH_CHARS}) AS simhash FROM votes),
+hashed AS (SELECT id, substr(md5(tok), 1, {_SIMHASH_BITS // 4}) AS hx FROM tok),
+nib AS (SELECT id, {_SIMHASH_NIBBLES} FROM hashed),
+votes AS (SELECT id, {_SIMHASH_VOTES} FROM nib GROUP BY id),
+sig AS (SELECT id, {_SIMHASH_BAND_VALS} FROM votes),
 pairs AS (
   SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, {_SIMHASH_HAMMING} AS hamming
   FROM ({_SIMHASH_BANDS}) a JOIN ({_SIMHASH_BANDS}) b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id
 )
 SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-FROM pairs WHERE hamming <= 6
+FROM pairs WHERE hamming <= 3
 """
 
 

@@ -17,9 +17,22 @@ def _duck_dot(a: str, b: str, dim: int = S.EMBEDDING_DIM) -> str:
     )
 
 
-_DUCK_BUCKET = "concat(" + ", ".join(
-    f"CASE WHEN embedding[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 9)
-) + ")"
+def _duck_bucket(offset: int = 0, n_bits: int = 8) -> str:
+    """Sign bucket over dims offset..offset+n_bits-1 (DuckDB is 1-based)."""
+    return "concat(" + ", ".join(
+        f"CASE WHEN embedding[{offset + i}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(1, n_bits + 1)
+    ) + ")"
+
+
+_DUCK_BUCKET = _duck_bucket(0)
+
+# One SELECT per hash table (disjoint 8-dim slices) — mirror of
+# functions.similarity.multi_table_buckets_sql's explode.
+_DUCK_MULTI_BUCKETED = "\nUNION ALL\n".join(
+    f"SELECT vec_id, embedding, {t} AS tbl, {_duck_bucket(t * 8)} AS bucket FROM embeddings"
+    for t in range(4)
+)
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,18 +59,21 @@ FROM (
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified sign-LSH ANN: 4 hash tables × 8-bit disjoint
+    dimension slices (see functions.similarity.ann_lsh_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_lsh_topk(emb, F.col("vec_id") < 8, k=3)
+    return S.ann_lsh_topk(emb, F.col("vec_id") < 8, k=3, n_bits=8, n_tables=4)
 
 
 _LSH_TOPK_ORACLE = f"""
-WITH bucketed AS (SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket FROM embeddings),
+WITH bucketed AS ({_DUCK_MULTI_BUCKETED}),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          ROUND(({_duck_dot('q', 'c')})
                / (sqrt({_duck_dot('q', 'q')}) * sqrt({_duck_dot('c', 'c')})), 4)
            AS cos_sim
-  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  FROM bucketed q
+  JOIN bucketed c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
   WHERE q.vec_id < 8
 )
 SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
@@ -138,6 +154,52 @@ FROM (
 """
 
 
+def ann_sq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized scan + exact rerank (the high-recall flat path —
+    see functions.similarity.ann_sq_rerank_topk for why this beats
+    bucketing on isotropic embeddings)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_sq_rerank_topk(emb, F.col("vec_id") < 8, k=3, candidates=16)
+
+
+_DUCK_SQ_CODES = (
+    "list_transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127) AS BIGINT))"
+)
+_DUCK_SQ_DOT = " + ".join(f"q.z[{i}] * c.z[{i}]" for i in range(1, S.EMBEDDING_DIM + 1))
+
+_SQ_ORACLE = f"""
+WITH z AS (SELECT vec_id, {_DUCK_SQ_CODES} AS z FROM embeddings),
+surr AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_DUCK_SQ_DOT} AS sq_score
+  FROM z q JOIN z c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 8
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sq_score DESC, neighbor_id) AS crk
+    FROM surr
+  ) WHERE crk <= 16
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(({_duck_dot('q', 'c')})
+               / (sqrt({_duck_dot('q', 'q')}) * sqrt({_duck_dot('c', 'c')})), 4)
+           AS cos_sim
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 def ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_stats(load_table(spark, sf_dir, "embeddings"))
 
@@ -149,56 +211,83 @@ FROM embeddings GROUP BY 1
 
 
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@3 of the sign-LSH ANN path against exact brute force —
-    the self-evaluation loop every production ANN index needs (tune
-    n_bits / nprobe against measured recall, not vibes).
+    """Recall@3 of every ANN arm (sign-LSH, IVF, SQ-rerank) against
+    exact brute force — the self-evaluation loop every production ANN
+    index needs (tune n_bits / nprobe / candidates against measured
+    recall, not vibes).
 
-    Both arms reuse the registered operators; the comparison is a
-    3-rows-per-query join, so the whole evaluation costs one extra
-    broadcast join over running the two searches."""
+    All arms reuse the registered operators; each comparison is a
+    3-rows-per-query broadcast join. On this corpus (isotropic unit
+    vectors, neighbor cosine ~0.35) the expected shape is: sq ≈ 1.0,
+    ivf mid, lsh low — bucketing can't prune isotropic data, which is
+    exactly what this query is for detecting."""
     emb = load_table(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < 8
-    bf = S.brute_force_topk(emb, pred, k=3).select("query_id", "neighbor_id")
-    lsh = S.ann_lsh_topk(emb, pred, k=3).select("query_id", "neighbor_id")
-    hits = (
-        bf.join(lsh, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
+    bf = (
+        S.brute_force_topk(emb, pred, k=3).select("query_id", "neighbor_id").persist()
     )
-    return (
-        bf.groupBy("query_id")
-        .agg(F.count("*").alias("n_true"))
-        .join(hits, "query_id", "left")
-        .na.fill({"n_hits": 0})
-        .select(
-            "query_id",
-            F.col("n_hits").cast("int").alias("n_hits"),
-            F.round(F.col("n_hits").cast("double") / F.col("n_true"), 4).alias(
-                "recall_at_3"
-            ),
+    arms = {
+        "ivf": ann_ivf_topk(spark, sf_dir),
+        "lsh": ann_lsh_topk(spark, sf_dir),
+        "sq": ann_sq_rerank(spark, sf_dir),
+    }
+    base = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    out = None
+    for method, arm in sorted(arms.items()):
+        hits = (
+            bf.join(arm.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
         )
-    )
+        rec = (
+            base.join(hits, "query_id", "left")
+            .na.fill({"n_hits": 0})
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.col("n_hits").cast("int").alias("n_hits"),
+                F.round(F.col("n_hits").cast("double") / F.col("n_true"), 4).alias(
+                    "recall_at_3"
+                ),
+            )
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+def _arm_recall_sql(method: str, cte: str) -> str:
+    return f"""
+SELECT '{method}' AS method, t.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true, 4) AS recall_at_3
+FROM tot t LEFT JOIN (
+  SELECT bf.query_id, COUNT(*) AS n_hits
+  FROM bf JOIN {cte} USING (query_id, neighbor_id)
+  GROUP BY bf.query_id
+) h ON t.query_id = h.query_id
+"""
 
 
 _RECALL_ORACLE = f"""
 WITH bf AS ({_BRUTE_ORACLE}),
 lshq AS ({_LSH_TOPK_ORACLE}),
-hits AS (
-  SELECT bf.query_id, COUNT(*) AS n_hits
-  FROM bf JOIN lshq USING (query_id, neighbor_id)
-  GROUP BY bf.query_id
-),
+ivfq AS ({_IVF_ORACLE}),
+sqq AS ({_SQ_ORACLE}),
 tot AS (SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY query_id)
-SELECT t.query_id,
-       CAST(COALESCE(h.n_hits, 0) AS INT) AS n_hits,
-       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true, 4) AS recall_at_3
-FROM tot t LEFT JOIN hits h ON t.query_id = h.query_id
+{_arm_recall_sql('ivf', 'ivfq')}
+UNION ALL
+{_arm_recall_sql('lsh', 'lshq')}
+UNION ALL
+{_arm_recall_sql('sq', 'sqq')}
 """
 
 
 QUERIES: dict[str, QuerySpec] = {
     "ann_recall": QuerySpec(
-        ann_recall, _RECALL_ORACLE, "recall@3 of LSH ANN vs brute force"
+        ann_recall, _RECALL_ORACLE, "recall@3 of every ANN arm vs brute force"
+    ),
+    "ann_sq_rerank": QuerySpec(
+        ann_sq_rerank, _SQ_ORACLE, "int8 SQ scan + exact rerank ANN"
     ),
     "ann_bruteforce_topk": QuerySpec(
         ann_bruteforce_topk, _BRUTE_ORACLE, "exact cosine top-k"

@@ -46,12 +46,24 @@ def test_ann_empty_corpus(spark):
     assert S.brute_force_topk(e, F.col("vec_id") < 8).count() == 0
     assert S.ann_lsh_topk(e, F.col("vec_id") < 8).count() == 0
     assert S.ann_ivf_topk(e, F.col("vec_id") < 8).count() == 0
+    assert S.ann_sq_rerank_topk(e, F.col("vec_id") < 8).count() == 0
 
 
 def test_ann_empty_query_set(spark):
     emb = load_table(spark, SF, "embeddings")
     assert S.brute_force_topk(emb, F.lit(False)).count() == 0
     assert S.ann_ivf_topk(emb, F.lit(False)).count() == 0
+    assert S.ann_sq_rerank_topk(emb, F.lit(False)).count() == 0
+
+
+def test_sq_rerank_matches_bruteforce(spark):
+    """SQ surrogate + rerank returns the exact brute-force top-k here
+    (C=16 candidate margin over k=3 absorbs all quantization error)."""
+    emb = load_table(spark, SF, "embeddings")
+    pred = F.col("vec_id") < 8
+    bf = {tuple(r) for r in S.brute_force_topk(emb, pred, k=3).collect()}
+    sq = {tuple(r) for r in S.ann_sq_rerank_topk(emb, pred, k=3).collect()}
+    assert sq == bf
 
 
 def test_short_docs_drop_from_shingles(spark):
