@@ -36,6 +36,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Union of every module's registry, insertion-ordered by theme."""
     from db_loader_spark.queries import (
         dedup,
+        ecj,
         eventops,
         logshape,
         multimodal,
@@ -51,7 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # outside the window; every relational/logshape entry already has a
     # green r01 row, so they can safely rotate to the back).
     merged: dict[str, QuerySpec] = {}
-    for mod in (similarity, textops, multimodal, dedup, eventops, logshape, relational):
+    for mod in (ecj, similarity, textops, multimodal, dedup, eventops, logshape, relational):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")

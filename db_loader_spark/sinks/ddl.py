@@ -13,14 +13,19 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 # child → parent dependency order (drop in this order, create reversed)
+# Ids are BIGINT (not the reference's serial INT): hash-mode run ids are
+# 63-bit xxhash64 values (operators/ids.py), and at 100 TB serial INT
+# counters overflow anyway. ``experiment.logname`` carries the trial's
+# log file, matching the reference insert columns (new-exp,
+# src/parse_logs_ecj.clj:70-86: expid/logname/batchid/param/value).
 ECJ_TABLES: dict[str, str] = {
-    "generations": "genid INT, expid INT, param STRING, value STRING",
-    "experiment": "expid INT, batchid INT, param STRING, value STRING",
-    "experiments": "batchid INT, userid INT, probid INT, locid INT, batchdate DATE",
-    "problems": "probid INT, sysid INT, probname STRING, githash STRING",
-    "locations": "locid INT, location STRING, loginid STRING",
-    "systems": "sysid INT, sysname STRING, version STRING, githash STRING",
-    "users": "userid INT, username STRING, password STRING, email STRING",
+    "generations": "genid BIGINT, expid BIGINT, param STRING, value STRING",
+    "experiment": "expid BIGINT, logname STRING, batchid BIGINT, param STRING, value STRING",
+    "experiments": "batchid BIGINT, userid BIGINT, probid BIGINT, locid BIGINT, batchdate STRING",
+    "problems": "probid BIGINT, sysid BIGINT, probname STRING, githash STRING",
+    "locations": "locid BIGINT, location STRING, loginid STRING",
+    "systems": "sysid BIGINT, sysname STRING, version STRING, githash STRING",
+    "users": "userid BIGINT, username STRING, password STRING, email STRING",
 }
 
 
