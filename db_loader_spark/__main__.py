@@ -66,8 +66,31 @@ def extract_tgz(path: str, workdir: str | None = None) -> str:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
+    from db_loader_spark.config import (
+        default_config_path,
+        load_config,
+        save_config,
+    )
+
     argmap = parse_argmap(argv if argv is not None else sys.argv[1:])
-    csv_dir = argmap.get("csv-dir", ".")
+
+    # S10: the reference's ~/.db_config EDN store (load-config,
+    # src/db_loader.clj:67-74,325-327). ``:config`` overrides the path.
+    # An existing config supplies the output dir (data_dir), the user,
+    # and the problem_name→problem_id map; explicit CLI args win.
+    config_path = argmap.get("config") or default_config_path()
+    config_exists = os.path.exists(config_path)
+    cfg = load_config(config_path)
+    csv_dir = argmap.get("csv-dir") or (cfg.data_dir if config_exists else ".")
+    if not config_exists:
+        # first run creates the store (README:17 promise the reference
+        # broke): record THIS run's output dir as data_dir so later bare
+        # runs keep writing to the same place, reference-sticky style —
+        # not the reference's ~/data_dir/ default, which would silently
+        # redirect output between the first and second run.
+        cfg.data_dir = csv_dir
 
     if "clean" in argmap:
         from db_loader_spark.sinks.csv_sink import clean_csvs
@@ -87,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
             )
         for p in clean_csvs(csv_dir, tables):
             print(f"removed {p}")
+        # ':clean all' also resets the config store (reference parity,
+        # src/db_loader.clj:252-253).
+        if argmap["clean"] in ("all", "") and config_exists:
+            os.remove(config_path)
+            print(f"removed {config_path}")
         return 0
 
     if "filename" not in argmap:
@@ -107,9 +135,13 @@ def main(argv: list[str] | None = None) -> int:
         spark,
         path,
         skip_nils=skip_nils,
+        problem_map=cfg.problem_data,  # JN6 dim map from the config store
         problem_name=argmap.get("problemname"),
-        user=argmap.get("user", "spark"),
+        user=argmap.get("user", cfg.user if config_exists else "spark"),
     )
+    # K9/save-config (src/db_loader.clj:76-84,327): bump the run counter
+    # and register an unseen problemname under max(problem id)+1.
+    save_config(config_path, cfg, argmap.get("problemname"))
 
     jdbc_url = argmap.get("jdbc-url")
     if jdbc_url:
