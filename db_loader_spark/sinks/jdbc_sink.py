@@ -1,24 +1,30 @@
 """JDBC sinks (K3-K6, src/db_loader.clj:95-99,131-165,189-224;
 scripts/load_csv_to_cloud.sh:130,146).
 
-Three write strategies, mirroring the reference's escalation ladder:
+Write strategies, mirroring the reference's escalation ladder:
 
 - ``jdbc_write``: plain batched append (replaces row-at-a-time
   ``sql/insert-rows``) — ``batchsize`` rows per round trip, one
-  connection per partition.
-- ``quarantining_jdbc_write``: the reference's per-row
-  BatchUpdateException fallback (K5): insert each partition in batches;
-  on a failed batch, retry row-by-row and divert offenders to a
-  quarantine parquet/CSV path instead of aborting the load.
+  connection per partition, entirely JVM-side.
+- ``resilient_jdbc_write``: the K5 production shape — clean loads go
+  through ``df.write.jdbc`` (zero Python-side row traffic); only when
+  that fails does the Python per-row quarantine pass engage.
+- ``quarantining_jdbc_write``: the error-recovery pass itself (the
+  reference's per-row BatchUpdateException fallback,
+  src/db_loader.clj:161-163): batched inserts, failed batches retried
+  row-by-row, offenders diverted to a quarantine CSV ledger. Every row
+  crosses the JVM→Python boundary — this is deliberately NOT the
+  happy path; call it directly only in test harnesses.
 - ``upsert_via_staging_sql``: ``mysqlimport --replace`` semantics (K6):
   load into a staging table, then one atomic
   ``INSERT ... ON DUPLICATE KEY UPDATE`` / ``ON CONFLICT`` publish —
   also the transactional-load answer (T5): cross-table atomicity lives
   in the RDBMS transaction, not in Spark.
 
-No RDBMS exists in this container, so ``quarantining_jdbc_write`` takes
-an injectable ``connect`` factory (tested with an in-memory fake); the
-SQL builders are pure functions with unit tests.
+No RDBMS exists in this container, so the quarantine pass takes an
+injectable ``connect`` factory (tested with sqlite + fakes) and
+``resilient_jdbc_write`` takes an injectable JVM writer; the SQL
+builders are pure functions with unit tests.
 """
 
 from __future__ import annotations
@@ -131,6 +137,47 @@ def upsert_via_staging_sql(
     ]
 
 
+def resilient_jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    connect: Callable[[], object],
+    quarantine_path: str,
+    properties: dict[str, str] | None = None,
+    batch_size: int = 1_000,
+    jvm_write: Callable[[], None] | None = None,
+) -> tuple[int | None, int]:
+    """K5, production shape: JVM happy path, Python quarantine fallback.
+
+    Clean loads run entirely through ``df.write.jdbc`` — no row ever
+    crosses the JVM→Python boundary and no ``connect()`` call is made.
+    Only when the JVM write raises does the per-row quarantine pass
+    (:func:`quarantining_jdbc_write`) engage to separate good rows from
+    offenders.
+
+    Returns ``(ok, quarantined)``; ``ok`` is ``None`` on the clean path
+    (counting would cost an extra job over the whole dataset — at scale
+    you read the row count off the write metrics, not a second scan).
+
+    Retry semantics: Spark's JDBC writer commits per task, so a failed
+    job can leave some partitions committed; the fallback then re-inserts
+    them. Point BOTH paths at a staging table and publish with
+    :func:`upsert_via_staging_sql` (T5) — the keyed upsert makes the
+    retry idempotent. ``jvm_write`` is injectable for tests (no RDBMS
+    with a JDBC driver exists in this container).
+    """
+    writer = jvm_write or (
+        lambda: jdbc_write(df, url, table, properties, batchsize=batch_size)
+    )
+    try:
+        writer()
+        return (None, 0)
+    except Exception:  # noqa: BLE001 — any JVM-write failure escalates
+        return quarantining_jdbc_write(
+            df, table, connect, quarantine_path, batch_size
+        )
+
+
 def quarantining_jdbc_write(
     df: DataFrame,
     table: str,
@@ -138,7 +185,10 @@ def quarantining_jdbc_write(
     quarantine_path: str,
     batch_size: int = 1_000,
 ) -> tuple[int, int]:
-    """K5: per-partition batched insert with per-row quarantine fallback.
+    """K5 error-recovery pass: per-partition batched insert with per-row
+    quarantine fallback. Every row crosses the JVM→Python pickle
+    boundary — use :func:`resilient_jdbc_write` so clean loads stay in
+    the JVM and this pass only runs after a JVM-write failure.
 
     ``connect()`` must return a DB-API connection. Failed batches are
     retried row-by-row; rows that still fail are appended (with the

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from db_loader_spark.sinks.csv_sink import clean_csvs, write_csv_table
 from db_loader_spark.sinks.jdbc_sink import (
     quarantining_jdbc_write,
+    resilient_jdbc_write,
     upsert_publish_sql,
     upsert_via_staging_sql,
 )
@@ -99,6 +100,57 @@ def test_quarantining_writer(spark, tmp_path):
     assert len(qfiles) == 1
     content = open(os.path.join(qdir, qfiles[0])).read()
     assert "pk-conflict" in content and "_error" in content  # K5 ledger
+
+
+def test_resilient_write_clean_path_stays_in_jvm(spark, tmp_path):
+    """A clean load must make ZERO Python-side connections — the happy
+    path is the JVM writer, the quarantine pass is failure-only."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    connects = []
+
+    def forbidden_connect():
+        connects.append(1)
+        raise AssertionError("quarantine pass engaged on a clean load")
+
+    ok, bad = resilient_jdbc_write(
+        df,
+        "jdbc:fake://h/db",
+        "t",
+        connect=forbidden_connect,
+        quarantine_path=str(tmp_path / "q"),
+        jvm_write=lambda: None,  # stands in for a successful df.write.jdbc
+    )
+    assert (ok, bad) == (None, 0)
+    assert connects == []  # no JVM->Python row traffic at all
+    assert not (tmp_path / "q").exists()
+
+
+def test_resilient_write_falls_back_to_quarantine(spark, tmp_path):
+    db = str(tmp_path / "test.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT NOT NULL)")
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (3, None), (4, "ok2")], "id long, v string"
+    ).coalesce(1)
+
+    def failing_jvm_write():
+        raise RuntimeError("BatchUpdateException: NOT NULL constraint")
+
+    qdir = str(tmp_path / "quarantine")
+    ok, bad = resilient_jdbc_write(
+        df,
+        "jdbc:fake://h/db",
+        "t",
+        connect=lambda: sqlite3.connect(db),
+        quarantine_path=qdir,
+        jvm_write=failing_jvm_write,
+    )
+    assert (ok, bad) == (2, 1)
+    with sqlite3.connect(db) as conn:
+        rows = dict(conn.execute("SELECT id, v FROM t").fetchall())
+    assert rows == {1: "ok", 4: "ok2"}
+    assert len(os.listdir(qdir)) == 1  # the offender landed in the ledger
 
 
 def test_stream_log_tables_exactly_once(spark, tmp_path):
