@@ -46,6 +46,74 @@ HEADLINE = [
 ]
 
 
+def _bucketed_fact_tables(spark, sf_dir: str):
+    """Materialize orders/lineitem bucketed+sorted by orderkey (the
+    co-located fact layout, sinks/ddl.write_bucketed) and return them.
+
+    One-time setup cost, excluded from the timings — at deployment the
+    bucketed layout is the table's storage format, not per-query work.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    from db_loader_spark.sinks.ddl import write_bucketed
+    from db_loader_spark.tables import load_table
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    out = {}
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bench_{tbl}_bucketed"
+        if not spark.catalog.tableExists(name):
+            # The default in-memory catalog forgets tables between
+            # sessions while their warehouse files persist — clear the
+            # stale location or saveAsTable dies with
+            # LOCATION_ALREADY_EXISTS.
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            write_bucketed(load_table(spark, sf_dir, tbl), name, key, n_buckets=32)
+        out[tbl] = spark.table(name)
+    return out
+
+
+def _bench_bucketed(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """q3/q10 with the orderkey fact⋈fact join as a real shuffle join vs
+    the bucketed co-located layout (zero exchange on either fact side —
+    proven by tests/test_plan_shape.py::test_bucketed_join_has_no_shuffle).
+
+    Auto-broadcast is disabled for these four measurements: at bench SF
+    Spark broadcasts the filtered orders side, which hides the join
+    bucketing exists to remove — at 100 TB neither fact side broadcasts,
+    so shuffle-vs-bucketed under forced SMJ is the faithful small-scale
+    model. The explicit dim broadcasts (customer/nation) stay broadcast,
+    exactly as they would at scale."""
+    from db_loader_spark.queries.relational import q10_core, q3_core
+    from db_loader_spark.tables import load_table
+
+    facts = _bucketed_fact_tables(spark, sf_dir)
+    plain = {t: load_table(spark, sf_dir, t) for t in ("orders", "lineitem")}
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    variants = {
+        "q3_shuffle": lambda: q3_core(cust, plain["orders"], plain["lineitem"]),
+        "q3_bucketed": lambda: q3_core(cust, facts["orders"], facts["lineitem"]),
+        "q10_shuffle": lambda: q10_core(
+            plain["lineitem"], plain["orders"], cust, nat
+        ),
+        "q10_bucketed": lambda: q10_core(
+            facts["lineitem"], facts["orders"], cust, nat
+        ),
+    }
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, make in variants.items():
+            make().count()  # warm codegen
+            t0 = time.perf_counter()
+            assert make().count() >= 0
+            timings[name] = round(time.perf_counter() - t0, 4)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -69,6 +137,8 @@ def main() -> None:
         n = df.count()  # materialize the full plan
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+
+    _bench_bucketed(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -68,15 +68,9 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer ⋈ orders ⋈ lineitem star join rolled up to market segment.
-
-    customer is tiny relative to lineitem → broadcast; the orders⋈lineitem
-    join shuffles on the shared orderkey only once.
-    """
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
+def q3_core(c: DataFrame, o: DataFrame, l: DataFrame) -> DataFrame:
+    """q3 plan on caller-supplied tables — bench feeds this bucketed
+    orders/lineitem to show the zero-exchange fact⋈fact layout."""
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -87,6 +81,19 @@ def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
+    )
+
+
+def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer ⋈ orders ⋈ lineitem star join rolled up to market segment.
+
+    customer is tiny relative to lineitem → broadcast; the orders⋈lineitem
+    join shuffles on the shared orderkey only once.
+    """
+    return q3_core(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
     )
 
 
@@ -158,19 +165,14 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape — returned-item revenue report. The one big-big
-    join (lineitem⋈orders on orderkey) shuffles both sides; the quarter
-    filter on orders and the returnflag filter on lineitem are pushed to
-    the parquet scans first, so the shuffle carries ~1/12 of orders and
-    ~1/3 of lineitem. customer and nation ride in as broadcasts; the
-    final top-20 compiles to TakeOrderedAndProject (no global sort)."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    o = _t(spark, sf_dir, "orders").filter(
+def q10_core(
+    lineitem: DataFrame, orders: DataFrame, c: DataFrame, n: DataFrame
+) -> DataFrame:
+    """q10 plan on caller-supplied tables (see q3_core)."""
+    li = lineitem.filter(F.col("l_returnflag") == "R")
+    o = orders.filter(
         (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
     )
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
     # Exact decimal per-item revenue: price/discount carry 2 decimal
     # places, so the casts are lossless and the SUM is associative —
     # shuffle/merge order can't flip the cents digit (a double SUM here
@@ -186,6 +188,21 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(item_rev), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue report. The one big-big
+    join (lineitem⋈orders on orderkey) shuffles both sides; the quarter
+    filter on orders and the returnflag filter on lineitem are pushed to
+    the parquet scans first, so the shuffle carries ~1/12 of orders and
+    ~1/3 of lineitem. customer and nation ride in as broadcasts; the
+    final top-20 compiles to TakeOrderedAndProject (no global sort)."""
+    return q10_core(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
     )
 
 

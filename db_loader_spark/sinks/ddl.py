@@ -58,8 +58,19 @@ def write_bucketed(
     the repeated fact⋈fact shuffle (e.g. orders⋈lineitem on orderkey)
     into a local merge per bucket. Bucket count should be a multiple of
     target parallelism; sorting makes the join a streaming merge.
+
+    The pre-write ``repartition`` aligns writer tasks with bucket hashing
+    (both are Murmur3 ``hash(key) mod n``), so every bucket lands in
+    exactly ONE file — the condition under which Spark's scan reports the
+    ``sortBy`` order and sort-merge join can skip its per-bucket sorts.
+    Multiple files per bucket would silently re-sort at read time.
     """
-    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    w = (
+        df.repartition(n_buckets, df[bucket_col])
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+    )
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(name)
