@@ -1,0 +1,143 @@
+"""Streaming dedup + stream-stream interval join vs their batch twins.
+
+Same discipline as test_stateful_streaming: replay data in time-ordered
+micro-batches; everything the stream emits must agree with the batch
+computation on the same data (the stream may only lag, never disagree).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_loader_spark.streaming.dedup import (
+    content_hash,
+    stream_exact_dedup,
+    stream_interval_join,
+)
+
+BASE = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def _docs_chunks(spark, tmp_path):
+    """Three single-file parquet chunks, mtime-ordered; duplicates both
+    inside one chunk and across chunks (within the watermark horizon)."""
+    rows = [
+        # chunk 0: a, b, duplicate a (same content, later ts)
+        [(BASE, "doc a"), (BASE + dt.timedelta(minutes=1), "doc b"),
+         (BASE + dt.timedelta(minutes=2), "doc a")],
+        # chunk 1: c, cross-chunk duplicate of b
+        [(BASE + dt.timedelta(minutes=3), "doc c"),
+         (BASE + dt.timedelta(minutes=4), "doc b")],
+        # chunk 2: d, cross-chunk duplicate of a
+        [(BASE + dt.timedelta(minutes=5), "doc d"),
+         (BASE + dt.timedelta(minutes=6), "doc a")],
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, chunk in enumerate(rows):
+        df = spark.createDataFrame(chunk, "ts timestamp, text string").coalesce(1)
+        chunk_dir = str(tmp_path / f"tmp{i}")
+        df.write.parquet(chunk_dir)
+        import os
+
+        part = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")][0]
+        final = str(src / f"chunk_{i}.parquet")
+        os.rename(os.path.join(chunk_dir, part), final)
+        os.utime(final, (1_700_000_000 + 10 * i, 1_700_000_000 + 10 * i))
+    return str(src)
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    src = _docs_chunks(spark, tmp_path)
+    schema = "ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_exact_dedup(stream, delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT text, count(*) AS n FROM dedup_stream GROUP BY text")
+    counts = {r.text: r.n for r in got.collect()}
+    # every distinct content exactly once — duplicates dropped within a
+    # batch AND across micro-batches (state carried via the watermark)
+    assert counts == {"doc a": 1, "doc b": 1, "doc c": 1, "doc d": 1}
+
+    # stream agrees with the batch dedup on the same files
+    batch = spark.read.parquet(src)
+    batch_n = batch.withColumn("h", content_hash()).select("h").distinct().count()
+    assert sum(counts.values()) == batch_n
+
+
+def test_stream_interval_join_subset_of_batch(spark, tmp_path):
+    """Clicks joined to views within [0s, 5min] per user: every emitted
+    streaming pair must appear in the batch interval join."""
+    views = [
+        (1, BASE, "v1"),
+        (1, BASE + dt.timedelta(minutes=10), "v2"),
+        (2, BASE, "v3"),
+    ]
+    clicks = [
+        (1, BASE + dt.timedelta(minutes=2), "c1"),   # joins v1
+        (1, BASE + dt.timedelta(minutes=11), "c2"),  # joins v2
+        (2, BASE + dt.timedelta(minutes=9), "c3"),   # joins nothing
+    ]
+    import os
+
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    spark.createDataFrame(
+        views, "user_id long, ts timestamp, view_id string"
+    ).coalesce(1).write.parquet(vdir)
+    spark.createDataFrame(
+        clicks, "user_id long, cts timestamp, click_id string"
+    ).coalesce(1).write.parquet(cdir)
+
+    vschema = "user_id long, ts timestamp, view_id string"
+    cschema = "user_id long, cts timestamp, click_id string"
+    vs = spark.readStream.schema(vschema).parquet(vdir)
+    cs = (
+        spark.readStream.schema(cschema)
+        .parquet(cdir)
+        .withColumnRenamed("user_id", "c_user_id")
+    )
+    joined = stream_interval_join(
+        vs.withColumnRenamed("user_id", "uid"),
+        cs.withColumnRenamed("c_user_id", "uid"),
+        on="uid",
+        left_ts="ts",
+        right_ts="cts",
+        upper="5 minutes",
+    ).select("view_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.view_id, r.click_id) for r in spark.sql("SELECT * FROM sjoin").collect()}
+
+    bv = spark.read.parquet(vdir).withColumnRenamed("user_id", "uid")
+    bc = spark.read.parquet(cdir).withColumnRenamed("user_id", "uid")
+    expected = {
+        (r.view_id, r.click_id)
+        for r in bv.join(
+            bc,
+            (bv.uid == bc.uid)
+            & (bc.cts >= bv.ts)
+            & (bc.cts <= bv.ts + F.expr("INTERVAL 5 minutes")),
+        ).collect()
+    }
+    assert expected == {("v1", "c1"), ("v2", "c2")}
+    assert got == expected  # availableNow drains fully → equality here
