@@ -90,6 +90,62 @@ def cosine_pairs(
     )
 
 
+def lsh_near_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Embedding near-dup at scale: multi-table sign-LSH candidate pairs
+    verified by exact cosine ≥ threshold.
+
+    The scale twin of :func:`cosine_pairs` (the O(n²) verifier): the
+    self-join keys on (tbl, bucket) so only same-bucket pairs are
+    scored — candidate volume ~ Σ_bucket n_b², near-linear when buckets
+    stay balanced (2^n_bits per table; raise n_bits as the corpus
+    grows). The cosine filter runs INSIDE the join output before the
+    distinct, so far pairs never reach the dedup shuffle; n_tables
+    OR-amplifies recall exactly as in ann_lsh_topk, measured — not
+    assumed — via comparison against cosine_pairs (see
+    tests/test_empty_inputs.py::test_lsh_near_pairs_subset_of_exact).
+    Approximate by construction: a qualifying pair colliding in NO
+    table is missed; every emitted pair is exactly verified.
+    """
+    buckets = F.expr(multi_table_buckets_sql(vec_col, n_bits, n_tables))
+
+    def hashed(suffix: str) -> DataFrame:
+        return emb.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            F.col(vec_col).alias(f"vec_{suffix}_"),
+            F.expr(norm_sql(vec_col, dim)).alias(f"nrm_{suffix}"),
+            F.explode(buckets).alias("tb"),
+        ).select(
+            f"id_{suffix}",
+            f"vec_{suffix}_",
+            f"nrm_{suffix}",
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+
+    cos = cosine_expr("vec_a_", "vec_b_", "nrm_a", "nrm_b", dim)
+    return (
+        hashed("a")
+        .join(hashed("b"), ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round(cos, 3).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        # collapse multi-table collisions (deterministic triple)
+        .distinct()
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     query_pred: Column,

@@ -200,6 +200,33 @@ FROM (
 """
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding near-dup: multi-table sign-LSH candidates,
+    exact-cosine verified (the linear-ish twin of the all-pairs
+    dedup_embedding_cosine verifier)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_near_pairs(emb, threshold=0.4, n_bits=8, n_tables=4)
+
+
+_EMB_LSH_ORACLE = f"""
+WITH bucketed AS ({_DUCK_MULTI_BUCKETED}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bucketed a
+  JOIN bucketed b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       ROUND(({_duck_dot('q', 'c')})
+             / (sqrt({_duck_dot('q', 'q')}) * sqrt({_duck_dot('c', 'c')})), 3)
+         AS cos_sim
+FROM cand
+JOIN embeddings q ON q.vec_id = vec_a
+JOIN embeddings c ON c.vec_id = vec_b
+WHERE ROUND(({_duck_dot('q', 'c')})
+            / (sqrt({_duck_dot('q', 'q')}) * sqrt({_duck_dot('c', 'c')})), 3) >= 0.4
+"""
+
+
 def ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_stats(load_table(spark, sf_dir, "embeddings"))
 
@@ -288,6 +315,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_sq_rerank": QuerySpec(
         ann_sq_rerank, _SQ_ORACLE, "int8 SQ scan + exact rerank ANN"
+    ),
+    "dedup_embedding_lsh": QuerySpec(
+        dedup_embedding_lsh,
+        _EMB_LSH_ORACLE,
+        "LSH-bucketed embedding near-dup (exact-cosine verified)",
     ),
     "ann_bruteforce_topk": QuerySpec(
         ann_bruteforce_topk, _BRUTE_ORACLE, "exact cosine top-k"

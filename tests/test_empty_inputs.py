@@ -56,6 +56,22 @@ def test_ann_empty_query_set(spark):
     assert S.ann_sq_rerank_topk(emb, F.lit(False)).count() == 0
 
 
+def test_lsh_near_pairs_subset_of_exact(spark):
+    """Every LSH-emitted near-pair must appear in the exact all-pairs
+    verifier with the SAME cosine (no false positives, exact scores);
+    recall is whatever the tables give and is measured, not asserted."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = {tuple(r) for r in S.cosine_pairs(emb, threshold=0.4).collect()}
+    lsh = {tuple(r) for r in S.lsh_near_pairs(emb, threshold=0.4).collect()}
+    assert lsh <= exact
+    assert len(lsh) > 0  # sanity: the candidate generator finds pairs
+
+
+def test_lsh_near_pairs_empty_corpus(spark):
+    e = _empty_emb(spark)
+    assert S.lsh_near_pairs(e).count() == 0
+
+
 def test_sq_rerank_matches_bruteforce(spark):
     """SQ surrogate + rerank returns the exact brute-force top-k here
     (C=16 candidate margin over k=3 absorbs all quantization error)."""

@@ -106,6 +106,39 @@ def test_exact_dedup_partial_agg(plans):
     assert count_ops(s, "Exchange") <= 1
 
 
+def test_simhash_hamming_inside_join(plans):
+    """The Hamming threshold must be the band join's residual predicate
+    (far pairs die inside the join), not a post-join filter feeding the
+    distinct's shuffle; and there must be no nested-loop degeneration."""
+    s = plans("dedup_simhash")
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    m = re.search(r"SortMergeJoin.*?\n(?:.*\n)*?.*Join condition:.*bit_count", s)
+    bm = "bit_count" in s and ("Join condition" in s or "BuildRight" in s)
+    assert m or bm, "hamming bit_count not in a join condition"
+
+
+def test_embedding_lsh_near_pairs_hash_join(plans):
+    s = plans("dedup_embedding_lsh")
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    # candidate generation is an equi-join on (tbl, bucket)
+    assert "SortMergeJoin" in s or "BroadcastHashJoin" in s or "ShuffledHashJoin" in s
+
+
+def test_sq_rerank_broadcasts_candidates(plans):
+    """Both rerank joins are broadcast point-lookups; the surrogate scan
+    join is the only corpus-wide operation and must not be nested-loop
+    over the corpus (query side broadcast)."""
+    s = plans("ann_sq_rerank")
+    assert "CartesianProduct" not in s
+    assert s.count("BroadcastHashJoin") + s.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_ecj_star_dims_broadcast(plans):
+    s = plans("ecj_star")
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
 def test_no_python_udfs_in_core_queries(plans):
     # Everything SQL-expressible stays JVM-side (multimodal is the one
     # deliberate mapInPandas surface and is excluded here).
@@ -113,7 +146,10 @@ def test_no_python_udfs_in_core_queries(plans):
         "q1_pricing_summary",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_embedding_lsh",
         "ann_ivf_topk",
+        "ann_sq_rerank",
+        "ecj_star",
         "text_quality_score",
         "t_session_window",
     ):
