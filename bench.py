@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_lsh",
+    "ecj_star",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_sq_rerank",

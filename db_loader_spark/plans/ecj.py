@@ -46,28 +46,31 @@ def ecj_log_eav(lines: DataFrame) -> DataFrame:
     (read-gen, src/parse_logs_ecj.clj:89-105); continuation lines (no
     ':') fold into the previous line (group-gen :107-116); keys lose
     embedded whitespace (clean-data :118-123).
-    """
+
+    Plan shape: continuation merge FIRST, then the boundary window on
+    the merged frame. Boundary lines always contain ':' (both markers
+    do), so every boundary is its own anchor and continuation folding
+    can never create or destroy a boundary match — the post-merge
+    gen_group equals the raw-lines one, without the join-back to
+    re-attach it (which also forced Spark to compute the scan+window
+    branch twice)."""
+    merged = merge_continuations(
+        lines,
+        anchor=F.col("line").contains(":"),
+        file_col="file",
+        order_col="line_no",
+    )
     w = (
         W.partitionBy("file")
         .orderBy("line_no")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    grouped = lines.withColumn(
+    grouped = merged.withColumn(
         "gen_group", F.sum(F.col("line").rlike(BOUNDARY).cast("int")).over(w)
-    )
-    merged = merge_continuations(
-        grouped,
-        anchor=F.col("line").contains(":"),
-        file_col="file",
-        order_col="line_no",
-    )
-    # re-attach gen_group (the anchor row's group)
-    merged = merged.join(
-        grouped.select("file", "line_no", "gen_group"), ["file", "line_no"]
     )
     parts = F.split(F.col("line"), ": ", 2)
     return (
-        merged.filter(F.col("line").contains(":"))
+        grouped.filter(F.col("line").contains(":"))
         .select(
             "file",
             "gen_group",
