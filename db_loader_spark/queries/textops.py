@@ -226,7 +226,70 @@ FROM documents
 """
 
 
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: top-3 most characteristic terms per document.
+
+    The canonical corpus-statistics shape a training-data pipeline runs
+    for keyword extraction / topic drift monitoring. Two shuffles: the
+    (doc, term) frequency aggregate and the vocabulary-sized document
+    -frequency aggregate; the DF table joins back on term (at 100 TB the
+    vocabulary side is Zipf-small relative to the corpus and the join
+    shuffles term-partitioned, never doc-partitioned rows). The scalar
+    doc count rides in as a broadcast single row. Ranking orders by the
+    ROUNDED score so ties resolve identically on every engine.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(tokens) AS tok
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents)
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, tok) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_tfidf_topterms": QuerySpec(
+        text_tfidf_topterms, _TFIDF_ORACLE, "TF-IDF top terms per document"
+    ),
     "text_repetition": QuerySpec(
         text_repetition, _REPETITION_ORACLE, "repetition-ratio quality filter"
     ),
