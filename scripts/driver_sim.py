@@ -26,8 +26,11 @@ sample = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",
-    "ann_bruteforce_topk",
-    "dedup_ngram_jaccard",
+    "ann_sq_rerank",
+    "dedup_embedding_lsh",
+    "ecj_star",          # events table: nanos handling in a VANILLA session
+    "text_tfidf_topterms",
+    "t_session_window",  # events again, different decode path
 ]
 results = run_all(spark, "/root/testdata/sf0.01", only=sample)
 bad = [r for r in results if not r.ok]
