@@ -109,9 +109,12 @@ def _bench_bucketed(spark, sf_dir: str, timings: dict[str, float]) -> None:
     try:
         for name, make in variants.items():
             make().count()  # warm codegen
-            t0 = time.perf_counter()
-            assert make().count() >= 0
-            timings[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                assert make().count() >= 0
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
 
@@ -125,20 +128,28 @@ def main() -> None:
     # Warm the JVM/codegen once so timings measure the plan, not startup.
     registry["a2_max_id"].spark(spark, sf_dir).collect()
 
-    # Steady-state methodology: run each query twice and report the
-    # second run. The first run pays one-time Janino whole-stage-codegen
-    # compilation (seconds for the wide unrolled vector/hash
-    # expressions), which at deployment scale amortizes to zero over
-    # billions of rows; the second run measures the plan itself.
+    # Steady-state methodology: one warm run (pays one-time Janino
+    # whole-stage-codegen compilation, which at deployment scale
+    # amortizes to zero over billions of rows), then TWO timed runs
+    # reporting the minimum — a single timed run occasionally absorbs a
+    # JVM GC pause and records a 5-10x outlier that reads as a
+    # regression; the min of two measures the plan, not the collector.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
         spec.spark(spark, sf_dir).count()  # warm: compile + fill codegen cache
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        n = df.count()  # materialize the full plan
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        # A long single-JVM bench accumulates driver garbage (plan trees,
+        # codegen classes, listener events) and successive queries start
+        # absorbing multi-second GC pauses — fresh-session 0.2s queries
+        # read as 2s+ by entry 20. Collect between queries so each
+        # timing measures the plan, not the previous queries' garbage.
+        spark._jvm.System.gc()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            assert spec.spark(spark, sf_dir).count() >= 0  # full plan
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     _bench_bucketed(spark, sf_dir, timings)
 

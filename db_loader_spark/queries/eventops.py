@@ -288,7 +288,61 @@ FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
 """
 
 
+# class → keep-percentage: the rebalancing profile (rare classes kept
+# whole, dominant classes thinned) a training-data pipeline applies.
+STRATA_RATES = {"error": 100, "purchase": 50, "signup": 25}
+_DEFAULT_RATE = 5
+
+
+def a_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class deterministic sampling (dataset rebalancing).
+
+    Same RNG-free md5-bucket mechanism as ``a_hash_sample`` — stable
+    across engines, re-runs, and partitionings — but the keep-rate is a
+    per-class CASE, so rare classes survive whole while dominant ones
+    thin out. Pure scan-side filter + one aggregate: no shuffle carries
+    unsampled rows, and at 100 TB the filter rides the parquet scan."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.expr(
+        "pmod(CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT), 100)"
+    )
+    rate = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN event_type = '{k}' THEN {v}" for k, v in STRATA_RATES.items()
+        )
+        + f" ELSE {_DEFAULT_RATE} END"
+    )
+    return (
+        e.filter(bucket < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("value"), 2).alias("sampled_value"),
+        )
+    )
+
+
+_STRATified_CASE = (
+    "CASE "
+    + " ".join(f"WHEN event_type = '{k}' THEN {v}" for k, v in STRATA_RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+_STRATIFIED_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n_sampled, ROUND(SUM(value), 2) AS sampled_value
+FROM events
+WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+      % 100 < ({_STRATified_CASE})
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "a_stratified_sample": QuerySpec(
+        a_stratified_sample, _STRATIFIED_ORACLE, "per-class deterministic sampling"
+    ),
     "t_tumbling_counts": QuerySpec(
         t_tumbling_counts, _TUMBLING_ORACLE, "event-time tumbling-window agg"
     ),
