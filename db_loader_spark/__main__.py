@@ -143,6 +143,23 @@ def main(argv: list[str] | None = None) -> int:
     # and register an unseen problemname under max(problem id)+1.
     save_config(config_path, cfg, argmap.get("problemname"))
 
+    # S5/JN5: auto-detect the EDN sidecar index next to the logs and
+    # append its argmap rows to the experiment EAV table, keyed by the
+    # uuid embedded in each filename (src/db_loader.clj:332-336,282-292).
+    p = Path(path)
+    index_file = (p if p.is_dir() else p.parent) / "index.clj"
+    if index_file.exists():
+        from db_loader_spark.plans.clojush import append_sidecar_params
+        from pyspark.sql import functions as F
+
+        file_ids = tables["experiments"].select(
+            F.col("logfile_location").alias("file"), "id"
+        )
+        tables["experiment"] = append_sidecar_params(
+            spark, tables["experiment"], file_ids, str(index_file)
+        )
+        print(f"joined sidecar index {index_file}")
+
     jdbc_url = argmap.get("jdbc-url")
     if jdbc_url:
         from db_loader_spark.sinks.jdbc_sink import jdbc_write

@@ -96,3 +96,23 @@ def test_tgz_extraction_fixed(tmp_path):
     out = extract_tgz(str(archive), str(tmp_path / "x"))
     assert (tmp_path / "x" / "run_a.log").read_text() == LOG
     assert out == str(tmp_path / "x")
+
+
+def test_cli_auto_joins_sidecar_index(spark, tmp_path):
+    """S5/JN5 parity: an index.clj next to the logs is auto-detected and
+    its argmap rows land in the experiment table under the run whose
+    filename carries the uuid (src/db_loader.clj:332-336)."""
+    log = tmp_path / "run_cafe42.log"
+    log.write_text(LOG)
+    (tmp_path / "index.clj").write_text(
+        '{:command-maps [{:uuid "cafe42" :argmap {:max-points 50 :tourney true}}'
+        ' {:uuid "nomatch" :argmap {:x 1}}]}'
+    )
+    out = tmp_path / "csv"
+    out.mkdir()
+    assert main([":filename", str(log), ":csv-dir", str(out)]) == 0
+    exp = spark.read.option("header", True).csv(str(out / "experiment"))
+    rows = {(r.parameter, r.value) for r in exp.collect()}
+    assert ("max-points", "50") in rows
+    assert ("tourney", "true") in rows  # EDN booleans render lowercase
+    assert not any(p == "x" for p, _ in rows)  # unmatched uuid stays out
