@@ -286,9 +286,117 @@ FROM (
 """
 
 
+CHUNK_TOKENS = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # overlap = CHUNK_TOKENS - CHUNK_STRIDE
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the pre-training segmentation
+    step (fixed token windows with overlap so no boundary context is
+    lost). One explode per doc generating ~n/stride chunk starts; the
+    chunk text is hashed (md5) in the output so the result frame carries
+    provenance + length, not duplicated corpus bytes. Pure per-row
+    expression work: embarrassingly parallel, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    toksed = d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
+    return (
+        toksed.select("doc_id", F.explode(starts).alias("start"), "toks")
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.expr(f"slice(toks, start + 1, {CHUNK_TOKENS})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").cast("int").alias("chunk_len"),
+            F.md5(F.array_join(F.col("chunk"), " ")).alias("chunk_hash"),
+        )
+    )
+
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+),
+nonempty AS (SELECT * FROM toks WHERE len(toks) > 0),
+starts AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+  FROM nonempty
+),
+chunks AS (
+  SELECT doc_id, CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+         list_slice(toks, start + 1, least(start + {CHUNK_TOKENS}, len(toks))) AS chunk
+  FROM starts
+)
+SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS chunk_len,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM chunks
+"""
+
+
+PACK_BUDGET = 256  # tokens per training-context bin
+
+
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing: documents fill fixed token-budget
+    bins in deterministic (doc_id) order — the sequence-packing step
+    that turns a ragged corpus into fixed-cost training batches.
+
+    bin_id = floor(cumulative_tokens_before_doc / budget): the running
+    -sum formulation of greedy first-fit-in-order. The window partitions
+    by ``lang`` (packing is per-language in multilingual pipelines), so
+    there is NO global single-partition window — each shard packs
+    independently, which is exactly how it distributes at 100 TB."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toksed = d.select("doc_id", "lang", TX.token_count(F.col("text")).alias("n_tok"))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toksed.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET).cast("long"),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_DUCK_TOKENS}) AS INT) AS n_tok FROM documents
+),
+packed AS (
+  SELECT lang,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+         n_tok
+  FROM t
+)
+SELECT lang, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY lang, bin_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_tfidf_topterms": QuerySpec(
         text_tfidf_topterms, _TFIDF_ORACLE, "TF-IDF top terms per document"
+    ),
+    "text_chunk": QuerySpec(
+        text_chunk, _CHUNK_ORACLE, "sliding-window token chunking"
+    ),
+    "text_pack_bins": QuerySpec(
+        text_pack_bins, _PACK_ORACLE, "greedy context-window packing"
     ),
     "text_repetition": QuerySpec(
         text_repetition, _REPETITION_ORACLE, "repetition-ratio quality filter"
