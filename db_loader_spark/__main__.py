@@ -130,6 +130,13 @@ def main(argv: list[str] | None = None) -> int:
         path = extract_tgz(path)
     skip_nils = argmap.get("skip-nils", "true").lower() != "false"
 
+    # K9/save-config FIRST (reference order, src/db_loader.clj:325-327):
+    # bump the run counter and register an unseen :problemname under
+    # max(problem id)+1 BEFORE parsing, so this very load's JN6 join
+    # already resolves the fresh problem_id (registering after the parse
+    # would leave the first load's rows with a NULL problem_id).
+    cfg = save_config(config_path, cfg, argmap.get("problemname"))
+
     spark = get_spark("db_loader_cli")
     tables = parse_clojush_logs(
         spark,
@@ -139,9 +146,6 @@ def main(argv: list[str] | None = None) -> int:
         problem_name=argmap.get("problemname"),
         user=argmap.get("user", cfg.user if config_exists else "spark"),
     )
-    # K9/save-config (src/db_loader.clj:76-84,327): bump the run counter
-    # and register an unseen problemname under max(problem id)+1.
-    save_config(config_path, cfg, argmap.get("problemname"))
 
     # S5/JN5: auto-detect the EDN sidecar index next to the logs and
     # append its argmap rows to the experiment EAV table, keyed by the

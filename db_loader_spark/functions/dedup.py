@@ -350,7 +350,7 @@ def simhash_bits(
 
 
 def simhash_near_pairs(
-    sig: DataFrame, bits: int = 64, n_bands: int = 4, max_hamming: int = 3
+    sig: DataFrame, bits: int = 64, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band join (equal value in ANY 16-bit
     band) with the exact Hamming threshold INSIDE the join condition —
@@ -363,8 +363,11 @@ def simhash_near_pairs(
     ``distinct`` (which de-dups pairs colliding in several bands) only
     shuffles true near-pairs. With 16-bit bands each band has 65,536
     buckets → expected bucket occupancy n/65,536 per band; candidate
-    volume stays near-linear far past 10^8 docs (widen bands / raise
-    n_bands to push further).
+    volume stays near-linear far past 10^8 docs (widen
+    ``SIMHASH_BAND_BITS`` — which fixes the band count as
+    ``bits / SIMHASH_BAND_BITS`` for both signature and join — to push
+    further; the band count is derived, not a free parameter, because
+    the signature frame physically carries one column per band).
 
     Exactness: when ``max_hamming < n_bands`` the result is EXACT by
     pigeonhole — k < n_bands differing bits cannot touch every band, so

@@ -114,7 +114,7 @@ def lsh_near_pairs(
     Approximate by construction: a qualifying pair colliding in NO
     table is missed; every emitted pair is exactly verified.
     """
-    buckets = F.expr(multi_table_buckets_sql(vec_col, n_bits, n_tables))
+    buckets = F.expr(multi_table_buckets_sql(vec_col, n_bits, n_tables, dim))
 
     def hashed(suffix: str) -> DataFrame:
         return emb.select(
@@ -195,12 +195,24 @@ def sign_bucket_sql(vec: str, n_bits: int = 8, offset: int = 0) -> str:
     return f"concat({bits})"
 
 
-def multi_table_buckets_sql(vec: str, n_bits: int = 8, n_tables: int = 4) -> str:
+def multi_table_buckets_sql(
+    vec: str, n_bits: int = 8, n_tables: int = 4, dim: int = EMBEDDING_DIM
+) -> str:
     """Array of (tbl, bucket) structs — one sign-LSH hash table per
     disjoint dimension slice. Exploding this is the OR-amplification
     construction: a pair is a candidate if it collides in ANY table,
     which lifts per-table recall r to 1-(1-r)^n_tables while each
-    table keeps its full 2^n_bits selectivity."""
+    table keeps its full 2^n_bits selectivity.
+
+    The slices must fit the vector: an out-of-range subscript reads
+    NULL, whose sign CASE emits a constant '0' bit — an overflow table
+    would silently put the ENTIRE corpus in one bucket and turn the
+    candidate join quadratic, so over-allocation fails loudly here."""
+    if n_bits * n_tables > dim:
+        raise ValueError(
+            f"{n_tables} tables x {n_bits} bits need {n_bits * n_tables} dims "
+            f"but vectors have {dim}"
+        )
     structs = ", ".join(
         f"struct({t} AS tbl, {sign_bucket_sql(vec, n_bits, t * n_bits)} AS bucket)"
         for t in range(n_tables)
@@ -431,7 +443,7 @@ def ann_lsh_topk(
     buys recall linearly in join fan-out (the knobs ann_recall
     measures).
     """
-    buckets = F.expr(multi_table_buckets_sql(vec_col, n_bits, n_tables))
+    buckets = F.expr(multi_table_buckets_sql(vec_col, n_bits, n_tables, dim))
 
     def hashed(src: DataFrame, prefix: str, id_alias: str) -> DataFrame:
         return src.select(

@@ -111,7 +111,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the 65,536-bucket bands keep candidate volume near-linear."""
     docs = load_table(spark, sf_dir, "documents")
     sig = D.simhash_bits(docs, bits=_SIMHASH_BITS)
-    return D.simhash_near_pairs(sig, bits=_SIMHASH_BITS, n_bands=4, max_hamming=3)
+    return D.simhash_near_pairs(sig, bits=_SIMHASH_BITS, max_hamming=3)
 
 
 _SIMHASH_N_BANDS = _SIMHASH_BITS // 16

@@ -250,9 +250,11 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what this query is for detecting."""
     emb = load_table(spark, sf_dir, "embeddings")
     pred = F.col("vec_id") < 8
-    bf = (
-        S.brute_force_topk(emb, pred, k=3).select("query_id", "neighbor_id").persist()
-    )
+    # NOT persisted: the caller materializes the returned plan after this
+    # function exits, so a persist() here could never be unpersisted and
+    # would pin cached blocks for the session lifetime; recomputing the
+    # small brute-force arm per comparison is cheaper than the leak.
+    bf = S.brute_force_topk(emb, pred, k=3).select("query_id", "neighbor_id")
     arms = {
         "ivf": ann_ivf_topk(spark, sf_dir),
         "lsh": ann_lsh_topk(spark, sf_dir),

@@ -51,11 +51,17 @@ SUMMARY_SCHEMA = T.StructType(  # (src/db_loader.clj:39)
     ]
 )
 
-# --- ECJ path (scripts/create_tables.sql) ----------------------------------
+# --- ECJ path (scripts/create_tables.sql, re-expressed: ids are BIGINT
+# because the engine's default run ids are 63-bit file hashes and serial
+# INT counters overflow at 100 TB anyway; batchdate is the reference's
+# formatted "yyyy-MM-dd HH:mm" STRING; experiment carries logname per
+# the reference insert columns. MUST stay in lockstep with
+# sinks.ddl.ECJ_TABLES — tests/test_ecj_load.py asserts the load_ecj
+# output matches that DDL contract.) ----------------------------------
 
 USERS_SCHEMA = T.StructType(
     [
-        T.StructField("userid", T.IntegerType(), False),
+        T.StructField("userid", T.LongType(), False),
         T.StructField("username", T.StringType(), False),
         T.StructField("password", T.StringType(), True),
         T.StructField("email", T.StringType(), True),
@@ -64,7 +70,7 @@ USERS_SCHEMA = T.StructType(
 
 SYSTEMS_SCHEMA = T.StructType(
     [
-        T.StructField("sysid", T.IntegerType(), False),
+        T.StructField("sysid", T.LongType(), False),
         T.StructField("sysname", T.StringType(), False),
         T.StructField("version", T.StringType(), True),
         T.StructField("githash", T.StringType(), True),
@@ -73,8 +79,8 @@ SYSTEMS_SCHEMA = T.StructType(
 
 PROBLEMS_SCHEMA = T.StructType(
     [
-        T.StructField("probid", T.IntegerType(), False),
-        T.StructField("sysid", T.IntegerType(), True),
+        T.StructField("probid", T.LongType(), False),
+        T.StructField("sysid", T.LongType(), True),
         T.StructField("probname", T.StringType(), False),
         T.StructField("githash", T.StringType(), True),
     ]
@@ -82,7 +88,7 @@ PROBLEMS_SCHEMA = T.StructType(
 
 LOCATIONS_SCHEMA = T.StructType(
     [
-        T.StructField("locid", T.IntegerType(), False),
+        T.StructField("locid", T.LongType(), False),
         T.StructField("location", T.StringType(), False),
         T.StructField("loginid", T.StringType(), True),
     ]
@@ -90,18 +96,19 @@ LOCATIONS_SCHEMA = T.StructType(
 
 BATCHES_SCHEMA = T.StructType(  # "experiments" in create_tables.sql:29-38
     [
-        T.StructField("batchid", T.IntegerType(), False),
-        T.StructField("userid", T.IntegerType(), True),
-        T.StructField("probid", T.IntegerType(), True),
-        T.StructField("locid", T.IntegerType(), True),
-        T.StructField("batchdate", T.DateType(), True),
+        T.StructField("batchid", T.LongType(), False),
+        T.StructField("userid", T.LongType(), True),
+        T.StructField("probid", T.LongType(), True),
+        T.StructField("locid", T.LongType(), True),
+        T.StructField("batchdate", T.StringType(), True),
     ]
 )
 
-ECJ_EXPERIMENT_SCHEMA = T.StructType(  # create_tables.sql:40-46
+ECJ_EXPERIMENT_SCHEMA = T.StructType(  # create_tables.sql:40-46 + logname
     [
-        T.StructField("expid", T.IntegerType(), False),
-        T.StructField("batchid", T.IntegerType(), True),
+        T.StructField("expid", T.LongType(), False),
+        T.StructField("logname", T.StringType(), True),
+        T.StructField("batchid", T.LongType(), True),
         T.StructField("param", T.StringType(), False),
         T.StructField("value", T.StringType(), True),
     ]
@@ -109,8 +116,8 @@ ECJ_EXPERIMENT_SCHEMA = T.StructType(  # create_tables.sql:40-46
 
 ECJ_GENERATIONS_SCHEMA = T.StructType(  # create_tables.sql:48-54
     [
-        T.StructField("genid", T.IntegerType(), False),
-        T.StructField("expid", T.IntegerType(), True),
+        T.StructField("genid", T.LongType(), False),
+        T.StructField("expid", T.LongType(), True),
         T.StructField("param", T.StringType(), False),
         T.StructField("value", T.StringType(), True),
     ]

@@ -96,6 +96,13 @@ def test_cli_registers_new_problem(tmp_path):
     assert rc == 0
     back = load_config(str(conf))
     assert back.problem_data["brandnew"] == "4"
+    # the SAME load already resolves the fresh id (registration happens
+    # before the parse, reference order src/db_loader.clj:325-327)
+    import duckdb
+    [pid] = duckdb.sql(
+        f"SELECT DISTINCT problem_id FROM read_csv_auto('{out}/experiments/*.csv', header=true)"
+    ).fetchone()
+    assert str(pid) == "4"
 
 
 def test_cli_creates_config_with_sticky_data_dir(tmp_path):

@@ -145,3 +145,29 @@ def test_load_ecj_hash_ids_stable(spark, ecj_dir, dims):
     assert sorted(t1["experiment"].collect()) == sorted(t2["experiment"].collect())
     # hash ids: one per trial file, distinct
     assert t1["experiment"].select("expid").distinct().count() == 2
+
+
+def test_schemas_lockstep_with_ddl():
+    """schemas.py ECJ constants and sinks.ddl.ECJ_TABLES are two
+    spellings of ONE contract — drift broke a round-2 review, so it is
+    now a test."""
+    from db_loader_spark import schemas as S
+    from db_loader_spark.sinks.ddl import ECJ_TABLES
+
+    mapping = {
+        "experiments": S.BATCHES_SCHEMA,
+        "experiment": S.ECJ_EXPERIMENT_SCHEMA,
+        "generations": S.ECJ_GENERATIONS_SCHEMA,
+        "users": S.USERS_SCHEMA,
+        "systems": S.SYSTEMS_SCHEMA,
+        "problems": S.PROBLEMS_SCHEMA,
+        "locations": S.LOCATIONS_SCHEMA,
+    }
+    assert set(mapping) == set(ECJ_TABLES)
+    for name, schema in mapping.items():
+        ddl_cols = [
+            (c.split()[0], c.split()[1].lower())
+            for c in ECJ_TABLES[name].split(", ")
+        ]
+        got = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        assert got == ddl_cols, f"{name}: schemas.py vs ddl.py drift"
