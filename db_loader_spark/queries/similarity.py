@@ -227,6 +227,44 @@ WHERE ROUND(({_duck_dot('q', 'c')})
 """
 
 
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup CLUSTERS at scale: multi-table LSH candidate
+    pairs (exact-cosine verified, ≥ 0.4) → iterative connected
+    components → (vec_id, component_id). The full embedding-dedup
+    pipeline a training corpus runs — candidate generation, exact
+    verification, and cluster formation — composed from the same
+    operators the pair queries use; the oracle closes the same graph
+    with a recursive CTE."""
+    from db_loader_spark.functions.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.lsh_near_pairs(emb, threshold=0.4, n_bits=8, n_tables=4).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), "component_id"
+    )
+
+
+_EMB_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE near AS (
+  SELECT vec_a, vec_b FROM ({_EMB_LSH_ORACLE}) q
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM near
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM near
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT id AS vec_id, CAST(MIN(lab) AS BIGINT) AS component_id
+FROM reach GROUP BY id
+"""
+
+
 def ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_stats(load_table(spark, sf_dir, "embeddings"))
 
@@ -322,6 +360,11 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_embedding_lsh,
         _EMB_LSH_ORACLE,
         "LSH-bucketed embedding near-dup (exact-cosine verified)",
+    ),
+    "dedup_embedding_components": QuerySpec(
+        dedup_embedding_components,
+        _EMB_COMPONENTS_ORACLE,
+        "semantic near-dup clusters (LSH pairs -> connected components)",
     ),
     "ann_bruteforce_topk": QuerySpec(
         ann_bruteforce_topk, _BRUTE_ORACLE, "exact cosine top-k"
