@@ -155,12 +155,22 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     materialize: bool = True,
+    min_est_sim: float | None = None,
 ) -> DataFrame:
     """Band the signature and self-join per band: (doc_a, doc_b, est_sim).
 
     est_sim = fraction of matching signature components (exact rational).
     The join key is (band_idx, band_key) so only same-band collisions
     shuffle — the LSH guarantee that makes this linear-ish at scale.
+
+    ``min_est_sim`` pushes the similarity threshold INSIDE the join as a
+    residual predicate (the same trick the SimHash Hamming search uses):
+    low-sim band collisions die in the join operator and never reach the
+    trailing distinct's shuffle. This is the first knob to reach for on
+    head-heavy (Zipf) corpora, where baseline Jaccard between unrelated
+    docs makes 2-row bands collide freely — measured in SCALE.md:
+    candidates grow ~n² at the defaults there, and the in-join threshold
+    (or wider bands) restores near-linear candidate volume.
 
     The full signature rides along through the band explode, so est_sim
     comes straight off the joined rows — no second join back to the
@@ -198,17 +208,21 @@ def lsh_candidate_pairs(
             f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
         )
     )
+    est_sim = F.round(matches.cast("double") / num_hashes, 4)
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if min_est_sim is not None:
+        # Residual (non-equi) predicate: far pairs never leave the join.
+        cond = cond & (est_sim >= min_est_sim)
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a.id").alias("doc_a"),
             F.col("b.id").alias("doc_b"),
-            F.round(matches.cast("double") / num_hashes, 4).alias("est_sim"),
+            est_sim.alias("est_sim"),
         )
         .distinct()
     )

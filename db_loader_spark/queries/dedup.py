@@ -167,9 +167,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle expresses the same closure with a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents")
     sig = D.minhash_signatures(docs, num_hashes=8)
-    pairs = D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2).filter(
-        F.col("est_sim") >= 0.5
-    )
+    # threshold inside the band join (residual predicate) — low-sim
+    # collisions never reach the distinct's shuffle
+    pairs = D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2, min_est_sim=0.5)
     return D.connected_components(pairs)
 
 
