@@ -339,7 +339,68 @@ GROUP BY event_type
 """
 
 
+MAD_K = 3.0 * 1.4826  # 3-sigma equivalent under normality
+
+
+def a_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-class outlier filtering (median/MAD z-score) — the
+    data-quality pass that drops corrupt measurements before training.
+
+    Median and MAD instead of mean/stddev because outliers are exactly
+    what corrupts the moments used to find them. Two aggregate passes
+    (median, then MAD of deviations) + a broadcast join of the tiny
+    per-class stats back onto the scan; both percentiles are exact
+    sort-based linear interpolation, identical in Spark and DuckDB, so
+    the keep/drop boundary is engine-deterministic. At 100 TB swap the
+    exact percentile for approx_percentile and keep the same shape."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5D)").alias("mad")
+    )
+    kept = (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) <= F.lit(MAD_K) * F.col("mad"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.sum("value"), 2).alias("kept_value"),
+        F.round(F.first("med"), 4).alias("med"),
+        F.round(F.first("mad"), 4).alias("mad"),
+    )
+
+
+_OUTLIER_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type, COUNT(*) AS n_kept,
+       ROUND(SUM(e.value), 2) AS kept_value,
+       ROUND(ANY_VALUE(m.med), 4) AS med,
+       ROUND(ANY_VALUE(d.mad), 4) AS mad
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE abs(e.value - m.med) <= {MAD_K} * d.mad
+GROUP BY e.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "a_outlier_filter": QuerySpec(
+        a_outlier_filter, _OUTLIER_ORACLE, "robust median/MAD outlier filter"
+    ),
     "a_stratified_sample": QuerySpec(
         a_stratified_sample, _STRATIFIED_ORACLE, "per-class deterministic sampling"
     ),
