@@ -70,6 +70,44 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return payloads.mapInPandas(batch_features, schema=FEATURE_SCHEMA)
 
 
+EMBED_DIM = 8
+EMBED_SCHEMA = f"vec_id long, embedding array<float>"
+
+
+def extract_embedding(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Binary payload → embedding vector via mapInPandas — the
+    multimodal→vector handoff every training pipeline runs (image/audio
+    encoder models batch exactly like this: Arrow batch in, one
+    fixed-dim vector per payload out).
+
+    The encoder is a deterministic stand-in (byte-histogram over 8
+    residue buckets — integer-valued, so downstream cosine arithmetic
+    is engine-exact); swapping in a real model changes ONLY the closure
+    body, not the schema, batch shape, or the ANN operators downstream
+    (functions.similarity consumes this frame directly with
+    ``dim=EMBED_DIM``).
+    """
+    import pandas as _pd
+
+    def batch_embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def hist(b: bytes) -> list[float]:
+                counts = [0] * 8
+                for byte in b:
+                    counts[byte % 8] += 1
+                return [float(c) for c in counts]
+
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["doc_id"],
+                    "embedding": pdf["payload"].map(hist),
+                }
+            )
+
+    payloads = df.select(F.col(id_col).alias("doc_id"), "payload")
+    return payloads.mapInPandas(batch_embed, schema=EMBED_SCHEMA)
+
+
 def decode_image(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     """Image decode + resize. STUB: no image library in this runtime."""
     if not _HAS_IMAGE_LIB:

@@ -66,7 +66,68 @@ WHERE text IS NOT NULL
 """
 
 
+def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal→vector→ANN pipeline: binary payloads through
+    the mapInPandas encoder stub into exact cosine top-k — proves the
+    embedding handoff feeds the similarity operators unchanged (dim is
+    the only knob). Docs with empty payloads are excluded (zero vector
+    has no cosine)."""
+    from db_loader_spark.functions.multimodal import (
+        EMBED_DIM,
+        attach_binary,
+        extract_embedding,
+    )
+    from db_loader_spark.functions.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    emb = extract_embedding(attach_binary(docs))
+    return brute_force_topk(emb, F.col("vec_id") < 5, k=3, dim=EMBED_DIM)
+
+
+# byte-histogram embedding in SQL (ASCII corpus: per-char == per-byte),
+# then the same exact-arithmetic cosine top-k as the Spark operator
+_EMBED_CTE = """
+SELECT doc_id AS vec_id,
+       list_transform(range(0, 8), b ->
+         CAST(len(list_filter(range(1, strlen(text) + 1),
+                              i -> ascii(substr(text, i, 1)) % 8 = b)) AS DOUBLE))
+         AS embedding
+FROM documents
+WHERE text IS NOT NULL AND strlen(text) > 0
+"""
+
+_EMB_DOT = lambda a, b: " + ".join(  # noqa: E731
+    f"CAST({a}.embedding[{i}] AS DOUBLE) * CAST({b}.embedding[{i}] AS DOUBLE)"
+    for i in range(1, 9)
+)
+
+_EMBED_ANN_ORACLE = f"""
+WITH emb AS ({_EMBED_CTE}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(({_EMB_DOT('q', 'c')})
+               / (sqrt({_EMB_DOT('q', 'q')}) * sqrt({_EMB_DOT('c', 'c')})), 4)
+           AS cos_sim
+  FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_embed_ann": QuerySpec(
+        multimodal_embed_ann,
+        _EMBED_ANN_ORACLE,
+        "binary -> mapInPandas embedding -> cosine top-k",
+    ),
     "multimodal_features": QuerySpec(
         multimodal_features, _MM_ORACLE, "binary payload mapInPandas features"
     ),
