@@ -161,6 +161,89 @@ FROM pairs WHERE hamming <= 3
 """
 
 
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pipeline as ONE query: exact dedup
+    → MinHash near-dup removal → quality filter, reporting the doc count
+    surviving each stage — the funnel dashboard every training-data run
+    produces.
+
+    Stage policies (deterministic, mirrored in the oracle): exact keeps
+    the min doc_id per content hash; near-dup drops every doc_b of a
+    candidate pair with est_sim ≥ 0.5 (threshold evaluated INSIDE the
+    band join); quality keeps ROUND(score,4) ≥ 0.3. Each stage feeds
+    the next, so the counts compose — this exercises operator chaining,
+    not just single operators."""
+    from db_loader_spark.functions.text import quality_score_of, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep1 = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s1 = docs.join(keep1.select("doc_id"), "doc_id", "left_semi")
+    sig = D.minhash_signatures(s1, num_hashes=8)
+    drops = (
+        D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2, min_est_sim=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(drops, "doc_id", "left_anti")
+    toksed = s2.select("doc_id", tokens(F.col("text")).alias("toks"))
+    s3 = toksed.filter(F.round(quality_score_of(F.col("toks")), 4) >= 0.3)
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("1_input", docs)
+        .unionByName(stage("2_exact", s1))
+        .unionByName(stage("3_neardup", s2))
+        .unionByName(stage("4_quality", s3))
+    )
+
+
+_FUNNEL_SHINGLES = _DUCK_SHINGLES.replace("FROM documents", "FROM s1")
+
+_FUNNEL_ORACLE = f"""
+WITH keep1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+s1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+sh AS ({_FUNNEL_SHINGLES}),
+seeded AS (
+  SELECT id, shingle, s.seed,
+         substr(md5(CAST(s.seed AS VARCHAR) || '|' || shingle), 1, 8) AS mh
+  FROM sh, (SELECT unnest(range(8)) AS seed) s
+),
+sig AS (SELECT id, {_MINHASH_SIG_COLS} FROM seeded GROUP BY id),
+banded AS ({_MINHASH_BANDS}),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+),
+drops AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM cand JOIN sig sa ON doc_a = sa.id JOIN sig sb ON doc_b = sb.id
+  WHERE ROUND(CAST({_MINHASH_MATCHES} AS DOUBLE) / 8, 4) >= 0.5
+),
+s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+toks2 AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM s2),
+s3 AS (
+  SELECT doc_id FROM toks2
+  WHERE ROUND(0.5 * least(CAST(len(tokens) AS DOUBLE) / 100.0, 1.0)
+              + 0.5 * (CASE WHEN len(tokens) > 0
+                            THEN len(list_filter(tokens,
+                                   t -> t IN ('the', 'a', 'of', 'and', 'to')))
+                                 / len(tokens)
+                            ELSE 0.0 END), 4) >= 0.3
+)
+SELECT '1_input' AS stage, COUNT(*) AS n_docs FROM documents
+UNION ALL SELECT '2_exact', COUNT(*) FROM s1
+UNION ALL SELECT '3_neardup', COUNT(*) FROM s2
+UNION ALL SELECT '4_quality', COUNT(*) FROM s3
+"""
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash/LSH pairs (est_sim ≥ 0.5) → connected
     components → (doc_id, component_id). The iterative-fixpoint operator;
@@ -218,6 +301,11 @@ WHERE ROUND(({_duck_dot('a', 'b')})
 
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, _EXACT_ORACLE, "exact hash-groupBy dedup"),
+    "curation_funnel": QuerySpec(
+        curation_funnel,
+        _FUNNEL_ORACLE,
+        "exact dedup -> near-dup removal -> quality filter, staged counts",
+    ),
     "dedup_ngram_jaccard": QuerySpec(
         dedup_ngram_jaccard, _JACCARD_ORACLE, "3-gram Jaccard pairs"
     ),
