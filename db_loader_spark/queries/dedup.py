@@ -20,14 +20,21 @@ _DUCK_TOKENS = (
     "list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '')"
 )
 
-_DUCK_SHINGLES = f"""
+def _duck_shingles(src: str = "documents") -> str:
+    """Shingle CTE over any source relation (parameterized so composed
+    oracles like the curation funnel re-root it without fragile string
+    replacement)."""
+    return f"""
   SELECT DISTINCT doc_id AS id,
          unnest(list_transform(range(1, len(tokens) - 1),
                                i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
            AS shingle
-  FROM (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents)
+  FROM (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM {src})
   WHERE len(tokens) >= 3
 """
+
+
+_DUCK_SHINGLES = _duck_shingles()
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,17 +183,20 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from db_loader_spark.functions.text import quality_score_of, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    keep1 = docs.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
-    s1 = docs.join(keep1.select("doc_id"), "doc_id", "left_semi")
+    # same keep policy as dedup_exact -- reuse the operator, don't restate it
+    keep1 = D.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    # The four count branches reference the staged frames repeatedly
+    # (s1 three times, s2 twice) -- persist so the exact-dedup join and
+    # the band self-join run ONCE per funnel. CacheManager dedups the
+    # entries by plan across repeated builds (see lsh_candidate_pairs).
+    s1 = docs.join(keep1, "doc_id", "left_semi").persist()
     sig = D.minhash_signatures(s1, num_hashes=8)
     drops = (
         D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2, min_est_sim=0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s2 = s1.join(drops, "doc_id", "left_anti")
+    s2 = s1.join(drops, "doc_id", "left_anti").persist()
     toksed = s2.select("doc_id", tokens(F.col("text")).alias("toks"))
     s3 = toksed.filter(F.round(quality_score_of(F.col("toks")), 4) >= 0.3)
 
@@ -203,7 +213,10 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUNNEL_SHINGLES = _DUCK_SHINGLES.replace("FROM documents", "FROM s1")
+from db_loader_spark.functions.text import STOPWORDS as _SW_LIST
+
+_FUNNEL_SW = ", ".join(f"'{w}'" for w in _SW_LIST)
+_FUNNEL_SHINGLES = _duck_shingles("s1")
 
 _FUNNEL_ORACLE = f"""
 WITH keep1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -232,8 +245,7 @@ s3 AS (
   SELECT doc_id FROM toks2
   WHERE ROUND(0.5 * least(CAST(len(tokens) AS DOUBLE) / 100.0, 1.0)
               + 0.5 * (CASE WHEN len(tokens) > 0
-                            THEN len(list_filter(tokens,
-                                   t -> t IN ('the', 'a', 'of', 'and', 'to')))
+                            THEN len(list_filter(tokens, t -> t IN ({_FUNNEL_SW})))
                                  / len(tokens)
                             ELSE 0.0 END), 4) >= 0.3
 )

@@ -82,12 +82,20 @@ def multimodal_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
-    emb = extract_embedding(attach_binary(docs))
+    # persist: brute_force_topk references the embedding frame from both
+    # its query and corpus branches, which would run the mapInPandas
+    # encoder twice -- with a real model that doubles the single most
+    # expensive stage. CacheManager dedups the entry by plan across
+    # repeated builds (see lsh_candidate_pairs for the pattern).
+    emb = extract_embedding(attach_binary(docs)).persist()
     return brute_force_topk(emb, F.col("vec_id") < 5, k=3, dim=EMBED_DIM)
 
 
-# byte-histogram embedding in SQL (ASCII corpus: per-char == per-byte),
-# then the same exact-arithmetic cosine top-k as the Spark operator
+# byte-histogram embedding in SQL. Testdata text is ASCII, so per-char
+# ascii() == per-byte value (same documented assumption as _MM_ORACLE
+# above: the Spark stub hashes UTF-8 BYTES, so a non-ASCII corpus needs
+# a byte-wise oracle — encode()+blob indexing — not this char walk).
+# Then the same exact-arithmetic cosine top-k as the Spark operator.
 _EMBED_CTE = """
 SELECT doc_id AS vec_id,
        list_transform(range(0, 8), b ->

@@ -238,10 +238,8 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from db_loader_spark.functions.dedup import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.lsh_near_pairs(emb, threshold=0.4, n_bits=8, n_tables=4).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
-    )
-    return connected_components(pairs).select(
+    pairs = S.lsh_near_pairs(emb, threshold=0.4, n_bits=8, n_tables=4)
+    return connected_components(pairs, src_col="vec_a", dst_col="vec_b").select(
         F.col("doc_id").alias("vec_id"), "component_id"
     )
 
