@@ -1,0 +1,63 @@
+"""Driver-contract guards: the external driver consumes the registry,
+bench headline list, and entry file blindly — these tests fail fast on
+the drift that would otherwise only surface in the driver's round run."""
+
+from __future__ import annotations
+
+import inspect
+
+from pyspark.sql import functions as F
+
+
+def test_every_registry_entry_well_formed():
+    from db_loader_spark.queries import all_queries
+
+    qs = all_queries()
+    assert len(qs) >= 72
+    for name, spec in qs.items():
+        assert callable(spec.spark), name
+        # the driver calls q(spark, sf_dir) positionally
+        params = [
+            p
+            for p in inspect.signature(spec.spark).parameters.values()
+            if p.default is inspect.Parameter.empty
+        ]
+        assert len(params) == 2, f"{name}: signature must be (spark, sf_dir)"
+        assert spec.oracle is None or (
+            isinstance(spec.oracle, str) and "SELECT" in spec.oracle.upper()
+        ), f"{name}: oracle must be SQL or None"
+
+
+def test_bench_headline_names_resolve():
+    """A renamed query must break HERE, not in the driver's bench run."""
+    import bench
+    from db_loader_spark.queries import all_queries
+
+    qs = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert missing == []
+
+
+def test_entry_module_contract():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every oracle the driver runs is a non-empty SQL string
+    assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
+
+
+def test_sq_rerank_recall_is_exact(spark, sf_dir):
+    """VERDICT r01 #3 acceptance: the engine must ship an ANN arm with
+    recall ≥ 0.9 at k=3. SQ-rerank is that arm — on this corpus it is
+    EXACT (1.0); a drop means the surrogate-candidate margin broke."""
+    from db_loader_spark.queries.similarity import ann_recall
+
+    rec = (
+        ann_recall(spark, sf_dir)
+        .filter(F.col("method") == "sq")
+        .agg(F.min("recall_at_3").alias("worst"))
+        .collect()[0]
+    )
+    assert rec.worst == 1.0
