@@ -35,7 +35,11 @@ from db_loader_spark.sources.edn_index import Keyword, parse_edn
 
 
 def default_config_path() -> str:
-    return os.path.join(os.path.expanduser("~"), ".db_config")
+    """``DB_CONFIG_PATH`` overrides ``~/.db_config`` so test suites (and
+    multi-tenant runs) never touch the real per-user store."""
+    return os.environ.get("DB_CONFIG_PATH") or os.path.join(
+        os.path.expanduser("~"), ".db_config"
+    )
 
 
 def _default_data_dir() -> str:
@@ -106,7 +110,12 @@ def save_config(
     path = path or default_config_path()
     problem_data = dict(cfg.problem_data)
     if problemname and problemname not in problem_data:
-        next_id = max(int(v) for v in problem_data.values()) + 1 if problem_data else 0
+        # Tolerate hand-edited stores: non-numeric ids are skipped when
+        # computing the max (mirrors load_config's per-key fallback).
+        numeric = [
+            int(v) for v in problem_data.values() if v.lstrip("-").isdigit()
+        ]
+        next_id = max(numeric) + 1 if numeric else 0
         problem_data[problemname] = str(next_id)
     updated = Config(
         id=cfg.id + 1, user=cfg.user, data_dir=cfg.data_dir, problem_data=problem_data

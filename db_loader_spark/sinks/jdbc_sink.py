@@ -29,9 +29,12 @@ builders are pure functions with unit tests.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, Row
+
+log = logging.getLogger("db_loader_spark.sinks.jdbc")
 
 
 def jdbc_write(
@@ -103,6 +106,33 @@ def insert_sql(table: str, columns: list[str], dialect: str = "ansi") -> str:
     return f"INSERT INTO {table} ({cols}) VALUES ({ph})"
 
 
+def upsert_row_sql(
+    table: str, columns: list[str], keys: list[str], dialect: str = "ansi"
+) -> str:
+    """Keyed row-level upsert — the idempotence primitive that makes a
+    task-retry re-insert a no-op instead of a duplicate (K5/T5).
+
+    ``ansi`` covers sqlite (3.24+) and postgres (``ON CONFLICT ... DO
+    UPDATE SET c = excluded.c``); ``mysql`` uses ``ON DUPLICATE KEY
+    UPDATE``. Key-only tables degrade to conflict-ignore."""
+    if not keys:
+        raise ValueError("upsert needs at least one key column")
+    cols = ", ".join(columns)
+    ph = ", ".join(["?"] * len(columns))
+    base = f"INSERT INTO {table} ({cols}) VALUES ({ph})"
+    nonkeys = [c for c in columns if c not in keys]
+    if dialect == "mysql":
+        if not nonkeys:
+            return f"INSERT IGNORE INTO {table} ({cols}) VALUES ({ph})"
+        updates = ", ".join(f"{c} = VALUES({c})" for c in nonkeys)
+        return f"{base} ON DUPLICATE KEY UPDATE {updates}"
+    keycols = ", ".join(keys)
+    if not nonkeys:
+        return f"{base} ON CONFLICT ({keycols}) DO NOTHING"
+    updates = ", ".join(f"{c} = excluded.{c}" for c in nonkeys)
+    return f"{base} ON CONFLICT ({keycols}) DO UPDATE SET {updates}"
+
+
 def upsert_publish_sql(
     table: str, staging: str, columns: list[str], keys: list[str], dialect: str = "mysql"
 ) -> str:
@@ -146,7 +176,10 @@ def resilient_jdbc_write(
     properties: dict[str, str] | None = None,
     batch_size: int = 1_000,
     jvm_write: Callable[[], None] | None = None,
-) -> tuple[int | None, int]:
+    keys: list[str] | None = None,
+    dialect: str = "ansi",
+    allow_duplicate_retry: bool = False,
+) -> tuple[int | None, int, Exception | None]:
     """K5, production shape: JVM happy path, Python quarantine fallback.
 
     Clean loads run entirely through ``df.write.jdbc`` — no row ever
@@ -155,27 +188,64 @@ def resilient_jdbc_write(
     (:func:`quarantining_jdbc_write`) engage to separate good rows from
     offenders.
 
-    Returns ``(ok, quarantined)``; ``ok`` is ``None`` on the clean path
-    (counting would cost an extra job over the whole dataset — at scale
-    you read the row count off the write metrics, not a second scan).
+    Returns ``(ok, quarantined, jvm_error)``; ``ok`` is ``None`` on the
+    clean path (counting would cost an extra job over the whole dataset —
+    at scale you read the row count off the write metrics, not a second
+    scan) and ``jvm_error`` is the captured JVM-write exception when the
+    fallback engaged (``None`` on a clean load), so callers can
+    distinguish clean from recovered loads programmatically. The failure
+    cause is also logged before the fallback runs.
 
-    Retry semantics: Spark's JDBC writer commits per task, so a failed
-    job can leave some partitions committed; the fallback then re-inserts
-    them. Point BOTH paths at a staging table and publish with
-    :func:`upsert_via_staging_sql` (T5) — the keyed upsert makes the
-    retry idempotent. ``jvm_write`` is injectable for tests (no RDBMS
-    with a JDBC driver exists in this container).
+    Retry idempotence is ENFORCED, not advisory: Spark's JDBC writer
+    commits per task, so a failed job can leave some partitions
+    committed, and a plain re-insert would duplicate them. The fallback
+    therefore refuses to run unless either
+
+    - ``keys`` is given — every fallback insert becomes a keyed
+      row-level upsert (:func:`upsert_row_sql`), making re-inserts of
+      already-committed rows no-ops; point ``table`` at a staging table
+      and publish with :func:`upsert_via_staging_sql` for the full T5
+      shape; or
+    - ``allow_duplicate_retry=True`` — an explicit acknowledgment (e.g.
+      the target is truncated per load, or has a uniqueness constraint
+      that quarantines the duplicates by design).
+
+    ``jvm_write`` is injectable for tests (no RDBMS with a JDBC driver
+    exists in this container).
     """
     writer = jvm_write or (
         lambda: jdbc_write(df, url, table, properties, batchsize=batch_size)
     )
     try:
         writer()
-        return (None, 0)
-    except Exception:  # noqa: BLE001 — any JVM-write failure escalates
-        return quarantining_jdbc_write(
-            df, table, connect, quarantine_path, batch_size
+        return (None, 0, None)
+    except Exception as exc:  # noqa: BLE001 — any JVM-write failure escalates
+        log.warning(
+            "JVM JDBC write to %s failed (%s: %s); engaging per-row "
+            "quarantine pass",
+            table,
+            type(exc).__name__,
+            exc,
         )
+        if keys is None and not allow_duplicate_retry:
+            raise RuntimeError(
+                f"refusing per-row fallback into {table!r}: the failed JVM "
+                "write may have committed some partitions, and a plain "
+                "re-insert would duplicate them. Pass keys=[...] for a "
+                "keyed upsert fallback (ideally into a staging table "
+                "published via upsert_via_staging_sql), or "
+                "allow_duplicate_retry=True to acknowledge the risk."
+            ) from exc
+        ok, bad = quarantining_jdbc_write(
+            df,
+            table,
+            connect,
+            quarantine_path,
+            batch_size,
+            keys=keys,
+            dialect=dialect,
+        )
+        return (ok, bad, exc)
 
 
 def quarantining_jdbc_write(
@@ -184,6 +254,8 @@ def quarantining_jdbc_write(
     connect: Callable[[], object],
     quarantine_path: str,
     batch_size: int = 1_000,
+    keys: list[str] | None = None,
+    dialect: str = "ansi",
 ) -> tuple[int, int]:
     """K5 error-recovery pass: per-partition batched insert with per-row
     quarantine fallback. Every row crosses the JVM→Python pickle
@@ -196,9 +268,19 @@ def quarantining_jdbc_write(
     ``db.err`` ledger (src/db_loader.clj:161-163), but per-executor
     files so there is no driver bottleneck. Returns ``(ok, quarantined)``
     row totals so callers can alert on quarantine volume.
+
+    With ``keys`` given, every insert becomes a keyed row-level upsert
+    (:func:`upsert_row_sql`): a Spark task retry that replays rows the
+    failed attempt already committed upserts them in place instead of
+    duplicating them — the commit-per-batch granularity below is then
+    safe under retries, not merely fast.
     """
     columns = df.columns
-    sql = insert_sql(table, columns)
+    sql = (
+        upsert_row_sql(table, columns, keys, dialect)
+        if keys
+        else insert_sql(table, columns)
+    )
 
     def write_partition(rows: Iterator[Row]) -> Iterator[tuple[int, int]]:
         import csv

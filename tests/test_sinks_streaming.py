@@ -112,7 +112,7 @@ def test_resilient_write_clean_path_stays_in_jvm(spark, tmp_path):
         connects.append(1)
         raise AssertionError("quarantine pass engaged on a clean load")
 
-    ok, bad = resilient_jdbc_write(
+    ok, bad, jvm_err = resilient_jdbc_write(
         df,
         "jdbc:fake://h/db",
         "t",
@@ -120,7 +120,7 @@ def test_resilient_write_clean_path_stays_in_jvm(spark, tmp_path):
         quarantine_path=str(tmp_path / "q"),
         jvm_write=lambda: None,  # stands in for a successful df.write.jdbc
     )
-    assert (ok, bad) == (None, 0)
+    assert (ok, bad, jvm_err) == (None, 0, None)
     assert connects == []  # no JVM->Python row traffic at all
     assert not (tmp_path / "q").exists()
 
@@ -138,19 +138,85 @@ def test_resilient_write_falls_back_to_quarantine(spark, tmp_path):
         raise RuntimeError("BatchUpdateException: NOT NULL constraint")
 
     qdir = str(tmp_path / "quarantine")
-    ok, bad = resilient_jdbc_write(
+    ok, bad, jvm_err = resilient_jdbc_write(
         df,
         "jdbc:fake://h/db",
         "t",
         connect=lambda: sqlite3.connect(db),
         quarantine_path=qdir,
         jvm_write=failing_jvm_write,
+        keys=["id"],  # retry-idempotent fallback (guard requires it)
     )
     assert (ok, bad) == (2, 1)
+    assert "NOT NULL" in str(jvm_err)  # cause surfaced, not swallowed
     with sqlite3.connect(db) as conn:
         rows = dict(conn.execute("SELECT id, v FROM t").fetchall())
     assert rows == {1: "ok", 4: "ok2"}
     assert len(os.listdir(qdir)) == 1  # the offender landed in the ledger
+
+
+def test_resilient_write_refuses_duplicating_fallback(spark, tmp_path):
+    """Without keys (or an explicit acknowledgment) the per-row fallback
+    must NOT run: a failed JVM job may have committed some partitions,
+    and a plain re-insert would duplicate them."""
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+
+    def failing_jvm_write():
+        raise RuntimeError("connection reset")
+
+    with pytest.raises(RuntimeError, match="refusing per-row fallback"):
+        resilient_jdbc_write(
+            df,
+            "jdbc:fake://h/db",
+            "t",
+            connect=lambda: sqlite3.connect(str(tmp_path / "x.db")),
+            quarantine_path=str(tmp_path / "q"),
+            jvm_write=failing_jvm_write,
+        )
+    assert not (tmp_path / "q").exists()  # fallback never engaged
+
+
+def test_task_retry_is_idempotent_with_keys(spark, tmp_path):
+    """VERDICT r2 #5 'Done' criterion: a simulated task retry (the same
+    partition written twice, as Spark does after a task failure) must
+    leave no duplicate rows in the target when keys are given."""
+    db = str(tmp_path / "test.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+        # first attempt committed these before the task died:
+        conn.execute("INSERT INTO t VALUES (1, 'stale'), (2, 'b')")
+
+    df = spark.createDataFrame(
+        [(1, "a-fixed"), (2, "b"), (3, "c")], "id long, v string"
+    ).coalesce(1)
+    ok, bad = quarantining_jdbc_write(
+        df,
+        "t",
+        connect=lambda: sqlite3.connect(db),
+        quarantine_path=str(tmp_path / "q"),
+        keys=["id"],
+    )
+    assert (ok, bad) == (3, 0)
+    with sqlite3.connect(db) as conn:
+        rows = dict(conn.execute("SELECT id, v FROM t ORDER BY id").fetchall())
+    # no duplicates; replayed rows upserted in place
+    assert rows == {1: "a-fixed", 2: "b", 3: "c"}
+
+
+def test_upsert_row_sql_dialects():
+    from db_loader_spark.sinks.jdbc_sink import upsert_row_sql
+
+    ansi = upsert_row_sql("t", ["id", "v"], ["id"])
+    assert "ON CONFLICT (id) DO UPDATE SET v = excluded.v" in ansi
+    my = upsert_row_sql("t", ["id", "v"], ["id"], dialect="mysql")
+    assert "ON DUPLICATE KEY UPDATE v = VALUES(v)" in my
+    # key-only tables degrade to conflict-ignore
+    assert "DO NOTHING" in upsert_row_sql("t", ["id"], ["id"])
+    assert upsert_row_sql("t", ["id"], ["id"], dialect="mysql").startswith(
+        "INSERT IGNORE"
+    )
+    with pytest.raises(ValueError):
+        upsert_row_sql("t", ["id"], [])
 
 
 def test_stream_log_tables_exactly_once(spark, tmp_path):
