@@ -2,11 +2,13 @@
 
 The engine treats image/audio/video as ``binary`` columns with a typed
 metadata struct alongside. The Spark-side plumbing — schema, Arrow batch
-shape, mapInPandas signature, partition sizing — is real and tested; the
-actual codec step is STUBBED (this container has no image/audio libs):
-``decode_stub`` computes deterministic byte-level features, and
-``decode_image``/``decode_audio`` raise NotImplementedError unless a real
-decoder import succeeds.
+shape, mapInPandas signature, partition sizing — is real and tested, and
+two modalities are decoded END-TO-END with stdlib-only codecs:
+``decode_audio`` parses real RIFF/WAVE containers (``wave`` + ``struct``)
+and ``decode_image`` parses real 24-bpp BMP containers (``struct``).
+Formats needing external libs (JPEG/PNG/MP3/video) drop into the same
+mapInPandas slots when a decoder import succeeds (``_HAS_IMAGE_LIB``);
+``extract_features`` keeps the codec-free byte-level path.
 
 At 100 TB the pattern is: store payloads in parquet binary columns (or
 pointers to object storage), ``repartition`` so each Arrow batch holds a
@@ -108,14 +110,202 @@ def extract_embedding(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return payloads.mapInPandas(batch_embed, schema=EMBED_SCHEMA)
 
 
-def decode_image(df: DataFrame, binary_col: str = "payload") -> DataFrame:
-    """Image decode + resize. STUB: no image library in this runtime."""
-    if not _HAS_IMAGE_LIB:
-        raise NotImplementedError(
-            "image decoding requires PIL/opencv — not present in this container; "
-            "use extract_features() for the tested byte-level path"
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, n_frames int, "
+    "duration_ms int, sum_sq long, peak_amp int"
+)
+BMP_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, bpp int, n_pixels int, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def synth_wav(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic PCM16 mono WAV payloads, written with the stdlib
+    ``wave`` module — REAL RIFF/WAVE containers, not fakes. Sample count
+    and waveform derive from (doc_id, text) so a SQL oracle can mirror
+    the decoded features exactly: n = 16 + len(text) % 32 samples of
+    ``((doc_id*31 + i*17) % 201) - 100`` at 8 kHz."""
+    import pandas as _pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                n = 16 + len(txt) % 32
+                samples = [((int(did) * 31 + i * 17) % 201) - 100 for i in range(n)]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    sel = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return sel.mapInPandas(batch, schema="doc_id long, payload binary")
+
+
+def decode_audio(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """REAL audio decode (stdlib-only): parse the RIFF/WAVE container
+    with ``wave``, unpack PCM16 frames with ``struct``, and emit audio
+    features — channel count, sample rate, frame count, duration, total
+    energy (sum of squared samples — integer, so engine-exact) and peak
+    amplitude.
+
+    Corrupt / non-WAV / non-PCM16 payloads are SKIPPED, not fatal: at
+    100 TB a handful of bad blobs must never kill the job (count the
+    input-vs-output row delta to alert on decode failures). Replaces the
+    round-2 ``NotImplementedError`` stub for the audio modality."""
+    import pandas as _pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        cols = (
+            "doc_id", "n_channels", "sample_rate", "n_frames",
+            "duration_ms", "sum_sq", "peak_amp",
         )
-    raise NotImplementedError("real decoder wiring lands with the library")
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        nch = w.getnchannels()
+                        sw = w.getsampwidth()
+                        sr = w.getframerate()
+                        nf = w.getnframes()
+                        raw = w.readframes(nf)
+                    if sw != 2:  # only PCM16 features here
+                        continue
+                    # explicit little-endian unpack (WAV byte order),
+                    # independent of host endianness
+                    samples = struct.unpack(f"<{len(raw) // 2}h", raw)
+                except Exception:  # noqa: BLE001 — corrupt blob: skip row
+                    continue
+                out["doc_id"].append(int(did))
+                out["n_channels"].append(nch)
+                out["sample_rate"].append(sr)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(nf * 1000 // sr)
+                out["sum_sq"].append(sum(s * s for s in samples))
+                out["peak_amp"].append(max((abs(s) for s in samples), default=0))
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(batch, schema=WAV_FEATURE_SCHEMA)
+
+
+def synth_bmp(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic 24-bpp BMP payloads built byte-by-byte with
+    ``struct`` — REAL BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up
+    BGR pixel rows with 4-byte row padding. Dimensions and pixels derive
+    from (doc_id, text): w = 4 + doc_id%5, h = 3 + len(text)%4,
+    R = (doc_id + 3x + 7y) % 256, G = (2*doc_id + 5x + y) % 256,
+    B = (3*doc_id + x + 11y) % 256."""
+    import pandas as _pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w = 4 + did % 5
+                h = 3 + len(txt) % 4
+                stride = (w * 3 + 3) & ~3
+                rows = []
+                for y in range(h - 1, -1, -1):  # BMP rows are bottom-up
+                    row = bytearray()
+                    for x in range(w):
+                        r = (did + 3 * x + 7 * y) % 256
+                        g = (2 * did + 5 * x + y) % 256
+                        b = (3 * did + x + 11 * y) % 256
+                        row += bytes((b, g, r))  # on-disk order is BGR
+                    row += b"\x00" * (stride - w * 3)
+                    rows.append(bytes(row))
+                pixels = b"".join(rows)
+                dib = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+                )
+                offset = 14 + 40
+                hdr = struct.pack("<2sIHHI", b"BM", offset + len(pixels), 0, 0, offset)
+                payloads.append(hdr + dib + pixels)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    sel = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return sel.mapInPandas(batch, schema="doc_id long, payload binary")
+
+
+def decode_image(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """REAL image decode (stdlib-only): parse the BMP container with
+    ``struct`` — magic, pixel-data offset, DIB width/height/bpp — then
+    walk the bottom-up, stride-padded BGR pixel rows and emit image
+    features (dimensions, bpp, per-channel integer sums; means are
+    sum/n_pixels downstream).
+
+    Only uncompressed 24-bpp BMPs are decoded; anything else (bad magic,
+    compressed, other depths, truncated pixel data) is SKIPPED so a
+    corrupt blob can't kill a 100 TB job. Replaces the round-2
+    ``NotImplementedError`` stub for the image modality; a PIL/opencv
+    decoder drops into this same mapInPandas slot when available
+    (``_HAS_IMAGE_LIB``)."""
+    import pandas as _pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        cols = (
+            "doc_id", "width", "height", "bpp", "n_pixels",
+            "sum_r", "sum_g", "sum_b",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    buf = bytes(payload)
+                    if buf[:2] != b"BM":
+                        continue
+                    (offset,) = struct.unpack_from("<I", buf, 10)
+                    w, h = struct.unpack_from("<ii", buf, 18)
+                    (bpp,) = struct.unpack_from("<H", buf, 28)
+                    (compression,) = struct.unpack_from("<I", buf, 30)
+                    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+                        continue
+                    bottom_up = h > 0
+                    h = abs(h)
+                    stride = (w * 3 + 3) & ~3
+                    if len(buf) < offset + stride * h:
+                        continue  # truncated pixel data
+                    sum_r = sum_g = sum_b = 0
+                    for row_i in range(h):
+                        base = offset + row_i * stride
+                        for x in range(w):
+                            p = base + 3 * x
+                            sum_b += buf[p]
+                            sum_g += buf[p + 1]
+                            sum_r += buf[p + 2]
+                    del bottom_up  # channel sums are row-order invariant
+                except Exception:  # noqa: BLE001 — corrupt blob: skip row
+                    continue
+                out["doc_id"].append(int(did))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bpp"].append(bpp)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(sum_r)
+                out["sum_g"].append(sum_g)
+                out["sum_b"].append(sum_b)
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(batch, schema=BMP_FEATURE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, binary_col: str = "payload", every_n: int = 10) -> DataFrame:

@@ -32,6 +32,27 @@ class QuerySpec:
     doc: str = ""
 
 
+def settle(result: DataFrame, *stages: DataFrame) -> DataFrame:
+    """Cache-lifetime discipline for multi-stage queries: eagerly
+    materialize a SMALL result while the staged caches are hot, then
+    unpersist the corpus-sized intermediates before returning.
+
+    Queries that persist big intermediates (funnel stages, encoder
+    output) would otherwise pin MEMORY_AND_DISK blocks for the whole
+    session — in a driver run executing 70+ queries those leaks
+    accumulate and skew later timings. After ``settle`` the only block
+    still pinned is the result itself (a few rows), and the caller's
+    later ``.collect()`` reads that tiny cache instead of recomputing
+    the released stages. Only use on results that are small by
+    construction (counts, top-k); never on fact-sized frames.
+    """
+    out = result.persist()
+    out.count()  # one cheap job: stages are hot, result is tiny
+    for s in stages:
+        s.unpersist()
+    return out
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Union of every module's registry, insertion-ordered by theme."""
     from db_loader_spark.queries import (

@@ -205,12 +205,17 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("stage"), "n_docs"
         )
 
-    return (
+    from db_loader_spark.queries import settle
+
+    counts = (
         stage("1_input", docs)
         .unionByName(stage("2_exact", s1))
         .unionByName(stage("3_neardup", s2))
         .unionByName(stage("4_quality", s3))
     )
+    # 4 count rows persist; the corpus-sized s1/s2 caches are released
+    # (ADVICE r2: funnel persists leaked for the session lifetime).
+    return settle(counts, s1, s2)
 
 
 from db_loader_spark.functions.text import STOPWORDS as _SW_LIST
