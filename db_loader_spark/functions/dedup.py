@@ -150,10 +150,84 @@ def minhash_signatures(
     )
 
 
+LSH_SAMPLE_HEX = ("0", "1", "2", "3")  # md5 first-digit ¼-sample (deterministic)
+
+
+def band_collision_counts(
+    signatures: DataFrame, num_hashes: int = 8
+) -> tuple[dict[int, int], int, int]:
+    """Measured banding statistic: for every divisor band width b of
+    ``num_hashes``, the number of same-bucket pairs a b-row banding
+    would produce on a deterministic ¼-sample of the docs.
+
+    One explode + one aggregate over the (tiny: one row per sampled
+    doc) signature frame — the cheap statistic SCALE.md's r2 experiment
+    said to derive banding from, instead of hand-picking band_size per
+    corpus. Collisions are counted WITHOUT materializing any join:
+    Σ_buckets n·(n-1)/2. Returns ({b: sample_pairs}, n_total, n_sample).
+
+    The sample is md5-bucketed on the doc id (first hex digit in 0-3),
+    so it is reproducible on any engine — the DuckDB oracle of the
+    tuned query replays this exact computation."""
+    divisors = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    samp = signatures.filter(
+        F.expr(
+            "substring(md5(CAST(id AS STRING)), 1, 1) IN ({})".format(
+                ", ".join(f"'{h}'" for h in LSH_SAMPLE_HEX)
+            )
+        )
+    )
+    structs = ", ".join(
+        "struct({b} AS b, {i} AS band_idx, concat_ws('|', {keys}) AS band_key)".format(
+            b=b,
+            i=i,
+            keys=", ".join(f"h{b * i + j}" for j in range(b)),
+        )
+        for b in divisors
+        for i in range(num_hashes // b)
+    )
+    counts = (
+        samp.select(F.explode(F.expr(f"array({structs})")).alias("c"))
+        .select("c.*")
+        .groupBy("b", "band_idx", "band_key")
+        .agg(F.count("*").alias("n"))
+        .groupBy("b")
+        .agg(F.expr("CAST(SUM(n * (n - 1) DIV 2) AS BIGINT)").alias("pairs_s"))
+    )
+    pairs = {int(r["b"]): int(r["pairs_s"]) for r in counts.collect()}
+    n_total = signatures.count()
+    n_sample = samp.count()
+    return ({b: pairs.get(b, 0) for b in divisors}, n_total, n_sample)
+
+
+def tuned_band_size(
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    target_pairs_per_doc: int = 2,
+) -> int:
+    """Pick the NARROWEST band width whose extrapolated full-corpus
+    candidate volume stays near-linear (≤ target_pairs_per_doc × n).
+
+    Narrow bands maximize recall (a b-row band fires on est_sim ≥
+    b/num_hashes), so the tuner widens only as far as the measured
+    collision rate forces it — exactly the knob SCALE.md showed grows
+    ~n² on Zipf corpora when hand-set too narrow. The extrapolation
+    sample_pairs·(N/n_s)² ≤ target·N is evaluated cross-multiplied as
+    ``pairs_s · N ≤ target · n_s²`` — pure BIGINT, so the choice is
+    bit-reproducible on any engine (the tuned query's oracle re-derives
+    it in SQL). Falls back to the widest banding (one band of all
+    hashes) when even it exceeds the target."""
+    counts, n_total, n_sample = band_collision_counts(signatures, num_hashes)
+    for b in sorted(counts):
+        if counts[b] * n_total <= target_pairs_per_doc * n_sample * n_sample:
+            return b
+    return num_hashes
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 8,
-    band_size: int = 2,
+    band_size: int | None = 2,
     materialize: bool = True,
     min_est_sim: float | None = None,
 ) -> DataFrame:
@@ -162,6 +236,9 @@ def lsh_candidate_pairs(
     est_sim = fraction of matching signature components (exact rational).
     The join key is (band_idx, band_key) so only same-band collisions
     shuffle — the LSH guarantee that makes this linear-ish at scale.
+    ``band_size=None`` self-tunes the width from the measured sample
+    collision rate (tuned_band_size) instead of trusting a default that
+    SCALE.md showed to be corpus-dependent.
 
     ``min_est_sim`` pushes the similarity threshold INSIDE the join as a
     residual predicate (the same trick the SimHash Hamming search uses):
@@ -185,6 +262,9 @@ def lsh_candidate_pairs(
     """
     if materialize:
         signatures = signatures.persist()
+    if band_size is None:
+        # Self-tuning banding: measure, then pick (see tuned_band_size).
+        band_size = tuned_band_size(signatures, num_hashes)
     n_bands = num_hashes // band_size
     sig_cols = [f"h{i}" for i in range(num_hashes)]
     band_structs = ", ".join(
