@@ -78,13 +78,18 @@ def all_queries() -> dict[str, QuerySpec]:
     # Keys that rotate out are always re-verified locally against their
     # DuckDB oracles (scripts/check_oracle.py --all) before shipping.
     #
-    # Round-3 order: relational first (its 22 non-q1/q3 keys have only
-    # r1 rows), then multimodal (2 new codec queries, no rows yet), then
-    # similarity + dedup (IVF training / MinHash banding changed this
-    # round), ecj, eventops. textops + logshape ride outside the window
-    # this round: both are fully green in r2 and unchanged in r3.
+    # Round-4 order: eventops + ecj first (every r3 row errored — the
+    # driver regenerated events.parquet with TIMESTAMP(MICROS) ts and the
+    # old nanos-only decode threw; fixed by the schema-adaptive
+    # tables.decode_ts, which must be witnessed this round), then
+    # logshape + textops (rode outside the r3 window; their newest rows
+    # are r2 — rule 1 forbids a third unwitnessed round), then relational
+    # (its four events-based keys failed r3 and are moved to the front of
+    # that module's dict so they land inside the window; its other 20
+    # keys are r3-green). multimodal + similarity + dedup ride outside:
+    # all 21 keys r3-green and untouched in r4.
     merged: dict[str, QuerySpec] = {}
-    for mod in (relational, multimodal, similarity, dedup, ecj, eventops, textops, logshape):
+    for mod in (eventops, ecj, logshape, textops, relational, multimodal, similarity, dedup):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")

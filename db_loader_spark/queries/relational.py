@@ -679,6 +679,13 @@ FROM lineitem GROUP BY l_linestatus
 
 
 QUERIES: dict[str, QuerySpec] = {
+    # The four events-based keys lead the dict: they were the ones that
+    # errored in r3 (ts schema drift) and must sit inside the driver's
+    # 50-entry window in r4 — see the rotation policy in __init__.py.
+    "a6_run_summary": QuerySpec(a6_run_summary, _A6_ORACLE, "A6 summary collapse"),
+    "p10_find_first": QuerySpec(p10_find_first, _P10_ORACLE, "P10 find-first"),
+    "w_running_sum": QuerySpec(w_running_sum, _WRUN_ORACLE, "cumulative window"),
+    "eav_pivot": QuerySpec(eav_pivot, _EAV_PIVOT_ORACLE, "EAV long→wide"),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_ORACLE, "TPC-H Q1 shape"),
     "q3_segment_revenue": QuerySpec(q3_segment_revenue, _Q3_ORACLE, "3-way star join"),
     "q5_region_revenue": QuerySpec(q5_region_revenue, _Q5_ORACLE, "5-way dim chain JN3"),
@@ -690,7 +697,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a2_max_id": QuerySpec(a2_max_id, _A2_ORACLE, "A2 max"),
     "a3_filtered_count": QuerySpec(a3_filtered_count, _A3_ORACLE, "A3 LIKE count"),
     "a4_count_distinct": QuerySpec(a4_count_distinct, _A4_ORACLE, "A4 count distinct"),
-    "a6_run_summary": QuerySpec(a6_run_summary, _A6_ORACLE, "A6 summary collapse"),
     "a7_id_assignment": QuerySpec(a7_id_assignment, _A7_ORACLE, "A7 max+1 ids"),
     "a_salted_agg": QuerySpec(a_salted_agg, _SALTED_ORACLE, "skew-salted two-phase agg"),
     "a_hash_sample": QuerySpec(a_hash_sample, _HASH_SAMPLE_ORACLE, "deterministic sampling"),
@@ -699,10 +705,7 @@ QUERIES: dict[str, QuerySpec] = {
     "jn2_contains_join": QuerySpec(jn2_contains_join, _JN2_ORACLE, "JN2 contains join"),
     "jn4_anti_join_idempotence": QuerySpec(jn4_anti_join_idempotence, _JN4_ORACLE, "JN4"),
     "jn7_fk_validation": QuerySpec(jn7_fk_validation, _JN7_ORACLE, "JN7 FK anti-joins"),
-    "p10_find_first": QuerySpec(p10_find_first, _P10_ORACLE, "P10 find-first"),
-    "w_running_sum": QuerySpec(w_running_sum, _WRUN_ORACLE, "cumulative window"),
     "w_topk_per_group": QuerySpec(w_topk_per_group, _WTOPK_ORACLE, "top-k per group"),
     "set_ops": QuerySpec(set_ops, _SETOPS_ORACLE, "intersect/except"),
     "rollup_revenue": QuerySpec(rollup_revenue, _ROLLUP_ORACLE, "rollup subtotals"),
-    "eav_pivot": QuerySpec(eav_pivot, _EAV_PIVOT_ORACLE, "EAV long→wide"),
 }

@@ -44,10 +44,10 @@ def get_spark(app_name: str = "db_loader_spark", cpus: str | None = None) -> Spa
         # no row reads for pure metadata aggregates (a2_max_id shape).
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # TIMESTAMP(NANOS) parquet (the events table) has no per-read
-        # opt-in, so set it once at session build instead of mutating the
-        # session conf per table load (spooky action at a distance);
-        # load_table still converts the raw nanos longs to micros.
+        # Back-compat with TIMESTAMP(NANOS) parquet (the r1-r2 events
+        # encoding): harmless for MICROS files, and avoids mutating the
+        # session conf per table load if the driver ever ships nanos
+        # again; tables.decode_ts adapts to whichever type the read gives.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

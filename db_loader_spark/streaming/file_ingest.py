@@ -108,24 +108,28 @@ def stream_event_rollup(
     ``append`` + a real sink, where the watermark also bounds state;
     complete mode keeps all windows in state by design.
 
-    The events testdata carries nanosecond timestamps; the stream reads
-    them as long (nanosAsLong) and converts, same as tables.load_table.
+    ``ts`` decode is schema-adaptive (nanos-as-long legacy or native
+    TIMESTAMP micros), same as tables.load_table.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from db_loader_spark.tables import decode_ts
+
     # The streaming file source wants a directory; events.parquet sits in
     # the sf dir next to the other tables, so glob-filter within it.
     base = events_dir
     glob = None
     if base.endswith(".parquet"):
         base, glob = os.path.dirname(base), os.path.basename(base)
-    static = spark.read.parquet(os.path.join(base, glob) if glob else base)
+    try:
+        static = spark.read.parquet(os.path.join(base, glob) if glob else base)
+    except Exception:
+        # TIMESTAMP(NANOS) file on a vanilla session — see tables._load_events.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        static = spark.read.parquet(os.path.join(base, glob) if glob else base)
     reader = spark.readStream.schema(static.schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    # `ts div 1000`: exact integer division (floor(ts/1000) would round
-    # through double at ~1.7e18 ns — see tables.load_table).
     stream = reader.parquet(base).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        "ts", decode_ts(static.schema["ts"].dataType)
     )
     agg = (
         stream.withWatermark("ts", watermark)

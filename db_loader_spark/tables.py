@@ -34,24 +34,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and convert (floor) to micros.
-        # Sessions built by session.get_spark set nanosAsLong at build
-        # time; the conf is only touched here when the caller brought a
-        # vanilla session (the external driver does) where the read would
-        # otherwise throw PARQUET_TYPE_ILLEGAL. nanosAsLong has no
-        # per-read form, so that fallback is unavoidably session-wide.
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # `ts div 1000` is exact INTEGER division. `floor(ts / 1000)` would
-        # go through DOUBLE, whose 53-bit mantissa can't hold ~1.7e18 ns
-        # (ulp ≈ 256 ns) — that rounding made Spark's micros disagree with
-        # DuckDB's exact truncation by ±1 µs on ~0.4% of rows.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_events(spark, os.path.join(sf_dir, "events.parquet"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load events with ``ts`` normalized to TIMESTAMP micros.
+
+    The driver has shipped this table with two physical encodings of
+    ``ts`` across rounds — parquet TIMESTAMP(NANOS) (readable only as
+    long via nanosAsLong) and plain TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ) — so the decode is schema-adaptive rather than
+    hard-coded. TIMESTAMP (LTZ) is the canonical downstream type:
+    ``unix_micros`` requires it (rejects NTZ outright), and under the
+    UTC session timezone ``get_spark`` pins, LTZ values and formatting
+    agree exactly with DuckDB's naive TIMESTAMP (verified by the r1/r2
+    hash-matched correctness rows).
+    """
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # Vanilla session + TIMESTAMP(NANOS) file: the read itself throws
+        # PARQUET_TYPE_ILLEGAL. nanosAsLong has no per-read form, so the
+        # fallback is unavoidably session-wide; only touched on failure.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    return df.withColumn("ts", decode_ts(df.schema["ts"].dataType))
+
+
+def decode_ts(dt):
+    """Column expression turning a raw ``ts`` of type *dt* into TIMESTAMP micros."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
+
+    if isinstance(dt, LongType):
+        # nanos-as-long. `ts div 1000` is exact INTEGER division.
+        # `floor(ts / 1000)` would go through DOUBLE, whose 53-bit
+        # mantissa can't hold ~1.7e18 ns (ulp ≈ 256 ns) — that rounding
+        # made Spark's micros disagree with DuckDB's exact truncation by
+        # ±1 µs on ~0.4% of rows.
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    if isinstance(dt, TimestampType):
+        return F.col("ts")
+    # TIMESTAMP_NTZ: naive→instant under the session timezone; identity
+    # on the naive value for formatting/roundtrip, exact under UTC.
+    return F.col("ts").cast("timestamp")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
