@@ -374,6 +374,38 @@ def kmeans_centroids(
     return cents
 
 
+def ivf_inverted_lists(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """The other half of the IVF index: every corpus vector assigned to
+    its nearest trained centroid — (cell, neighbor_id, c_vec, c_nrm).
+
+    At deployment this is a table written once per corpus version
+    (partitioned by cell, so probing prunes whole partitions); locally
+    queries.similarity persists it per corpus+params. Serving a query
+    batch then touches only the probed cells' rows and never re-runs
+    the O(n × cells × dim) assignment scan."""
+    return (
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.expr(norm_sql(vec_col, dim)).alias("c_nrm"),
+            F.expr(km_codes_sql(vec_col)).alias("z"),
+        )
+        .crossJoin(F.broadcast(_pack_centroids(centroids)))
+        .select(
+            "neighbor_id",
+            "c_vec",
+            "c_nrm",
+            F.expr(_km_argmin_cid(dim)).alias("cell"),
+        )
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_pred: Column,
@@ -384,6 +416,8 @@ def ann_ivf_topk(
     nprobe: int = 3,
     iters: int = 2,
     dim: int = EMBEDDING_DIM,
+    centroids: DataFrame | None = None,
+    inverted_lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN over a spherical-k-means-TRAINED coarse quantizer:
     assign the corpus to its nearest trained centroid, probe the
@@ -398,23 +432,27 @@ def ann_ivf_topk(
     cell assignment and probe selection are both per-row reductions
     over the broadcast packed centroids (no shuffle, no window) — and
     only probed cells fan into the broadcast rescoring join. The
-    checkpointed centroid table IS the index: trained once, reused by
-    every query batch. nprobe is the measured operating point: recall
-    governs as ~(nprobe/2^n_bits)-fraction scans; ann_recall is the
-    loop that tunes it against a target."""
-    packed = F.broadcast(_pack_centroids(kmeans_centroids(emb, vec_col, n_bits, iters, dim)))
+    checkpointed centroid table IS the index: pass a pre-trained
+    ``centroids`` table (queries.similarity memoizes one per corpus +
+    params) so serving NEVER retrains — exactly the deployment shape,
+    where the quantizer is trained once per corpus version and every
+    query batch reuses it. nprobe is the measured operating point:
+    recall governs as ~(nprobe/2^n_bits)-fraction scans; ann_recall is
+    the loop that tunes it against a target."""
+    if centroids is None:
+        centroids = kmeans_centroids(emb, vec_col, n_bits, iters, dim)
+    packed = F.broadcast(_pack_centroids(centroids))
     prepared = emb.select(
         F.col(id_col),
         F.col(vec_col),
         F.expr(norm_sql(vec_col, dim)).alias("nrm_"),
         F.expr(km_codes_sql(vec_col)).alias("z"),
     ).crossJoin(packed)
-    cells = prepared.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("nrm_").alias("c_nrm"),
-        F.expr(_km_argmin_cid(dim)).alias("cell"),
-    )
+    if inverted_lists is None:
+        inverted_lists = ivf_inverted_lists(
+            emb, centroids, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+    cells = inverted_lists
     probed = prepared.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

