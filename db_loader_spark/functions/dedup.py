@@ -308,6 +308,53 @@ def lsh_candidate_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs that share any word
+    n-gram with an evaluation/benchmark set — the training-data hygiene
+    step that keeps eval questions out of the training corpus (the
+    n-gram-overlap method popularized by the GPT-3 appendix).
+
+    Returns one row per CONTAMINATED doc: (doc_id, n_hits, n_shingles,
+    contamination) where contamination = n_hits / n_shingles. Callers
+    drop flagged docs outright or audit by the fraction.
+
+    Scale shape: eval sets are thousands of docs against a corpus of
+    billions, so the benchmark's distinct shingles are the broadcast
+    side; the corpus side explodes shingles in place, takes the flag
+    from the broadcast hash join (no corpus shuffle), and aggregates
+    per doc with map-side combine — exactly ONE corpus-sized shuffle,
+    on the doc id. A benchmark shingle set too big to broadcast (rare)
+    degrades gracefully to a shuffle join on the shingle key."""
+    corp_sh = shingle_frame(corpus, id_col, text_col, n)
+    bench_sh = (
+        shingle_frame(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_hits",
+            "n_shingles",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 4).alias("contamination"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
@@ -321,13 +368,19 @@ def connected_components(
     generation: every doc in a near-dup cluster gets the cluster's
     minimum id, so "keep one per cluster" is a trivial filter.
 
-    Scale shape: each iteration is one hash join (labels ⋈ edges) + one
-    min-aggregate — all distributed; the driver only checks the
-    converged flag. Iterations ≤ graph diameter (near-dup clusters are
-    shallow in practice); ``localCheckpoint`` truncates lineage so plans
-    don't grow with iterations. This is the one operator family
-    (iterative fixpoint) that SQL can't express — the oracle uses a
-    recursive CTE instead.
+    Scale shape: each round is one hash join (labels ⋈ edges) + one
+    min-aggregate + one pointer-jump self-join — all distributed; the
+    driver only checks the converged flag. The jump step relabels every
+    node by its LABEL'S label (valid because labels are node ids and
+    label(x) ≤ x, so the composition only decreases), which halves the
+    remaining chain depth per round the way pointer-jumping/hash-to-min
+    does — rounds grow with log(diameter), not diameter (pinned by
+    tests/test_dedup.py: a 33-node chain converges in ≤ 8 rounds where
+    one-hop propagation needs 32). Same fixpoint as plain propagation —
+    min id per component — so the recursive-CTE oracle is unchanged.
+    ``localCheckpoint`` truncates lineage so plans don't grow with
+    iterations. This is the one operator family (iterative fixpoint)
+    that SQL can't express — the oracle uses a recursive CTE instead.
     """
     edges = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -348,10 +401,21 @@ def connected_components(
         prop = edges.join(
             labels, edges.dst == labels.id, "inner"
         ).select(F.col("src").alias("id"), "component_id")
-        new_labels = (
+        hop = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("component_id").alias("component_id"))
+        )
+        # Pointer jump: follow the label one more step through the label
+        # table itself. label(x) ≤ x for every x, so label(label(id)) ≤
+        # label(id) — monotone toward the same fixpoint, but compressing
+        # 2 chain hops per round instead of 1.
+        jump = labels.select(
+            F.col("id").alias("j_id"), F.col("component_id").alias("j_cid")
+        )
+        new_labels = (
+            hop.join(jump, hop.component_id == F.col("j_id"), "inner")
+            .select("id", F.col("j_cid").alias("component_id"))
             .localCheckpoint()
         )
         changed = (

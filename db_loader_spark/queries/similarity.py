@@ -99,6 +99,14 @@ FROM (
 _IVF_INDEX: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
+def clear_ivf_cache() -> None:
+    """Unpersist every cached IVF index (long-lived sessions cycling
+    many corpora, or benches that want the memory back)."""
+    for _, lists in _IVF_INDEX.values():
+        lists.unpersist()
+    _IVF_INDEX.clear()
+
+
 def _ivf_index(
     spark: SparkSession, sf_dir: str, emb: DataFrame, n_bits: int = 4, iters: int = 2
 ) -> tuple[DataFrame, DataFrame]:

@@ -388,7 +388,56 @@ GROUP BY lang, bin_id
 """
 
 
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions.dedup.decontaminate): the
+    deterministic md5-bucket split stands in for a real eval set
+    (doc_id md5 first hex '0' ≈ 1/16 of docs = "benchmark"), and every
+    remaining doc sharing any 3-gram with it is flagged with its
+    contamination fraction. Same split idiom as a_hash_sample, so the
+    oracle replays it exactly."""
+    from db_loader_spark.functions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'")
+    return D.decontaminate(docs.filter(~is_bench), docs.filter(is_bench), n=3)
+
+
+_DECONTAM_ORACLE = """
+WITH corp_sh AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_transform(range(1, len(tokens) - 1),
+                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+           AS shingle
+  FROM (SELECT doc_id, {T} AS tokens FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0')
+  WHERE len(tokens) >= 3
+),
+bench_sh AS (
+  SELECT DISTINCT
+         unnest(list_transform(range(1, len(tokens) - 1),
+                               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+           AS shingle
+  FROM (SELECT {T} AS tokens FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0')
+  WHERE len(tokens) >= 3
+)
+SELECT id AS doc_id,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS contamination
+FROM corp_sh c LEFT JOIN bench_sh b ON c.shingle = b.shingle
+GROUP BY id
+HAVING SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+""".replace("{T}", _DUCK_TOKENS)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_decontaminate": QuerySpec(
+        text_decontaminate,
+        _DECONTAM_ORACLE,
+        "benchmark n-gram decontamination (broadcast eval shingles)",
+    ),
     "text_tfidf_topterms": QuerySpec(
         text_tfidf_topterms, _TFIDF_ORACLE, "TF-IDF top terms per document"
     ),

@@ -10,7 +10,8 @@ RDBMS.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # child → parent dependency order (drop in this order, create reversed)
 # Ids are BIGINT (not the reference's serial INT): hash-mode run ids are
@@ -74,3 +75,63 @@ def write_bucketed(
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    part_expr: Column,
+    part_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a fact table hive-partitioned by a derived column — the
+    time-sliced storage layout for append-mostly fact data.
+
+    At 100 TB a fact table is written once per ingest window and read
+    thousands of times with time-range predicates; directory-level
+    partitioning (``part_col=value/`` paths) lets every such read prune
+    non-matching partitions at PLANNING time — the scan never even lists
+    the excluded directories' files, so a 3-day query over a 3-year
+    table touches ~0.3% of the bytes. Granularity rule: pick the coarsest
+    unit that still bounds a typical query's scan (events → day, orders
+    → month here); finer than ~daily produces small-file explosions at
+    scale.
+
+    The pre-write ``repartition(part_expr)`` routes each partition's
+    rows to one writer task so each directory holds ONE file instead of
+    (tasks × partitions) shards — same small-file discipline as
+    write_bucketed.
+    """
+    keyed = df.withColumn(part_col, part_expr)
+    (
+        keyed.repartition(F.col(part_col))
+        .write.format("parquet")
+        .mode(mode)
+        .partitionBy(part_col)
+        .save(path)
+    )
+
+
+def pruned_time_filter(
+    df: DataFrame,
+    ts_col: str,
+    start: str,
+    end: str,
+    part_col: str = "event_date",
+) -> DataFrame:
+    """Half-open time-range filter [start, end) that ALSO bounds the
+    partition column, so a date-partitioned scan prunes directories.
+
+    The row-level ``ts`` predicate alone cannot prune: the partition
+    column is what appears in directory names, and Catalyst only turns
+    predicates ON THAT COLUMN into PartitionFilters. The derived bounds
+    are inclusive on both ends (a ts just under ``end`` can live in
+    ``date(end)``'s partition), which is correct and still prunes
+    everything outside the range. Row-level ts bounds stay in the filter
+    for exactness within edge partitions."""
+    return df.filter(
+        (F.col(ts_col) >= F.lit(start))
+        & (F.col(ts_col) < F.lit(end))
+        & (F.col(part_col) >= F.to_date(F.lit(start)))
+        & (F.col(part_col) <= F.to_date(F.lit(end)))
+    )

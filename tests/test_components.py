@@ -57,3 +57,38 @@ def test_components_chain_diameter(spark):
     got = connected_components(pairs).collect()
     assert len(got) == 21
     assert {r.component_id for r in got} == {0}
+
+
+def test_components_log_rounds_on_chain(spark):
+    """Pointer jumping must converge a 33-node chain within
+    O(log diameter) rounds — one-hop propagation would need 32 and
+    raise; this is the iteration-count contract for deep graphs."""
+    edges = [(i, i + 1) for i in range(32)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = connected_components(pairs, max_iter=8).collect()
+    assert len(got) == 33
+    assert {r.component_id for r in got} == {0}
+
+
+def test_decontaminate_flags_overlap(spark):
+    """A corpus doc sharing a 3-gram with the benchmark is flagged with
+    the right counts; a disjoint doc is not flagged at all."""
+    from db_loader_spark.functions.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated content with no overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox questions for the eval set")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    # doc 1 has 7 distinct 3-grams; exactly "quick brown fox" matches
+    assert r["n_shingles"] == 7 and r["n_hits"] == 1
+    assert abs(r["contamination"] - round(1 / 7, 4)) < 1e-9

@@ -1,0 +1,95 @@
+"""Date-partitioned fact layout: pruning is visible in the plan, skips
+excluded directories at planning time, and never changes results.
+
+The 100 TB claim being pinned: a time-range query over a partitioned
+fact touches only the matching date directories (PartitionFilters), so
+a 3-day query over a multi-year table reads ~0.3% of the bytes —
+partitioning is purely a storage-layout choice and results are
+identical to the unpartitioned scan.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_loader_spark.sinks.ddl import pruned_time_filter, write_partitioned
+from db_loader_spark.tables import load_table
+
+START, END = "2024-01-10", "2024-01-13"
+
+
+def _fmt(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def part_events(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "events_by_date")
+    e = load_table(spark, sf_dir, "events")
+    write_partitioned(e, path, F.to_date("ts"), "event_date")
+    return path
+
+
+def test_partition_filters_in_plan(spark, part_events):
+    df = spark.read.parquet(part_events)
+    plan = _fmt(
+        pruned_time_filter(df, "ts", START, END).groupBy("event_type").count()
+    )
+    assert "PartitionFilters" in plan
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "event_date" in pf  # bounds on the partition column made it in
+    assert "[]" not in pf.replace(" ", "")
+
+
+def test_pruning_skips_excluded_directories(spark, sf_dir, tmp_path):
+    """Behavioral proof, not just plan text: poison a partition outside
+    the queried range with a non-parquet file. The full scan dies on it;
+    the pruned scan never lists that directory and succeeds."""
+    path = str(tmp_path / "events_poison")
+    write_partitioned(
+        load_table(spark, sf_dir, "events"), path, F.to_date("ts"), "event_date"
+    )
+    poison_dir = os.path.join(path, "event_date=2024-01-25")
+    assert os.path.isdir(poison_dir)  # testdata spans all of Jan 2024
+    with open(os.path.join(poison_dir, "garbage.parquet"), "w") as fh:
+        fh.write("this is not parquet")
+
+    df = spark.read.parquet(path)
+    pruned = pruned_time_filter(df, "ts", START, END)
+    n = pruned.count()  # succeeds: 2024-01-25 dir never read
+    assert n > 0
+    with pytest.raises(Exception):
+        df.groupBy("event_type").count().collect()  # full scan hits the poison
+
+
+def test_partitioning_preserves_results(spark, sf_dir, part_events):
+    plain = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit(START)) & (F.col("ts") < F.lit(END))
+    )
+    pruned = pruned_time_filter(spark.read.parquet(part_events), "ts", START, END)
+    a = {
+        (r["event_type"], r["n"])
+        for r in plain.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    b = {
+        (r["event_type"], r["n"])
+        for r in pruned.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert a == b and a
+
+
+def test_one_file_per_partition(spark, part_events):
+    """Small-file discipline: repartition-before-write collapses each
+    date dir to a single parquet file."""
+    df = spark.read.parquet(part_events)
+    files = df.select(F.input_file_name().alias("f")).distinct().collect()
+    dirs = {r["f"].rsplit("/", 2)[1] for r in files}
+    assert len(files) == len(dirs) == 30  # one file per event_date=... dir
