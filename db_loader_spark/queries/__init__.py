@@ -56,6 +56,7 @@ def settle(result: DataFrame, *stages: DataFrame) -> DataFrame:
 def all_queries() -> dict[str, QuerySpec]:
     """Union of every module's registry, insertion-ordered by theme."""
     from db_loader_spark.queries import (
+        curation,
         dedup,
         ecj,
         eventops,
@@ -88,8 +89,21 @@ def all_queries() -> dict[str, QuerySpec]:
     # that module's dict so they land inside the window; its other 20
     # keys are r3-green). multimodal + similarity + dedup ride outside:
     # all 21 keys r3-green and untouched in r4.
+    # New-in-r4 keys (text_decontaminate in textops, the curation
+    # module) are placed INSIDE the window; the relational tail keys
+    # they displace are unchanged r3-green code, re-verified locally.
     merged: dict[str, QuerySpec] = {}
-    for mod in (eventops, ecj, logshape, textops, relational, multimodal, similarity, dedup):
+    for mod in (
+        eventops,
+        ecj,
+        logshape,
+        textops,
+        curation,
+        relational,
+        multimodal,
+        similarity,
+        dedup,
+    ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")
