@@ -58,14 +58,18 @@ def shingles(text: Column, n: int = 3) -> Column:
 def shingle_frame(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the input to Jaccard and MinHash."""
-    return (
-        fan_out(docs)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-        )
-        .distinct()
+    """Distinct (id, shingle) pairs — the input to Jaccard and MinHash.
+
+    Dedup happens INSIDE the row (``array_distinct`` before the
+    explode), not via ``.distinct()`` after it: a doc's shingles all
+    live in its own array, so per-doc uniqueness needs no shuffle at
+    all — the old row-level distinct moved every (id, shingle) pair
+    through an exchange first, a corpus-sized shuffle that pure
+    projection replaces. Identical output rows (pinned by the oracle
+    hash-matches of every downstream query)."""
+    return fan_out(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle"),
     )
 
 

@@ -193,3 +193,34 @@ def test_sessionize_single_window_pass(plans):
     # one Window node over (user, order) then the aggregate — no repeat
     assert count_ops(s, "Window") <= 1
     assert "HashAggregate" in s or "ObjectHashAggregate" in s
+
+
+def test_decontaminate_broadcast_and_single_corpus_shuffle(plans):
+    """Benchmark shingles broadcast; the corpus side shuffles ONCE (the
+    per-doc aggregate). shingle_frame's in-array distinct means no
+    corpus-wide distinct exchange exists anywhere in the plan."""
+    s = plans("text_decontaminate")
+    assert count_ops(s, "BroadcastHashJoin") == 1, s
+    assert count_ops(s, "SortMergeJoin") == 0
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    # exactly: 2× fan_out round-robin (explode skew balance), the small
+    # benchmark-side distinct, and the corpus groupBy(id) — a corpus-wide
+    # (id, shingle) distinct exchange would push this to 5
+    assert count_ops(s, "Exchange") <= 4, s
+
+
+def test_shard_assign_pure_scan_projection(plans):
+    """Shard ids are assigned scan-side: no join, no window, no sort —
+    one aggregate exchange down to N_SHARDS rows is the entire cost."""
+    s = plans("curation_shard_assign")
+    assert count_ops(s, "Exchange") == 1, s
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "Window", "Sort"):
+        assert count_ops(s, op) == 0, op
+
+
+def test_curation_select_no_extra_corpus_shuffle(plans):
+    """Selection on top of components: the added window partitions by
+    component_id (never a global window) and no nested-loop join."""
+    s = plans("curation_select")
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert count_ops(s, "Window") >= 1
