@@ -45,6 +45,8 @@ HEADLINE = [
     "q10_returned_items",
     "text_quality_score",
     "text_repetition",
+    "text_decontaminate",
+    "curation_shard_assign",
 ]
 
 

@@ -28,9 +28,13 @@ sample = [
     "ann_lsh_topk",
     "ann_sq_rerank",
     "dedup_embedding_lsh",
-    "ecj_star",          # events table: nanos handling in a VANILLA session
+    "ecj_star",          # events table: ts decode in a VANILLA session
     "text_tfidf_topterms",
     "t_session_window",  # events again, different decode path
+    "text_decontaminate",    # r4: shingle broadcast join
+    "curation_select",       # r4: components + quality composition
+    "curation_shard_assign", # r4: scan-side hash sharding
+    "ann_ivf_topk",          # r4: session-scoped index cache on a vanilla session
 ]
 results = run_all(spark, "/root/testdata/sf0.01", only=sample)
 bad = [r for r in results if not r.ok]
