@@ -151,9 +151,16 @@ def _bench_partitioned(spark, sf_dir: str, timings: dict[str, float]) -> None:
     plain = load_table(spark, sf_dir, "events").filter(
         (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
     )
-    part = pruned_time_filter(spark.read.parquet(path), "ts", start, end)
+    layout = spark.read.parquet(path)
+    # unpruned = SAME 30-dir layout, ts predicate only (reads every
+    # partition); pruned adds the partition bounds (reads 4 dirs). This
+    # is the apples-to-apples pruning delta — ev_slice_full (the
+    # original single-file table) is the layout-choice baseline.
+    unpruned = layout.filter((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
+    part = pruned_time_filter(layout, "ts", start, end)
     variants = {
         "ev_slice_full": plain,
+        "ev_slice_unpruned": unpruned,
         "ev_slice_pruned": part,
     }
     for name, df in variants.items():
