@@ -112,6 +112,52 @@ def write_partitioned(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    part_col: str | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_mb`` output files. Returns the output file count chosen.
+
+    The maintenance op every streaming/incremental ingest needs at
+    scale: availableNow micro-batches and fine-grained partitions leave
+    thousands of KB-sized files, and scan planning cost grows with file
+    count (listing + footer reads) long before data volume matters. The
+    target count is computed from the ACTUAL input bytes (Hadoop
+    FileSystem, so it works on any scheme, not just file://), then one
+    repartition writes evenly sized outputs.
+
+    With ``part_col`` the hive layout is preserved: rows repartition by
+    the partition column so each directory compacts to one file (same
+    discipline as write_partitioned); without it, round-robin gives
+    maximally even file sizes.
+    """
+    import math
+
+    df = spark.read.parquet(src)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if part_col is not None:
+        (
+            df.repartition(F.col(part_col))
+            .write.format("parquet")
+            .mode(mode)
+            .partitionBy(part_col)
+            .save(dst)
+        )
+    else:
+        df.repartition(n).write.format("parquet").mode(mode).save(dst)
+    return n
+
+
 def pruned_time_filter(
     df: DataFrame,
     ts_col: str,

@@ -93,3 +93,41 @@ def test_one_file_per_partition(spark, part_events):
     files = df.select(F.input_file_name().alias("f")).distinct().collect()
     dirs = {r["f"].rsplit("/", 2)[1] for r in files}
     assert len(files) == len(dirs) == 30  # one file per event_date=... dir
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    """Compaction: a deliberately shattered table (64 tiny files)
+    rewrites to the byte-derived target count with identical contents."""
+    from db_loader_spark.sinks.ddl import compact_parquet
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    e = load_table(spark, sf_dir, "events")
+    e.repartition(64).write.parquet(src)
+    n_src_files = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src_files >= 32  # genuinely shattered
+
+    n = compact_parquet(spark, src, dst, target_mb=128)
+    out = spark.read.parquet(dst)
+    n_dst_files = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_dst_files == n <= 2  # sf0.001 events ≪ 128 MB → one file
+    assert out.count() == e.count()
+    a = {tuple(r) for r in e.select("event_id", "user_id").collect()}
+    b = {tuple(r) for r in out.select("event_id", "user_id").collect()}
+    assert a == b
+
+
+def test_compact_parquet_preserves_partitions(spark, sf_dir, tmp_path, part_events):
+    """Partition-aware compaction keeps the hive layout, one file per
+    date dir, and identical slice results."""
+    from db_loader_spark.sinks.ddl import compact_parquet
+
+    dst = str(tmp_path / "compacted_by_date")
+    compact_parquet(spark, part_events, dst, part_col="event_date")
+    out = spark.read.parquet(dst)
+    files = out.select(F.input_file_name().alias("f")).distinct().collect()
+    dirs = {r["f"].rsplit("/", 2)[1] for r in files}
+    assert len(files) == len(dirs) == 30
+    a = pruned_time_filter(out, "ts", START, END).count()
+    b = pruned_time_filter(spark.read.parquet(part_events), "ts", START, END).count()
+    assert a == b > 0
