@@ -90,3 +90,13 @@ def test_short_docs_drop_from_shingles(spark):
     # doc 1 has <3 tokens → no shingles; doc 2 has exactly 2
     assert {r.id for r in sh.select("id").distinct().collect()} == {2}
     assert D.minhash_signatures(docs).count() == 1
+
+
+def test_decontaminate_empty_sides(spark):
+    docs = load_table(spark, SF, "documents")
+    empty = _empty_docs(spark)
+    # empty corpus → nothing to flag; empty benchmark → nothing matches
+    assert D.decontaminate(empty, docs).count() == 0
+    out = D.decontaminate(docs, empty)
+    assert out.columns == ["doc_id", "n_hits", "n_shingles", "contamination"]
+    assert out.count() == 0
