@@ -512,7 +512,7 @@ def simhash_bits(
 
 
 def simhash_near_pairs(
-    sig: DataFrame, bits: int = 64, max_hamming: int = 3
+    sig: DataFrame, bits: int = 64, max_hamming: int = 3, materialize: bool = True
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band join (equal value in ANY 16-bit
     band) with the exact Hamming threshold INSIDE the join condition —
@@ -535,7 +535,16 @@ def simhash_near_pairs(
     pigeonhole — k < n_bands differing bits cannot touch every band, so
     every qualifying pair shares at least one band verbatim and is
     found. At ``max_hamming >= n_bands`` the search is approximate
-    (pairs whose diffs spread across all bands are missed)."""
+    (pairs whose diffs spread across all bands are missed).
+
+    ``materialize`` persists the signature frame (tiny: one row per doc,
+    ``bits/16`` ints) so the self-join's two branches share ONE
+    signature computation instead of re-running the full
+    scan→tokenize→vote lineage per side — the same cache-lifetime
+    policy as lsh_candidate_pairs (CacheManager dedups by plan; see the
+    note there about long-lived sessions)."""
+    if materialize:
+        sig = sig.persist()
     n_bands = bits // SIMHASH_BAND_BITS
     band_structs = ", ".join(
         f"struct({b} AS band_idx, band{b} AS band_val)" for b in range(n_bands)
