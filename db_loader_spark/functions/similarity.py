@@ -98,6 +98,7 @@ def lsh_near_pairs(
     n_bits: int = 8,
     n_tables: int = 4,
     dim: int = EMBEDDING_DIM,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding near-dup at scale: multi-table sign-LSH candidate pairs
     verified by exact cosine ≥ threshold.
@@ -113,21 +114,37 @@ def lsh_near_pairs(
     tests/test_empty_inputs.py::test_lsh_near_pairs_subset_of_exact).
     Approximate by construction: a qualifying pair colliding in NO
     table is missed; every emitted pair is exactly verified.
+
+    ``materialize`` persists the prepared frame (id, vec, norm, exploded
+    (tbl, bucket)) ONCE so both self-join branches share it instead of
+    each re-running the scan + unrolled norm/bucket arithmetic — the
+    simhash/minhash cache policy. Memory is n_tables × corpus; at
+    cluster scale where that exceeds storage memory, MEMORY_AND_DISK
+    spills, or pass ``materialize=False`` to trade recompute for RAM.
     """
     buckets = F.expr(multi_table_buckets_sql(vec_col, n_bits, n_tables, dim))
+    base = emb.select(
+        F.col(id_col).alias("id_"),
+        F.col(vec_col).alias("vec_"),
+        F.expr(norm_sql(vec_col, dim)).alias("nrm_"),
+        F.explode(buckets).alias("tb"),
+    ).select(
+        "id_",
+        "vec_",
+        "nrm_",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    if materialize:
+        base = base.persist()
 
     def hashed(suffix: str) -> DataFrame:
-        return emb.select(
-            F.col(id_col).alias(f"id_{suffix}"),
-            F.col(vec_col).alias(f"vec_{suffix}_"),
-            F.expr(norm_sql(vec_col, dim)).alias(f"nrm_{suffix}"),
-            F.explode(buckets).alias("tb"),
-        ).select(
-            f"id_{suffix}",
-            f"vec_{suffix}_",
-            f"nrm_{suffix}",
-            F.col("tb.tbl").alias("tbl"),
-            F.col("tb.bucket").alias("bucket"),
+        return base.select(
+            F.col("id_").alias(f"id_{suffix}"),
+            F.col("vec_").alias(f"vec_{suffix}_"),
+            F.col("nrm_").alias(f"nrm_{suffix}"),
+            "tbl",
+            "bucket",
         )
 
     cos = cosine_expr("vec_a_", "vec_b_", "nrm_a", "nrm_b", dim)
