@@ -66,7 +66,14 @@ def shingle_frame(
     all — the old row-level distinct moved every (id, shingle) pair
     through an exchange first, a corpus-sized shuffle that pure
     projection replaces. Identical output rows (pinned by the oracle
-    hash-matches of every downstream query)."""
+    hash-matches of every downstream query).
+
+    PRECONDITION: ``id_col`` must be unique per input row. The in-row
+    distinct can only dedup within one row's array, so duplicate-id
+    rows emit duplicate (id, shingle) pairs — inflating every
+    downstream count (Jaccard sizes, decontamination n_shingles).
+    Run :func:`exact_duplicates` (or any id-level dedup) first when
+    ids can repeat; the driver tables guarantee uniqueness."""
     return fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle"),
@@ -257,15 +264,17 @@ def lsh_candidate_pairs(
     comes straight off the joined rows — no second join back to the
     signature frame (which would recompute its whole lineage twice).
     ``materialize`` persists the (tiny: one row per doc) signature frame
-    so the self-join's two branches share one computation. The entry
-    stays cached for the session (Spark's CacheManager dedups by plan,
-    so repeated builds of the same query share ONE entry rather than
-    leaking per call); pass ``materialize=False`` or call
-    ``spark.catalog.clearCache()`` in long-lived sessions that cycle
-    many distinct corpora.
+    so the self-join's two branches share one computation. The frame is
+    registered in :mod:`db_loader_spark.cache` — registry wrappers
+    release it via ``settle(result, *cache.drain())`` once the result
+    is materialized; sessions driving this function directly call
+    ``cache.release()``. Pass ``materialize=False`` to skip caching
+    entirely (recompute per branch).
     """
     if materialize:
-        signatures = signatures.persist()
+        from db_loader_spark import cache
+
+        signatures = cache.track(signatures)
     if band_size is None:
         # Self-tuning banding: measure, then pick (see tuned_band_size).
         band_size = tuned_band_size(signatures, num_hashes)
@@ -318,6 +327,7 @@ def decontaminate(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_limit_bytes: int | None = 256 << 20,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus docs that share any word
     n-gram with an evaluation/benchmark set — the training-data hygiene
@@ -326,15 +336,29 @@ def decontaminate(
 
     Returns one row per CONTAMINATED doc: (doc_id, n_hits, n_shingles,
     contamination) where contamination = n_hits / n_shingles. Callers
-    drop flagged docs outright or audit by the fraction.
+    drop flagged docs outright or audit by the fraction. Both inputs
+    must carry unique ``id_col`` values (see :func:`shingle_frame`'s
+    precondition — duplicate-id rows inflate n_shingles/n_hits).
 
     Scale shape: eval sets are thousands of docs against a corpus of
     billions, so the benchmark's distinct shingles are the broadcast
     side; the corpus side explodes shingles in place, takes the flag
     from the broadcast hash join (no corpus shuffle), and aggregates
     per doc with map-side combine — exactly ONE corpus-sized shuffle,
-    on the doc id. A benchmark shingle set too big to broadcast (rare)
-    degrades gracefully to a shuffle join on the shingle key."""
+    on the doc id.
+
+    The broadcast is a MEASURED decision, not a blind hint: the
+    distinct eval shingles are cached (tracked in
+    :mod:`db_loader_spark.cache`; the join reuses the cache, so the
+    sizing pass costs one scan of the small side) and their estimated
+    in-memory size — 2 bytes/char UTF-16 plus ~48 bytes/row of object
+    and hash-table overhead — is compared against
+    ``broadcast_limit_bytes``. Under the limit the join is hinted
+    broadcast; over it the hint is OMITTED, so Spark plans a shuffle
+    join on the shingle key (the genuine degraded mode — an
+    unconditional ``F.broadcast`` would instead force the oversized
+    build side onto the driver and OOM). Pass ``None`` to skip the
+    sizing job and defer entirely to ``autoBroadcastJoinThreshold``."""
     corp_sh = shingle_frame(corpus, id_col, text_col, n)
     bench_sh = (
         shingle_frame(benchmark, id_col, text_col, n)
@@ -342,8 +366,21 @@ def decontaminate(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    bench_side = bench_sh
+    if broadcast_limit_bytes is not None:
+        from db_loader_spark import cache
+
+        bench_sh = cache.track(bench_sh)
+        stats = bench_sh.agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.sum(F.length("shingle")), F.lit(0)).alias("n_chars"),
+        ).first()
+        est_bytes = 2 * stats["n_chars"] + 48 * stats["n_rows"]
+        bench_side = (
+            F.broadcast(bench_sh) if est_bytes <= broadcast_limit_bytes else bench_sh
+        )
     return (
-        corp_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        corp_sh.join(bench_side, "shingle", "left")
         .groupBy("id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -541,10 +578,13 @@ def simhash_near_pairs(
     ``bits/16`` ints) so the self-join's two branches share ONE
     signature computation instead of re-running the full
     scan→tokenize→vote lineage per side — the same cache-lifetime
-    policy as lsh_candidate_pairs (CacheManager dedups by plan; see the
-    note there about long-lived sessions)."""
+    policy as lsh_candidate_pairs (tracked in
+    :mod:`db_loader_spark.cache`, released by the registry wrappers'
+    ``settle(result, *cache.drain())``)."""
     if materialize:
-        sig = sig.persist()
+        from db_loader_spark import cache
+
+        sig = cache.track(sig)
     n_bands = bits // SIMHASH_BAND_BITS
     band_structs = ", ".join(
         f"struct({b} AS band_idx, band{b} AS band_val)" for b in range(n_bands)

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from db_loader_spark import cache
 from db_loader_spark.functions import dedup as D
 from db_loader_spark.queries import QuerySpec
 from db_loader_spark.tables import load_table
@@ -75,7 +76,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join so baseline 2/8 collisions die in the join operator."""
     docs = load_table(spark, sf_dir, "documents")
     sig = D.minhash_signatures(docs, num_hashes=8)
-    return D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2, min_est_sim=0.375)
+    out = D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2, min_est_sim=0.375)
+    return cache.settle_drained(out)
 
 
 _MINHASH_SIG_COLS = ",\n       ".join(
@@ -123,7 +125,8 @@ def dedup_minhash_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer to VERDICT r2's "corpus-tuned defaults" landmine."""
     docs = load_table(spark, sf_dir, "documents")
     sig = D.minhash_signatures(docs, num_hashes=8)
-    return D.lsh_candidate_pairs(sig, num_hashes=8, band_size=None, min_est_sim=0.375)
+    out = D.lsh_candidate_pairs(sig, num_hashes=8, band_size=None, min_est_sim=0.375)
+    return cache.settle_drained(out)
 
 
 _TUNED_DIVS = (1, 2, 4, 8)
@@ -213,7 +216,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the 65,536-bucket bands keep candidate volume near-linear."""
     docs = load_table(spark, sf_dir, "documents")
     sig = D.simhash_bits(docs, bits=_SIMHASH_BITS)
-    return D.simhash_near_pairs(sig, bits=_SIMHASH_BITS, max_hamming=3)
+    out = D.simhash_near_pairs(sig, bits=_SIMHASH_BITS, max_hamming=3)
+    return cache.settle_drained(out)
 
 
 _SIMHASH_N_BANDS = _SIMHASH_BITS // 16
@@ -300,17 +304,17 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("stage"), "n_docs"
         )
 
-    from db_loader_spark.queries import settle
-
     counts = (
         stage("1_input", docs)
         .unionByName(stage("2_exact", s1))
         .unionByName(stage("3_neardup", s2))
         .unionByName(stage("4_quality", s3))
     )
-    # 4 count rows persist; the corpus-sized s1/s2 caches are released
-    # (ADVICE r2: funnel persists leaked for the session lifetime).
-    return settle(counts, s1, s2)
+    # 4 count rows persist; the corpus-sized s1/s2 caches AND the
+    # tracked MinHash signature cache are released (ADVICE r2: funnel
+    # persists leaked for the session lifetime; VERDICT r4 #2: the
+    # signature persists had no release path).
+    return cache.settle_drained(counts, s1, s2)
 
 
 from db_loader_spark.functions.text import STOPWORDS as _SW_LIST
@@ -365,7 +369,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold inside the band join (residual predicate) — low-sim
     # collisions never reach the distinct's shuffle
     pairs = D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2, min_est_sim=0.5)
-    return D.connected_components(pairs)
+    return cache.settle_drained(D.connected_components(pairs))
 
 
 _COMPONENTS_ORACLE = f"""

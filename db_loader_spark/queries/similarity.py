@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from db_loader_spark import cache
 from db_loader_spark.functions import similarity as S
 from db_loader_spark.queries import QuerySpec
 from db_loader_spark.tables import load_table
@@ -95,8 +96,11 @@ FROM (
 # deployment shape, where the index is a table written once per corpus
 # version (inverted lists partitioned by cell). Keyed on applicationId
 # so a new session rebuilds instead of touching another session's
-# checkpointed/persisted blocks.
+# checkpointed/persisted blocks. Capped at _IVF_INDEX_MAX entries: a
+# session cycling many corpora evicts (and unpersists) the oldest
+# index instead of accumulating inverted lists forever (VERDICT r4 #3).
 _IVF_INDEX: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_IVF_INDEX_MAX = 4
 
 
 def clear_ivf_cache() -> None:
@@ -113,6 +117,12 @@ def _ivf_index(
     key = (spark.sparkContext.applicationId, sf_dir, n_bits, iters)
     idx = _IVF_INDEX.get(key)
     if idx is None:
+        while len(_IVF_INDEX) >= _IVF_INDEX_MAX:
+            # FIFO eviction (dicts preserve insertion order): drop the
+            # oldest corpus's index and release its persisted lists.
+            oldest = next(iter(_IVF_INDEX))
+            _, old_lists = _IVF_INDEX.pop(oldest)
+            old_lists.unpersist()
         cents = S.kmeans_centroids(emb, "embedding", n_bits, iters)
         lists = S.ivf_inverted_lists(emb, cents).persist()
         idx = (cents, lists)
@@ -294,7 +304,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-cosine verified (the linear-ish twin of the all-pairs
     dedup_embedding_cosine verifier)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_near_pairs(emb, threshold=0.4, n_bits=8, n_tables=4)
+    out = S.lsh_near_pairs(emb, threshold=0.4, n_bits=8, n_tables=4)
+    return cache.settle_drained(out)
 
 
 _EMB_LSH_ORACLE = f"""
@@ -328,9 +339,10 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = S.lsh_near_pairs(emb, threshold=0.4, n_bits=8, n_tables=4)
-    return connected_components(pairs, src_col="vec_a", dst_col="vec_b").select(
+    out = connected_components(pairs, src_col="vec_a", dst_col="vec_b").select(
         F.col("doc_id").alias("vec_id"), "component_id"
     )
+    return cache.settle_drained(out)
 
 
 _EMB_COMPONENTS_ORACLE = f"""

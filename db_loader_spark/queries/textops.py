@@ -394,12 +394,16 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id md5 first hex '0' ≈ 1/16 of docs = "benchmark"), and every
     remaining doc sharing any 3-gram with it is flagged with its
     contamination fraction. Same split idiom as a_hash_sample, so the
-    oracle replays it exactly."""
+    oracle replays it exactly. The wrapper settles: the flagged-doc
+    result is materialized small, then the tracked eval-shingle cache
+    is released (cache.settle_drained)."""
+    from db_loader_spark import cache
     from db_loader_spark.functions import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'")
-    return D.decontaminate(docs.filter(~is_bench), docs.filter(is_bench), n=3)
+    out = D.decontaminate(docs.filter(~is_bench), docs.filter(is_bench), n=3)
+    return cache.settle_drained(out)
 
 
 _DECONTAM_ORACLE = """

@@ -32,7 +32,19 @@ def plans(spark):
     reg = all_queries()
 
     def plan(name: str) -> str:
-        df = reg[name].spark(spark, SF)
+        # plan_only: settling wrappers normally persist+materialize the
+        # result, which would explain as one InMemoryTableScan and hide
+        # the joins/exchanges these tests assert on. The lazy plan built
+        # here is exactly the plan the settled path caches and executes.
+        # clearCache first: Catalyst substitutes ANY matching cached
+        # sub-plan (e.g. a settled result left by an earlier test file)
+        # at planning time, which would equally hide the operators.
+        from db_loader_spark import cache
+
+        spark.catalog.clearCache()
+        cache.release()
+        with cache.plan_only():
+            df = reg[name].spark(spark, SF)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
@@ -207,6 +219,44 @@ def test_decontaminate_broadcast_and_single_corpus_shuffle(plans):
     # benchmark-side distinct, and the corpus groupBy(id) — a corpus-wide
     # (id, shingle) distinct exchange would push this to 5
     assert count_ops(s, "Exchange") <= 4, s
+
+
+def test_decontaminate_oversized_eval_degrades_to_shuffle_join(spark):
+    """When the MEASURED eval-shingle size exceeds the broadcast limit,
+    the hint is omitted and Spark plans a shuffle join — the degraded
+    mode the docstring promises. (An unconditional F.broadcast hint
+    would instead force the oversized build side onto the driver and
+    OOM at scale — VERDICT r4 #1.) autoBroadcastJoinThreshold is
+    disabled to model a side too big for ANY broadcast path."""
+    from db_loader_spark import cache
+    from db_loader_spark.functions.dedup import decontaminate
+    from db_loader_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    is_b = F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = decontaminate(
+            docs.filter(~is_b), docs.filter(is_b), broadcast_limit_bytes=0
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            big.explain("formatted")
+        s = buf.getvalue()
+        assert count_ops(s, "BroadcastHashJoin") == 0, s
+        assert (
+            count_ops(s, "SortMergeJoin") + count_ops(s, "ShuffledHashJoin") >= 1
+        ), s
+        # identical answer on both paths (the gate changes the plan only)
+        small = decontaminate(docs.filter(~is_b), docs.filter(is_b))
+        assert sorted(map(tuple, big.collect())) == sorted(
+            map(tuple, small.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        cache.release()
 
 
 def test_shard_assign_pure_scan_projection(plans):
