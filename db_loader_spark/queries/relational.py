@@ -679,9 +679,16 @@ FROM lineitem GROUP BY l_linestatus
 
 
 QUERIES: dict[str, QuerySpec] = {
-    # The four events-based keys lead the dict: they were the ones that
-    # errored in r3 (ts schema drift) and must sit inside the driver's
-    # 50-entry window in r4 — see the rotation policy in __init__.py.
+    # The seven keys that rode OUTSIDE the r4 window (r3 evidence) lead
+    # the dict for round 5 — rotation rule 1 (oldest evidence first);
+    # see the policy in __init__.py.
+    "jn1_dim_lookup_join": QuerySpec(jn1_dim_lookup_join, _JN1_ORACLE, "JN1 broadcast dims"),
+    "jn2_contains_join": QuerySpec(jn2_contains_join, _JN2_ORACLE, "JN2 contains join"),
+    "jn4_anti_join_idempotence": QuerySpec(jn4_anti_join_idempotence, _JN4_ORACLE, "JN4"),
+    "jn7_fk_validation": QuerySpec(jn7_fk_validation, _JN7_ORACLE, "JN7 FK anti-joins"),
+    "w_topk_per_group": QuerySpec(w_topk_per_group, _WTOPK_ORACLE, "top-k per group"),
+    "set_ops": QuerySpec(set_ops, _SETOPS_ORACLE, "intersect/except"),
+    "rollup_revenue": QuerySpec(rollup_revenue, _ROLLUP_ORACLE, "rollup subtotals"),
     "a6_run_summary": QuerySpec(a6_run_summary, _A6_ORACLE, "A6 summary collapse"),
     "p10_find_first": QuerySpec(p10_find_first, _P10_ORACLE, "P10 find-first"),
     "w_running_sum": QuerySpec(w_running_sum, _WRUN_ORACLE, "cumulative window"),
@@ -701,11 +708,4 @@ QUERIES: dict[str, QuerySpec] = {
     "a_salted_agg": QuerySpec(a_salted_agg, _SALTED_ORACLE, "skew-salted two-phase agg"),
     "a_hash_sample": QuerySpec(a_hash_sample, _HASH_SAMPLE_ORACLE, "deterministic sampling"),
     "a_quantiles": QuerySpec(a_quantiles, _QUANTILES_ORACLE, "exact grouped quantiles"),
-    "jn1_dim_lookup_join": QuerySpec(jn1_dim_lookup_join, _JN1_ORACLE, "JN1 broadcast dims"),
-    "jn2_contains_join": QuerySpec(jn2_contains_join, _JN2_ORACLE, "JN2 contains join"),
-    "jn4_anti_join_idempotence": QuerySpec(jn4_anti_join_idempotence, _JN4_ORACLE, "JN4"),
-    "jn7_fk_validation": QuerySpec(jn7_fk_validation, _JN7_ORACLE, "JN7 FK anti-joins"),
-    "w_topk_per_group": QuerySpec(w_topk_per_group, _WTOPK_ORACLE, "top-k per group"),
-    "set_ops": QuerySpec(set_ops, _SETOPS_ORACLE, "intersect/except"),
-    "rollup_revenue": QuerySpec(rollup_revenue, _ROLLUP_ORACLE, "rollup subtotals"),
 }

@@ -1,0 +1,96 @@
+"""Driver-witnessed streaming query: the availableNow micro-batch
+pipeline run end-to-end, value-checked against the batch answer.
+
+Every other streaming proof in this repo is a local pytest (stream ≡
+batch assertions in tests/test_stateful_streaming.py and
+test_streaming_dedup.py). This module puts one streaming pipeline
+under the EXTERNAL value-check: the registry entry stages the events
+table as multiple parquet shards, streams them through a watermarked
+windowed aggregation one file per micro-batch (state accumulates
+across batches — genuine incremental execution, not a one-batch
+drain), and returns the final rollup, which the DuckDB oracle
+recomputes as plain batch SQL over the same rows. A green driver row
+here IS the stream-≡-batch theorem under the driver's hash, not just
+our own test suite's.
+
+Reference behavior: the T1-T4 incremental ingest loop
+(scripts/load_csv_to_cloud.sh:107-141 — watch folder, process each
+file once, flush batches, final drain) mapped onto Structured
+Streaming's file source + availableNow trigger; see
+streaming/file_ingest.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_loader_spark.queries import QuerySpec
+from db_loader_spark.tables import load_table
+
+N_SHARDS = 4  # staged files → micro-batches (maxFilesPerTrigger=1)
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as N_SHARDS parquet files under the system temp dir
+    (keyed by sf_dir; reused across calls — staging is the table's
+    storage layout, not per-query work). The shards are what turns the
+    availableNow drain into a REAL multi-batch run."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_stage_{key}")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(N_SHARDS).write.mode(
+            "overwrite"
+        ).parquet(stage)
+    return stage
+
+
+def t_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup computed BY THE STREAMING ENGINE: file
+    source over the staged shards, one file per micro-batch, watermarked
+    event-time windows, complete-mode memory sink, availableNow drain.
+
+    Complete mode retains all window state and never drops late rows,
+    so the final emission after the last micro-batch equals the batch
+    aggregate over the same input regardless of file order — which is
+    exactly what the oracle checks. Each call starts a FRESH stream
+    (memory-sink temp checkpoint): a reused checkpoint under
+    availableNow would see no new files, run zero batches, and leave
+    the memory table empty — per-run freshness is load-bearing."""
+    from db_loader_spark.streaming.file_ingest import stream_event_rollup
+
+    stage = _staged_events(spark, sf_dir)
+    qname = "t_stream_rollup_" + hashlib.md5(stage.encode()).hexdigest()[:8]
+    q = stream_event_rollup(
+        spark,
+        stage,
+        watermark="1 hour",
+        window_len="1 hour",
+        query_name=qname,
+        output_mode="complete",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    # memory sink registered the final rollup as a temp view
+    return spark.table(qname)
+
+
+_STREAM_ROLLUP_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "t_stream_rollup": QuerySpec(
+        t_stream_rollup,
+        _STREAM_ROLLUP_ORACLE,
+        "availableNow multi-batch streaming rollup ≡ batch (memory sink)",
+    ),
+}

@@ -96,6 +96,7 @@ def stream_event_rollup(
     window_len: str = "1 hour",
     query_name: str = "event_rollup",
     output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
 ):
     """Watermarked event-time windowed aggregate over a parquet stream —
     the late-data-tolerant rollup shape (memory sink for tests).
@@ -128,6 +129,11 @@ def stream_event_rollup(
     reader = spark.readStream.schema(static.schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        # One file per micro-batch: over a multi-file source this forces
+        # the aggregation STATE to accumulate across several batches —
+        # the incremental execution a single-batch drain never exercises.
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(base).withColumn(
         "ts", decode_ts(static.schema["ts"].dataType)
     )

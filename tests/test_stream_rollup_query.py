@@ -1,0 +1,50 @@
+"""t_stream_rollup: the driver-witnessed streaming query.
+
+The oracle row proves stream ≡ batch under the driver's hash; these
+tests pin the properties the oracle can't see — that the run is a REAL
+multi-batch incremental execution (state carried across micro-batches,
+not a one-batch drain) and that repeated invocations in one session
+are idempotent (fresh stream per call)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_rollup_is_multi_batch_and_equals_batch(spark):
+    from db_loader_spark.queries.streamingq import _staged_events
+    from db_loader_spark.streaming.file_ingest import stream_event_rollup
+    from db_loader_spark.tables import load_table
+
+    stage = _staged_events(spark, SF)
+    q = stream_event_rollup(
+        spark, stage, query_name="t_mb_check", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    batches = {p["batchId"] for p in q.recentProgress}
+    assert len(batches) >= 2, "expected state to accumulate across micro-batches"
+
+    got = {tuple(r) for r in spark.table("t_mb_check").collect()}
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    assert got == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_rollup_registry_rerun_idempotent(spark):
+    from db_loader_spark.queries import all_queries
+
+    spec = all_queries()["t_stream_rollup"]
+    a = {tuple(r) for r in spec.spark(spark, SF).collect()}
+    b = {tuple(r) for r in spec.spark(spark, SF).collect()}
+    assert a == b and len(a) > 0
