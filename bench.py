@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_sq_rerank",
     "t_session_window",
     "t_tumbling_counts",
+    "t_stream_rollup",
     "w_event_gap",
     "q10_returned_items",
     "text_quality_score",
@@ -48,6 +49,50 @@ HEADLINE = [
     "text_decontaminate",
     "curation_shard_assign",
 ]
+
+
+def _source_stamp(*paths: str) -> str:
+    """Size+mtime fingerprint of the driver source files a derived
+    layout was built from. ADVICE r4: the layouts were cached on a bare
+    _SUCCESS marker, so when the driver re-ships a table between rounds
+    (it did in r3) the derived layouts kept measuring STALE data — an
+    apples-to-oranges comparison against the fresh-source variants."""
+    parts = []
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}={st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def _layout_current(out_dir: str, stamp: str) -> bool:
+    try:
+        with open(os.path.join(out_dir, "_SOURCE_STAMP")) as f:
+            return f.read() == stamp
+    except OSError:
+        return False
+
+
+def _write_stamp(out_dir: str, stamp: str) -> None:
+    # underscore-prefixed: parquet scans ignore it like _SUCCESS
+    with open(os.path.join(out_dir, "_SOURCE_STAMP"), "w") as f:
+        f.write(stamp)
+
+
+def _time_agg_variants(spark, variants, timings: dict[str, float]) -> None:
+    """min-of-2 timing of the same slice aggregate over layout variants
+    (the shared methodology: warm, GC, two timed runs)."""
+    from pyspark.sql import functions as F
+
+    for name, df in variants.items():
+        agg = df.groupBy("event_type").agg(F.round(F.sum("value"), 2).alias("v"))
+        agg.count()  # warm
+        spark._jvm.System.gc()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            assert agg.count() >= 0
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
 
 def _bucketed_fact_tables(spark, sf_dir: str):
@@ -67,13 +112,18 @@ def _bucketed_fact_tables(spark, sf_dir: str):
     out = {}
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"bench_{tbl}_bucketed"
-        if not spark.catalog.tableExists(name):
+        loc = os.path.join(warehouse, name)
+        stamp = _source_stamp(os.path.join(sf_dir, f"{tbl}.parquet"))
+        if not (spark.catalog.tableExists(name) and _layout_current(loc, stamp)):
             # The default in-memory catalog forgets tables between
             # sessions while their warehouse files persist — clear the
             # stale location or saveAsTable dies with
-            # LOCATION_ALREADY_EXISTS.
-            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            # LOCATION_ALREADY_EXISTS. The stamp check also rebuilds
+            # when the driver re-ships the source table (r3 did).
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(loc, ignore_errors=True)
             write_bucketed(load_table(spark, sf_dir, tbl), name, key, n_buckets=32)
+            _write_stamp(loc, stamp)
         out[tbl] = spark.table(name)
     return out
 
@@ -141,12 +191,13 @@ def _bench_partitioned(spark, sf_dir: str, timings: dict[str, float]) -> None:
 
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     path = os.path.join(warehouse, "bench_events_by_date")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    stamp = _source_stamp(os.path.join(sf_dir, "events.parquet"))
+    if not _layout_current(path, stamp):
         shutil.rmtree(path, ignore_errors=True)
         write_partitioned(
             load_table(spark, sf_dir, "events"), path, F.to_date("ts"), "event_date"
         )
+        _write_stamp(path, stamp)
     start, end = "2024-01-10", "2024-01-13"
     plain = load_table(spark, sf_dir, "events").filter(
         (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
@@ -163,16 +214,51 @@ def _bench_partitioned(spark, sf_dir: str, timings: dict[str, float]) -> None:
         "ev_slice_unpruned": unpruned,
         "ev_slice_pruned": part,
     }
-    for name, df in variants.items():
-        agg = df.groupBy("event_type").agg(F.round(F.sum("value"), 2).alias("v"))
-        agg.count()  # warm
-        spark._jvm.System.gc()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            assert agg.count() >= 0
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+    _time_agg_variants(spark, variants, timings)
+
+
+def _bench_compaction(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """The same 3-day slice aggregate over a deliberately SHATTERED
+    events table (~1,000 tiny files — the debris an availableNow
+    micro-batch ingest leaves) vs its compact_parquet rewrite. The
+    data volume is identical; the delta is pure per-file overhead
+    (listing, footer reads, task setup) — the cost compaction exists
+    to remove, now measured instead of asserted (VERDICT r4 #7).
+    Layout writes are one-time setup, source-stamped like the other
+    derived layouts."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from db_loader_spark.sinks.ddl import compact_parquet
+    from db_loader_spark.tables import load_table
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shat = os.path.join(warehouse, "bench_events_shattered")
+    comp = os.path.join(warehouse, "bench_events_compacted")
+    stamp = _source_stamp(os.path.join(sf_dir, "events.parquet"))
+    if not _layout_current(shat, stamp):
+        shutil.rmtree(shat, ignore_errors=True)
+        load_table(spark, sf_dir, "events").repartition(1000).write.mode(
+            "overwrite"
+        ).parquet(shat)
+        _write_stamp(shat, stamp)
+    if not _layout_current(comp, stamp):
+        shutil.rmtree(comp, ignore_errors=True)
+        compact_parquet(spark, shat, comp, target_mb=128)
+        _write_stamp(comp, stamp)
+    start, end = "2024-01-10", "2024-01-13"
+
+    def slice_of(path: str):
+        df = spark.read.parquet(path)
+        return df.filter((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
+
+    _time_agg_variants(
+        spark,
+        {"ev_slice_shattered": slice_of(shat), "ev_slice_compacted": slice_of(comp)},
+        timings,
+    )
 
 
 def main() -> None:
@@ -225,6 +311,7 @@ def main() -> None:
     clear_ivf_cache()
     _bench_bucketed(spark, sf_dir, timings)
     _bench_partitioned(spark, sf_dir, timings)
+    _bench_compaction(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -83,6 +83,7 @@ def write_partitioned(
     part_expr: Column,
     part_col: str,
     mode: str = "overwrite",
+    files_per_partition: int = 1,
 ) -> None:
     """Persist a fact table hive-partitioned by a derived column — the
     time-sliced storage layout for append-mostly fact data.
@@ -100,16 +101,32 @@ def write_partitioned(
     The pre-write ``repartition(part_expr)`` routes each partition's
     rows to one writer task so each directory holds ONE file instead of
     (tasks × partitions) shards — same small-file discipline as
-    write_bucketed.
+    write_bucketed. That also means ONE task per partition: a skewed
+    ingest day (one hot date holding most of the batch) serializes into
+    a single writer. ``files_per_partition`` is the escape hatch —
+    a deterministic row-hash salt spreads each partition over up to
+    that many writer tasks/files, trading file count for write
+    parallelism on skewed days.
     """
     keyed = df.withColumn(part_col, part_expr)
-    (
-        keyed.repartition(F.col(part_col))
-        .write.format("parquet")
-        .mode(mode)
-        .partitionBy(part_col)
-        .save(path)
-    )
+    if files_per_partition > 1:
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)
+        )
+        # Explicit partition count: AQE coalesces a column-only
+        # repartition of a small shuffle down to a handful of tasks,
+        # which silently re-merges the salt groups (measured: every
+        # date back to ONE file at test SF). Pinning the count keeps
+        # (partition, salt) groups in distinct tasks.
+        n_shuffle = int(
+            keyed.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        keyed = keyed.repartition(
+            n_shuffle * files_per_partition, F.col(part_col), salt
+        )
+    else:
+        keyed = keyed.repartition(F.col(part_col))
+    keyed.write.format("parquet").mode(mode).partitionBy(part_col).save(path)
 
 
 def compact_parquet(
@@ -131,10 +148,20 @@ def compact_parquet(
     FileSystem, so it works on any scheme, not just file://), then one
     repartition writes evenly sized outputs.
 
-    With ``part_col`` the hive layout is preserved: rows repartition by
-    the partition column so each directory compacts to one file (same
-    discipline as write_partitioned); without it, round-robin gives
-    maximally even file sizes.
+    With ``part_col`` the hive layout is preserved AND ``target_mb``
+    still governs: each ``part_col=value`` directory's actual bytes set
+    its own output file count (≥ 1), so small partitions compact to one
+    file while a partition larger than ``target_mb`` is SPLIT across
+    up to ceil(bytes/target) files via a deterministic row-hash salt —
+    the r4 version wrote one file per partition regardless, silently
+    ignoring the target for oversized days. The per-partition counts
+    ride into the plan as a literal map, so keep partition counts
+    directory-like (thousands, not millions — true of any sane hive
+    layout). Returns the TARGET file count (sum of per-partition
+    counts when partitioned); the actual count can be slightly lower
+    because distinct (partition, salt) groups that hash into the same
+    shuffle task share one file — the shuffle is widened to 2× the
+    target to keep such merges rare.
     """
     import math
 
@@ -143,17 +170,37 @@ def compact_parquet(
     conf = spark._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(src)
     fs = path.getFileSystem(conf)
-    total = fs.getContentSummary(path).getLength()
-    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    target_bytes = target_mb * 1024 * 1024
     if part_col is not None:
+        per_part: dict[str, int] = {}
+        for status in fs.listStatus(path):
+            name = status.getPath().getName()
+            if not name.startswith(f"{part_col}="):
+                continue
+            pbytes = fs.getContentSummary(status.getPath()).getLength()
+            per_part[name.split("=", 1)[1]] = max(1, math.ceil(pbytes / target_bytes))
+        n = sum(per_part.values()) or 1
+        keys = [F.col(part_col)]
+        if any(k > 1 for k in per_part.values()):
+            counts = F.create_map(
+                *[x for v, k in sorted(per_part.items()) for x in (F.lit(v), F.lit(k))]
+            )
+            keys.append(
+                F.pmod(
+                    F.hash(*[F.col(c) for c in df.columns]),
+                    F.coalesce(counts[F.col(part_col).cast("string")], F.lit(1)),
+                )
+            )
         (
-            df.repartition(F.col(part_col))
+            df.repartition(max(2 * n, 1), *keys)
             .write.format("parquet")
             .mode(mode)
             .partitionBy(part_col)
             .save(dst)
         )
     else:
+        total = fs.getContentSummary(path).getLength()
+        n = max(1, math.ceil(total / target_bytes))
         df.repartition(n).write.format("parquet").mode(mode).save(dst)
     return n
 
