@@ -51,3 +51,47 @@ def salted_agg(
     if count_alias:
         final_aggs.append(F.sum("_n").alias(count_alias))
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Manual skew mitigation for a fact⋈dim equi-join that cannot
+    broadcast: salt the fact side into ``n_salts`` sub-keys and
+    replicate the dim side once per salt, so the hot key's rows spread
+    over ``n_salts`` reducers instead of one.
+
+    This is the HAND-ROLLED alternative to AQE's skew-join splitting
+    (``spark.sql.adaptive.skewJoin.enabled``, on by default in
+    session.get_spark). Measured head-to-head in SCALE.md: prefer AQE —
+    it detects skew from runtime statistics, splits only the oversized
+    partitions, and costs nothing when the data turns out balanced,
+    while salting taxes EVERY row with a dim replication ×n_salts and
+    a wider shuffle whether or not skew exists. Reach for this operator
+    only where AQE cannot act: a skewed key feeding a non-last join
+    stage whose output partitioning a later stage must reuse, an
+    engine/runtime with AQE off, or join types AQE's splitter skips
+    (it never splits the build side of a shuffled hash join it'd have
+    to replicate anyway). Position-based salt (not value hash) for the
+    same reason as salted_agg: identical-valued hot rows must not
+    collapse into one salt bucket.
+
+    Result equals ``fact.join(dim, key, how)`` for inner/left joins
+    (every fact row keeps exactly its one salt; the replicated dim
+    matches it exactly once)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r} "
+            "(right/full would duplicate unmatched dim rows per salt)"
+        )
+    fact_s = fact.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return fact_s.join(dim_s, [key, "_salt"], how).drop("_salt")
