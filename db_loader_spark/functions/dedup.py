@@ -506,16 +506,17 @@ def simhash_bits(
     whole-stage codegen with no per-bit string work (the r01 version
     paid 64 string ops per row in the aggregate AND a 64-char-compare
     Hamming in the join; integer bands make Hamming one
-    ``bit_count(a^b)`` per band)."""
+    ``bit_count(a^b)`` per band). Token dedup runs INSIDE the row
+    (``array_distinct`` before the explode — the shingle_frame trick):
+    each doc's tokens live in its own array, so the per-doc distinct
+    the votes need costs a projection, not the corpus-wide (id, token)
+    exchange the r4 version shuffled. Same output rows (the (id, tok)
+    distinct IS per-doc distinct); oracle hash-matches unchanged."""
     n_bands = bits // SIMHASH_BAND_BITS
-    tok = (
-        fan_out(docs)
-        .select(
-            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
-        )
-        .distinct()
-        .withColumn("hx", F.substring(F.md5("tok"), 1, bits // 4))
-    )
+    tok = fan_out(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("hx", F.substring(F.md5("tok"), 1, bits // 4))
     # nibble decode once per token row; vote aggregates are int-only
     nibbles = tok.select(
         "id",

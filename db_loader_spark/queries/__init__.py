@@ -92,9 +92,10 @@ def all_queries() -> dict[str, QuerySpec]:
     # jn*/w_topk/set_ops/rollup tail (moved to that dict's front),
     # multimodal, similarity, dedup. Window (50) = similarity(8) +
     # dedup(8) + multimodal(5) + relational(24) + streamingq(1) +
-    # textops' first 4 (text_decontaminate leads its dict). Riding
-    # outside, all r4-green and untouched in r5: textops' other 7,
-    # curation, eventops, ecj, logshape — re-verified locally this round.
+    # textops' first 4: text_decontaminate (changed), text_kmv_vocab
+    # (NEW in r5 — the KMV sketch), tfidf, chunk. Riding outside, all
+    # r4-green and untouched in r5: textops' other 7, curation,
+    # eventops, ecj, logshape — re-verified locally this round.
     merged: dict[str, QuerySpec] = {}
     for mod in (
         similarity,

@@ -226,6 +226,57 @@ FROM documents
 """
 
 
+def text_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary cardinality via the deterministic KMV
+    sketch (functions.sketch.kmv_distinct), exact count alongside —
+    the distinct-count-at-scale answer that never materializes the
+    distinct set beyond its Zipf-bounded vocabulary, with an estimator
+    any engine can replay (the reason it's KMV over md5 and not a
+    black-box HLL binary). k=16 (not the production-default 64): the
+    driver corpus has only ~31 distinct tokens per language, and k
+    must sit BELOW that so the driver row witnesses the live estimator
+    ((k-1)/h_k), not just the small-group exact fallback; the
+    estimator path at production k is pinned on a synthetic 5,000-token
+    vocabulary in tests/test_sketch.py."""
+    from db_loader_spark.functions.sketch import kmv_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "lang",
+        F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok"),
+    )
+    return kmv_distinct(pairs, "lang", "tok", k=16)
+
+
+# 13-nibble decode of the md5 prefix as an EXACT double (52 bits fit
+# the mantissa): mirror of functions.sketch.kmv_hash
+_KMV_NIBSUM = " + ".join(
+    f"(instr('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1) * {float(16 ** (12 - i))!r}"
+    for i in range(13)
+)
+
+_KMV_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT lang, unnest({{T}}) AS tok FROM documents
+),
+h AS (
+  SELECT lang, ({_KMV_NIBSUM}) / 4503599627370496.0 AS h
+  FROM (SELECT lang, substr(md5(tok), 1, 13) AS hx FROM tok)
+),
+r AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+a AS (
+  SELECT lang, COUNT(*) AS n_exact, MAX(CASE WHEN rn = 16 THEN h END) AS h_k
+  FROM r GROUP BY lang
+)
+SELECT lang, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(CASE WHEN h_k IS NULL THEN CAST(n_exact AS DOUBLE)
+                 ELSE ROUND(15 / h_k) END AS BIGINT) AS kmv_estimate,
+       ROUND(CASE WHEN h_k IS NULL THEN CAST(n_exact AS DOUBLE)
+                  ELSE ROUND(15 / h_k) END / n_exact, 3) AS rel_err
+FROM a
+""".replace("{T}", _DUCK_TOKENS)
+
+
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF: top-3 most characteristic terms per document.
 
@@ -441,6 +492,11 @@ QUERIES: dict[str, QuerySpec] = {
         text_decontaminate,
         _DECONTAM_ORACLE,
         "benchmark n-gram decontamination (broadcast eval shingles)",
+    ),
+    "text_kmv_vocab": QuerySpec(
+        text_kmv_vocab,
+        _KMV_ORACLE,
+        "per-language KMV distinct-count sketch vs exact (k=64)",
     ),
     "text_tfidf_topterms": QuerySpec(
         text_tfidf_topterms, _TFIDF_ORACLE, "TF-IDF top terms per document"

@@ -1,0 +1,67 @@
+"""KMV distinct-count sketch (functions/sketch.py).
+
+Pins the estimator's two regimes — live (k-1)/h_k estimation on a
+vocabulary ≫ k, exact fallback below k — and the mergeability
+identity that makes it a fleet-wide statistic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from db_loader_spark.functions.sketch import kmv_distinct, kmv_hash
+
+
+def _synth_pairs(spark, n_values: int, group: str = "g"):
+    return spark.range(n_values).select(
+        F.lit(group).alias("grp"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+
+
+def test_kmv_estimates_large_vocabulary(spark):
+    """5,000 distinct values, k=64: the estimate comes from the live
+    estimator and lands within the ~2/sqrt(k) relative-error envelope
+    (±25% is ~2σ for k=64; the hash is fixed, so this is deterministic,
+    not flaky)."""
+    out = kmv_distinct(_synth_pairs(spark, 5_000), "grp", "val", k=64).first()
+    assert out["n_exact"] == 5_000
+    assert out["kmv_estimate"] != out["n_exact"]  # genuinely estimated
+    assert 0.75 <= out["rel_err"] <= 1.25
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer distinct values than k: the sketch holds them all and the
+    fallback reports the exact count."""
+    out = kmv_distinct(_synth_pairs(spark, 40), "grp", "val", k=64).first()
+    assert out["n_exact"] == 40
+    assert out["kmv_estimate"] == 40
+    assert out["rel_err"] == 1.0
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    """The estimate is over DISTINCT values: replicating every value
+    1,000x changes nothing (min-hash sets are duplicate-invariant)."""
+    base = _synth_pairs(spark, 300)
+    dup = base.crossJoin(spark.range(1000).select(F.lit(1).alias("_x"))).drop("_x")
+    a = kmv_distinct(base, "grp", "val", k=64).first()
+    b = kmv_distinct(dup, "grp", "val", k=64).first()
+    assert (a["n_exact"], a["kmv_estimate"]) == (b["n_exact"], b["kmv_estimate"])
+
+
+def test_kmv_merge_identity(spark):
+    """k smallest of a union == k smallest of the per-shard k-smallest:
+    the property that lets shards ship k values each instead of their
+    distinct sets. Verified directly on hash values."""
+    k = 32
+    vals = spark.range(2_000).select(F.concat(F.lit("v"), F.col("id")).alias("val"))
+    shard_a = vals.filter(F.col("val").substr(-1, 1).isin("0", "1", "2", "3", "4"))
+    shard_b = vals.subtract(shard_a)
+
+    def kmins(df):
+        h = df.select(kmv_hash("val").alias("h")).distinct()
+        return [
+            r["h"]
+            for r in h.orderBy("h").limit(k).collect()
+        ]
+
+    merged = sorted(kmins(shard_a) + kmins(shard_b))[:k]
+    assert merged == kmins(vals)
