@@ -91,11 +91,12 @@ def all_queries() -> dict[str, QuerySpec]:
     # 28 keys that rode outside the r4 window (r3 evidence): relational's
     # jn*/w_topk/set_ops/rollup tail (moved to that dict's front),
     # multimodal, similarity, dedup. Window (50) = similarity(8) +
-    # dedup(8) + multimodal(5) + relational(24) + streamingq(1) +
-    # textops' first 4: text_decontaminate (changed), text_kmv_vocab
-    # (NEW in r5 — the KMV sketch), tfidf, chunk. Riding outside, all
-    # r4-green and untouched in r5: textops' other 7, curation,
-    # eventops, ecj, logshape — re-verified locally this round.
+    # dedup(8) + multimodal(5) + relational(24) + streamingq(2: the new
+    # t_stream_rollup and t_stream_dedup) + textops' first 3:
+    # text_decontaminate (changed), text_kmv_vocab and text_lm_score
+    # (NEW in r5). Riding outside, all r4-green and untouched in r5:
+    # textops' other 8, curation, eventops, ecj, logshape — re-verified
+    # locally this round (check_oracle, both SFs, 82/82).
     merged: dict[str, QuerySpec] = {}
     for mod in (
         similarity,

@@ -27,6 +27,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from db_loader_spark.queries import QuerySpec
 from db_loader_spark.tables import load_table
@@ -87,10 +88,85 @@ FROM events GROUP BY 1, 2
 """
 
 
+def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACTLY-ONCE dedup under the driver's hash: the staged
+    events shards are written TWICE (two full copies, 8 files), the
+    stream drains them one file per micro-batch through
+    ``dropDuplicates(event_id)`` — dedup STATE carried across batches
+    is what drops the second copy — and each batch publishes to an
+    epoch-owned parquet dir it OVERWRITES (the T2/T5 idempotent-retry
+    pattern from streaming/file_ingest.stream_log_tables). The oracle
+    is the plain batch aggregate over ONE copy: equality proves the
+    stream removed every cross-batch duplicate, exactly once.
+
+    Duplicate rows are full-row identical, so whichever copy wins the
+    keep-first race, the aggregate is deterministic. Fresh checkpoint +
+    output dir per call (a reused availableNow checkpoint would see no
+    new files and publish nothing). Production unbounded streams bound
+    the dedup state with ``dropDuplicatesWithinWatermark``; the finite
+    drain here holds corpus-bounded state by construction."""
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_dup_{key}")
+    if not os.path.exists(os.path.join(stage, "_STAGED_OK")):
+        shutil.rmtree(stage, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").repartition(N_SHARDS)
+        ev.write.mode("overwrite").parquet(stage)
+        # second verbatim copy, distinct file names → 2×N_SHARDS files
+        ev.write.mode("append").parquet(stage)
+        with open(os.path.join(stage, "_STAGED_OK"), "w") as f:
+            f.write("ok")
+    static = spark.read.parquet(stage)
+    run_dir = tempfile.mkdtemp(prefix="db_loader_stream_dedup_run_")
+    out_dir = os.path.join(run_dir, "out")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .dropDuplicates(["event_id"])
+    )
+
+    def publish(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.option(
+            "checkpointLocation", os.path.join(run_dir, "ckpt")
+        )
+        .foreachBatch(publish)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    deduped = spark.read.parquet(os.path.join(out_dir, "epoch=*"))
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "t_stream_rollup": QuerySpec(
         t_stream_rollup,
         _STREAM_ROLLUP_ORACLE,
         "availableNow multi-batch streaming rollup ≡ batch (memory sink)",
+    ),
+    "t_stream_dedup": QuerySpec(
+        t_stream_dedup,
+        _STREAM_DEDUP_ORACLE,
+        "cross-batch streaming exactly-once dedup ≡ batch distinct",
     ),
 }

@@ -277,6 +277,75 @@ FROM a
 """.replace("{T}", _DUCK_TOKENS)
 
 
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical n-gram LM fluency score — the CCNet/KenLM-style
+    curation signal: score each doc by the mean log conditional
+    bigram likelihood ln(C(w1 w2)/C(w1)) under the corpus's own
+    counts. Gibberish (unseen-ish transitions between common words)
+    scores low; formulaic/repetitive text scores high — the standard
+    perplexity-filter axis, self-trained so it needs no external model.
+
+    Scale shape: the unigram and bigram count tables are Zipf-bounded
+    (vocab ≪ corpus; at 100 TB the bigram table is the big one — the
+    scoring join shuffles on the bigram key and is exactly the
+    hot-key-skew shape AQE's skew split handles, SCALE.md). One
+    explode, two count shuffles, one scoring join, one per-doc
+    aggregate. Counts are exact integers; only the final mean-of-logs
+    is FP, ROUNDed 4dp on both engines."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens(F.col("text")).alias("t")
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS w1, concat(t[i-1], ' ', t[i]) AS bg))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    )
+    uni = toks.select(F.explode("t").alias("w1")).groupBy("w1").agg(
+        F.count("*").alias("c_uni")
+    )
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    return (
+        bg.join(bgc, "bg")
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.log(F.col("c_bg") / F.col("c_uni"))) / F.count("*"), 4
+            ).alias("lm_score"),
+        )
+    )
+
+
+_LM_ORACLE = """
+WITH t AS (SELECT doc_id, {T} AS tokens FROM documents),
+uni AS (
+  SELECT tok AS w1, COUNT(*) AS c_uni
+  FROM (SELECT unnest(tokens) AS tok FROM t) GROUP BY 1
+),
+flat AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tokens)), i -> tokens[i])) AS w1,
+         unnest(list_transform(range(1, len(tokens)),
+                               i -> tokens[i] || ' ' || tokens[i+1])) AS bg
+  FROM t WHERE len(tokens) >= 2
+),
+bgc AS (SELECT bg, COUNT(*) AS c_bg FROM flat GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(LN(c_bg * 1.0 / c_uni)) / COUNT(*), 4) AS lm_score
+FROM flat JOIN bgc USING (bg) JOIN uni USING (w1)
+GROUP BY doc_id
+""".replace("{T}", _DUCK_TOKENS)
+
+
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF: top-3 most characteristic terms per document.
 
@@ -496,7 +565,12 @@ QUERIES: dict[str, QuerySpec] = {
     "text_kmv_vocab": QuerySpec(
         text_kmv_vocab,
         _KMV_ORACLE,
-        "per-language KMV distinct-count sketch vs exact (k=64)",
+        "per-language KMV distinct-count sketch vs exact (k=16)",
+    ),
+    "text_lm_score": QuerySpec(
+        text_lm_score,
+        _LM_ORACLE,
+        "self-trained bigram LM fluency score (perplexity-filter axis)",
     ),
     "text_tfidf_topterms": QuerySpec(
         text_tfidf_topterms, _TFIDF_ORACLE, "TF-IDF top terms per document"
