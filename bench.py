@@ -47,6 +47,7 @@ HEADLINE = [
     "text_quality_score",
     "text_repetition",
     "text_decontaminate",
+    "text_lm_score",
     "curation_shard_assign",
 ]
 
