@@ -292,9 +292,13 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, two count shuffles, one scoring join, one per-doc
     aggregate. Counts are exact integers; only the final mean-of-logs
     is FP, ROUNDed 4dp on both engines."""
-    toks = load_table(spark, sf_dir, "documents").select(
-        "doc_id", TX.tokens(F.col("text")).alias("t")
-    )
+    return lm_score_of(load_table(spark, sf_dir, "documents"))
+
+
+def lm_score_of(docs: DataFrame) -> DataFrame:
+    """Core of text_lm_score over any (doc_id, text) frame — also the
+    surface the property test pins against a pure-Python reference."""
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
     bg = (
         toks.filter(F.size("t") >= 2)
         .select(

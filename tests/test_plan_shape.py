@@ -268,6 +268,30 @@ def test_shard_assign_pure_scan_projection(plans):
         assert count_ops(s, op) == 0, op
 
 
+def test_lm_score_joins_stay_hash(plans):
+    """The bigram scoring join must never degenerate: equi-keys on
+    (bg) and (w1) drive hash/merge joins; count aggregates combine
+    map-side before their shuffles."""
+    s = plans("text_lm_score")
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert (
+        count_ops(s, "BroadcastHashJoin")
+        + count_ops(s, "SortMergeJoin")
+        + count_ops(s, "ShuffledHashJoin")
+        >= 2
+    )
+    assert count_ops(s, "HashAggregate") >= 4  # partial+final × count tables
+
+
+def test_kmv_single_window_no_joins(plans):
+    """KMV is distinct → one per-group window → aggregate: no join
+    anywhere, and exactly one Window node over the group key."""
+    s = plans("text_kmv_vocab")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert count_ops(s, op) == 0, op
+    assert count_ops(s, "Window") == 1
+
+
 def test_curation_select_no_extra_corpus_shuffle(plans):
     """Selection on top of components: the added window partitions by
     component_id (never a global window) and no nested-loop join."""
