@@ -35,17 +35,37 @@ from db_loader_spark.tables import load_table
 N_SHARDS = 4  # staged files → micro-batches (maxFilesPerTrigger=1)
 
 
+def _source_stamp(sf_dir: str) -> str:
+    """Size+mtime fingerprint of the source events table. Staged copies
+    are keyed on it: the driver has re-shipped testdata between rounds
+    before (r3), and a bare done-marker would keep serving the STALE
+    staged copy — a guaranteed hash mismatch against the fresh oracle."""
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def _stage_current(stage: str, stamp: str) -> bool:
+    try:
+        with open(os.path.join(stage, "_SOURCE_STAMP")) as f:
+            return f.read() == stamp
+    except OSError:
+        return False
+
+
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     """Stage events as N_SHARDS parquet files under the system temp dir
-    (keyed by sf_dir; reused across calls — staging is the table's
-    storage layout, not per-query work). The shards are what turns the
-    availableNow drain into a REAL multi-batch run."""
+    (keyed by sf_dir + source stamp; reused across calls — staging is
+    the table's storage layout, not per-query work). The shards are
+    what turns the availableNow drain into a REAL multi-batch run."""
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_stage_{key}")
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+    stamp = _source_stamp(sf_dir)
+    if not _stage_current(stage, stamp):
         load_table(spark, sf_dir, "events").repartition(N_SHARDS).write.mode(
             "overwrite"
         ).parquet(stage)
+        with open(os.path.join(stage, "_SOURCE_STAMP"), "w") as f:
+            f.write(stamp)
     return stage
 
 
@@ -106,18 +126,18 @@ def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup state with ``dropDuplicatesWithinWatermark``; the finite
     drain here holds corpus-bounded state by construction."""
     import shutil
-    import tempfile
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_dup_{key}")
-    if not os.path.exists(os.path.join(stage, "_STAGED_OK")):
+    stamp = _source_stamp(sf_dir)
+    if not _stage_current(stage, stamp):
         shutil.rmtree(stage, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events").repartition(N_SHARDS)
         ev.write.mode("overwrite").parquet(stage)
         # second verbatim copy, distinct file names → 2×N_SHARDS files
         ev.write.mode("append").parquet(stage)
-        with open(os.path.join(stage, "_STAGED_OK"), "w") as f:
-            f.write("ok")
+        with open(os.path.join(stage, "_SOURCE_STAMP"), "w") as f:
+            f.write(stamp)
     static = spark.read.parquet(stage)
     run_dir = tempfile.mkdtemp(prefix="db_loader_stream_dedup_run_")
     out_dir = os.path.join(run_dir, "out")

@@ -41,6 +41,27 @@ def test_stream_rollup_is_multi_batch_and_equals_batch(spark):
     assert got == {tuple(r) for r in batch.collect()}
 
 
+def test_staging_invalidated_on_source_change(spark, tmp_path):
+    """The staged shards are keyed on the SOURCE's size+mtime: when the
+    driver re-ships events.parquet (it did in r3), the next call
+    restages instead of serving the stale copy."""
+    import os
+    import shutil
+
+    from db_loader_spark.queries.streamingq import _staged_events
+
+    src = tmp_path / "sfdir"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "events.parquet")
+    stage = _staged_events(spark, str(src))
+    first_stamp = open(os.path.join(stage, "_SOURCE_STAMP")).read()
+    # simulate a re-shipped table: same path, new mtime
+    os.utime(src / "events.parquet")
+    stage2 = _staged_events(spark, str(src))
+    assert stage2 == stage
+    assert open(os.path.join(stage, "_SOURCE_STAMP")).read() != first_stamp
+
+
 def test_stream_rollup_registry_rerun_idempotent(spark):
     from db_loader_spark.queries import all_queries
 
