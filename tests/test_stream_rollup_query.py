@@ -62,6 +62,42 @@ def test_staging_invalidated_on_source_change(spark, tmp_path):
     assert open(os.path.join(stage, "_SOURCE_STAMP")).read() != first_stamp
 
 
+def test_stream_dedup_actually_removes_duplicates(spark):
+    """The staged input really is 2× the table (the dedup has work to
+    do), and the streamed output equals exactly one copy."""
+    from db_loader_spark.queries import all_queries
+    from db_loader_spark.queries.streamingq import _staged_events  # noqa: F401
+    import hashlib
+    import os
+    import tempfile
+
+    from db_loader_spark.tables import load_table
+
+    n_one = load_table(spark, SF, "events").count()
+    out = all_queries()["t_stream_dedup"].spark(spark, SF)
+    assert out.agg(F.sum("n_events")).first()[0] == n_one
+    key = hashlib.md5(os.path.abspath(SF).encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_dup_{key}")
+    assert spark.read.parquet(stage).count() == 2 * n_one
+
+
+def test_decontaminate_no_gate_path_matches(spark):
+    """broadcast_limit_bytes=None skips the sizing job entirely and
+    defers to autoBroadcastJoinThreshold — values identical."""
+    from db_loader_spark import cache
+    from db_loader_spark.functions.dedup import decontaminate
+    from db_loader_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    is_b = F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'")
+    gated = decontaminate(docs.filter(~is_b), docs.filter(is_b))
+    ungated = decontaminate(
+        docs.filter(~is_b), docs.filter(is_b), broadcast_limit_bytes=None
+    )
+    assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, ungated.collect()))
+    cache.release()
+
+
 def test_stream_rollup_registry_rerun_idempotent(spark):
     from db_loader_spark.queries import all_queries
 
