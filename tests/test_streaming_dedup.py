@@ -141,3 +141,58 @@ def test_stream_interval_join_subset_of_batch(spark, tmp_path):
     }
     assert expected == {("v1", "c1"), ("v2", "c2")}
     assert got == expected  # availableNow drains fully → equality here
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """The production bounded-state dedup mode (referenced by
+    t_stream_dedup's docstring): duplicates arriving within the
+    watermark delay are dropped, and — the part that bounds state at
+    100 TB — a key whose state the watermark has expired is ADMITTED
+    AGAIN. Four single-file micro-batches; eviction commits in the
+    spacer batch, so the re-arrival in the last batch re-emits."""
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    src = str(tmp_path / "wmk_src")
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write("f0", [(1, t(12))])
+    write("f1", [(1, t(12, 5)), (2, t(14))])  # in-watermark dupe + advance
+    write("f2", [(3, t(16))])  # spacer: id=1 state evicted at this commit
+    write("f3", [(1, t(17))])  # same key, fresh ts → re-admitted
+    for i, n in enumerate(["f0", "f1", "f2", "f3"]):
+        os.utime(os.path.join(src, n), (1000 + i, 1000 + i))  # listing order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wmk_bounded_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r["id"], str(r["ts"])) for r in spark.table("wmk_bounded_out").collect()
+    )
+    assert rows == [
+        (1, "2024-01-01 12:00:00"),  # first arrival kept
+        (1, "2024-01-01 17:00:00"),  # re-admitted after state eviction
+        (2, "2024-01-01 14:00:00"),
+        (3, "2024-01-01 16:00:00"),
+    ]  # and (1, 12:05) — the within-watermark duplicate — was dropped
