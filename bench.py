@@ -262,6 +262,53 @@ def _bench_compaction(spark, sf_dir: str, timings: dict[str, float]) -> None:
     )
 
 
+def _bench_sorted(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """A selective user_id slice over the SAME bytes in two layouts:
+    range-clustered (sinks/ddl.write_sorted — row-group min/max stats
+    become disjoint, so the pushed predicate skips whole groups) vs the
+    natural unsorted layout (every group spans the full domain; nothing
+    skips). Both written with 128 KB row groups so the bench table
+    holds many groups — production uses the 128 MB default and the
+    same ratio holds. Clustering is the layout decision for whatever
+    column dominates the predicates; footer-stat disjointness is
+    behaviorally pinned in tests/test_partitioned_layout.py."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from db_loader_spark.sinks.ddl import write_sorted
+    from db_loader_spark.tables import load_table
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stamp = _source_stamp(os.path.join(sf_dir, "events.parquet"))
+    srt = os.path.join(warehouse, "bench_events_sorted")
+    uns = os.path.join(warehouse, "bench_events_unsorted")
+    if not _layout_current(srt, stamp):
+        shutil.rmtree(srt, ignore_errors=True)
+        write_sorted(
+            load_table(spark, sf_dir, "events"), srt, "user_id",
+            row_group_bytes=128 * 1024,
+        )
+        _write_stamp(srt, stamp)
+    if not _layout_current(uns, stamp):
+        shutil.rmtree(uns, ignore_errors=True)
+        load_table(spark, sf_dir, "events").write.option(
+            "parquet.block.size", 128 * 1024
+        ).mode("overwrite").parquet(uns)
+        _write_stamp(uns, stamp)
+
+    def slice_of(path: str):
+        df = spark.read.parquet(path)
+        return df.filter((F.col("user_id") >= 10) & (F.col("user_id") < 15))
+
+    _time_agg_variants(
+        spark,
+        {"ev_value_sorted": slice_of(srt), "ev_value_unsorted": slice_of(uns)},
+        timings,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -313,6 +360,7 @@ def main() -> None:
     _bench_bucketed(spark, sf_dir, timings)
     _bench_partitioned(spark, sf_dir, timings)
     _bench_compaction(spark, sf_dir, timings)
+    _bench_sorted(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -129,6 +129,39 @@ def write_partitioned(
     keyed.write.format("parquet").mode(mode).partitionBy(part_col).save(path)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    mode: str = "overwrite",
+    row_group_bytes: int | None = None,
+) -> None:
+    """Range-clustered parquet layout: globally sort by the filter
+    column before writing, so every file (range-partitioned by the
+    sort) and every row group inside it covers a NARROW, disjoint
+    value range. Parquet stores per-row-group min/max statistics;
+    a selective predicate on the sort column then skips whole row
+    groups (and the footer check skips whole files) instead of
+    scanning everything — the one-dimension analogue of Z-ORDER
+    clustering, and the right layout for a column that dominates the
+    workload's predicates (user_id on events, orderkey on lineitem).
+
+    On an UNsorted layout the same statistics exist but are useless:
+    every row group's min/max spans the full domain, so nothing ever
+    skips — which is why clustering is a LAYOUT decision, not a reader
+    optimization. ``row_group_bytes`` shrinks the row-group size so
+    small test/bench tables still hold many groups; production leaves
+    the 128 MB default (a 100 TB table has ~10⁶ groups regardless).
+    Pruning is proven two ways: footer min/max disjointness
+    (tests/test_partitioned_layout.py reads the metadata directly)
+    and the measured scan delta (bench `ev_value_sorted` vs
+    `ev_value_unsorted`)."""
+    w = df.sort(sort_col).write.format("parquet").mode(mode)
+    if row_group_bytes:
+        w = w.option("parquet.block.size", row_group_bytes)
+    w.save(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,

@@ -167,6 +167,55 @@ def test_compact_parquet_splits_oversized_partition(spark, tmp_path):
     assert out.groupBy("day").count().where("day = 'hot'").first()["count"] == 200_000
 
 
+def test_write_sorted_rowgroup_stats_are_disjoint(spark, sf_dir, tmp_path):
+    """The clustering contract, read straight from the parquet footers:
+    after write_sorted, row-group min/max ranges on the sort column are
+    non-overlapping (each group covers a narrow slice — selective
+    predicates skip the rest); the unsorted layout's groups all span
+    ~the full domain and can never skip. Results identical."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from db_loader_spark.sinks.ddl import write_sorted
+
+    # sf0.1 + 128 KB groups: the smaller tables fit one row group,
+    # which can't demonstrate multi-group clustering
+    e = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "event_id", "user_id", "value"
+    )
+    s_path, u_path = str(tmp_path / "sorted"), str(tmp_path / "unsorted")
+    write_sorted(e, s_path, "user_id", row_group_bytes=128 * 1024)
+    e.write.option("parquet.block.size", 128 * 1024).parquet(u_path)
+
+    def ranges(path):
+        out = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                col = next(
+                    md.row_group(g).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(g).column(i).path_in_schema == "user_id"
+                )
+                out.append((col.statistics.min, col.statistics.max))
+        return out
+
+    sr = sorted(ranges(s_path))
+    assert len(sr) >= 3  # genuinely multiple row groups
+    # disjoint (allow shared boundary value where a user spans groups)
+    assert all(a[1] <= b[0] for a, b in zip(sr, sr[1:]))
+    ur = ranges(u_path)
+    domain = max(m for _, m in ur) - min(m for m, _ in ur)
+    # unsorted groups each span (almost) the whole domain
+    assert all((mx - mn) > 0.8 * domain for mn, mx in ur)
+    # identical contents
+    assert (
+        spark.read.parquet(s_path).orderBy("event_id").collect()
+        == spark.read.parquet(u_path).orderBy("event_id").collect()
+    )
+
+
 def test_write_partitioned_files_per_partition(spark, sf_dir, tmp_path):
     """The skewed-ingest escape hatch: files_per_partition=k spreads a
     partition over up to k salted writer tasks/files instead of
