@@ -1,18 +1,22 @@
-"""Skew-resistant aggregation: two-phase salted groupBy.
+"""Skew-resistant aggregation and joins: two-phase salted operators.
 
-When one group key carries a disproportionate share of rows (the
-power-law reality of user/document keys at 100 TB), a plain groupBy
-sends the whole hot key to one reducer. Salting splits each key into
-``n_salts`` sub-groups for the first (map-heavy) aggregation, then
-re-aggregates the tiny salted partials — the hot key's work spreads
-across ``n_salts`` tasks and the second shuffle carries only
-keys × n_salts rows.
+Scope — when salting an AGGREGATION actually matters. For algebraic
+aggregates (sum/count/min/max) Spark's map-side partial aggregation
+already defuses a hot group key: each map task emits ONE combined row
+per key before the shuffle, so the hot key's reducer receives at most
+``n_map_partitions`` rows no matter how many raw rows the key has.
+Salting buys nothing there. It matters when the partial-agg defense
+fails: aggregation state that grows with the group (``collect_list``/
+``collect_set``, exact percentile buffers), hash-aggregate spill
+fallback under huge per-partition key cardinality, or engines/paths
+without a combiner. ``salted_agg`` exists for those cases — and as
+the documented pattern — not as a blanket replacement for groupBy.
 
-Only associative-commutative aggregates (sum/count/min/max) decompose
-this way; avg = salted sum / salted count. AQE's skew-join splitting
-handles *join* skew automatically (session.py); this operator is the
-equivalent for aggregation, where AQE cannot help because the skew is
-inside a single group.
+AQE's skew-join splitting handles *join* skew automatically
+(session.py, measured head-to-head in SCALE.md — AQE first,
+``salted_join`` only where it cannot act); it does nothing for
+aggregation state, which is what the salted two-phase shape bounds:
+each salted sub-group's state is ~1/n_salts of the hot key's.
 """
 
 from __future__ import annotations
@@ -28,10 +32,14 @@ def salted_agg(
     count_alias: str | None = None,
     n_salts: int = 16,
     salt_src: Column | None = None,
+    collect_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """GroupBy ``keys`` with salted two-phase sum/count.
 
-    ``sum_cols`` maps input column → output alias. The default salt is
+    See the module docstring for when this beats a plain groupBy (state
+    -heavy aggregates / combiner-less paths — for plain sum/count the
+    built-in partial aggregation already handles hot keys). ``sum_cols``
+    maps input column → output alias. The default salt is
     row-position-based (``monotonically_increasing_id``), NOT value
     -based: a hot key whose rows all carry identical values would
     collapse a value hash into one salt bucket and silently defeat the
@@ -39,15 +47,29 @@ def salted_agg(
     over ``n_salts`` sub-groups; associative re-aggregation makes the
     result independent of which row got which salt — exactly a plain
     ``groupBy(keys).agg(sum…, count…)``.
+
+    ``collect_cols`` (input column → output alias) is the STATE-HEAVY
+    case the module docstring describes — the one where salting
+    actually beats a plain groupBy: per-(key, salt) partial
+    ``collect_list`` buffers hold ~1/n_salts of a hot key's rows, and
+    the final phase flattens the ≤ n_salts partial arrays. The result
+    array is ``sort_array``-ed so it is deterministic (a multiset
+    rendered canonically) regardless of salt routing.
     """
     if salt_src is None:
         salt_src = F.monotonically_increasing_id()
+    collect_cols = collect_cols or {}
     salted = df.withColumn("_salt", F.pmod(salt_src, F.lit(n_salts)))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[F.sum(c).alias(f"_s_{a}") for c, a in sum_cols.items()],
+        *[F.collect_list(c).alias(f"_l_{a}") for c, a in collect_cols.items()],
         F.count("*").alias("_n"),
     )
     final_aggs = [F.sum(f"_s_{a}").alias(a) for a in sum_cols.values()]
+    final_aggs += [
+        F.sort_array(F.flatten(F.collect_list(f"_l_{a}"))).alias(a)
+        for a in collect_cols.values()
+    ]
     if count_alias:
         final_aggs.append(F.sum("_n").alias(count_alias))
     return partial.groupBy(*keys).agg(*final_aggs)

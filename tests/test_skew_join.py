@@ -86,3 +86,22 @@ def test_salted_join_left_keeps_unmatched_once(spark):
     out = salted_join(fact, dim, "k", n_salts=4, how="left")
     assert out.count() == 100  # unmatched fact rows exactly once, not ×salts
     assert out.filter(F.col("d").isNull()).count() == fact.filter(F.col("k") >= 3).count()
+
+
+def test_salted_agg_collect_equals_plain(spark):
+    """The state-heavy variant: two-phase salted collect_list (partial
+    buffers hold ~1/n_salts of a hot key) equals a plain groupBy
+    collect, both rendered as sorted arrays."""
+    from db_loader_spark.operators.skew import salted_agg
+
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 5).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    salted = salted_agg(
+        df, ["k"], sum_cols={}, collect_cols={"v": "vals"}, n_salts=8
+    )
+    plain = df.groupBy("k").agg(F.sort_array(F.collect_list("v")).alias("vals"))
+    a = {r["k"]: r["vals"] for r in salted.collect()}
+    b = {r["k"]: r["vals"] for r in plain.collect()}
+    assert a == b
