@@ -25,6 +25,13 @@ query is single-threaded and drains what it tracked before returning,
 so entries never interleave across queries. Long-lived sessions that
 call the *functions* layer directly (bypassing the wrappers) can call
 :func:`release` at any point to drop everything tracked so far.
+
+Known wart, deliberate: a wrapper's drain releases EVERYTHING tracked
+at that moment — if a session tracks frames via the functions layer
+and then invokes a settling registry query before using them, its
+frames are unpersisted too. The consequence is recomputation, never a
+wrong result (persist is purely a performance marker); keeping the
+registry unkeyed is what makes the no-leak guarantee auditable.
 """
 
 from __future__ import annotations

@@ -196,3 +196,58 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
         (2, "2024-01-01 14:00:00"),
         (3, "2024-01-01 16:00:00"),
     ]  # and (1, 12:05) — the within-watermark duplicate — was dropped
+
+
+def test_chained_stateful_dedup_then_window_agg(spark, tmp_path):
+    """TWO stateful operators in one streaming query (Spark ≥ 3.4
+    append-mode chaining): dropDuplicatesWithinWatermark feeding a
+    windowed aggregate. Pins all the composition semantics at once:
+    the duplicate is removed BEFORE aggregation (12:00 window counts
+    it once), windows emit exactly once after the watermark passes
+    their end, and the still-open final window is NOT emitted."""
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "chain_src")
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write("f0", [(1, t(12, 10), 1.0), (2, t(12, 20), 2.0)])
+    write("f1", [(1, t(12, 10), 1.0), (3, t(13, 10), 3.0)])  # dupe + next hour
+    write("f2", [(4, t(16), 4.0)])  # advances watermark past both windows
+    for i, n in enumerate(["f0", "f1", "f2"]):
+        os.utime(os.path.join(src, n), (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["id"])
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("sv"))
+        .select(F.date_format("window.start", "HH:mm").alias("w"), "n", "sv")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chain_stateful_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(tuple(r) for r in spark.table("chain_stateful_out").collect())
+    # duplicate counted ONCE; 16:00 window still open → absent
+    assert rows == [("12:00", 2, 3.0), ("13:00", 1, 3.0)]
