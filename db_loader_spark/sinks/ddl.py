@@ -10,6 +10,8 @@ RDBMS.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -236,6 +238,53 @@ def compact_parquet(
         n = max(1, math.ceil(total / target_bytes))
         df.repartition(n).write.format("parquet").mode(mode).save(dst)
     return n
+
+
+def compact_partitions_if_needed(
+    spark: SparkSession,
+    root: str,
+    part_col: str,
+    max_files: int = 8,
+    target_mb: int = 128,
+) -> list[str]:
+    """The incremental maintenance loop a streaming ingest actually
+    runs: scan a hive layout's partition directories and rewrite ONLY
+    those whose file count exceeds ``max_files`` — healthy partitions
+    are not touched (no read, no write, files byte-identical), so the
+    cost is proportional to the debris, not the table. Returns the
+    partition values compacted.
+
+    Each rewritten partition lands via write-to-temp + rename: readers
+    either see the old files or the new ones. On a local/HDFS
+    filesystem the rename is atomic; object stores need the usual
+    manifest/commit layer on top (documented, not emulated here). At
+    100 TB this runs as a periodic job after availableNow drains; with
+    day-partitioned ingest only the most recent day ever needs work,
+    so the loop is O(one partition) per cycle.
+    """
+    import math
+    import shutil
+
+    compacted: list[str] = []
+    for name in sorted(os.listdir(root)):
+        pdir = os.path.join(root, name)
+        if not (name.startswith(f"{part_col}=") and os.path.isdir(pdir)):
+            continue
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        if len(files) <= max_files:
+            continue
+        pbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        n = max(1, math.ceil(pbytes / (target_mb * 1024 * 1024)))
+        tmp = pdir + "._compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.read.parquet(pdir).repartition(n).write.mode("overwrite").parquet(tmp)
+        old = pdir + "._compact_old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(pdir, old)
+        os.rename(tmp, pdir)
+        shutil.rmtree(old)
+        compacted.append(name.split("=", 1)[1])
+    return compacted
 
 
 def pruned_time_filter(

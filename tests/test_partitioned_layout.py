@@ -216,6 +216,44 @@ def test_write_sorted_rowgroup_stats_are_disjoint(spark, sf_dir, tmp_path):
     )
 
 
+def test_compact_partitions_if_needed_touches_only_debris(spark, tmp_path):
+    """The incremental maintenance loop: only the partition whose file
+    count exceeds the threshold is rewritten; the healthy partition's
+    files are byte-for-byte untouched (same names, same mtimes), and
+    contents are preserved everywhere."""
+    import os
+
+    from db_loader_spark.sinks.ddl import compact_partitions_if_needed
+
+    root = str(tmp_path / "layout")
+    healthy = spark.range(1000).select(F.lit("a").alias("day"), F.col("id"))
+    debris = spark.range(1000, 3000).select(F.lit("b").alias("day"), F.col("id"))
+    healthy.coalesce(1).write.partitionBy("day").parquet(root)
+    debris.repartition(20).write.mode("append").partitionBy("day").parquet(root)
+
+    def snapshot(day):
+        d = os.path.join(root, f"day={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_a, before_b = snapshot("a"), snapshot("b")
+    assert len(before_b) >= 16  # genuinely shattered
+
+    done = compact_partitions_if_needed(spark, root, "day", max_files=8)
+    assert done == ["b"]
+    assert snapshot("a") == before_a  # healthy partition untouched
+    after_b = snapshot("b")
+    assert len(after_b) == 1  # debris compacted to the byte-derived count
+    out = spark.read.parquet(root)
+    assert out.count() == 3000
+    assert out.filter(F.col("day") == "b").count() == 2000
+    # idempotent: a second pass finds nothing to do
+    assert compact_partitions_if_needed(spark, root, "day", max_files=8) == []
+
+
 def test_write_partitioned_files_per_partition(spark, sf_dir, tmp_path):
     """The skewed-ingest escape hatch: files_per_partition=k spreads a
     partition over up to k salted writer tasks/files instead of
