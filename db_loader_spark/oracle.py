@@ -30,6 +30,21 @@ class CompareResult:
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound DuckDB: its default memory limit is ~80% of system RAM and
+    # the heavy oracles (recursive-CTE closures, unrolled k-means,
+    # 64-vote SimHash pipelines) will happily use it — alongside the
+    # Spark JVM in the same process that intermittently exhausted the
+    # machine (observed: malloc failure mid-sweep). With an explicit
+    # limit + temp_directory DuckDB SPILLS instead of dying; fewer
+    # threads also shrinks peak concurrent allocation (the oracle is a
+    # correctness mirror, not a benchmark — slow is fine, dead is not).
+    import tempfile
+
+    spill = os.path.join(tempfile.gettempdir(), "duck_oracle_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute("SET memory_limit='16GB'")
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute("SET threads TO 8")
     for t in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
