@@ -20,27 +20,42 @@ are the settled result itself (a few rows) and deliberately long-lived
 indexes (the IVF serving index, which has its own keyed cache +
 eviction in queries.similarity).
 
-The registry is a plain list, not keyed: construction of one registry
-query is single-threaded and drains what it tracked before returning,
-so entries never interleave across queries. Long-lived sessions that
-call the *functions* layer directly (bypassing the wrappers) can call
-:func:`release` at any point to drop everything tracked so far.
+The registry is a THREAD-LOCAL list, not keyed: construction of one
+registry query is single-threaded and drains what it tracked before
+returning, so entries never interleave across queries on the same
+thread — and a threaded harness (e.g. a parallel bench) running
+queries on separate threads gets one registry per thread, so a
+concurrent wrapper's drain can no longer steal frames tracked by
+another in-flight query. Long-lived sessions that call the
+*functions* layer directly (bypassing the wrappers) can call
+:func:`release` at any point to drop everything tracked so far on the
+calling thread.
 
 Known wart, deliberate: a wrapper's drain releases EVERYTHING tracked
-at that moment — if a session tracks frames via the functions layer
-and then invokes a settling registry query before using them, its
-frames are unpersisted too. The consequence is recomputation, never a
-wrong result (persist is purely a performance marker); keeping the
-registry unkeyed is what makes the no-leak guarantee auditable.
+on its thread at that moment — if a session tracks frames via the
+functions layer and then invokes a settling registry query before
+using them, its frames are unpersisted too. The consequence is
+recomputation, never a wrong result (persist is purely a performance
+marker); keeping the registry unkeyed is what makes the no-leak
+guarantee auditable.
 """
 
 from __future__ import annotations
 
 import contextlib
+import threading
 
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+_TLS = threading.local()
+
+
+def _tracked() -> list[DataFrame]:
+    if not hasattr(_TLS, "tracked"):
+        _TLS.tracked = []
+    return _TLS.tracked
+
+
 _PLAN_ONLY = False
 
 
@@ -67,7 +82,7 @@ def track(df: DataFrame) -> DataFrame:
     if _PLAN_ONLY:
         return df
     df = df.persist()
-    _TRACKED.append(df)
+    _tracked().append(df)
     return df
 
 
@@ -77,7 +92,7 @@ def settle_drained(result: DataFrame, *extra: DataFrame) -> DataFrame:
     ``extra`` stage frames the wrapper persisted itself). No-op under
     :func:`plan_only`."""
     if _PLAN_ONLY:
-        _TRACKED.clear()
+        _tracked().clear()
         return result
     from db_loader_spark.queries import settle
 
@@ -88,8 +103,9 @@ def drain() -> tuple[DataFrame, ...]:
     """Hand the tracked frames to the caller (who unpersists them —
     usually by passing them to ``queries.settle``) and clear the
     registry."""
-    out = tuple(_TRACKED)
-    _TRACKED.clear()
+    reg = _tracked()
+    out = tuple(reg)
+    reg.clear()
     return out
 
 

@@ -42,7 +42,16 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
     spill = os.path.join(tempfile.gettempdir(), "duck_oracle_spill")
     os.makedirs(spill, exist_ok=True)
-    con.execute("SET memory_limit='16GB'")
+    # Relative cap: a hardcoded 16GB would RAISE DuckDB's limit above
+    # its default on small hosts (default is 80% of RAM). Take the
+    # smaller of 16GB and 40% of detected RAM so the bound always
+    # tightens, never loosens, next to the Spark JVM.
+    try:
+        ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        limit_gb = max(1, min(16, int(ram * 0.4 / 2**30)))
+    except (ValueError, OSError, AttributeError):
+        limit_gb = 4
+    con.execute(f"SET memory_limit='{limit_gb}GB'")
     con.execute(f"SET temp_directory='{spill}'")
     con.execute("SET threads TO 8")
     for t in TABLE_NAMES:

@@ -139,7 +139,14 @@ def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     output dir per call (a reused availableNow checkpoint would see no
     new files and publish nothing). Production unbounded streams bound
     the dedup state with ``dropDuplicatesWithinWatermark``; the finite
-    drain here holds corpus-bounded state by construction."""
+    drain here holds corpus-bounded state by construction.
+
+    PRECONDITION (asserted at staging time, not assumed): event_id is
+    unique in the SOURCE table. dropDuplicates(event_id) would also
+    collapse genuine source-side id collisions while the oracle counts
+    every row of one copy — a silent hash mismatch if testdata ever
+    ships duplicate ids. One count≡countDistinct check per (re)staging
+    turns that drift into a loud error naming the precondition."""
     import shutil
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
@@ -148,6 +155,17 @@ def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _stage_current(stage, stamp):
         shutil.rmtree(stage, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events").repartition(N_SHARDS)
+        uniq = ev.agg(
+            F.count("event_id").alias("n"),
+            F.countDistinct("event_id").alias("d"),
+        ).first()
+        if uniq["n"] != uniq["d"]:
+            raise ValueError(
+                "t_stream_dedup precondition violated: events.event_id is not "
+                f"unique in the source ({uniq['n']} rows, {uniq['d']} distinct). "
+                "The streamed dedup would collapse genuine source rows and "
+                "diverge from the batch oracle."
+            )
         ev.write.mode("overwrite").parquet(stage)
         # second verbatim copy, distinct file names → 2×N_SHARDS files
         ev.write.mode("append").parquet(stage)
@@ -180,16 +198,23 @@ def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    deduped = spark.read.parquet(os.path.join(out_dir, "epoch=*"))
-    return (
-        deduped.groupBy("event_type")
-        .agg(
+        deduped = spark.read.parquet(os.path.join(out_dir, "epoch=*"))
+        agg = deduped.groupBy("event_type").agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
-    )
+        # Materialize the (few-row) aggregate BEFORE deleting the run
+        # dir — the result must not lazily depend on files we are about
+        # to remove. One benign driver-side collect of ≤ |event_type|
+        # rows; the per-call checkpoint + epoch copies of events would
+        # otherwise accumulate unbounded /tmp debris across bench and
+        # driver runs.
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 _STREAM_DEDUP_ORACLE = """

@@ -254,9 +254,17 @@ def compact_partitions_if_needed(
     cost is proportional to the debris, not the table. Returns the
     partition values compacted.
 
-    Each rewritten partition lands via write-to-temp + rename: readers
-    either see the old files or the new ones. On a local/HDFS
-    filesystem the rename is atomic; object stores need the usual
+    Each rewritten partition lands via write-to-temp + two renames.
+    The swap is NOT atomic: a reader racing it can momentarily see the
+    partition absent (old moved aside, new not yet in place). What IS
+    guaranteed is that crash residue can never corrupt the table: both
+    the temp and the moved-aside dirs live under the dot-prefixed
+    ``root/.compact/`` staging dir, which Spark's hive partition
+    discovery ignores, so an interrupted run leaves invisible debris —
+    never a duplicate partition or a mangled partition value — and the
+    next invocation recovers it (restores a moved-aside partition whose
+    swap never completed, discards everything else). On a local/HDFS
+    filesystem each rename is atomic; object stores need the usual
     manifest/commit layer on top (documented, not emulated here). At
     100 TB this runs as a periodic job after availableNow drains; with
     day-partitioned ingest only the most recent day ever needs work,
@@ -264,6 +272,20 @@ def compact_partitions_if_needed(
     """
     import math
     import shutil
+
+    # Crash recovery: a prior interrupted run may have left residue in
+    # the (discovery-invisible) staging dir. "<name>.old" with no live
+    # partition dir = crash mid-swap → restore it; anything else
+    # (.tmp = incomplete rewrite, .old beside a live dir = crash just
+    # before cleanup) is safely discarded.
+    staging = os.path.join(root, ".compact")
+    if os.path.isdir(staging):
+        for res in os.listdir(staging):
+            if res.endswith(".old"):
+                orig = os.path.join(root, res[: -len(".old")])
+                if not os.path.exists(orig):
+                    os.rename(os.path.join(staging, res), orig)
+        shutil.rmtree(staging, ignore_errors=True)
 
     compacted: list[str] = []
     for name in sorted(os.listdir(root)):
@@ -275,15 +297,17 @@ def compact_partitions_if_needed(
             continue
         pbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
         n = max(1, math.ceil(pbytes / (target_mb * 1024 * 1024)))
-        tmp = pdir + "._compact_tmp"
+        os.makedirs(staging, exist_ok=True)
+        tmp = os.path.join(staging, name + ".tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         spark.read.parquet(pdir).repartition(n).write.mode("overwrite").parquet(tmp)
-        old = pdir + "._compact_old"
+        old = os.path.join(staging, name + ".old")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(pdir, old)
         os.rename(tmp, pdir)
         shutil.rmtree(old)
         compacted.append(name.split("=", 1)[1])
+    shutil.rmtree(staging, ignore_errors=True)
     return compacted
 
 

@@ -47,8 +47,8 @@ def test_registry_queries_release_tracked_caches(spark):
         assert df.count() >= 0, name
         results.append(df)
 
-    # wrappers drained everything the operators tracked
-    assert not cache._TRACKED
+    # wrappers drained everything the operators tracked (on this thread)
+    assert not cache._tracked()
     # releasing the caller-owned results + the intentional IVF index
     # leaves the cache EMPTY — i.e. nothing anonymous leaked
     for df in results:
@@ -91,6 +91,6 @@ def test_release_escape_hatch(spark):
     sig = D.simhash_bits(docs)
     pairs = D.simhash_near_pairs(sig)  # tracks the signature frame
     assert pairs.count() >= 0
-    assert len(cache._TRACKED) == 1
+    assert len(cache._tracked()) == 1
     assert cache.release() == 1
-    assert not cache._TRACKED
+    assert not cache._tracked()

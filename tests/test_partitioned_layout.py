@@ -254,6 +254,74 @@ def test_compact_partitions_if_needed_touches_only_debris(spark, tmp_path):
     assert compact_partitions_if_needed(spark, root, "day", max_files=8) == []
 
 
+def test_compact_crash_residue_is_invisible_and_recovered(spark, tmp_path):
+    """Crash-safety of the compaction swap: residue lives only under the
+    dot-prefixed .compact staging dir, so (1) partition discovery never
+    parses it as a real partition (no resurrected duplicates, no
+    corrupted partition values), and (2) the next invocation restores a
+    partition whose swap was interrupted mid-way."""
+    import os
+    import shutil
+
+    from db_loader_spark.sinks.ddl import compact_partitions_if_needed
+
+    root = str(tmp_path / "layout")
+    a = spark.range(2000).select(F.lit("a").alias("day"), F.col("id"))
+    b = spark.range(2000, 2500).select(F.lit("b").alias("day"), F.col("id"))
+    a.repartition(20).write.partitionBy("day").parquet(root)
+    b.coalesce(1).write.mode("append").partitionBy("day").parquet(root)
+
+    # Simulate the worst crash window: old moved aside, new not yet in
+    # place — day=a is absent and residue sits in .compact.
+    staging = os.path.join(root, ".compact")
+    os.makedirs(staging)
+    pdir = os.path.join(root, "day=a")
+    os.rename(pdir, os.path.join(staging, "day=a.old"))
+    shutil.copytree(
+        os.path.join(staging, "day=a.old"), os.path.join(staging, "day=a.tmp")
+    )
+
+    # (1) discovery ignores the residue entirely: no phantom partitions,
+    # no duplicate rows — only the healthy day=b is visible
+    mid = spark.read.parquet(root)
+    assert mid.count() == 500
+    assert [r[0] for r in mid.select("day").distinct().collect()] == ["b"]
+
+    # (2) recovery restores the moved-aside partition, then compacts it
+    done = compact_partitions_if_needed(spark, root, "day", max_files=8)
+    assert done == ["a"]
+    assert not os.path.exists(staging)
+    out = spark.read.parquet(root)
+    assert out.count() == 2500
+    assert out.filter(F.col("day") == "a").count() == 2000
+
+
+def test_cache_tracking_is_thread_local(spark):
+    """A concurrent wrapper's drain must not steal another thread's
+    tracked frames: each thread sees only its own registry."""
+    import threading
+
+    from db_loader_spark import cache
+
+    cache.release()
+    main_frame = cache.track(spark.range(10))
+    assert len(cache._tracked()) == 1
+    seen = {}
+
+    def other():
+        seen["before"] = len(cache._tracked())
+        cache.track(spark.range(5))
+        seen["drained"] = len(cache.drain())
+
+    t = threading.Thread(target=other)
+    t.start()
+    t.join()
+    assert seen == {"before": 0, "drained": 1}
+    # main thread's frame survived the other thread's drain
+    assert cache._tracked() == [main_frame]
+    assert cache.release() == 1
+
+
 def test_write_partitioned_files_per_partition(spark, sf_dir, tmp_path):
     """The skewed-ingest escape hatch: files_per_partition=k spreads a
     partition over up to k salted writer tasks/files instead of
