@@ -495,58 +495,61 @@ def simhash_bits(
 
     Each distinct token votes ±1 per bit position (from the first
     ``bits/4`` hex chars of md5(token)); the signature bit is 1 iff the
-    vote sum ≥ 0. 64 bits is the standard near-dup operating point
-    (Manku et al., WWW'07 used 64): enough signature entropy that
-    banding actually discriminates.
+    vote sum ≥ 0 — equivalently, iff at least half the tokens hash a 1
+    at that position (2·ones ≥ n). 64 bits is the standard near-dup
+    operating point (Manku et al., WWW'07 used 64): enough signature
+    entropy that banding actually discriminates.
 
-    Cost shape: the md5 hex is decoded to nibble integers ONCE in a
-    projection (16 instr+substring per token row); the ``bits`` vote
-    aggregates are then pure integer shift/mod arithmetic, and the band
-    values are integer sums of the vote signs — everything stays inside
-    whole-stage codegen with no per-bit string work (the r01 version
-    paid 64 string ops per row in the aggregate AND a 64-char-compare
-    Hamming in the join; integer bands make Hamming one
-    ``bit_count(a^b)`` per band). Token dedup runs INSIDE the row
-    (``array_distinct`` before the explode — the shingle_frame trick):
-    each doc's tokens live in its own array, so the per-doc distinct
-    the votes need costs a projection, not the corpus-wide (id, token)
-    exchange the r4 version shuffled. Same output rows (the (id, tok)
-    distinct IS per-doc distinct); oracle hash-matches unchanged."""
+    Cost shape — the whole signature is ONE shuffle-free projection.
+    Tokens stay inside their row (``array_distinct`` on the token
+    array = per-doc distinct with no corpus-wide exchange), each token
+    is hashed once into a packed ``bits``-bit integer, and the band
+    values are computed by nested higher-order ``aggregate`` lambdas
+    counting ``getbit`` ones per position — integer-only, JVM-side,
+    no explode, no groupBy. Earlier revisions exploded to (id, token)
+    rows and vote-aggregated 64 named columns back per doc: that paid
+    a corpus-wide hash aggregation (the r5 shape) and ~0.5 s of
+    driver-side Catalyst tree construction for the ~80-column plan
+    (the r5 bench decomposition); the packed form shrinks the tree to
+    ``n_bands`` expressions and removes the aggregation exchange
+    entirely. Docs with zero tokens are dropped (same as the exploded
+    form, where they produced no rows); duplicate ids are NOT merged —
+    the shingle_frame uniqueness precondition (see line ~71) applies.
+    Oracle hash-matches the nibble-decode formulation unchanged."""
     n_bands = bits // SIMHASH_BAND_BITS
-    tok = fan_out(docs).select(
+    toks = fan_out(docs).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
-    ).withColumn("hx", F.substring(F.md5("tok"), 1, bits // 4))
-    # nibble decode once per token row; vote aggregates are int-only
-    nibbles = tok.select(
-        "id",
-        *[
-            F.expr(
-                f"(instr('{HEX_DIGITS}', substring(hx, {i + 1}, 1)) - 1)"
-            ).alias(f"n{i}")
-            for i in range(bits // 4)
-        ],
-    )
-    vote_aggs = [
-        F.expr(
-            f"sum((FLOOR(n{p // 4} / {2 ** (3 - p % 4)}) % 2) * 2 - 1)"
-        ).alias(f"v{p}")
-        for p in range(bits)
-    ]
-    votes = nibbles.groupBy("id").agg(*vote_aggs)
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    # md5(token)'s first bits/4 hex chars as ONE packed integer,
+    # MSB-first (bit p of the signature = getbit(h, bits-1-p)).
+    # conv() handles ≤8 hex chars without overflow; wider widths pack
+    # two conv words with shiftleft — bit-exact even when the top bit
+    # sets the long's sign.
+    if bits <= 32:
+        packed = f"cast(conv(substring(md5(t), 1, {bits // 4}), 16, 10) as bigint)"
+    else:
+        lo_chars = bits // 4 - 8
+        packed = (
+            f"shiftleft(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint),"
+            f" {bits - 32})"
+            f" | cast(conv(substring(md5(t), 9, {lo_chars}), 16, 10) as bigint)"
+        )
+    hs = toks.select("id", F.expr(f"transform(toks, t -> {packed})").alias("hs"))
+    # One expression per band, each scanning hs once per of-this-band
+    # position: 16×|tokens| getbit adds per band, no shared
+    # intermediate for CollapseProject to duplicate.
     band_cols = [
         F.expr(
-            " + ".join(
-                f"(CASE WHEN v{b * SIMHASH_BAND_BITS + j} >= 0"
-                f" THEN {2 ** (SIMHASH_BAND_BITS - 1 - j)} ELSE 0 END)"
-                for j in range(SIMHASH_BAND_BITS)
-            )
-        )
-        .cast("long")
-        .alias(f"band{b}")
+            f"aggregate(sequence(0, {SIMHASH_BAND_BITS - 1}),"
+            f" cast(0 as bigint), (acc, j) -> acc * 2 +"
+            f" (CASE WHEN 2 * aggregate(hs, 0, (a, h) ->"
+            f" a + int(getbit(h, {bits - 1 - b * SIMHASH_BAND_BITS} - j)))"
+            f" >= size(hs) THEN 1 ELSE 0 END))"
+        ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    return votes.select("id", *band_cols)
+    return hs.select("id", *band_cols)
 
 
 def simhash_near_pairs(
