@@ -3,10 +3,12 @@
 The engine treats image/audio/video as ``binary`` columns with a typed
 metadata struct alongside. The Spark-side plumbing — schema, Arrow batch
 shape, mapInPandas signature, partition sizing — is real and tested, and
-two modalities are decoded END-TO-END with stdlib-only codecs:
-``decode_audio`` parses real RIFF/WAVE containers (``wave`` + ``struct``)
-and ``decode_image`` parses real 24-bpp BMP containers (``struct``).
-Formats needing external libs (JPEG/PNG/MP3/video) drop into the same
+three container formats are decoded END-TO-END with stdlib-only codecs:
+``decode_audio`` parses real RIFF/WAVE containers (``wave`` + ``struct``),
+``decode_image`` parses real 24-bpp BMP containers (``struct``), and
+``decode_png`` parses real non-interlaced RGB8 PNGs (``zlib`` +
+``struct``, full chunk/CRC walk + scanline unfiltering). Formats that
+genuinely need external libs (JPEG/MP3/video) drop into the same
 mapInPandas slots when a decoder import succeeds (``_HAS_IMAGE_LIB``);
 ``extract_features`` keeps the codec-free byte-level path.
 
@@ -306,6 +308,207 @@ def decode_image(df: DataFrame, binary_col: str = "payload") -> DataFrame:
             yield _pd.DataFrame(out)
 
     return df.mapInPandas(batch, schema=BMP_FEATURE_SCHEMA)
+
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, color_type int, "
+    "n_pixels int, sum_r long, sum_g long, sum_b long"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic 8-bit RGB PNG payloads built with ``struct`` +
+    ``zlib`` only — REAL PNGs (signature, IHDR, zlib-deflated IDAT with
+    per-scanline filter bytes, CRC32 per chunk, IEND). Dimensions and
+    pixels derive from (doc_id, text): w = 4 + doc_id%5,
+    h = 3 + len(text)%4, R = (5*doc_id + x + 2*y) % 256,
+    G = (doc_id + 7*x + 3*y) % 256, B = (2*doc_id + 3*x + 5*y) % 256.
+
+    Each scanline is FILTERED with type (doc_id + y) % 5, so across the
+    corpus every PNG filter (None/Sub/Up/Average/Paeth) is exercised and
+    the decoder's unfilter path is value-checked — a synth that always
+    wrote filter 0 would leave the hard 80% of the codec untested."""
+    import pandas as _pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        for pdf in batches:
+            payloads = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w = 4 + did % 5
+                h = 3 + len(txt) % 4
+                prior = bytes(3 * w)
+                raw_stream = bytearray()
+                for y in range(h):
+                    raw = bytes(
+                        v
+                        for x in range(w)
+                        for v in (
+                            (5 * did + x + 2 * y) % 256,
+                            (did + 7 * x + 3 * y) % 256,
+                            (2 * did + 3 * x + 5 * y) % 256,
+                        )
+                    )
+                    ft = (did + y) % 5
+                    filt = bytearray()
+                    for i, v in enumerate(raw):
+                        left = raw[i - 3] if i >= 3 else 0
+                        up = prior[i]
+                        ul = prior[i - 3] if i >= 3 else 0
+                        if ft == 0:
+                            f = v
+                        elif ft == 1:
+                            f = v - left
+                        elif ft == 2:
+                            f = v - up
+                        elif ft == 3:
+                            f = v - (left + up) // 2
+                        else:
+                            f = v - paeth(left, up, ul)
+                        filt.append(f % 256)
+                    raw_stream += bytes([ft]) + filt
+                    prior = raw
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                png = (
+                    _PNG_SIG
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(raw_stream)))
+                    + _png_chunk(b"IEND", b"")
+                )
+                payloads.append(png)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    sel = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return sel.mapInPandas(batch, schema="doc_id long, payload binary")
+
+
+def decode_png(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """REAL PNG decode (stdlib-only): signature check, chunk walk with
+    CRC32 verification, IHDR parse, IDAT concatenation + zlib inflate,
+    and full scanline UNFILTERING (None/Sub/Up/Average/Paeth per the
+    PNG spec, bpp=3) — then per-channel integer sums as image features.
+    Closes the 'PNG needs PIL' stub: non-interlaced 8-bit RGB
+    (color type 2) needs nothing beyond ``zlib`` + ``struct``.
+
+    Anything else — bad signature, CRC mismatch, other bit depths /
+    color types / interlacing, truncated or over-long pixel data — is
+    SKIPPED, not fatal: a corrupt blob must never kill a 100 TB job
+    (alert on the input-vs-output row delta). The unfilter loop is
+    per-byte Python, fine at thumbnail size; megapixel inputs would
+    vectorize Sub/Up/Average with numpy and keep only Paeth's
+    sequential carry in a loop — same mapInPandas slot either way."""
+    import pandas as _pd
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        cols = (
+            "doc_id", "width", "height", "bit_depth", "color_type",
+            "n_pixels", "sum_r", "sum_g", "sum_b",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    buf = bytes(payload)
+                    if buf[:8] != _PNG_SIG:
+                        continue
+                    pos, ihdr, idat, ok = 8, None, bytearray(), True
+                    while pos + 8 <= len(buf):
+                        (length,) = struct.unpack_from(">I", buf, pos)
+                        ctype = buf[pos + 4 : pos + 8]
+                        data = buf[pos + 8 : pos + 8 + length]
+                        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+                        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                            ok = False
+                            break
+                        if ctype == b"IHDR":
+                            ihdr = struct.unpack(">IIBBBBB", data)
+                        elif ctype == b"IDAT":
+                            idat += data
+                        elif ctype == b"IEND":
+                            break
+                        pos += 12 + length
+                    if not ok or ihdr is None:
+                        continue
+                    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+                    if (depth, ctype_n, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                        continue  # only non-interlaced RGB8
+                    stream = zlib.decompress(bytes(idat))
+                    if len(stream) != h * (1 + 3 * w):
+                        continue  # truncated / over-long pixel data
+                    sum_r = sum_g = sum_b = 0
+                    prior = bytes(3 * w)
+                    for y in range(h):
+                        base = y * (1 + 3 * w)
+                        ft = stream[base]
+                        if ft > 4:
+                            raise ValueError("bad filter type")
+                        line = stream[base + 1 : base + 1 + 3 * w]
+                        raw = bytearray()
+                        for i, v in enumerate(line):
+                            left = raw[i - 3] if i >= 3 else 0
+                            up = prior[i]
+                            ul = prior[i - 3] if i >= 3 else 0
+                            if ft == 1:
+                                v += left
+                            elif ft == 2:
+                                v += up
+                            elif ft == 3:
+                                v += (left + up) // 2
+                            elif ft == 4:
+                                v += paeth(left, up, ul)
+                            raw.append(v % 256)
+                        sum_r += sum(raw[0::3])
+                        sum_g += sum(raw[1::3])
+                        sum_b += sum(raw[2::3])
+                        prior = bytes(raw)
+                except Exception:  # noqa: BLE001 — corrupt blob: skip row
+                    continue
+                out["doc_id"].append(int(did))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(depth)
+                out["color_type"].append(ctype_n)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(sum_r)
+                out["sum_g"].append(sum_g)
+                out["sum_b"].append(sum_b)
+            yield _pd.DataFrame(out)
+
+    return df.mapInPandas(batch, schema=PNG_FEATURE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, binary_col: str = "payload", every_n: int = 10) -> DataFrame:

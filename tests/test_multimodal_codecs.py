@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from db_loader_spark.functions.multimodal import (
     decode_audio,
     decode_image,
+    decode_png,
     synth_bmp,
+    synth_png,
     synth_wav,
 )
 
@@ -119,4 +121,87 @@ def test_bmp_decode_skips_corrupt_and_unsupported(spark):
         "doc_id long, payload binary",
     )
     out = decode_image(mixed).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_png_payloads_are_real_pngs_with_all_filters(spark):
+    """The synthesized PNGs must be structurally genuine — signature,
+    chunk lengths, valid CRC32s — and a ≥5-row image (doc_id=0 so
+    filter type = y % 5) uses every PNG filter type across scanlines."""
+    import zlib
+
+    # len(text) % 4 == 2 -> h = 5: filters 0..4 all appear
+    payloads = synth_png(_docs(spark, [(0, "abcdef")])).collect()
+    buf = bytes(payloads[0].payload)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks, idat = 8, [], b""
+    while pos < len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        assert zlib.crc32(ctype + data) & 0xFFFFFFFF == crc
+        chunks.append(ctype)
+        if ctype == b"IDAT":
+            idat += data
+        pos += 12 + length
+    assert chunks == [b"IHDR", b"IDAT", b"IEND"]
+    w, h = 4, 5
+    stream = zlib.decompress(idat)
+    assert len(stream) == h * (1 + 3 * w)
+    filters = [stream[y * (1 + 3 * w)] for y in range(h)]
+    assert sorted(filters) == [0, 1, 2, 3, 4]
+
+
+def test_png_decode_features_match_python_reference(spark):
+    """Round trip through ALL filter types must reproduce the exact
+    pixel formulas — this is the unfilter arithmetic under value check."""
+    rows = [(0, "abcdef"), (3, "x"), (11, "every filter, other phase")]
+    feats = {r.doc_id: r for r in decode_png(synth_png(_docs(spark, rows))).collect()}
+    assert len(feats) == len(rows)
+    for did, txt in rows:
+        w, h = 4 + did % 5, 3 + len(txt) % 4
+        r = feats[did]
+        assert (r.width, r.height, r.bit_depth, r.color_type, r.n_pixels) == (
+            w, h, 8, 2, w * h,
+        )
+        assert r.sum_r == sum(
+            (5 * did + x + 2 * y) % 256 for x in range(w) for y in range(h)
+        )
+        assert r.sum_g == sum(
+            (did + 7 * x + 3 * y) % 256 for x in range(w) for y in range(h)
+        )
+        assert r.sum_b == sum(
+            (2 * did + 3 * x + 5 * y) % 256 for x in range(w) for y in range(h)
+        )
+
+
+def test_png_decode_skips_corrupt_and_unsupported(spark):
+    good = bytes(synth_png(_docs(spark, [(1, "ok")])).collect()[0].payload)
+    # corrupt one IDAT byte -> CRC mismatch must skip, not crash
+    bad_crc = bytearray(good)
+    bad_crc[len(good) - 20] ^= 0xFF
+    # valid chunks but grayscale color type (unsupported): rebuild IHDR
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    gray = (
+        good[:8]
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + good[8 + 12 + 13 :]
+    )
+    mixed = spark.createDataFrame(
+        [
+            (1, good),
+            (2, b"\x89PNG\r\n\x1a\nnot really"),
+            (3, bytes(bad_crc)),
+            (4, gray),
+            (5, b"GIF89a"),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = decode_png(mixed).collect()
     assert [r.doc_id for r in out] == [1]
