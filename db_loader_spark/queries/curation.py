@@ -133,7 +133,198 @@ FROM s GROUP BY shard_id
 """
 
 
+def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one DataFrame program — the
+    production shape of the LLM-data layer, composing the individually
+    verified stages end-to-end (every interface, cache lifetime, and
+    id-uniqueness precondition under ONE plan):
+
+      0. benchmark split: md5-bucket '0' ≈ 1/16 of docs is the held-out
+         eval set (same idiom as text_decontaminate / a_hash_sample);
+      1. exact dedup: keep MIN(doc_id) per md5(text);
+      2. near-dup canonical selection: MinHash/LSH pairs (est_sim ≥
+         0.5, threshold inside the band join) → connected components →
+         keep the best-quality doc per cluster (quality DESC, doc_id);
+      3. decontamination: drop survivors whose 3-gram overlap with the
+         benchmark split reaches contamination ≥ 0.2 (measured-broadcast
+         eval side; the fraction gate, not any-hit — on this synthetic
+         corpus every doc shares ~10% of trigrams incidentally, and a
+         real pipeline likewise audits the fraction rather than nuking
+         the corpus on single-shingle collisions);
+      4. quality gate: ROUND(score, 4) ≥ 0.3;
+      5. context packing: greedy per-lang token-budget bins.
+
+    Returns the packed-bin report (lang, bin_id, n_docs, total_tokens)
+    — the rows that actually ship to training. The analog of the
+    reference's end-to-end orchestrator
+    (scripts/load_csv_to_cloud.sh:107-149), which chains
+    scan→dedup→load the same way.
+
+    Scale shape: ONE persisted corpus frame (s1) feeds signatures,
+    quality, and the survivor anti-joins; every drop list (near-dup
+    losers, contaminated ids) is cluster/overlap-sized — tiny relative
+    to the corpus — so the anti-joins broadcast; the only corpus-wide
+    exchanges are the signature groupBy, the per-doc-id aggregate in
+    decontaminate, and the final per-lang packing window. The settle
+    epilogue releases s1 plus every operator-tracked cache
+    (decontaminate's eval shingles) once the small bin report is
+    materialized."""
+    from db_loader_spark.functions import dedup as D
+    from db_loader_spark.functions import text as TX
+    from db_loader_spark.queries.textops import PACK_BUDGET
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'")
+    bench = docs.filter(is_bench)
+    corpus = docs.filter(~is_bench)
+
+    # stage 1: exact dedup (reuse the operator, same keep policy)
+    keep1 = D.exact_duplicates(corpus).select(F.col("keep_id").alias("doc_id"))
+    s1 = corpus.join(keep1, "doc_id", "left_semi").persist()
+
+    # stage 2: near-dup components + quality-weighted canonical select
+    sig = D.minhash_signatures(s1, num_hashes=8)
+    pairs = D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2, min_est_sim=0.5)
+    comps = D.connected_components(pairs)
+    qual = s1.select(
+        "doc_id",
+        F.round(TX.quality_score_of(TX.tokens(F.col("text"))), 4).alias("quality"),
+    )
+    w = W.partitionBy("component_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    drop2 = (
+        comps.join(qual, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") > 1)
+        .select("doc_id")
+    )
+    s2 = s1.join(drop2, "doc_id", "left_anti")
+
+    # stage 3: benchmark decontamination (drop by contamination fraction)
+    flagged = (
+        D.decontaminate(s2, bench, n=3)
+        .filter(F.col("contamination") >= 0.2)
+        .select("doc_id")
+    )
+    s3 = s2.join(flagged, "doc_id", "left_anti")
+
+    # stage 4: quality gate
+    s4 = s3.join(
+        qual.filter(F.col("quality") >= 0.3).select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # stage 5: greedy per-lang context packing (same formulation as
+    # text_pack_bins: bin = floor(cum_tokens_before / budget))
+    toksed = s4.select(
+        "doc_id", "lang", TX.token_count(F.col("text")).alias("n_tok")
+    )
+    pw = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = toksed.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tok").over(pw) - F.col("n_tok")) / PACK_BUDGET).cast("long"),
+    )
+    report = packed.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    from db_loader_spark import cache
+
+    return cache.settle_drained(report, s1)
+
+
+def _curation_e2e_oracle() -> str:
+    """CTE chain mirroring every stage. Re-rooting trick: MinHash
+    signatures and shingles are doc-local, so pairs over the deduped
+    corpus s1 = the full-table pairs oracle filtered to s1 endpoints —
+    the composed oracle reuses the verified _MINHASH_ORACLE /
+    _QUALITY_ORACLE strings instead of restating their algebra."""
+    from db_loader_spark.queries.dedup import _duck_shingles, _MINHASH_ORACLE
+    from db_loader_spark.queries.textops import _QUALITY_ORACLE, PACK_BUDGET
+
+    return f"""
+WITH RECURSIVE
+bench AS (
+  SELECT * FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+),
+corpus AS (
+  SELECT * FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+),
+keep1 AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+s1 AS (SELECT c.* FROM corpus c JOIN keep1 USING (doc_id)),
+pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) q
+  WHERE est_sim >= 0.5
+    AND doc_a IN (SELECT doc_id FROM s1)
+    AND doc_b IN (SELECT doc_id FROM s1)
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+),
+comp AS (SELECT id AS doc_id, MIN(lab) AS component_id FROM reach GROUP BY id),
+qual AS (
+  SELECT q.doc_id, q.quality FROM ({_QUALITY_ORACLE}) q
+  JOIN s1 ON q.doc_id = s1.doc_id
+),
+ranked AS (
+  SELECT c.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY qual.quality DESC, c.doc_id) AS rk
+  FROM comp c JOIN qual ON c.doc_id = qual.doc_id
+),
+s2 AS (
+  SELECT * FROM s1
+  WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+),
+corp_sh AS ({_duck_shingles('s2')}),
+bench_sh AS (SELECT DISTINCT shingle FROM ({_duck_shingles('bench')}) b),
+flagged AS (
+  SELECT id AS doc_id FROM (
+    SELECT cs.id, COUNT(*) AS n_shingles,
+           SUM(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+    FROM corp_sh cs LEFT JOIN bench_sh bs USING (shingle)
+    GROUP BY cs.id
+  ) h
+  WHERE n_hits > 0
+    AND ROUND(CAST(n_hits AS DOUBLE) / n_shingles, 4) >= 0.2
+),
+s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+s4 AS (
+  SELECT s3.* FROM s3 JOIN qual ON s3.doc_id = qual.doc_id
+  WHERE qual.quality >= 0.3
+),
+t AS (SELECT doc_id, lang, CAST(len({_DUCK_TOKENS}) AS INT) AS n_tok FROM s4),
+packed AS (
+  SELECT lang,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+         n_tok
+  FROM t
+)
+SELECT lang, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM packed GROUP BY lang, bin_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "curation_e2e": QuerySpec(
+        curation_e2e,
+        _curation_e2e_oracle(),
+        "full pipeline: dedup -> components -> select -> decontaminate "
+        "-> quality -> pack, one plan",
+    ),
     "curation_select": QuerySpec(
         curation_select,
         _curation_select_oracle(),

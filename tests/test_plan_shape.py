@@ -298,3 +298,22 @@ def test_curation_select_no_extra_corpus_shuffle(plans):
     s = plans("curation_select")
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
     assert count_ops(s, "Window") >= 1
+
+
+def test_curation_e2e_bounded_exchanges_no_slow_paths(plans):
+    """The composed pipeline's scale contract: six stages (exact dedup,
+    components+select, decontaminate, quality gate, packing) in ONE
+    plan with a bounded shuffle budget — growth here means a stage
+    stopped reusing the persisted corpus frame or a drop-list join
+    stopped broadcasting. No cartesian/nested-loop joins, no Python
+    UDFs, and every window is key-partitioned (component_id / lang),
+    never global."""
+    s = plans("curation_e2e")
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    # measured 14 shuffles + 7 broadcasts at composition time; small
+    # headroom for planner jitter, hard stop before runaway growth
+    assert count_ops(s, "Exchange") <= 16, s
+    assert count_ops(s, "BroadcastExchange") >= 3, s
+    # component-select window + pack window (+ canonical-rank reuse)
+    assert 1 <= count_ops(s, "Window") <= 4, s
