@@ -235,6 +235,87 @@ def tuned_band_size(
     return num_hashes
 
 
+def _banded(signatures: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """Explode a signature frame into (id, h*, band_idx, band_key) rows —
+    the shared banding step of the self-join and incremental LSH paths.
+    The full signature rides along so est_sim comes straight off the
+    joined rows (no join back to the signature frame)."""
+    n_bands = num_hashes // band_size
+    sig_cols = [f"h{i}" for i in range(num_hashes)]
+    band_structs = ", ".join(
+        "struct({b} AS band_idx, concat_ws('|', {keys}) AS band_key)".format(
+            b=b,
+            keys=", ".join(f"h{b * band_size + j}" for j in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+    bands = F.expr(f"array({band_structs})")
+    return signatures.select(
+        "id", *sig_cols, F.explode(bands).alias("band")
+    ).select(
+        "id",
+        *sig_cols,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
+def lsh_pairs_against(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    min_est_sim: float | None = None,
+) -> DataFrame:
+    """Incremental LSH: candidate pairs between NEW docs and an existing
+    corpus signature table — the ingest-time shape of near-dup detection
+    at 100 TB, where signatures are MAINTAINED (one upsert per arriving
+    batch) and each batch joins only its own docs against the index,
+    instead of re-running the full self-join per query.
+
+    Stream ≡ batch theorem this enables: if every doc appears in
+    exactly one batch and ``corpus_sigs`` is the accumulated index
+    INCLUDING the current batch, then the union over batches of these
+    incremental pairs equals :func:`lsh_candidate_pairs` over the whole
+    corpus — each qualifying pair is emitted exactly once, by the batch
+    in which its LATER member arrives (both-new pairs by their shared
+    batch; the (least, greatest) normalization makes arrival order
+    irrelevant to the output). Verified end-to-end by the
+    ``t_stream_signatures`` registry query and
+    tests/test_streaming_signatures.py.
+
+    Scale shape: same banded equi-join as the self-join path — only
+    same-band collisions shuffle, and the new side is batch-sized, so
+    per-batch cost is |batch| × collision-rate, not |corpus|²; with a
+    bucketed/partitioned signature table the corpus side's shuffle is
+    layout-reusable. ``min_est_sim`` stays a residual predicate inside
+    the join."""
+    a = _banded(new_sigs, num_hashes, band_size).alias("a")
+    b = _banded(corpus_sigs, num_hashes, band_size).alias("b")
+    matches = F.expr(
+        " + ".join(
+            f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+        )
+    )
+    est_sim = F.round(matches.cast("double") / num_hashes, 4)
+    cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") != F.col("b.id"))
+    )
+    if min_est_sim is not None:
+        cond = cond & (est_sim >= min_est_sim)
+    return (
+        a.join(b, cond)
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("doc_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("doc_b"),
+            est_sim.alias("est_sim"),
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 8,
@@ -278,22 +359,7 @@ def lsh_candidate_pairs(
     if band_size is None:
         # Self-tuning banding: measure, then pick (see tuned_band_size).
         band_size = tuned_band_size(signatures, num_hashes)
-    n_bands = num_hashes // band_size
-    sig_cols = [f"h{i}" for i in range(num_hashes)]
-    band_structs = ", ".join(
-        "struct({b} AS band_idx, concat_ws('|', {keys}) AS band_key)".format(
-            b=b,
-            keys=", ".join(f"h{b * band_size + j}" for j in range(band_size)),
-        )
-        for b in range(n_bands)
-    )
-    bands = F.expr(f"array({band_structs})")
-    banded = signatures.select("id", *sig_cols, F.explode(bands).alias("band")).select(
-        "id",
-        *sig_cols,
-        F.col("band.band_idx").alias("band_idx"),
-        F.col("band.band_key").alias("band_key"),
-    )
+    banded = _banded(signatures, num_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     matches = F.expr(
