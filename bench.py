@@ -309,6 +309,123 @@ def _bench_sorted(spark, sf_dir: str, timings: dict[str, float]) -> None:
     )
 
 
+def _bench_runtime_filters(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """Join-driven pruning pairs over the derived layouts — the
+    completion of the literal-bound layout benches: a star query whose
+    selective predicate lives on the DIMENSION.
+
+    ev_join_dpp_on/off: the 3-day slice expressed as a date-dim join
+    over the partitioned layout, with dynamic partition pruning enabled
+    vs disabled — on, the fact scan receives a runtime
+    dynamicpruningexpression and lists 4 of 30 date dirs; off, it scans
+    all 30 (plan pinned in tests/test_partitioned_layout.py).
+
+    ev_join_bloom_on/off: a 1-in-20-users dim join under forced
+    shuffle join (neither fact side broadcasts at 100 TB), with the
+    runtime bloom filter enabled vs disabled — on, the fact side is
+    semi-filtered BEFORE its exchange (~5% of rows shuffle instead of
+    100%). Honest local reading: ON measures SLOWER here (≈0.54 s vs
+    0.31 s at sf0.1) — the bloom build is an extra subquery stage and
+    the 'saved' shuffle of a one-file table costs ~nothing locally, so
+    the overhead dominates. What scales is the shuffle-volume term the
+    local run can't see: at 100 TB the un-filtered arm shuffles the
+    whole fact table across the cluster network while the bloom arm
+    ships ~5%, and the build cost stays dim-sized. Same honest-pair
+    framing as the salted-vs-AQE rows (operators/skew.py): the pair
+    documents when the knob pays, not that it always does."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from db_loader_spark.sinks.ddl import slice_tag_dim
+    from db_loader_spark.tables import load_table
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    fact_path = os.path.join(warehouse, "bench_events_by_date")  # _bench_partitioned built it
+    stamp = _source_stamp(os.path.join(sf_dir, "events.parquet"))
+    ddim_path = os.path.join(warehouse, "bench_date_dim")
+    udim_path = os.path.join(warehouse, "bench_user_dim")
+    fact = spark.read.parquet(fact_path)
+    start, end = "2024-01-10", "2024-01-13"
+    if not _layout_current(ddim_path, stamp):
+        shutil.rmtree(ddim_path, ignore_errors=True)
+        slice_tag_dim(
+            fact,
+            F.col("event_date"),
+            "event_date",
+            (F.col("event_date") >= F.lit(start)) & (F.col("event_date") < F.lit(end)),
+        ).write.parquet(ddim_path)
+        _write_stamp(ddim_path, stamp)
+    if not _layout_current(udim_path, stamp):
+        shutil.rmtree(udim_path, ignore_errors=True)
+        slice_tag_dim(
+            load_table(spark, sf_dir, "events"),
+            F.col("user_id"),
+            "user_id",
+            F.col("user_id") % 20 == 0,
+        ).write.parquet(udim_path)
+        _write_stamp(udim_path, stamp)
+
+    def dpp_query():
+        dim = spark.read.parquet(ddim_path).filter(F.col("tag") == "pick")
+        return (
+            fact.join(dim, "event_date")
+            .groupBy("event_type")
+            .agg(F.round(F.sum("value"), 2).alias("v"))
+        )
+
+    def bloom_query():
+        ev = load_table(spark, sf_dir, "events")
+        dim = spark.read.parquet(udim_path).filter(F.col("tag") == "pick")
+        return (
+            ev.join(dim, "user_id")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+
+    arms = [
+        ("ev_join_dpp_on", dpp_query, {}),
+        (
+            "ev_join_dpp_off",
+            dpp_query,
+            {"spark.sql.optimizer.dynamicPartitionPruning.enabled": "false"},
+        ),
+        (
+            "ev_join_bloom_on",
+            bloom_query,
+            {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            },
+        ),
+        (
+            "ev_join_bloom_off",
+            bloom_query,
+            {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
+            },
+        ),
+    ]
+    for name, make, confs in arms:
+        prev = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            make().count()  # warm
+            spark._jvm.System.gc()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                assert make().count() >= 0
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -361,6 +478,7 @@ def main() -> None:
     _bench_partitioned(spark, sf_dir, timings)
     _bench_compaction(spark, sf_dir, timings)
     _bench_sorted(spark, sf_dir, timings)
+    _bench_runtime_filters(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -311,6 +311,39 @@ def compact_partitions_if_needed(
     return compacted
 
 
+def slice_tag_dim(
+    df: DataFrame,
+    key_expr: Column,
+    key_col: str,
+    pick: Column,
+    tag_col: str = "tag",
+) -> DataFrame:
+    """Derived dimension for JOIN-DRIVEN pruning: distinct join-key
+    values tagged 'pick'/'skip' by the ``pick`` predicate. Filtering
+    the dim on ``tag = 'pick'`` and joining the fact on ``key_col``
+    lets Spark's runtime filters prune the FACT side — dynamic
+    partition pruning when the key is the fact's hive partition column
+    (the scan gains a ``dynamicpruningexpression`` PartitionFilter and
+    never lists the excluded directories), and a runtime bloom filter
+    on a shuffle join (the fact side is semi-filtered before its
+    exchange). This is how a star query prunes at 100 TB when the
+    selective predicate lives on the dimension, where literal-bound
+    layouts (partition dirs, row-group stats) can't see it.
+
+    Heuristic gotcha this encodes (cost a probe session an hour): the
+    tag must be matched with a real comparison on a non-boolean column.
+    Catalyst folds ``flag = true`` to the bare attribute ``flag``, and
+    ``isLikelySelective`` — the gate both PartitionPruning and
+    InjectRuntimeFilter apply to the dimension's predicate — accepts
+    comparisons/IN/LIKE but NOT a bare attribute reference, so a
+    boolean flag column silently disables every runtime filter."""
+    return (
+        df.select(key_expr.alias(key_col))
+        .distinct()
+        .withColumn(tag_col, F.when(pick, F.lit("pick")).otherwise(F.lit("skip")))
+    )
+
+
 def pruned_time_filter(
     df: DataFrame,
     ts_col: str,

@@ -337,3 +337,75 @@ def test_write_partitioned_files_per_partition(spark, sf_dir, tmp_path):
     assert max(per_dir.values()) <= 3
     assert max(per_dir.values()) >= 2  # some day actually fanned out
     assert out.count() == e.count()
+
+
+def test_dynamic_partition_pruning_fires_on_dim_join(spark, sf_dir, part_events):
+    """Join-driven pruning over the partitioned layout: a star query
+    whose selective predicate lives on the DIMENSION still prunes the
+    fact's date directories — the scan carries a runtime
+    dynamicpruningexpression PartitionFilter, and results equal the
+    literal-bound pruned filter. This is what a literal-only partition
+    layout can't do and a 100x scale-up needs."""
+    from db_loader_spark.sinks.ddl import slice_tag_dim
+
+    fact = spark.read.parquet(part_events)
+    dim = slice_tag_dim(
+        fact,
+        F.col("event_date"),
+        "event_date",
+        (F.col("event_date") >= F.lit(START)) & (F.col("event_date") < F.lit(END)),
+    )
+    joined = (
+        fact.join(dim.filter(F.col("tag") == "pick"), "event_date")
+        .groupBy("event_type")
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    plan = _fmt(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    static = (
+        fact.filter((F.col("event_date") >= F.lit(START)) & (F.col("event_date") < F.lit(END)))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, static.collect()))
+
+
+def test_bloom_runtime_filter_semi_filters_shuffle_join(spark, sf_dir):
+    """Runtime bloom filter on a forced shuffle join: the selective dim
+    predicate semi-filters the fact side BEFORE its exchange
+    (might_contain appears on the fact scan's filter), and results are
+    unchanged with the filter disabled. The shuffle-volume reducer for
+    fact-to-dim joins too big to broadcast."""
+    from db_loader_spark.sinks.ddl import slice_tag_dim
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = slice_tag_dim(ev, F.col("user_id"), "user_id", F.col("user_id") % 20 == 0)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = (
+            ev.join(dim.filter(F.col("tag") == "pick"), "user_id")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _fmt(joined)
+        assert "might_contain" in plan, plan
+        with_bloom = sorted(map(tuple, joined.collect()))
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        joined_off = (
+            ev.join(dim.filter(F.col("tag") == "pick"), "user_id")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        plan_off = _fmt(joined_off)
+        assert "might_contain" not in plan_off
+        assert sorted(map(tuple, joined_off.collect())) == with_bloom
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in prev.items():
+            spark.conf.set(k, v)
