@@ -271,19 +271,29 @@ def _bench_sorted(spark, sf_dir: str, timings: dict[str, float]) -> None:
     holds many groups — production uses the 128 MB default and the
     same ratio holds. Clustering is the layout decision for whatever
     column dominates the predicates; footer-stat disjointness is
-    behaviorally pinned in tests/test_partitioned_layout.py."""
+    behaviorally pinned in tests/test_partitioned_layout.py.
+
+    The ev_value2_* pair extends this to TWO predicate columns: the
+    same selective `value` slice over the 1-D user_id-sorted layout
+    (whose value stats span the domain in every group — nothing skips)
+    vs the Z-ORDERED (user_id, value) layout (row groups cover small
+    rectangles; EITHER predicate skips ~3/4 of groups — footer
+    coverage pinned in tests/test_partitioned_layout.py). 1-D keeps
+    `ev_value_*` as its own-column best case; Z-order is the layout
+    when two columns genuinely share the workload."""
     import shutil
     from urllib.parse import urlparse
 
     from pyspark.sql import functions as F
 
-    from db_loader_spark.sinks.ddl import write_sorted
+    from db_loader_spark.sinks.ddl import write_sorted, write_zordered
     from db_loader_spark.tables import load_table
 
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     stamp = _source_stamp(os.path.join(sf_dir, "events.parquet"))
     srt = os.path.join(warehouse, "bench_events_sorted")
     uns = os.path.join(warehouse, "bench_events_unsorted")
+    zrd = os.path.join(warehouse, "bench_events_zordered")
     if not _layout_current(srt, stamp):
         shutil.rmtree(srt, ignore_errors=True)
         write_sorted(
@@ -297,14 +307,31 @@ def _bench_sorted(spark, sf_dir: str, timings: dict[str, float]) -> None:
             "parquet.block.size", 128 * 1024
         ).mode("overwrite").parquet(uns)
         _write_stamp(uns, stamp)
+    if not _layout_current(zrd, stamp):
+        shutil.rmtree(zrd, ignore_errors=True)
+        write_zordered(
+            load_table(spark, sf_dir, "events"), zrd, "user_id", "value",
+            row_group_bytes=128 * 1024,
+        )
+        _write_stamp(zrd, stamp)
 
     def slice_of(path: str):
         df = spark.read.parquet(path)
         return df.filter((F.col("user_id") >= 10) & (F.col("user_id") < 15))
 
+    def value_slice_of(path: str):
+        # selective tail slice (~top few % of the skewed value domain)
+        df = spark.read.parquet(path)
+        return df.filter(F.col("value") >= 400)
+
     _time_agg_variants(
         spark,
-        {"ev_value_sorted": slice_of(srt), "ev_value_unsorted": slice_of(uns)},
+        {
+            "ev_value_sorted": slice_of(srt),
+            "ev_value_unsorted": slice_of(uns),
+            "ev_value2_sorted1d": value_slice_of(srt),
+            "ev_value2_zorder": value_slice_of(zrd),
+        },
         timings,
     )
 

@@ -409,3 +409,57 @@ def test_bloom_runtime_filter_semi_filters_shuffle_join(spark, sf_dir):
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_write_zordered_tightens_both_dimensions(spark, tmp_path):
+    """The 2-D clustering contract, read from the parquet footers: after
+    write_zordered(user_id, value) every row group covers a small
+    rectangle — average min/max coverage shrinks on BOTH columns —
+    while the 1-D user_id sort leaves value spanning ~the full domain
+    in every group (its stats can never skip). Contents identical."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from db_loader_spark.sinks.ddl import write_sorted, write_zordered
+
+    e = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "event_id", "user_id", "value"
+    )
+    z_path, s_path = str(tmp_path / "zordered"), str(tmp_path / "sorted1d")
+    write_zordered(e, z_path, "user_id", "value", row_group_bytes=128 * 1024)
+    write_sorted(e, s_path, "user_id", row_group_bytes=128 * 1024)
+
+    def avg_coverage(path, col):
+        spans = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                spans.append((float(st.min), float(st.max)))
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        return sum(s[1] - s[0] for s in spans) / len(spans) / ((hi - lo) or 1), len(
+            spans
+        )
+
+    z_user, nz = avg_coverage(z_path, "user_id")
+    z_val, _ = avg_coverage(z_path, "value")
+    s_user, ns = avg_coverage(s_path, "user_id")
+    s_val, _ = avg_coverage(s_path, "value")
+    assert nz >= 3 and ns >= 3  # genuinely multiple row groups
+    # Z-curve: BOTH dimensions well under half the domain per group
+    # (measured ~0.22-0.27 at sf0.1)
+    assert z_user < 0.5 and z_val < 0.5, (z_user, z_val)
+    # 1-D sort: tightest possible on its own column, blind on the other
+    assert s_user < z_user
+    assert s_val > 0.6, s_val
+    assert (
+        spark.read.parquet(z_path).orderBy("event_id").collect()
+        == spark.read.parquet(s_path).orderBy("event_id").collect()
+    )
