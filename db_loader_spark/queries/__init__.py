@@ -83,20 +83,52 @@ def all_queries() -> dict[str, QuerySpec]:
     #      by local pytest.
     # Keys that rotate out are always re-verified locally against their
     # DuckDB oracles (scripts/check_oracle.py, both SFs) before shipping.
+    # Since r6 the window is the EXPLICIT list below (module order was
+    # the r5 mechanism; a named list keeps rule 2 auditable per-key).
     #
-    # Round-5 order. Changed in r5: every dedup + similarity key (cache
-    # lifecycle: tracked persists + settle release; decontaminate's
-    # measured broadcast gate; IVF eviction cap), text_decontaminate
-    # (settling wrapper), and the new t_stream_rollup. Rule 1 demands the
-    # 28 keys that rode outside the r4 window (r3 evidence): relational's
-    # jn*/w_topk/set_ops/rollup tail (moved to that dict's front),
-    # multimodal, similarity, dedup. Window (50) = similarity(8) +
-    # dedup(8) + multimodal(5) + relational(24) + streamingq(2: the new
-    # t_stream_rollup and t_stream_dedup) + textops' first 3:
-    # text_decontaminate (changed), text_kmv_vocab and text_lm_score
-    # (NEW in r5). Riding outside, all r4-green and untouched in r5:
-    # textops' other 8, curation, eventops, ecj, logshape — re-verified
-    # locally this round (check_oracle, both SFs, 82/82).
+    # Round-6 window (50) =
+    #  rule 1 — the 32 keys whose last green row is CORRECTNESS_r04
+    #  (textops' tail 10, curation 2, eventops 8, ecj 1, logshape 11);
+    #  rule 2 — new keys (curation_e2e, multimodal_decode_png,
+    #  t_stream_signatures) + touched lineages: dedup_simhash (in-row
+    #  HOF signature rewrite), t_stream_dedup / t_stream_rollup
+    #  (staging-stamp + cleanup changes), and the minhash banding
+    #  lineage refactored into _banded (dedup_minhash_lsh,
+    #  dedup_minhash_tuned, dedup_components, curation_funnel);
+    #  remaining slots — dedup_exact + ngram_jaccard + the embedding/
+    #  ANN quartet, freshest-evidence keys that still fit.
+    # cache.py's thread-local change is judged NOT to trigger rule 2:
+    # on the driver's single thread the operation sequence is identical
+    # (pinned by tests/test_cache_lifecycle.py and the thread-locality
+    # test); the remaining similarity/multimodal/relational keys ride
+    # outside on r5 evidence, re-verified locally both SFs this round.
+    window = [
+        # — stale since r4: textops tail —
+        "text_tfidf_topterms", "text_chunk", "text_pack_bins",
+        "text_repetition", "text_pii_scrub", "text_token_count",
+        "text_bpe_token_count", "text_quality_score", "text_lang_id",
+        "text_fingerprint",
+        # — stale since r4: curation (+ new e2e composition) —
+        "curation_e2e", "curation_select", "curation_shard_assign",
+        # — stale since r4: eventops —
+        "a_outlier_filter", "a_stratified_sample", "t_tumbling_counts",
+        "w_event_gap", "t_session_window", "p_json_props",
+        "jn_asof_join", "jn_range_join",
+        # — stale since r4: ecj + logshape —
+        "ecj_star",
+        "j1_sessionize", "j2_section_routing", "p1_kv_extract",
+        "p5_nil_skip", "p7_trailing_int", "p9_summary_parse",
+        "p13_key_normalize", "p14_continuation_merge", "p16_uuid_extract",
+        "p18_datetime_format", "jn5_sidecar_join",
+        # — rule 2: new + touched this round —
+        "multimodal_decode_png", "t_stream_signatures", "t_stream_dedup",
+        "t_stream_rollup", "dedup_simhash", "dedup_minhash_lsh",
+        "dedup_minhash_tuned", "dedup_components", "curation_funnel",
+        # — remaining slots (freshest r5 evidence, most complex first) —
+        "dedup_exact", "dedup_ngram_jaccard", "text_decontaminate",
+        "dedup_embedding_lsh", "dedup_embedding_components",
+        "ann_ivf_topk", "ann_recall", "ann_sq_rerank",
+    ]
     merged: dict[str, QuerySpec] = {}
     for mod in (
         similarity,
@@ -114,4 +146,11 @@ def all_queries() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")
             merged[name] = spec
-    return merged
+    missing = [k for k in window if k not in merged]
+    if missing:
+        raise ValueError(f"window names not in registry: {missing}")
+    if len(window) != len(set(window)):
+        raise ValueError("duplicate names in window")
+    ordered = {k: merged[k] for k in window}
+    ordered.update((k, v) for k, v in merged.items() if k not in ordered)
+    return ordered
