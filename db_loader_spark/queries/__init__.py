@@ -121,13 +121,14 @@ def all_queries() -> dict[str, QuerySpec]:
         "p13_key_normalize", "p14_continuation_merge", "p16_uuid_extract",
         "p18_datetime_format", "jn5_sidecar_join",
         # — rule 2: new + touched this round —
-        "multimodal_decode_png", "t_stream_signatures", "t_stream_dedup",
+        "multimodal_decode_png", "multimodal_decode_jpeg",
+        "t_stream_signatures", "t_stream_dedup",
         "t_stream_rollup", "dedup_simhash", "dedup_minhash_lsh",
         "dedup_minhash_tuned", "dedup_components", "curation_funnel",
         # — remaining slots (freshest r5 evidence, most complex first) —
         "dedup_exact", "dedup_ngram_jaccard", "text_decontaminate",
         "dedup_embedding_lsh", "dedup_embedding_components",
-        "ann_ivf_topk", "ann_recall", "ann_sq_rerank",
+        "ann_ivf_topk", "ann_recall",
     ]
     merged: dict[str, QuerySpec] = {}
     for mod in (

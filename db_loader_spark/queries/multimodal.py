@@ -238,7 +238,46 @@ FROM d
 """
 
 
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG round trip (stdlib + numpy): a full encoder
+    (forward DCT, quantization, zigzag, DC-DPCM + AC-run-length
+    canonical Huffman, byte stuffing, complete marker stream) feeds a
+    full decoder (marker walk, DHT-built Huffman tables, entropy
+    decode, dequantize, 2-D IDCT). The corpus images are per-8×8-block
+    constants, which make the lossy pipeline exactly lossless (DC
+    quant divides the constant's DC; AC quantizes to zero), so the
+    DuckDB oracle mirrors the decoded features bit-for-bit while every
+    stage of the real codec executes. The arbitrary-image (nonzero-AC)
+    path is pinned separately with q=1 tables in
+    tests/test_multimodal_codecs.py."""
+    from db_loader_spark.functions.multimodal import decode_jpeg, synth_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return decode_jpeg(synth_jpeg(docs))
+
+
+_JPEG_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + strlen(text) % 3 AS bh
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(bw * 8 AS INT) AS width,
+       CAST(bh * 8 AS INT) AS height,
+       CAST(bw * bh AS INT) AS n_blocks,
+       CAST(64 * list_sum(list_transform(range(0, bw*bh),
+              p -> (17*doc_id + 29*(p % bw) + 41*(p // bw)) % 256))
+            AS BIGINT) AS sum_luma
+FROM d
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_decode_jpeg": QuerySpec(
+        multimodal_decode_jpeg,
+        _JPEG_ORACLE,
+        "real baseline-JPEG encode->decode round trip (DCT/Huffman), features",
+    ),
     "multimodal_decode_png": QuerySpec(
         multimodal_decode_png,
         _PNG_ORACLE,

@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 from db_loader_spark.functions.multimodal import (
     decode_audio,
     decode_image,
+    decode_jpeg,
     decode_png,
     synth_bmp,
+    synth_jpeg,
     synth_png,
     synth_wav,
 )
@@ -204,4 +206,87 @@ def test_png_decode_skips_corrupt_and_unsupported(spark):
         "doc_id long, payload binary",
     )
     out = decode_png(mixed).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_jpeg_constant_blocks_roundtrip_exact(spark):
+    """The oracle-exact path: constant 8x8 blocks survive the lossy
+    pipeline bit-for-bit (DC quant divides the constant's DC; AC
+    quantizes to zero) through the REAL encoder and decoder."""
+    rows = [(0, "ab"), (7, "hello world"), (13, "xyz abc")]
+    feats = {
+        r.doc_id: r for r in decode_jpeg(synth_jpeg(_docs(spark, rows))).collect()
+    }
+    assert len(feats) == len(rows)
+    for did, txt in rows:
+        bw, bh = 1 + did % 3, 1 + len(txt) % 3
+        r = feats[did]
+        ref = 64 * sum(
+            (17 * did + 29 * bx + 41 * by) % 256
+            for bx in range(bw)
+            for by in range(bh)
+        )
+        assert (r.width, r.height, r.n_blocks, r.sum_luma) == (
+            bw * 8, bh * 8, bw * bh, ref,
+        )
+
+
+def test_jpeg_general_image_roundtrip_near_lossless(spark):
+    """The full AC path (nonzero coefficients, run lengths, ZRL, the
+    complete IDCT): an arbitrary image through q=1 tables round-trips
+    within double-rounding tolerance — proving the codec is general,
+    not a constant-block special case."""
+    import numpy as np
+
+    enc = synth_jpeg(_docs(spark, [(1, "x")])).encode_gray
+    dec = decode_jpeg(
+        spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+    ).decode_gray
+    rng = np.arange(24 * 16).reshape(16, 24)
+    img = ((rng * 37 + (rng // 24) * 91) % 256).astype(float)
+    buf = enc(img, [1] * 64)
+    w, h, nb, s = dec(buf)
+    assert (w, h, nb) == (24, 16, 6)
+    # per-pixel |error| <= ~1 from coefficient + pixel rounding
+    assert abs(s - img.sum()) <= 2 * img.size
+
+
+def test_jpeg_stream_is_marker_valid(spark):
+    """Structural validity: marker walk yields SOI, APP0, DQT, SOF0,
+    two DHTs (classes 0 and 1), SOS, EOI, with every segment length
+    consistent — the stream a conformant parser expects."""
+    buf = bytes(synth_jpeg(_docs(spark, [(5, "abc")])).collect()[0].payload)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    pos, markers, dht_classes = 2, [], []
+    while pos < len(buf) - 2:
+        assert buf[pos] == 0xFF
+        marker = (buf[pos] << 8) | buf[pos + 1]
+        markers.append(marker)
+        (ln,) = struct.unpack_from(">H", buf, pos + 2)
+        if marker == 0xFFC4:
+            dht_classes.append(buf[pos + 4] >> 4)
+        if marker == 0xFFDA:
+            break
+        pos += 2 + ln
+    assert markers == [0xFFE0, 0xFFDB, 0xFFC0, 0xFFC4, 0xFFC4, 0xFFDA]
+    assert sorted(dht_classes) == [0, 1]
+
+
+def test_jpeg_decode_skips_corrupt_and_unsupported(spark):
+    good = bytes(synth_jpeg(_docs(spark, [(1, "ok")])).collect()[0].payload)
+    # rewrite SOF0 marker to SOF2 (progressive — unsupported)
+    prog = bytearray(good)
+    sof_at = good.index(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    mixed = spark.createDataFrame(
+        [
+            (1, good),
+            (2, b"\xff\xd8garbage"),
+            (3, good[:40]),
+            (4, bytes(prog)),
+            (5, b"PNG?"),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = decode_jpeg(mixed).collect()
     assert [r.doc_id for r in out] == [1]
