@@ -108,8 +108,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "text_repetition", "text_pii_scrub", "text_token_count",
         "text_bpe_token_count", "text_quality_score", "text_lang_id",
         "text_fingerprint",
-        # — stale since r4: curation (+ new e2e composition) —
+        # — stale since r4: curation (+ new e2e composition, source cap) —
         "curation_e2e", "curation_select", "curation_shard_assign",
+        "curation_source_cap",
         # — stale since r4: eventops —
         "a_outlier_filter", "a_stratified_sample", "t_tumbling_counts",
         "w_event_gap", "t_session_window", "p_json_props",
@@ -128,7 +129,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # — remaining slots (freshest r5 evidence, most complex first) —
         "dedup_exact", "dedup_ngram_jaccard", "text_decontaminate",
         "dedup_embedding_lsh", "dedup_embedding_components",
-        "ann_ivf_topk", "ann_recall",
+        "ann_ivf_topk",
     ]
     merged: dict[str, QuerySpec] = {}
     for mod in (

@@ -133,6 +133,69 @@ FROM s GROUP BY shard_id
 """
 
 
+SOURCE_CAP = 15  # max docs per source (testdata: 20 sources × 25 docs)
+
+
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota rebalancing: cap each source at SOURCE_CAP
+    documents, keeping the best by (quality DESC, doc_id) — the
+    anti-overrepresentation step every web-scale corpus applies so a
+    single crawl domain can't dominate the training mix. Reports, per
+    source, total vs kept docs and the token budget the kept set
+    carries.
+
+    Scale shape: ONE window partitioned by source (top-k per group —
+    the same TakeOrdered-per-partition shape as w_topk_per_group;
+    never a global window) and one map-side-combined aggregate down to
+    |sources| rows. If individual sources were billions of rows, the
+    exact per-source sort would be replaced by a quality-threshold cut
+    at the per-source approx quantile (two cheap passes, no sort) —
+    same report schema, documented here rather than implemented,
+    because the exact form IS the right plan at directory-like source
+    cardinalities."""
+    from db_loader_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    toksed = d.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n_tok"),
+        F.round(TX.quality_score_of(F.col("toks")), 4).alias("quality"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    ranked = toksed.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("rk") <= SOURCE_CAP).cast("int")).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(F.col("rk") <= SOURCE_CAP, F.col("n_tok")).otherwise(0)
+        ).cast("long").alias("kept_tokens"),
+    )
+
+
+def _source_cap_oracle() -> str:
+    from db_loader_spark.queries.textops import _QUALITY_ORACLE
+
+    return f"""
+WITH q AS ({_QUALITY_ORACLE}),
+j AS (
+  SELECT d.source, d.doc_id, q.n_tokens, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY q.quality DESC, d.doc_id) AS rk
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rk <= {SOURCE_CAP} THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens
+FROM j GROUP BY source
+"""
+
+
 def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE curation pipeline as one DataFrame program — the
     production shape of the LLM-data layer, composing the individually
@@ -334,5 +397,10 @@ QUERIES: dict[str, QuerySpec] = {
         curation_shard_assign,
         _SHARD_ORACLE,
         "deterministic hash sharding + balance report",
+    ),
+    "curation_source_cap": QuerySpec(
+        curation_source_cap,
+        _source_cap_oracle(),
+        "per-source quota rebalancing (best-quality keep, token budget)",
     ),
 }
