@@ -612,14 +612,18 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 
     helpers = _jpeg_codec_helpers()
 
-    def encode_gray(pixels, quant) -> bytes:
+    def encode(planes, quant) -> bytes:
+        """1 plane = grayscale; 3 same-shape planes = interleaved 4:4:4
+        color (Y, Cb, Cr), one MCU = one block per component, separate
+        DC predictors, shared quant/Huffman tables (all id 0) — legal
+        baseline JPEG either way."""
         import struct
 
         np = helpers["np"]
         M, zig = helpers["M"], helpers["zig"]
         dc_tbl, ac_tbl = helpers["dc_tbl"], helpers["ac_tbl"]
         category, amp = helpers["category"], helpers["amplitude_bits"]
-        h, w = pixels.shape
+        h, w = planes[0].shape
         qmat = np.empty((8, 8))
         for i, (u, v) in enumerate(zig):
             qmat[u, v] = quant[i]
@@ -628,34 +632,35 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         def put(code: int, n: int) -> None:
             bits.append((code, n))
 
-        prev_dc = 0
+        prev_dc = [0] * len(planes)
         for by in range(h // 8):
             for bx in range(w // 8):
-                blk = pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = M @ blk @ M.T
-                q = np.rint(coef / qmat).astype(int)
-                zz = [int(q[u, v]) for u, v in zig]
-                diff = zz[0] - prev_dc
-                prev_dc = zz[0]
-                size = category(diff)
-                put(*dc_tbl[size])
-                if size:
-                    put(amp(diff, size), size)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    if zz[i] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        put(*ac_tbl[0xF0])  # ZRL
-                        run -= 16
-                    size = category(zz[i])
-                    put(*ac_tbl[(run << 4) | size])
-                    put(amp(zz[i], size), size)
+                for ci, plane in enumerate(planes):
+                    blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                    coef = M @ blk @ M.T
+                    q = np.rint(coef / qmat).astype(int)
+                    zz = [int(q[u, v]) for u, v in zig]
+                    diff = zz[0] - prev_dc[ci]
+                    prev_dc[ci] = zz[0]
+                    size = category(diff)
+                    put(*dc_tbl[size])
+                    if size:
+                        put(amp(diff, size), size)
                     run = 0
-                if last_nz < 63:
-                    put(*ac_tbl[0x00])  # EOB
+                    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                    for i in range(1, last_nz + 1):
+                        if zz[i] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            put(*ac_tbl[0xF0])  # ZRL
+                            run -= 16
+                        size = category(zz[i])
+                        put(*ac_tbl[(run << 4) | size])
+                        put(amp(zz[i], size), size)
+                        run = 0
+                    if last_nz < 63:
+                        put(*ac_tbl[0x00])  # EOB
         # bitstream -> bytes, MSB first, 1-padded, 0xFF stuffed
         out = bytearray()
         acc, nacc = 0, 0
@@ -678,17 +683,23 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
             return struct.pack(">HH", marker, len(payload) + 2) + payload
 
         dht = helpers["dht_payload"]
+        nc = len(planes)
+        sof_comps = b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(nc))
+        sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
         return (
             b"\xff\xd8"  # SOI
             + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
             + seg(0xFFDB, bytes([0]) + bytes(quant))
-            + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+            + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
             + seg(0xFFC4, dht(helpers["dc_tbl"], 0, 0))
             + seg(0xFFC4, dht(helpers["ac_tbl"], 1, 0))
-            + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + seg(0xFFDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
             + bytes(out)
             + b"\xff\xd9"  # EOI
         )
+
+    def encode_gray(pixels, quant) -> bytes:
+        return encode([pixels], quant)
 
     def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         np = helpers["np"]
@@ -710,7 +721,8 @@ def synth_jpeg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 
     sel = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     out = sel.mapInPandas(batch, schema="doc_id long, payload binary")
-    out.encode_gray = encode_gray  # test hook: the real encoder, directly
+    out.encode_gray = encode_gray  # test hooks: the real encoder, directly
+    out.encode = encode
     return out
 
 
@@ -721,12 +733,14 @@ def decode_jpeg(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     (DC DPCM categories, AC run-length with ZRL/EOB), dezigzag,
     dequantize, full 2-D IDCT, level shift — then luma features.
 
-    Scope: single-component (grayscale) 8-bit baseline, no restart
-    markers, no progressive — anything else, plus truncated streams
-    and malformed codes, is SKIPPED, not fatal (same corrupt-blob
-    policy as every decoder here). Color baseline adds only the
-    YCbCr matrix and 3 interleaved components to this exact machinery;
-    progressive/MP3-class codecs remain the honestly-external gap.
+    Scope: 1-component (grayscale) or 3-component interleaved 4:4:4
+    (YCbCr) 8-bit baseline, per-component quant/Huffman table
+    selection and DC predictors; no subsampling, restart markers, or
+    progressive — anything else, plus truncated streams and malformed
+    codes, is SKIPPED, not fatal (same corrupt-blob policy as every
+    decoder here). Emitted features use the FIRST component (luma);
+    chroma sums come back from the decode hook for tests.
+    Progressive/MP3-class codecs remain the honestly-external gap.
     The IDCT is numpy matrix math per block — at thumbnail size the
     Python loop is fine; megapixel inputs would batch all blocks into
     one (n, 8, 8) einsum in the same mapInPandas slot."""
@@ -760,10 +774,15 @@ def decode_jpeg(df: DataFrame, binary_col: str = "payload") -> DataFrame:
                     p += 65
             elif marker == 0xFFC0:
                 prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-                if prec != 8 or ncomp != 1:
+                if prec != 8 or ncomp not in (1, 3):
                     return None
-                comp_id, sampling, tq = payload[6:9]
-                sof = (w, h, tq)
+                comps = []
+                for ci in range(ncomp):
+                    comp_id, sampling, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                    if sampling != 0x11:
+                        return None  # 4:4:4 only (no subsampling)
+                    comps.append((comp_id, tq))
+                sof = (w, h, comps)
             elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
                 return None  # non-baseline
             elif marker == 0xFFC4:
@@ -784,20 +803,25 @@ def decode_jpeg(df: DataFrame, binary_col: str = "payload") -> DataFrame:
                     p += 17 + nsym
             elif marker == 0xFFDA:
                 ns = payload[0]
-                if ns != 1 or sof is None:
+                if sof is None or ns != len(sof[2]):
                     return None
-                td, ta = payload[2] >> 4, payload[2] & 0xF
+                scan = []
+                for ci in range(ns):
+                    scan.append((payload[2 + 2 * ci] >> 4, payload[2 + 2 * ci] & 0xF))
                 data_start = pos + 2 + ln
                 break
             pos += 2 + ln
         else:
             return None
-        w, h, tq = sof
-        if tq not in quants or (0, td) not in huff or (1, ta) not in huff:
-            return None
-        qmat = np.empty((8, 8))
-        for i, (u, v) in enumerate(zig):
-            qmat[u, v] = quants[tq][i]
+        w, h, comps = sof
+        qmats = []
+        for (comp_id, tq), (td, ta) in zip(comps, scan):
+            if tq not in quants or (0, td) not in huff or (1, ta) not in huff:
+                return None
+            qmat = np.empty((8, 8))
+            for i, (u, v) in enumerate(zig):
+                qmat[u, v] = quants[tq][i]
+            qmats.append((qmat, huff[(0, td)], huff[(1, ta)]))
         # unstuff entropy bytes up to EOI
         data = bytearray()
         p = data_start
@@ -843,38 +867,41 @@ def decode_jpeg(df: DataFrame, binary_col: str = "payload") -> DataFrame:
         def extend(v: int, size: int) -> int:
             return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
-        dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
         bw, bh = (w + 7) // 8, (h + 7) // 8
-        pixels = np.empty((bh * 8, bw * 8))
-        prev_dc = 0
+        planes = [np.empty((bh * 8, bw * 8)) for _ in comps]
+        prev_dc = [0] * len(comps)
         for by in range(bh):
             for bx in range(bw):
-                zz = [0] * 64
-                size = huff_decode(dc_t)
-                diff = extend(read_bits(size), size) if size else 0
-                prev_dc += diff
-                zz[0] = prev_dc
-                i = 1
-                while i < 64:
-                    sym = huff_decode(ac_t)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    i += run
-                    if i > 63 or size == 0:
-                        raise ValueError("bad AC symbol")
-                    zz[i] = extend(read_bits(size), size)
-                    i += 1
-                coef = np.zeros((8, 8))
-                for i, (u, v) in enumerate(zig):
-                    coef[u, v] = zz[i] * qmat[u, v]
-                blk = M.T @ coef @ M + 128.0
-                pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-        img = np.clip(np.rint(pixels[:h, :w]), 0, 255).astype(int)
-        return w, h, bw * bh, int(img.sum())
+                for ci, (qmat, dc_t, ac_t) in enumerate(qmats):
+                    zz = [0] * 64
+                    size = huff_decode(dc_t)
+                    diff = extend(read_bits(size), size) if size else 0
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci]
+                    i = 1
+                    while i < 64:
+                        sym = huff_decode(ac_t)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            i += 16
+                            continue
+                        run, size = sym >> 4, sym & 0xF
+                        i += run
+                        if i > 63 or size == 0:
+                            raise ValueError("bad AC symbol")
+                        zz[i] = extend(read_bits(size), size)
+                        i += 1
+                    coef = np.zeros((8, 8))
+                    for i, (u, v) in enumerate(zig):
+                        coef[u, v] = zz[i] * qmat[u, v]
+                    blk = M.T @ coef @ M + 128.0
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        sums = [
+            int(np.clip(np.rint(p[:h, :w]), 0, 255).astype(int).sum())
+            for p in planes
+        ]
+        return w, h, bw * bh, sums
 
     def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("doc_id", "width", "height", "n_blocks", "sum_luma")
@@ -887,12 +914,12 @@ def decode_jpeg(df: DataFrame, binary_col: str = "payload") -> DataFrame:
                     decoded = None
                 if decoded is None:
                     continue
-                w, h, nb, s = decoded
+                w, h, nb, sums = decoded
                 out["doc_id"].append(int(did))
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_blocks"].append(nb)
-                out["sum_luma"].append(s)
+                out["sum_luma"].append(sums[0])
             yield _pd.DataFrame(out)
 
     out = df.mapInPandas(batch, schema=JPEG_FEATURE_SCHEMA)

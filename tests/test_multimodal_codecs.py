@@ -245,10 +245,10 @@ def test_jpeg_general_image_roundtrip_near_lossless(spark):
     rng = np.arange(24 * 16).reshape(16, 24)
     img = ((rng * 37 + (rng // 24) * 91) % 256).astype(float)
     buf = enc(img, [1] * 64)
-    w, h, nb, s = dec(buf)
+    w, h, nb, sums = dec(buf)
     assert (w, h, nb) == (24, 16, 6)
     # per-pixel |error| <= ~1 from coefficient + pixel rounding
-    assert abs(s - img.sum()) <= 2 * img.size
+    assert abs(sums[0] - img.sum()) <= 2 * img.size
 
 
 def test_jpeg_stream_is_marker_valid(spark):
@@ -290,3 +290,44 @@ def test_jpeg_decode_skips_corrupt_and_unsupported(spark):
     )
     out = decode_jpeg(mixed).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+def test_jpeg_color_interleaved_roundtrip(spark):
+    """3-component 4:4:4 baseline (the color path): interleaved MCUs
+    with per-component DC predictors through the same encoder/decoder.
+    Constant YCbCr blocks round-trip exactly per channel; a general
+    3-plane image round-trips near-losslessly with q=1."""
+    import numpy as np
+
+    enc = synth_jpeg(_docs(spark, [(1, "x")])).encode
+    dec = decode_jpeg(
+        spark.createDataFrame([(1, b"")], "doc_id long, payload binary")
+    ).decode_gray
+
+    # exact path: constant blocks per channel
+    def const_planes(vals, bw=2, bh=3):
+        planes = []
+        for k, base in enumerate(vals):
+            p = np.empty((bh * 8, bw * 8))
+            for by in range(bh):
+                for bx in range(bw):
+                    p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        base + 31 * bx + 57 * by + 13 * k
+                    ) % 256
+            planes.append(p)
+        return planes
+
+    planes = const_planes([40, 90, 200])
+    buf = enc(planes, [8] + [16] * 63)
+    w, h, nb, sums = dec(buf)
+    assert (w, h, nb) == (16, 24, 6)
+    assert sums == [int(p.sum()) for p in planes]
+
+    # general path: arbitrary 3-plane content, q=1
+    rng = np.arange(16 * 16).reshape(16, 16)
+    gen = [((rng * m + 7 * (rng // 16)) % 256).astype(float) for m in (3, 5, 11)]
+    buf2 = enc(gen, [1] * 64)
+    w2, h2, nb2, sums2 = dec(buf2)
+    assert (w2, h2, nb2) == (16, 16, 4)
+    for s, p in zip(sums2, gen):
+        assert abs(s - p.sum()) <= 2 * p.size
