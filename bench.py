@@ -49,6 +49,12 @@ HEADLINE = [
     "text_decontaminate",
     "text_lm_score",
     "curation_shard_assign",
+    # round 6: the composed pipeline, the streaming dedup index, the
+    # heaviest mapInPandas codec, and the per-source quota window
+    "curation_e2e",
+    "t_stream_signatures",
+    "multimodal_decode_jpeg",
+    "curation_source_cap",
 ]
 
 

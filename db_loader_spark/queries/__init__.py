@@ -103,7 +103,8 @@ def all_queries() -> dict[str, QuerySpec]:
     # test); the remaining similarity/multimodal/relational keys ride
     # outside on r5 evidence, re-verified locally both SFs this round.
     window = [
-        # — stale since r4: textops tail —
+        # — stale since r4: textops tail (+ new repeated-passages) —
+        "text_repeated_passages",
         "text_tfidf_topterms", "text_chunk", "text_pack_bins",
         "text_repetition", "text_pii_scrub", "text_token_count",
         "text_bpe_token_count", "text_quality_score", "text_lang_id",
@@ -129,7 +130,6 @@ def all_queries() -> dict[str, QuerySpec]:
         # — remaining slots (freshest r5 evidence, most complex first) —
         "dedup_exact", "dedup_ngram_jaccard", "text_decontaminate",
         "dedup_embedding_lsh", "dedup_embedding_components",
-        "ann_ivf_topk",
     ]
     merged: dict[str, QuerySpec] = {}
     for mod in (

@@ -560,7 +560,105 @@ HAVING SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
 """.replace("{T}", _DUCK_TOKENS)
 
 
+PASSAGE_K = 8  # tokens per passage shingle (cross-doc repeat unit)
+
+
+def text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage coverage — the distributed form
+    of exact-substring dedup (Lee et al., 'Deduplicating Training Data
+    Makes Language Models Better'): a token position is COVERED when it
+    sits inside any PASSAGE_K-token run that also appears verbatim in
+    another document; per doc we report how much of it is recycled
+    text. Callers trim or drop high-coverage docs (boilerplate,
+    mirrored articles, licence blocks).
+
+    Suffix arrays find arbitrary-length matches but don't distribute;
+    fixed-k shingle coverage is the standard cluster-scale
+    approximation — any shared run of length ≥ k is found exactly
+    (its k-windows all match), and merging overlapping windows into
+    maximal spans falls out of counting DISTINCT covered positions.
+
+    Scale shape: one in-row shingle construction (slice over the token
+    array — no (doc, token) explode), one groupBy shingle with map-side
+    combine to find multi-doc shingles, one join back (shingle-keyed
+    hash join), and a k-wide position explode over MATCHED occurrences
+    only — the corpus-wide shuffles are the same two the MinHash path
+    pays, and the position fan-out is overlap-sized, not corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    toksed = d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= PASSAGE_K
+    )
+    sh = toksed.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {PASSAGE_K}),"
+                f" i -> struct(i AS start,"
+                f" concat_ws(' ', slice(toks, i + 1, {PASSAGE_K})) AS shingle))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "n_tokens", F.col("s.start").alias("start"), F.col("s.shingle").alias("shingle"))
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("shingle")
+    )
+    covered = (
+        sh.join(shared, "shingle")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(PASSAGE_K - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return (
+        covered.groupBy("doc_id", "n_tokens")
+        .agg(F.count("*").cast("long").alias("covered_tokens"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("n_tokens"), 4).alias("coverage"),
+        )
+    )
+
+
+_PASSAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents
+),
+big AS (SELECT * FROM toks WHERE len(tokens) >= {PASSAGE_K}),
+sh AS (
+  SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens, u.i AS start,
+         array_to_string(tokens[u.i + 1 : u.i + {PASSAGE_K}], ' ') AS shingle
+  FROM big, LATERAL unnest(range(0, len(tokens) - {PASSAGE_K} + 1)) AS u(i)
+),
+shared AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) > 1
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.n_tokens, p.pos
+  FROM sh s JOIN shared USING (shingle),
+       LATERAL unnest(range(s.start, s.start + {PASSAGE_K})) AS p(pos)
+)
+SELECT doc_id, n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS covered_tokens,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n_tokens, 4) AS coverage
+FROM cov GROUP BY doc_id, n_tokens
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_repeated_passages": QuerySpec(
+        text_repeated_passages,
+        _PASSAGE_ORACLE,
+        "cross-doc repeated-passage coverage (exact-substring dedup axis)",
+    ),
     "text_decontaminate": QuerySpec(
         text_decontaminate,
         _DECONTAM_ORACLE,
