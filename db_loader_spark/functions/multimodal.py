@@ -191,6 +191,20 @@ def decode_audio(df: DataFrame, binary_col: str = "payload") -> DataFrame:
                         raw = w.readframes(nf)
                     if sw != 2:  # only PCM16 features here
                         continue
+                    # Corrupt-header hygiene (found by the fuzz suite):
+                    # `wave` happily returns whatever the bytes say, and
+                    # a flipped header byte yields a rate/frame-count
+                    # that overflows the int32 feature schema at Arrow
+                    # serialization — which would kill the JOB, not the
+                    # row. Bound every header field and require the
+                    # declared frame count to match the bytes actually
+                    # present (truncation policy, same as BMP/PNG).
+                    if not (1 <= nch <= 64 and 1 <= sr <= 10_000_000):
+                        continue
+                    if not (0 <= nf <= (1 << 31) - 1 and nf * 1000 // sr < (1 << 31)):
+                        continue
+                    if len(raw) != nf * nch * 2:
+                        continue
                     # explicit little-endian unpack (WAV byte order),
                     # independent of host endianness
                     samples = struct.unpack(f"<{len(raw) // 2}h", raw)
@@ -470,8 +484,16 @@ def decode_png(df: DataFrame, binary_col: str = "payload") -> DataFrame:
                     w, h, depth, ctype_n, comp, filt, interlace = ihdr
                     if (depth, ctype_n, comp, filt, interlace) != (8, 2, 0, 0, 0):
                         continue  # only non-interlaced RGB8
-                    stream = zlib.decompress(bytes(idat))
-                    if len(stream) != h * (1 + 3 * w):
+                    if w == 0 or h == 0 or w * h > (1 << 24):
+                        continue  # absurd header dims (fuzz hygiene)
+                    # bounded inflate: cap at the expected scanline
+                    # volume so a deflate bomb can't balloon memory —
+                    # anything past expected+1 means wrong size anyway
+                    expected = h * (1 + 3 * w)
+                    stream = zlib.decompressobj().decompress(
+                        bytes(idat), expected + 1
+                    )
+                    if len(stream) != expected:
                         continue  # truncated / over-long pixel data
                     sum_r = sum_g = sum_b = 0
                     prior = bytes(3 * w)
@@ -814,6 +836,8 @@ def decode_jpeg(df: DataFrame, binary_col: str = "payload") -> DataFrame:
         else:
             return None
         w, h, comps = sof
+        if w == 0 or h == 0 or w * h > (1 << 24):
+            return None  # absurd SOF dims: don't pre-allocate planes
         qmats = []
         for (comp_id, tq), (td, ta) in zip(comps, scan):
             if tq not in quants or (0, td) not in huff or (1, ta) not in huff:

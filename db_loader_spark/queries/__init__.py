@@ -124,12 +124,13 @@ def all_queries() -> dict[str, QuerySpec]:
         "p18_datetime_format", "jn5_sidecar_join",
         # — rule 2: new + touched this round —
         "multimodal_decode_png", "multimodal_decode_jpeg",
+        "multimodal_decode_wav",  # decode_audio hardened (fuzz fixes)
         "t_stream_signatures", "t_stream_dedup",
         "t_stream_rollup", "dedup_simhash", "dedup_minhash_lsh",
         "dedup_minhash_tuned", "dedup_components", "curation_funnel",
         # — remaining slots (freshest r5 evidence, most complex first) —
         "dedup_exact", "dedup_ngram_jaccard", "text_decontaminate",
-        "dedup_embedding_lsh", "dedup_embedding_components",
+        "dedup_embedding_lsh",
     ]
     merged: dict[str, QuerySpec] = {}
     for mod in (
