@@ -317,3 +317,55 @@ def test_curation_e2e_bounded_exchanges_no_slow_paths(plans):
     assert count_ops(s, "BroadcastExchange") >= 3, s
     # component-select window + pack window (+ canonical-rank reuse)
     assert 1 <= count_ops(s, "Window") <= 4, s
+
+
+def test_registry_wide_no_unplanned_slow_paths(spark):
+    """EVERY registry query (not a hand-picked sample) planned and
+    scanned for the three slow-path red flags: CartesianProduct,
+    BroadcastNestedLoopJoin, and row-at-a-time Python UDFs. The BNLJ
+    whitelist is the set of DELIBERATE broadcast-scalar/theta joins —
+    each broadcasts a side that is tiny by construction (a scalar
+    doc-count, a k-row query set, a dim table, centroids) where a
+    nested-loop over a broadcast IS the right plan. Anything new
+    showing a flag fails here by name."""
+    import re
+
+    from db_loader_spark import cache
+
+    deliberate_bnlj = {
+        "text_tfidf_topterms",   # broadcast scalar corpus doc-count
+        "ann_recall",            # broadcast k-row query set vs arms
+        "ann_sq_rerank",         # broadcast candidate set for rerank
+        "ann_bruteforce_topk",   # broadcast query rows vs corpus
+        "ann_ivf_topk",          # broadcast probed centroid ids
+        "dedup_embedding_cosine",  # deliberate small-data verifier
+        "multimodal_embed_ann",  # broadcast query rows (brute-force arm)
+        "jn2_contains_join",     # contains theta-join, dim-sized side
+        "a7_id_assignment",      # broadcast max-id scalar over dim delta
+    }
+    reg = all_queries()
+    offenders = {}
+    for name, spec in reg.items():
+        if name.startswith("t_stream"):
+            continue  # wrappers execute real streams at build time
+        spark.catalog.clearCache()
+        cache.release()
+        with cache.plan_only():
+            df = spec.spark(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        s = buf.getvalue()
+        flags = []
+        if re.search(r"^\(\d+\) CartesianProduct", s, re.M):
+            flags.append("cartesian")
+        if (
+            re.search(r"^\(\d+\) BroadcastNestedLoopJoin", s, re.M)
+            and name not in deliberate_bnlj
+        ):
+            flags.append("bnlj")
+        if "BatchEvalPython" in s:
+            flags.append("py-udf")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
