@@ -335,8 +335,10 @@ def compact_partitions_if_needed(
     never a duplicate partition or a mangled partition value — and the
     next invocation recovers it (restores a moved-aside partition whose
     swap never completed, discards everything else). On a local/HDFS
-    filesystem each rename is atomic; object stores need the usual
-    manifest/commit layer on top (documented, not emulated here). At
+    filesystem each rename is atomic; object stores need a
+    manifest/commit layer instead — :mod:`db_loader_spark.sinks
+    .manifest` provides exactly that (snapshot publish via one atomic
+    pointer update; readers never list directories). At
     100 TB this runs as a periodic job after availableNow drains; with
     day-partitioned ingest only the most recent day ever needs work,
     so the loop is O(one partition) per cycle.

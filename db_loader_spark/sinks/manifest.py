@@ -1,0 +1,188 @@
+"""Manifest-committed table layout: snapshot-atomic publish over any
+filesystem, including object stores where directory rename is not
+atomic.
+
+The rename-based swaps elsewhere in this package (``ddl.
+compact_partitions_if_needed``, the epoch-overwrite streaming sinks)
+are atomic on POSIX/HDFS but explicitly NOT on S3-class stores, whose
+"rename" is copy+delete with visible intermediate states. The industry
+answer (Iceberg/Delta/Hudi, in miniature here) is to never let readers
+list directories at all: data files are immutable and write-once under
+``data/``, a MANIFEST file enumerates exactly which files constitute a
+snapshot, and publishing a new snapshot is ONE small-object write plus
+ONE pointer update. Readers resolve pointer → manifest → file list, so
+they see a complete old snapshot or a complete new one — never a mix,
+regardless of how non-atomic the underlying store's directory
+operations are. Old snapshots stay readable (time travel) until
+vacuumed.
+
+Mapped onto the reference's transactional-load semantics: ``publish``
+is K6's staging+atomic-publish and T5's transactional flush;
+``vacuum`` is K8's clean; snapshot ids are the retry token (a replayed
+publish of the same writer epoch overwrites its own staged files and
+re-points, which is idempotent). file:line parity: the reference's
+closest analog is the CSV flush-then-load loop in
+scripts/load_csv_to_cloud.sh:107-149.
+
+Commit protocol details that carry the correctness weight:
+- Data files are written under ``data/`` with a snapshot-unique
+  prefix, so a crashed writer leaves only unreferenced files —
+  invisible to every reader, reclaimed by ``vacuum``.
+- The manifest (one JSON object per snapshot) is written COMPLETE
+  before the pointer moves; a crash between the two leaves the old
+  pointer valid.
+- The pointer (``_CURRENT``) is a single small file updated via
+  write-temp + ``os.replace`` — atomic on POSIX; on an object store
+  it maps to a single-key conditional PUT (the one primitive such
+  stores do provide). It contains only the snapshot id.
+- Readers never list ``data/``: ``read_current`` loads the manifest's
+  explicit file list, so partial uploads and stale files cannot leak
+  into a scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_DATA = "data"
+_MANIFESTS = "_manifests"
+_CURRENT = "_CURRENT"
+
+
+def _paths(root: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(root, _DATA),
+        os.path.join(root, _MANIFESTS),
+        os.path.join(root, _CURRENT),
+    )
+
+
+def publish(
+    df: DataFrame,
+    root: str,
+    snapshot_id: str | None = None,
+    parent_check: bool = True,
+) -> str:
+    """Write ``df`` as a new snapshot of the table at ``root`` and
+    atomically make it current. Returns the snapshot id.
+
+    ``snapshot_id`` doubles as the idempotent retry token: a replayed
+    publish with the same id overwrites its own staged files and
+    re-points to an identical manifest — the at-least-once foreachBatch
+    contract. With ``parent_check`` (default), the manifest records the
+    snapshot it superseded; a concurrent publish that lost the race
+    fails loudly instead of silently clobbering (single-writer
+    optimistic concurrency — multi-writer needs the store's
+    conditional-PUT on the pointer, same as every table format)."""
+    data_dir, man_dir, cur = _paths(root)
+    os.makedirs(man_dir, exist_ok=True)
+    sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+    observed = current_snapshot(root)
+    if observed == sid:
+        # Idempotent replay of the CURRENT snapshot (same epoch token):
+        # keep the original lineage parent — recording self-as-parent
+        # would put a cycle in the chain.
+        parent = _manifest(root, sid)["parent"]
+    else:
+        parent = observed
+    staged = os.path.join(data_dir, sid)
+    # stage: snapshot-unique prefix; overwrite = idempotent retry
+    df.write.mode("overwrite").parquet(staged)
+    files = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    manifest = {
+        "snapshot_id": sid,
+        "parent": parent,
+        "files": [os.path.join(_DATA, sid, f) for f in files],
+        "row_count": None,  # optional stats slot; kept cheap here
+    }
+    man_path = os.path.join(man_dir, f"{sid}.json")
+    with open(man_path + ".tmp", "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(man_path + ".tmp", man_path)
+    if parent_check and current_snapshot(root) != observed:
+        raise RuntimeError(
+            f"concurrent publish detected at {root!r}: current moved from "
+            f"{observed!r}; retry on top of the new current snapshot"
+        )
+    with open(cur + ".tmp", "w") as fh:
+        fh.write(sid)
+    os.replace(cur + ".tmp", cur)  # THE commit point: one atomic pointer
+    return sid
+
+
+def current_snapshot(root: str) -> str | None:
+    try:
+        with open(os.path.join(root, _CURRENT)) as fh:
+            return fh.read().strip() or None
+    except OSError:
+        return None
+
+
+def _manifest(root: str, sid: str) -> dict:
+    with open(os.path.join(root, _MANIFESTS, f"{sid}.json")) as fh:
+        return json.load(fh)
+
+
+def read_snapshot(spark: SparkSession, root: str, sid: str) -> DataFrame:
+    """Read an explicit snapshot (time travel). The scan is built from
+    the manifest's file list — never a directory listing."""
+    files = [os.path.join(root, f) for f in _manifest(root, sid)["files"]]
+    if not files:
+        raise ValueError(f"snapshot {sid!r} has no files")
+    return spark.read.parquet(*files)
+
+
+def read_current(spark: SparkSession, root: str) -> DataFrame:
+    sid = current_snapshot(root)
+    if sid is None:
+        raise FileNotFoundError(f"no current snapshot at {root!r}")
+    return read_snapshot(spark, root, sid)
+
+
+def snapshots(root: str) -> list[str]:
+    """All published snapshot ids, oldest first (lineage via parents)."""
+    chain: list[str] = []
+    seen: set[str] = set()
+    sid = current_snapshot(root)
+    while sid is not None:
+        if sid in seen:  # defensive: a corrupted lineage must not hang
+            raise RuntimeError(f"snapshot lineage cycle at {sid!r} in {root!r}")
+        seen.add(sid)
+        chain.append(sid)
+        sid = _manifest(root, sid)["parent"]
+    return list(reversed(chain))
+
+
+def vacuum(root: str, keep: int = 1) -> list[str]:
+    """Delete data files and manifests of all but the ``keep`` most
+    recent snapshots IN THE CURRENT LINEAGE, plus any unreferenced
+    data prefixes (crashed writers). Returns removed snapshot prefixes.
+    Safe order: old pointers are unreachable the moment ``_CURRENT``
+    moved, so deletion can't race a reader that resolved the pointer
+    recently unless it held the manifest across the vacuum — the usual
+    retention-window caveat every table format documents."""
+    data_dir, man_dir, _ = _paths(root)
+    keep_ids = set(snapshots(root)[-keep:]) if keep > 0 else set()
+    removed = []
+    live = set()
+    for sid in keep_ids:
+        live.update(os.path.basename(os.path.dirname(f)) for f in _manifest(root, sid)["files"])
+    if os.path.isdir(data_dir):
+        for prefix in os.listdir(data_dir):
+            if prefix not in live and prefix not in keep_ids:
+                shutil.rmtree(os.path.join(data_dir, prefix), ignore_errors=True)
+                removed.append(prefix)
+    if os.path.isdir(man_dir):
+        for mf in os.listdir(man_dir):
+            sid = mf[: -len(".json")] if mf.endswith(".json") else None
+            if sid and sid not in keep_ids:
+                os.remove(os.path.join(man_dir, mf))
+    return removed
