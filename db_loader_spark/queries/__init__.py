@@ -129,8 +129,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "t_stream_rollup", "dedup_simhash", "dedup_minhash_lsh",
         "dedup_minhash_tuned", "dedup_components", "curation_funnel",
         # — remaining slots (freshest r5 evidence, most complex first) —
-        "dedup_exact", "dedup_ngram_jaccard", "text_decontaminate",
-        "dedup_embedding_lsh",
+        "ann_lsh_multiprobe",  # NEW r6 (multi-probe query fan-out)
+        "dedup_exact", "text_decontaminate", "dedup_embedding_lsh",
     ]
     merged: dict[str, QuerySpec] = {}
     for mod in (

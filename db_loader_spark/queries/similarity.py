@@ -86,6 +86,66 @@ FROM (
 """
 
 
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN: same 4×8-bit tables and corpus
+    hashing as ann_lsh_topk, but each query also probes all Hamming-1
+    neighbor buckets per table (functions.similarity
+    .multi_probe_buckets_sql) — recall bought with query-side fan-out
+    instead of more corpus passes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(
+        emb, F.col("vec_id") < 8, k=3, n_bits=8, n_tables=4, probe_flips=8
+    )
+
+
+def _duck_bucket_flip(offset: int, flip: int, n_bits: int = 8) -> str:
+    """Mirror of the Spark flipped-bit bucket (DuckDB 1-based; ``flip``
+    is the 0-based bit index within the slice)."""
+    return "concat(" + ", ".join(
+        (
+            f"CASE WHEN embedding[{offset + i}] >= 0 THEN '0' ELSE '1' END"
+            if i - 1 == flip
+            else f"CASE WHEN embedding[{offset + i}] >= 0 THEN '1' ELSE '0' END"
+        )
+        for i in range(1, n_bits + 1)
+    ) + ")"
+
+
+# query-side probe set: per table, base bucket + every 1-bit flip
+_DUCK_QUERY_PROBED = "\nUNION ALL\n".join(
+    [
+        f"SELECT vec_id, embedding, {t} AS tbl, {_duck_bucket(t * 8)} AS bucket"
+        f" FROM embeddings WHERE vec_id < 8"
+        for t in range(4)
+    ]
+    + [
+        f"SELECT vec_id, embedding, {t} AS tbl, {_duck_bucket_flip(t * 8, j)} AS bucket"
+        f" FROM embeddings WHERE vec_id < 8"
+        for t in range(4)
+        for j in range(8)
+    ]
+)
+
+_LSH_MULTIPROBE_ORACLE = f"""
+WITH bucketed AS ({_DUCK_MULTI_BUCKETED}),
+probed AS ({_DUCK_QUERY_PROBED}),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(({_duck_dot('q', 'c')})
+               / (sqrt({_duck_dot('q', 'q')}) * sqrt({_duck_dot('c', 'c')})), 4)
+           AS cos_sim
+  FROM probed q
+  JOIN bucketed c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
 # Session-scoped IVF index cache: (applicationId, sf_dir, n_bits,
 # iters) → (trained centroid table, persisted inverted lists). Index
 # construction is deterministic (exact-integer means, fixed seeds), so
@@ -469,6 +529,11 @@ QUERIES: dict[str, QuerySpec] = {
         ann_bruteforce_topk, _BRUTE_ORACLE, "exact cosine top-k"
     ),
     "ann_lsh_topk": QuerySpec(ann_lsh_topk, _LSH_TOPK_ORACLE, "sign-LSH bucketed ANN"),
+    "ann_lsh_multiprobe": QuerySpec(
+        ann_lsh_multiprobe,
+        _LSH_MULTIPROBE_ORACLE,
+        "multi-probe sign-LSH (Hamming-1 query probes, same corpus hashing)",
+    ),
     "ann_ivf_topk": QuerySpec(
         ann_ivf_topk, _IVF_ORACLE, "k-means-trained IVF ANN (2 Lloyd rounds, nprobe=2)"
     ),
