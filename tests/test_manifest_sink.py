@@ -92,3 +92,44 @@ def test_vacuum_keeps_recent_lineage(spark, tmp_path):
     assert M.read_current(spark, root).count() == 4
     with pytest.raises(Exception):
         M.read_snapshot(spark, root, sids[0])
+
+
+def test_foreachbatch_publishes_manifest_snapshots(spark, tmp_path):
+    """The T5 integration: an availableNow stream publishes one
+    manifest snapshot per micro-batch (epoch id = snapshot id = the
+    idempotent retry token). After the drain, the current snapshot
+    serves the LAST batch, the lineage holds every batch in order, and
+    the union of snapshots equals the batch input — the object-store
+    -safe version of the epoch-overwrite parquet publish the streaming
+    sinks use today."""
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "tbl")
+    spark.range(120).withColumn("v", F.col("id") % 7).repartition(3).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    def publish_batch(batch_df, epoch_id):
+        if batch_df.take(1):
+            M.publish(batch_df, root, snapshot_id=f"epoch-{epoch_id}")
+
+    q = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(publish_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    sids = M.snapshots(root)
+    assert len(sids) >= 2  # genuinely multi-batch
+    assert M.current_snapshot(root) == sids[-1]
+    total = 0
+    seen = set()
+    for sid in sids:
+        rows = {r.id for r in M.read_snapshot(spark, root, sid).collect()}
+        assert not (rows & seen)  # epochs partition the input
+        seen |= rows
+        total += len(rows)
+    assert total == 120 and seen == set(range(120))
