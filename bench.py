@@ -50,11 +50,14 @@ HEADLINE = [
     "text_lm_score",
     "curation_shard_assign",
     # round 6: the composed pipeline, the streaming dedup index, the
-    # heaviest mapInPandas codec, and the per-source quota window
+    # heaviest mapInPandas codec, the per-source quota window, the
+    # passage-coverage dedup axis, and the multi-probe ANN arm
     "curation_e2e",
     "t_stream_signatures",
     "multimodal_decode_jpeg",
     "curation_source_cap",
+    "text_repeated_passages",
+    "ann_lsh_multiprobe",
 ]
 
 
