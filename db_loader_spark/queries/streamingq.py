@@ -223,6 +223,38 @@ FROM events GROUP BY 1
 """
 
 
+def make_index_maintainer(spark: SparkSession, sig_dir: str, pairs_dir: str):
+    """The foreachBatch body of the streaming dedup index, factored out
+    so crash-resume tests can drive it against their own dirs: compute
+    the batch's MinHash signatures, upsert them into the epoch-owned
+    signature table, and join the batch against the accumulated index.
+    Each epoch OVERWRITES its own dirs, so a replayed epoch (crash or
+    stop between publish and checkpoint commit) replaces its own
+    half-written output — exactly-once net effect under foreachBatch's
+    at-least-once contract."""
+    from db_loader_spark.functions import dedup as D
+
+    def maintain_index(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_sigs = D.minhash_signatures(batch_df, num_hashes=8).persist()
+        try:
+            batch_sigs.write.mode("overwrite").parquet(
+                os.path.join(sig_dir, f"epoch={epoch_id}")
+            )
+            # index as of THIS batch = every epoch dir incl. the one
+            # just written; batch-vs-index incremental banded join
+            index = spark.read.parquet(os.path.join(sig_dir, "epoch=*"))
+            pairs = D.lsh_pairs_against(
+                batch_sigs, index, num_hashes=8, band_size=2, min_est_sim=0.375
+            )
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, f"epoch={epoch_id}")
+            )
+        finally:
+            batch_sigs.unpersist()
+
+    return maintain_index
+
+
 def t_stream_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup-INDEX maintenance — the ingest-time shape of
     near-dup detection at 100 TB: documents arrive as files, each
@@ -241,7 +273,6 @@ def t_stream_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards, 1 file per trigger), not a one-shot recompute."""
     import shutil
 
-    from db_loader_spark.functions import dedup as D
     from db_loader_spark.tables import load_table as _load
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
@@ -263,27 +294,7 @@ def t_stream_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-
-    def maintain_index(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_sigs = D.minhash_signatures(batch_df, num_hashes=8).persist()
-        try:
-            # upsert: each epoch owns its dir and OVERWRITES it, so a
-            # replayed epoch replaces its own output (exactly-once
-            # net effect under foreachBatch's at-least-once retries)
-            batch_sigs.write.mode("overwrite").parquet(
-                os.path.join(sig_dir, f"epoch={epoch_id}")
-            )
-            # index as of THIS batch = every epoch dir incl. the one
-            # just written; batch-vs-index incremental banded join
-            index = spark.read.parquet(os.path.join(sig_dir, "epoch=*"))
-            pairs = D.lsh_pairs_against(
-                batch_sigs, index, num_hashes=8, band_size=2, min_est_sim=0.375
-            )
-            pairs.write.mode("overwrite").parquet(
-                os.path.join(pairs_dir, f"epoch={epoch_id}")
-            )
-        finally:
-            batch_sigs.unpersist()
+    maintain_index = make_index_maintainer(spark, sig_dir, pairs_dir)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))

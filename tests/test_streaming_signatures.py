@@ -78,3 +78,76 @@ def test_stream_signatures_is_multibatch_and_rerun_stable(spark, monkeypatch):
     r2 = sorted(map(tuple, t_stream_signatures(spark, SF).collect()))
     assert r1 == r2
     assert r1  # non-empty on this corpus
+
+
+def test_index_maintenance_survives_stop_and_resume(spark, tmp_path):
+    """T2 crash-resume for the dedup index: stop the stream after ≥1
+    published epoch, restart on the SAME checkpoint with an
+    availableNow drain, and the resumed run processes only the
+    remaining files (epoch-overwrite absorbs any replayed torn batch).
+    The final union of incremental pairs still equals the batch LSH,
+    and the signature table holds each doc exactly once."""
+    import os
+    import time as _time
+
+    from db_loader_spark.queries.streamingq import make_index_maintainer
+
+    src = str(tmp_path / "docs")
+    sig_dir = str(tmp_path / "sigs")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, SF, "documents")
+    docs.repartition(4).write.parquet(src)
+    static = spark.read.parquet(src)
+    maintainer = make_index_maintainer(spark, sig_dir, pairs_dir)
+
+    def start(available_now: bool):
+        w = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(maintainer)
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        else:
+            w = w.trigger(processingTime="0 seconds")
+        return w.start()
+
+    # phase 1: run until at least one epoch published, then stop mid-way
+    q = start(available_now=False)
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        done = len(os.listdir(pairs_dir)) if os.path.isdir(pairs_dir) else 0
+        if done >= 1:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    interrupted_epochs = len(os.listdir(pairs_dir))
+    assert interrupted_epochs >= 1
+
+    # phase 2: resume on the same checkpoint; drain the rest
+    q2 = start(available_now=True)
+    q2.awaitTermination()
+    final_epochs = len(os.listdir(pairs_dir))
+    assert final_epochs >= max(2, interrupted_epochs)
+
+    # each doc signed exactly once across epochs (no double ingestion)
+    sigs = spark.read.parquet(os.path.join(sig_dir, "epoch=*"))
+    assert sigs.count() == sigs.select("id").distinct().count()
+    assert sigs.count() == docs.count()
+
+    # stream ≡ batch after the interruption
+    incremental = (
+        spark.read.parquet(os.path.join(pairs_dir, "epoch=*"))
+        .select("doc_a", "doc_b", "est_sim")
+        .distinct()
+    )
+    full_sigs = D.minhash_signatures(docs, num_hashes=8)
+    full = D.lsh_candidate_pairs(
+        full_sigs, num_hashes=8, band_size=2, min_est_sim=0.375, materialize=False
+    )
+    assert incremental.exceptAll(full).count() == 0
+    assert full.exceptAll(incremental).count() == 0
