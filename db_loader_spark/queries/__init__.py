@@ -126,11 +126,14 @@ def all_queries() -> dict[str, QuerySpec]:
         "multimodal_decode_png", "multimodal_decode_jpeg",
         "multimodal_decode_wav",  # decode_audio hardened (fuzz fixes)
         "t_stream_signatures", "t_stream_dedup",
-        "t_stream_rollup", "dedup_simhash", "dedup_minhash_lsh",
+        "t_stream_rollup",  # staging helper refactored (_stage_table)
+        "dedup_simhash", "dedup_minhash_lsh",
         "dedup_minhash_tuned", "dedup_components", "curation_funnel",
-        # — remaining slots (freshest r5 evidence, most complex first) —
+        # — remaining slots: new r6 keys + freshest r5 evidence —
         "ann_lsh_multiprobe",  # NEW r6 (multi-probe query fan-out)
-        "dedup_exact", "text_decontaminate", "dedup_embedding_lsh",
+        "t_stream_join",  # NEW r6 (watermarked stream-stream join)
+        "dedup_semantic",  # NEW r6 (SemDeDup over the shared IVF index)
+        "dedup_exact",
     ]
     merged: dict[str, QuerySpec] = {}
     for mod in (

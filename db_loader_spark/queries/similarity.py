@@ -271,8 +271,14 @@ def _duck_km_assign(cents: str) -> str:
 """
 
 
-_IVF_ORACLE = f"""
-WITH zz AS (
+# Shared unrolled-CTE mirror of the 2-round Lloyd trainer + final
+# assignment (functions.similarity.kmeans_centroids / ivf_inverted_lists):
+# zz = integer codes + seed cells, c0..c2 = centroid generations,
+# af = final nearest-centroid assignment, cells = corpus rows labeled
+# with their trained cell. Reused by the IVF ANN oracle and the
+# SemDeDup oracle — one trained quantizer, two consumers, exactly like
+# the Spark side's _ivf_index.
+_KM_CELLS_CTES = f"""zz AS (
   SELECT vec_id, embedding, {_DUCK_KM_CODES} AS z, {_DUCK_CELL} AS cid FROM embeddings
 ),
 c0 AS ({_duck_km_means('zz')}),
@@ -284,7 +290,11 @@ af AS ({_duck_km_assign('c2')}),
 cells AS (
   SELECT e.vec_id, e.embedding, af.cid AS cell
   FROM embeddings e JOIN af ON af.vec_id = e.vec_id
-),
+)"""
+
+
+_IVF_ORACLE = f"""
+WITH {_KM_CELLS_CTES},
 probed AS (
   SELECT query_id, cell FROM (
     SELECT zz.vec_id AS query_id, c.cid AS cell,
@@ -424,6 +434,69 @@ FROM reach GROUP BY id
 """
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the TRAINED k-means
+    coarse quantizer, then verify exact cosine only WITHIN each
+    cluster and mark every vector that has a smaller-id neighbor at
+    cos ≥ τ as a duplicate of its smallest such neighbor (keep-first,
+    fully deterministic).
+
+    The clustering is the point at scale: candidate volume is
+    Σ_cell n_c² instead of n² — the same bucketing argument as LSH
+    dedup, but with DATA-ADAPTIVE buckets (trained centroids follow
+    density, so near-identical vectors co-assign even when sign-LSH
+    would split them across a hyperplane). The cluster table is the
+    IVF index's inverted-lists frame, BUILT ONCE and shared with the
+    ANN arms via _ivf_index — index reuse across retrieval and
+    curation is exactly the deployment shape (one centroid table per
+    corpus version serving both). Per-cell join: one shuffle on cell,
+    cosine verified inside the join before the aggregate, output is
+    integer-only (vec_id, dup_of, n_near) so the hash is FP-safe.
+    The oracle replays the trainer as unrolled CTEs (_KM_CELLS_CTES)
+    and the within-cell self-join in plain SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, lists = _ivf_index(spark, sf_dir, emb)
+    a = lists.select(
+        "cell",
+        F.col("neighbor_id").alias("id_a"),
+        F.col("c_vec").alias("vec_a_"),
+        F.col("c_nrm").alias("nrm_a"),
+    )
+    b = lists.select(
+        "cell",
+        F.col("neighbor_id").alias("id_b"),
+        F.col("c_vec").alias("vec_b_"),
+        F.col("c_nrm").alias("nrm_b"),
+    )
+    cos = S.cosine_expr("vec_a_", "vec_b_", "nrm_a", "nrm_b")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 3).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+    return (
+        pairs.groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"), F.count("*").alias("n_near"))
+        .select(F.col("id_b").alias("vec_id"), "dup_of", "n_near")
+    )
+
+
+_SEMANTIC_ORACLE = f"""
+WITH {_KM_CELLS_CTES},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(({_duck_dot('a', 'b')})
+               / (sqrt({_duck_dot('a', 'a')}) * sqrt({_duck_dot('b', 'b')})), 3)
+           AS cos_sim
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT id_b AS vec_id, MIN(id_a) AS dup_of, CAST(COUNT(*) AS BIGINT) AS n_near
+FROM pairs WHERE cos_sim >= 0.4 GROUP BY id_b
+"""
+
+
 def ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_stats(load_table(spark, sf_dir, "embeddings"))
 
@@ -536,6 +609,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_ivf_topk": QuerySpec(
         ann_ivf_topk, _IVF_ORACLE, "k-means-trained IVF ANN (2 Lloyd rounds, nprobe=2)"
+    ),
+    "dedup_semantic": QuerySpec(
+        dedup_semantic,
+        _SEMANTIC_ORACLE,
+        "SemDeDup: within-k-means-cluster cosine dedup over the shared IVF index",
     ),
     "ann_bucket_stats": QuerySpec(ann_bucket_stats, _BUCKET_ORACLE, "LSH bucket sizing"),
 }

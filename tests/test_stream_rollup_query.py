@@ -98,6 +98,71 @@ def test_decontaminate_no_gate_path_matches(spark):
     cache.release()
 
 
+def test_stream_join_is_multi_batch_and_complete(spark, tmp_path):
+    """The stream-stream interval join emits matches across MULTIPLE
+    micro-batches (symmetric-hash state buffering both sides — with 4
+    random shards per side an order and its lineitems land in different
+    files, so later epochs must match against earlier epochs' buffered
+    state) and the union over epochs is EXACTLY the batch interval
+    join — no row dropped by the span-covering watermark, none
+    duplicated across epochs."""
+    from db_loader_spark.queries.streamingq import (
+        STREAM_SHUFFLE_PARTITIONS,
+        _stage_table,
+    )
+    from db_loader_spark.tables import load_table
+
+    o_stage = _stage_table(spark, SF, "orders", "ord")
+    l_stage = _stage_table(spark, SF, "lineitem", "li")
+    cond = (
+        "l_orderkey = o_orderkey"
+        " AND l_shipdate >= o_orderdate"
+        " AND l_shipdate <= o_orderdate + INTERVAL 60 DAYS"
+    )
+    orders = (
+        spark.readStream.schema(spark.read.parquet(o_stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(o_stage)
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .withWatermark("o_orderdate", "3700 days")
+    )
+    items = (
+        spark.readStream.schema(spark.read.parquet(l_stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(l_stage)
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .withWatermark("l_shipdate", "3700 days")
+    )
+    per_epoch: dict[int, int] = {}
+
+    def count_epoch(batch_df, epoch_id):
+        per_epoch[epoch_id] = batch_df.count()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            orders.join(items, F.expr(cond))
+            .select("l_orderkey", "l_linenumber")
+            .writeStream.option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(count_epoch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    producing = [e for e, n in per_epoch.items() if n > 0]
+    assert len(producing) >= 2, f"matches confined to one epoch: {per_epoch}"
+    batch_n = (
+        load_table(spark, SF, "orders")
+        .join(load_table(spark, SF, "lineitem"), F.expr(cond))
+        .count()
+    )
+    assert sum(per_epoch.values()) == batch_n
+
+
 def test_stream_rollup_registry_rerun_idempotent(spark):
     from db_loader_spark.queries import all_queries
 
