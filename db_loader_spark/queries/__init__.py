@@ -133,7 +133,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "ann_lsh_multiprobe",  # NEW r6 (multi-probe query fan-out)
         "t_stream_join",  # NEW r6 (watermarked stream-stream join)
         "dedup_semantic",  # NEW r6 (SemDeDup over the shared IVF index)
-        "dedup_exact",
+        "text_bpe_train",  # NEW r6 (distributed BPE trainer)
     ]
     merged: dict[str, QuerySpec] = {}
     for mod in (

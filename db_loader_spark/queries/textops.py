@@ -653,7 +653,90 @@ FROM cov GROUP BY doc_id, n_tokens
 """
 
 
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a 16-rule BPE merge table from the corpus (Sennrich et al.
+    2016) — see functions.bpe for the distributed shape (one corpus
+    pass, then vocab-sized rounds). The oracle replays the trainer in
+    DuckDB as 16 unrolled generations: pair counts, a deterministic
+    argmax, and the SAME greedy left-to-right fold via list_reduce with
+    a string-encoded (emitted, pending) accumulator — the kmeans-oracle
+    idiom applied to an iterative string algorithm."""
+    from db_loader_spark.functions.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=16)
+    return merges
+
+
+def _bpe_fold_duck() -> str:
+    """The greedy merge fold in DuckDB: accumulator is a single VARCHAR
+    ``emitted-symbols-joined-by-'|'`` || chr(31) || ``pending-symbol``
+    (list_reduce's accumulator must have the element type, so the
+    (out, pend) state is string-encoded; symbols are [a-z]+ and '</w>',
+    so neither '|' nor chr(31) can collide). bb is the cross-joined
+    single-row best-pair table of the generation."""
+    us = "chr(31)"
+    return f"""list_reduce(
+      list_prepend('' || {us} || '', syms),
+      (acc, s) -> CASE
+        WHEN split_part(acc, {us}, 2) = '' THEN split_part(acc, {us}, 1) || {us} || s
+        WHEN split_part(acc, {us}, 2) = bb.lhs AND s = bb.rhs
+          THEN split_part(acc, {us}, 1) || '|' || bb.lhs || bb.rhs || {us} || ''
+        ELSE split_part(acc, {us}, 1) || '|' || split_part(acc, {us}, 2) || {us} || s
+      END)"""
+
+
+def _bpe_train_oracle(n_merges: int = 16) -> str:
+    """Machine-generated unrolled replay of bpe_train: v0 = the word
+    vocabulary with character+'</w>' symbols; per generation k, pk =
+    adjacent-pair counts, bk = the (count DESC, lhs, rhs) argmax, vk+1 =
+    the fold applied. CTEs are MATERIALIZED — each vk is referenced
+    twice, and inlining would re-expand the whole chain per reference
+    (exponential; measured as a too-many-open-files blowup on v16)."""
+    us = "chr(31)"
+    fold = _bpe_fold_duck()
+    finish = (
+        f"str_split(ltrim(CASE WHEN split_part({fold}, {us}, 2) = '' "
+        f"THEN split_part({fold}, {us}, 1) "
+        f"ELSE split_part({fold}, {us}, 1) || '|' || split_part({fold}, {us}, 2) "
+        f"END, '|'), '|')"
+    )
+    ctes = [
+        """v0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         list_append(str_split_regex(word, ''), '</w>') AS syms
+  FROM (SELECT unnest(list_filter(str_split_regex(lower(text), '[^a-z]+'),
+                                  w -> w <> '')) AS word
+        FROM documents)
+  GROUP BY word)"""
+    ]
+    sel = []
+    for k in range(n_merges):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT struct_extract(p, 1) AS lhs, struct_extract(p, 2) AS rhs,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT freq, unnest(list_zip(syms, syms[2:])) AS p FROM v{k})
+  WHERE struct_extract(p, 2) IS NOT NULL GROUP BY 1, 2)""")
+        ctes.append(
+            f"b{k} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{k} "
+            "ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
+        )
+        ctes.append(f"""v{k + 1} AS MATERIALIZED (
+  SELECT word, freq, {finish} AS syms
+  FROM v{k} CROSS JOIN b{k} bb)""")
+        sel.append(
+            f"SELECT CAST({k} AS INT) AS merge_rank, lhs, rhs, "
+            f"lhs || rhs AS merged, pair_count FROM b{k}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_bpe_train": QuerySpec(
+        text_bpe_train,
+        _bpe_train_oracle(),
+        "distributed BPE merge-table training (16 rules, unrolled-CTE oracle)",
+    ),
     "text_repeated_passages": QuerySpec(
         text_repeated_passages,
         _PASSAGE_ORACLE,

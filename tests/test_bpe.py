@@ -1,0 +1,106 @@
+"""functions.bpe: the distributed BPE trainer vs a pure-Python
+reference implementation of the same algorithm (Sennrich et al. 2016 —
+greedy left-to-right non-overlapping merge, count-desc/lexicographic
+tie-break), plus the edge semantics the oracle can't exercise."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_bpe(texts: list[str], n: int):
+    vocab: Counter = Counter()
+    for t in texts:
+        for w in re.split("[^a-z]+", t.lower()):
+            if w:
+                vocab[w] += 1
+    segs = {w: list(w) + ["</w>"] for w in vocab}
+    merges = []
+    for rank in range(n):
+        pc: Counter = Counter()
+        for w, f in vocab.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        m = max(pc.values())
+        lhs, rhs = min(k for k, v in pc.items() if v == m)
+        merges.append((rank, lhs, rhs, lhs + rhs, m))
+        for w, s in segs.items():
+            out: list[str] = []
+            pend: str | None = None
+            for sym in s:
+                if pend is None:
+                    pend = sym
+                elif pend == lhs and sym == rhs:
+                    out.append(lhs + rhs)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = sym
+            if pend is not None:
+                out.append(pend)
+            segs[w] = out
+    return merges, segs
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from db_loader_spark.functions.bpe import bpe_train
+    from db_loader_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 120)
+    merges, final_vocab = bpe_train(docs, n_merges=12)
+    ref_merges, ref_segs = _py_bpe(
+        [r["text"] for r in docs.select("text").collect()], 12
+    )
+    assert [tuple(r) for r in merges.orderBy("merge_rank").collect()] == ref_merges
+    got_segs = {r["word"]: list(r["syms"]) for r in final_vocab.collect()}
+    assert got_segs == ref_segs
+
+
+def test_bpe_segmentation_roundtrips_words(spark):
+    """Concatenating a word's final symbols (marker stripped) must give
+    back the word — merges recombine, never lose or duplicate chars."""
+    from db_loader_spark.functions.bpe import bpe_train
+    from db_loader_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 60)
+    _, final_vocab = bpe_train(docs, n_merges=8)
+    bad = final_vocab.filter(
+        F.replace(F.concat_ws("", "syms"), F.lit("</w>"), F.lit("")) != F.col("word")
+    )
+    assert bad.count() == 0
+
+
+def test_bpe_adjacent_repeat_merges_greedy_left_to_right(spark):
+    """'aaaa' + merge (a,a) → ['aa','aa','</w>'], and 'aaa' leaves the
+    odd tail — the non-overlap rule the string-replace formulation gets
+    wrong (why the oracle uses the list_reduce fold)."""
+    from db_loader_spark.functions.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaa")], ["doc_id", "text"]
+    )
+    merges, vocab = bpe_train(docs, n_merges=1)
+    got = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    assert [tuple(r)[:4] for r in merges.collect()] == [(0, "a", "a", "aa")]
+    assert got["aaaa"] == ["aa", "aa", "</w>"]
+    assert got["aaa"] == ["aa", "a", "</w>"]
+
+
+def test_bpe_stops_early_when_fully_merged(spark):
+    """A corpus whose every word collapses before n_merges rounds stops
+    learning instead of looping on an empty argmax."""
+    from db_loader_spark.functions.bpe import bpe_train
+
+    docs = spark.createDataFrame([(0, "ab ab ab")], ["doc_id", "text"])
+    merges, vocab = bpe_train(docs, n_merges=10)
+    rows = merges.orderBy("merge_rank").collect()
+    assert [r["merged"] for r in rows] == ["ab", "ab</w>"]
+    assert [list(r["syms"]) for r in vocab.collect()] == [["ab</w>"]]
