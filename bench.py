@@ -58,6 +58,11 @@ HEADLINE = [
     "curation_source_cap",
     "text_repeated_passages",
     "ann_lsh_multiprobe",
+    # round 6b: stream-stream interval join, SemDeDup over the shared
+    # IVF index, and the distributed BPE trainer (16 merge rounds)
+    "t_stream_join",
+    "dedup_semantic",
+    "text_bpe_train",
 ]
 
 
