@@ -106,7 +106,11 @@ def all_queries() -> dict[str, QuerySpec]:
         # — stale since r4: textops tail (+ new repeated-passages) —
         "text_repeated_passages",
         "text_tfidf_topterms", "text_chunk", "text_pack_bins",
-        "text_repetition", "text_pii_scrub", "text_token_count",
+        "text_repetition", "text_pii_scrub",
+        # text_token_count folded into text_bpe_token_count (its
+        # n_ws_tokens column) — r6 consolidation per VERDICT r5 #8;
+        # the freed slot carries the new trained-tokenizer key
+        "text_bpe_tokenize",
         "text_bpe_token_count", "text_quality_score", "text_lang_id",
         "text_fingerprint",
         # — stale since r4: curation (+ new e2e composition, source cap) —
