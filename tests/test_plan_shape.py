@@ -319,6 +319,35 @@ def test_curation_e2e_bounded_exchanges_no_slow_paths(plans):
     assert 1 <= count_ops(s, "Window") <= 4, s
 
 
+def test_semantic_dedup_cell_join_is_hash(plans):
+    """SemDeDup's within-cluster pair generation must be a real hash
+    join on the cell key — Σ_cell n_c² candidates, never an all-pairs
+    nested loop over the corpus. (The centroid-assignment crossJoin
+    inside the shared index build is the documented broadcast-scalar
+    exception — whitelisted in the registry-wide sweep, and usually
+    hidden here behind the persisted lists frame.)"""
+    s = plans("dedup_semantic")
+    assert "CartesianProduct" not in s
+    assert (
+        count_ops(s, "SortMergeJoin")
+        + count_ops(s, "ShuffledHashJoin")
+        + count_ops(s, "BroadcastHashJoin")
+        >= 1
+    )
+    # map-side partial aggregation for the per-duplicate min/count
+    assert count_ops(s, "HashAggregate") >= 2
+
+
+def test_bpe_tokenize_dictionary_join_broadcasts(plans):
+    """Applying the trained tokenizer is a broadcast dictionary join on
+    word (vocab is Zipf-bounded); the corpus side must never shuffle
+    for the join itself."""
+    s = plans("text_bpe_tokenize")
+    assert count_ops(s, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in s and "CartesianProduct" not in s
+    assert "BatchEvalPython" not in s
+
+
 def test_registry_wide_no_unplanned_slow_paths(spark):
     """EVERY registry query (not a hand-picked sample) planned and
     scanned for the three slow-path red flags: CartesianProduct,
@@ -338,6 +367,9 @@ def test_registry_wide_no_unplanned_slow_paths(spark):
         "ann_sq_rerank",         # broadcast candidate set for rerank
         "ann_bruteforce_topk",   # broadcast query rows vs corpus
         "ann_ivf_topk",          # broadcast probed centroid ids
+        "dedup_semantic",        # broadcast centroids in the shared index
+                                 # build (shows only when the sweep's
+                                 # clearCache forces an index rebuild)
         "dedup_embedding_cosine",  # deliberate small-data verifier
         "multimodal_embed_ann",  # broadcast query rows (brute-force arm)
         "jn2_contains_join",     # contains theta-join, dim-sized side
