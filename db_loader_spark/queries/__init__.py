@@ -139,6 +139,16 @@ def all_queries() -> dict[str, QuerySpec]:
         "dedup_semantic",  # NEW r6 (SemDeDup over the shared IVF index)
         "text_bpe_train",  # NEW r6 (distributed BPE trainer)
     ]
+    # WINDOW-OVERFLOW QUEUE (policy amendment, r6): rule 1 filled every
+    # r6 slot, so brand-new keys beyond window capacity queue HERE, in
+    # positions 51+, and MUST front the next round's window (they are
+    # rule-1-oldest by construction: no driver evidence yet). A queued
+    # key ships only with full local value verification at BOTH SFs
+    # recorded in the round notes — the same bar rotated-out keys meet.
+    next_up = [
+        "text_bm25_topk",  # NEW r6 (sparse-retrieval arm)
+        "curation_weighted_sample",  # NEW r6 (A-ES data-mixing sample)
+    ]
     merged: dict[str, QuerySpec] = {}
     for mod in (
         similarity,
@@ -156,11 +166,12 @@ def all_queries() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name {name!r}")
             merged[name] = spec
-    missing = [k for k in window if k not in merged]
+    fronted = window + next_up
+    missing = [k for k in fronted if k not in merged]
     if missing:
         raise ValueError(f"window names not in registry: {missing}")
-    if len(window) != len(set(window)):
-        raise ValueError("duplicate names in window")
-    ordered = {k: merged[k] for k in window}
+    if len(fronted) != len(set(fronted)):
+        raise ValueError("duplicate names in window/next_up")
+    ordered = {k: merged[k] for k in fronted}
     ordered.update((k, v) for k, v in merged.items() if k not in ordered)
     return ordered

@@ -381,6 +381,56 @@ FROM packed GROUP BY lang, bin_id
 """
 
 
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis A-ES
+    (2006): each doc gets key = u^(1/w) with u a deterministic md5
+    uniform and w its weight (n_chars here — longer docs carry more
+    training tokens); the top-k keys per language ARE a weighted
+    sample without replacement — the data-mixing primitive for
+    "sample 10 docs per language, probability ∝ length".
+
+    Scale shape: key computation is a pure scan-side projection (no
+    RNG state, reproducible under retries/re-partitioning — the
+    a_hash_sample argument); selection is one per-language window,
+    never a global sort. Cross-engine FP honesty: the key is ROUNDed
+    to 6 dp before ranking with a doc_id tiebreak, so a last-ulp
+    pow/ln divergence between the JVM and DuckDB libm cannot flip a
+    rank (ties at 6 dp resolve identically on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        )
+        + 1
+    ) / F.lit(float(2**32) + 1)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 6)
+    w = W.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.col("n_chars").alias("weight"), key.alias("es_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "lang", "weight", "es_key", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars AS weight,
+         ROUND(pow(
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                 AS BIGINT) + 1) / (4294967296.0 + 1),
+           1.0 / n_chars), 6) AS es_key
+  FROM documents
+)
+SELECT doc_id, lang, weight, es_key, CAST(rk AS INT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY es_key DESC, doc_id) AS rk
+  FROM keyed
+) WHERE rk <= 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "curation_e2e": QuerySpec(
         curation_e2e,
@@ -402,5 +452,10 @@ QUERIES: dict[str, QuerySpec] = {
         curation_source_cap,
         _source_cap_oracle(),
         "per-source quota rebalancing (best-quality keep, token budget)",
+    ),
+    "curation_weighted_sample": QuerySpec(
+        curation_weighted_sample,
+        _WEIGHTED_SAMPLE_ORACLE,
+        "Efraimidis-Spirakis weighted sample w/o replacement, per language",
     ),
 }

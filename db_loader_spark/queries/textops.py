@@ -797,6 +797,101 @@ FROM w JOIN v{n_merges} v USING (word) GROUP BY w.doc_id"""
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval — the SPARSE-retrieval arm next to the
+    dense ANN arms: top-20 documents for a deterministic 3-term query
+    (document-frequency ranks 11-13, skipping the stopword head — the
+    corpus's own statistics pick the query, so the key needs no
+    external fixture). Robertson/Spärck Jones BM25 with k1=1.2, b=0.75.
+
+    Scale shape: the (doc, term) TF aggregate and the Zipf-bounded DF
+    table are the SAME two shuffles TF-IDF runs (at deployment they're
+    the shared inverted-index build — computed once, served to both);
+    the query-term table (3 rows) and the corpus scalars (N, avgdl)
+    broadcast, so scoring touches only the posting rows of the query
+    terms — exactly an inverted-index probe. Sum over ≤3 terms per doc,
+    ROUNDed before the rank so ties resolve identically cross-engine
+    (doc_id tiebreak)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    stats = d.agg(F.countDistinct("doc_id").alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    qterms = (
+        dfreq.withColumn(
+            "qrk",
+            F.row_number().over(W.orderBy(F.col("df").desc(), "tok")),
+        )
+        .filter((F.col("qrk") >= 11) & (F.col("qrk") <= 13))
+        .select("tok", "df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 4).alias("bm25"))
+    )
+    w = W.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "bm25", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+),
+qterms AS (
+  SELECT tok, df FROM (
+    SELECT tok, df, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS qrk FROM dfreq
+  ) WHERE qrk BETWEEN 11 AND 13
+),
+scored AS (
+  SELECT t.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+           * (t.tf * ({BM25_K1} + 1))
+             / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))
+         ), 4) AS bm25
+  FROM tf t
+  JOIN qterms q USING (tok)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, bm25, CAST(rk AS INT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM scored
+) WHERE rk <= 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_bpe_train": QuerySpec(
         text_bpe_train,
@@ -807,6 +902,11 @@ QUERIES: dict[str, QuerySpec] = {
         text_bpe_tokenize,
         _bpe_tokenize_oracle(),
         "per-doc token count under the trained BPE vocab (broadcast dictionary)",
+    ),
+    "text_bm25_topk": QuerySpec(
+        text_bm25_topk,
+        _BM25_ORACLE,
+        "BM25 ranked retrieval (sparse arm; inverted-index probe shape)",
     ),
     "text_repeated_passages": QuerySpec(
         text_repeated_passages,
