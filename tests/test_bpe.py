@@ -94,6 +94,38 @@ def test_bpe_adjacent_repeat_merges_greedy_left_to_right(spark):
     assert got["aaa"] == ["aa", "a", "</w>"]
 
 
+def test_bpe_empty_corpus_yields_empty_tables(spark):
+    """No words → no merges and an empty vocab, with the declared
+    schemas intact (empty-partition discipline: downstream joins must
+    not crash)."""
+    from db_loader_spark.functions.bpe import MERGE_SCHEMA, bpe_train
+
+    docs = spark.createDataFrame([(0, "12345 !!!")], ["doc_id", "text"])
+    merges, vocab = bpe_train(docs, n_merges=4)
+    assert merges.count() == 0
+    assert merges.schema == MERGE_SCHEMA
+    assert vocab.count() == 0
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """A-ES sanity: selection probability rises with weight, so the
+    sampled docs' mean weight must exceed the stratum mean (pinned on
+    the deterministic corpus, not asserted statistically)."""
+    from db_loader_spark.queries import all_queries
+    from db_loader_spark.tables import load_table
+
+    sampled = all_queries()["curation_weighted_sample"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    mean_sampled = sampled.agg(F.avg("weight")).first()[0]
+    mean_all = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert mean_sampled > mean_all
+
+
 def test_bpe_stops_early_when_fully_merged(spark):
     """A corpus whose every word collapses before n_merges rounds stops
     learning instead of looping on an empty argmax."""
