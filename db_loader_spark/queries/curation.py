@@ -431,6 +431,85 @@ SELECT doc_id, lang, weight, es_key, CAST(rk AS INT) AS rk FROM (
 """
 
 
+DSIR_TARGET_LANG = "en"
+
+
+def curation_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023, arXiv:2302.03169):
+    score every document by the mean log ratio of a TARGET unigram LM
+    (here: the corpus's 'en' slice — the distribution you want more of)
+    to the BACKGROUND LM (the whole corpus), add-one smoothed over the
+    shared vocabulary. Docs that look like the target score high;
+    importance resampling then keeps documents with probability
+    ∝ exp(weight) — the principled alternative to hard quality cuts.
+
+    Scale shape: the same Zipf-bounded count-table machinery as
+    text_lm_score — one explode, two token-count shuffles (target
+    counts LEFT-join onto background counts so unseen-in-target words
+    smooth to c=0), corpus scalars broadcast as one row, scoring join
+    on the token key, one per-doc aggregate. Counts are exact
+    integers; the final mean-of-log-ratios is the only FP, ROUNDed
+    4 dp on both engines."""
+    from db_loader_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("w")
+    )
+    c_bg = toks.groupBy("w").agg(F.count("*").alias("c_bg"))
+    c_tgt = (
+        toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("w")
+        .agg(F.count("*").alias("c_tgt"))
+    )
+    vocab = c_bg.join(c_tgt, "w", "left").select(
+        "w", "c_bg", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    )
+    stats = vocab.agg(
+        F.sum("c_bg").alias("n_bg"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count("*").alias("v"),
+    )
+    log_ratio = F.log(
+        (F.col("c_tgt") + 1) / (F.col("n_tgt") + F.col("v"))
+    ) - F.log((F.col("c_bg") + 1) / (F.col("n_bg") + F.col("v")))
+    return (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.sum(log_ratio) / F.count("*"), 4).alias("dsir_weight"),
+        )
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                                  '\\s+'), t -> t <> '')) AS w
+  FROM documents
+),
+c_bg AS (SELECT w, COUNT(*) AS c_bg FROM toks GROUP BY 1),
+c_tgt AS (SELECT w, COUNT(*) AS c_tgt FROM toks
+          WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+vocab AS (
+  SELECT b.w, b.c_bg, COALESCE(t.c_tgt, 0) AS c_tgt
+  FROM c_bg b LEFT JOIN c_tgt t USING (w)
+),
+stats AS (
+  SELECT SUM(c_bg) AS n_bg, SUM(c_tgt) AS n_tgt, COUNT(*) AS v FROM vocab
+)
+SELECT tk.doc_id, tk.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(ln((vb.c_tgt + 1) / (s.n_tgt + s.v))
+                 - ln((vb.c_bg + 1) / (s.n_bg + s.v))) / COUNT(*), 4)
+         AS dsir_weight
+FROM toks tk JOIN vocab vb USING (w) CROSS JOIN stats s
+GROUP BY tk.doc_id, tk.lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "curation_e2e": QuerySpec(
         curation_e2e,
@@ -457,5 +536,10 @@ QUERIES: dict[str, QuerySpec] = {
         curation_weighted_sample,
         _WEIGHTED_SAMPLE_ORACLE,
         "Efraimidis-Spirakis weighted sample w/o replacement, per language",
+    ),
+    "curation_dsir_weight": QuerySpec(
+        curation_dsir_weight,
+        _DSIR_ORACLE,
+        "DSIR importance weight: target/background LM log ratio per doc",
     ),
 }

@@ -126,6 +126,23 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     assert mean_sampled > mean_all
 
 
+def test_dsir_weight_separates_target_lang(spark):
+    """DSIR sanity: documents FROM the target distribution must score a
+    higher mean importance weight than the rest — the separation the
+    resampling step relies on (deterministic corpus, exact pin)."""
+    from db_loader_spark.queries import all_queries
+    from db_loader_spark.queries.curation import DSIR_TARGET_LANG
+
+    w = all_queries()["curation_dsir_weight"].spark(spark, "/root/testdata/sf0.001")
+    means = {
+        r["is_tgt"]: r["m"]
+        for r in w.groupBy((F.col("lang") == DSIR_TARGET_LANG).alias("is_tgt"))
+        .agg(F.avg("dsir_weight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
+
+
 def test_bpe_stops_early_when_fully_merged(spark):
     """A corpus whose every word collapses before n_merges rounds stops
     learning instead of looping on an empty argmax."""
