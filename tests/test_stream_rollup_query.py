@@ -163,6 +163,88 @@ def test_stream_join_is_multi_batch_and_complete(spark, tmp_path):
     assert sum(per_epoch.values()) == batch_n
 
 
+def test_stream_join_survives_stop_and_resume(spark, tmp_path):
+    """T2 crash-resume for the stream-stream join: stop after ≥1
+    published epoch, restart on the SAME checkpoint with an
+    availableNow drain — the symmetric-hash join STATE (both sides'
+    buffered rows) must restore from the checkpoint so cross-restart
+    matches still emit, and epoch-overwrite publishes absorb any
+    replayed torn batch. Final union over epochs == the batch interval
+    join, each match exactly once."""
+    import os
+    import time as _time
+
+    from db_loader_spark.queries.streamingq import _stage_table
+    from db_loader_spark.tables import load_table
+
+    o_stage = _stage_table(spark, SF, "orders", "ord")
+    l_stage = _stage_table(spark, SF, "lineitem", "li")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cond = (
+        "l_orderkey = o_orderkey"
+        " AND l_shipdate >= o_orderdate"
+        " AND l_shipdate <= o_orderdate + INTERVAL 60 DAYS"
+    )
+
+    def publish(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    def start(available_now: bool):
+        orders = (
+            spark.readStream.schema(spark.read.parquet(o_stage).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(o_stage)
+            .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+            .withWatermark("o_orderdate", "3700 days")
+        )
+        items = (
+            spark.readStream.schema(spark.read.parquet(l_stage).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(l_stage)
+            .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+            .withWatermark("l_shipdate", "3700 days")
+        )
+        w = (
+            orders.join(items, F.expr(cond))
+            .select("l_orderkey", "l_linenumber")
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(publish)
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        else:
+            w = w.trigger(processingTime="0 seconds")
+        return w.start()
+
+    q = start(available_now=False)
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        done = len(os.listdir(out_dir)) if os.path.isdir(out_dir) else 0
+        if done >= 1:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    assert os.path.isdir(out_dir) and len(os.listdir(out_dir)) >= 1
+
+    q2 = start(available_now=True)
+    q2.awaitTermination()
+
+    got = spark.read.parquet(os.path.join(out_dir, "epoch=*")).select(
+        "l_orderkey", "l_linenumber"
+    )
+    batch = (
+        load_table(spark, SF, "orders")
+        .join(load_table(spark, SF, "lineitem"), F.expr(cond))
+        .select("l_orderkey", "l_linenumber")
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
 def test_stream_rollup_registry_rerun_idempotent(spark):
     from db_loader_spark.queries import all_queries
 
