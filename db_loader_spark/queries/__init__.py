@@ -149,6 +149,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "text_bm25_topk",  # NEW r6 (sparse-retrieval arm)
         "curation_weighted_sample",  # NEW r6 (A-ES data-mixing sample)
         "curation_dsir_weight",  # NEW r6 (DSIR importance weight)
+        "ann_ivf_disk_topk",  # NEW r6 (partition-pruned on-disk IVF)
     ]
     merged: dict[str, QuerySpec] = {}
     for mod in (

@@ -434,6 +434,121 @@ FROM reach GROUP BY id
 """
 
 
+def _ivf_disk_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the IVF index AS A TABLE ON DISK — the deployment
+    shape SCALE.md describes: inverted lists hive-partitioned by cell
+    (one directory per cell), centroids as a sibling parquet table,
+    keyed on the embeddings source stamp so a re-shipped corpus
+    rebuilds. Probing then prunes cell DIRECTORIES at planning time,
+    exactly like the date layout prunes time — no index scan ever
+    lists the unprobed cells' files."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"db_loader_ivf_index_{key}")
+    src = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    stamp = f"{src.st_size}:{src.st_mtime_ns}"
+    stamp_path = os.path.join(base, "_SOURCE_STAMP")
+    try:
+        with open(stamp_path) as f:
+            if f.read() == stamp:
+                return base
+    except OSError:
+        pass
+    from db_loader_spark.sinks.ddl import write_partitioned
+
+    cents, lists = _ivf_index(spark, sf_dir, emb)
+    os.makedirs(base, exist_ok=True)
+    cents.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
+    write_partitioned(
+        lists, os.path.join(base, "lists"), F.col("cell"), "cell"
+    )
+    with open(stamp_path, "w") as f:
+        f.write(stamp)
+    return base
+
+
+def ann_ivf_disk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served FROM THE ON-DISK INDEX with partition pruning —
+    same trained quantizer, same nprobe/k as ann_ivf_topk (the oracle
+    is literally shared), but the serving path is the 100 TB one:
+    (1) read the centroid table (cells × dim — tiny), (2) compute each
+    query's nprobe probe cells against the broadcast centroids, (3)
+    collect the distinct probed cell ids — the posting-list fetch every
+    IVF serving layer performs; bounded by |query batch| × nprobe, a
+    few dozen ints here — and (4) scan ONLY those cell directories of
+    the hive-partitioned lists table (`cell IN (...)` prunes partitions
+    at planning time; plan-pinned) before the broadcast rescoring join.
+    The corpus-sized assignment scan never reruns at serve time, and
+    unprobed cells cost zero I/O."""
+    import os
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = _ivf_disk_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(base, "centroids"))
+    packed = F.broadcast(S._pack_centroids(cents))
+    probed = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.expr(S.norm_sql("embedding")).alias("q_nrm"),
+            F.expr(S.km_codes_sql("embedding")).alias("z"),
+        )
+        .crossJoin(packed)
+        .select(
+            "query_id",
+            "q_vec",
+            "q_nrm",
+            F.explode(F.expr(S._km_probe_cells(3))).alias("cell"),
+        )
+    )
+    # the probe-list fetch: tiny by construction (|queries| × nprobe)
+    cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
+    # explicit schema: hive partition-type inference would read the
+    # '0101'-style cell ids back as integers and corrupt the keys
+    lists_schema = StructType(
+        [
+            StructField("neighbor_id", LongType()),
+            StructField("c_vec", emb.schema["embedding"].dataType),
+            StructField("c_nrm", DoubleType()),
+            StructField("cell", StringType()),
+        ]
+    )
+    lists = (
+        spark.read.schema(lists_schema)
+        .parquet(os.path.join(base, "lists"))
+        .filter(F.col("cell").isin(cells))
+    )
+    cos = S.cosine_expr("q_vec", "c_vec", "q_nrm", "c_nrm")
+    scored = (
+        lists.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cos_sim"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with the TRAINED k-means
@@ -614,6 +729,11 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_semantic,
         _SEMANTIC_ORACLE,
         "SemDeDup: within-k-means-cluster cosine dedup over the shared IVF index",
+    ),
+    "ann_ivf_disk_topk": QuerySpec(
+        ann_ivf_disk_topk,
+        _IVF_ORACLE,
+        "IVF served from the on-disk cell-partitioned index (partition-pruned)",
     ),
     "ann_bucket_stats": QuerySpec(ann_bucket_stats, _BUCKET_ORACLE, "LSH bucket sizing"),
 }

@@ -348,6 +348,19 @@ def test_bpe_tokenize_dictionary_join_broadcasts(plans):
     assert "BatchEvalPython" not in s
 
 
+def test_ivf_disk_serving_prunes_cell_partitions(plans):
+    """The on-disk IVF serving scan must prune unprobed cell
+    DIRECTORIES at planning time (PartitionFilters on the hive cell
+    key) — the whole point of materializing the index partitioned by
+    cell — and rescore through a broadcast join, never a nested loop
+    over the lists table."""
+    s = plans("ann_ivf_disk_topk")
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*(INSET|IN \()", s)
+    assert m, "lists scan is not partition-pruned by probed cells"
+    assert count_ops(s, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in s
+
+
 def test_registry_wide_no_unplanned_slow_paths(spark):
     """EVERY registry query (not a hand-picked sample) planned and
     scanned for the three slow-path red flags: CartesianProduct,
@@ -370,6 +383,10 @@ def test_registry_wide_no_unplanned_slow_paths(spark):
         "dedup_semantic",        # broadcast centroids in the shared index
                                  # build (shows only when the sweep's
                                  # clearCache forces an index rebuild)
+        "ann_ivf_disk_topk",     # broadcast packed centroids for probe
+                                 # selection (the serving-side argmin)
+        "text_bm25_topk",        # broadcast 1-row corpus scalars (N, avgdl)
+        "curation_dsir_weight",  # broadcast 1-row LM totals (n_tgt/n_bg/V)
         "dedup_embedding_cosine",  # deliberate small-data verifier
         "multimodal_embed_ann",  # broadcast query rows (brute-force arm)
         "jn2_contains_join",     # contains theta-join, dim-sized side
