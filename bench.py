@@ -59,11 +59,31 @@ HEADLINE = [
     "text_repeated_passages",
     "ann_lsh_multiprobe",
     # round 6b: stream-stream interval join, SemDeDup over the shared
-    # IVF index, and the distributed BPE trainer (16 merge rounds)
+    # IVF index, the distributed BPE trainer (16 merge rounds), and
+    # the partition-pruned on-disk IVF serving path
     "t_stream_join",
     "dedup_semantic",
     "text_bpe_train",
+    "ann_ivf_disk_topk",
 ]
+
+# Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows
+# whose MEANING is the build itself must not serve a session cache.
+# text_bpe_train prices TRAINING, so the trained-vocab cache is
+# cleared before every timed run. The IVF rows deliberately keep
+# their index cache: they price SERVING from an index built once per
+# corpus (the deployment shape, documented in queries/similarity.py);
+# dedup_semantic likewise prices the within-cell join over the shared
+# index, and ann_ivf_disk_topk the partition-pruned disk probe.
+
+
+def _reset_bpe_cache() -> None:
+    from db_loader_spark.queries.textops import _BPE_TRAINED
+
+    _BPE_TRAINED.clear()
+
+
+RESET_BEFORE_TIMING = {"text_bpe_train": _reset_bpe_cache}
 
 
 def _source_stamp(*paths: str) -> str:
@@ -501,6 +521,7 @@ def main() -> None:
         spark._jvm.System.gc()
         best = float("inf")
         for _ in range(2):
+            RESET_BEFORE_TIMING.get(name, lambda: None)()
             t0 = time.perf_counter()
             df = spec.spark(spark, sf_dir)  # settled queries compute here
             assert df.count() >= 0  # full plan
