@@ -14,7 +14,9 @@ SF = "/root/testdata/sf0.001"
 
 # One per mechanism family: two-phase FP sums, window sessionization,
 # hash signatures + self-join, iterative fixpoint, IVF probe ranking,
-# position-salted aggregation, mapInPandas.
+# position-salted aggregation, mapInPandas, iterative argmax training
+# (cache cleared between runs so the second run RETRAINS), rounded
+# transcendental ranking, and the partition-pruned disk index.
 REPRESENTATIVE = [
     "q1_pricing_summary",
     "t_session_window",
@@ -23,12 +25,27 @@ REPRESENTATIVE = [
     "ann_ivf_topk",
     "a_salted_agg",
     "multimodal_features",
+    "text_bpe_train",
+    "curation_weighted_sample",
+    "ann_ivf_disk_topk",
 ]
+
+
+def _reset_session_caches(name: str) -> None:
+    """Clear any session cache the query would otherwise serve from, so
+    the second run re-executes the full mechanism (text_bpe_train must
+    be deterministic across genuine RETRAINS, not cache hits)."""
+    if name == "text_bpe_train":
+        from db_loader_spark.queries.textops import _BPE_TRAINED
+
+        _BPE_TRAINED.clear()
 
 
 @pytest.mark.parametrize("name", REPRESENTATIVE)
 def test_double_run_identical(spark, name):
     spec = all_queries()[name]
+    _reset_session_caches(name)
     a = sorted(map(tuple, spec.spark(spark, SF).collect()))
+    _reset_session_caches(name)
     b = sorted(map(tuple, spec.spark(spark, SF).collect()))
     assert a == b, f"{name}: two runs disagree"
