@@ -404,7 +404,11 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 1
     ) / F.lit(float(2**32) + 1)
-    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 6)
+    # greatest(w, 1): n_chars is strictly positive in every shipped
+    # testdata revision, but a zero under schema drift would hit the
+    # engines' divergent 1/0 semantics (Infinity vs error) — clamp
+    # identically on BOTH sides so drift degrades, never diverges
+    key = F.round(F.pow(u, F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1))), 6)
     w = W.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
     return (
         d.select("doc_id", "lang", F.col("n_chars").alias("weight"), key.alias("es_key"))
@@ -420,7 +424,7 @@ WITH keyed AS (
          ROUND(pow(
            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                  AS BIGINT) + 1) / (4294967296.0 + 1),
-           1.0 / n_chars), 6) AS es_key
+           1.0 / greatest(n_chars, 1)), 6) AS es_key
   FROM documents
 )
 SELECT doc_id, lang, weight, es_key, CAST(rk AS INT) AS rk FROM (
