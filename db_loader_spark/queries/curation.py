@@ -490,9 +490,7 @@ def curation_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, lang,
-         unnest(list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),
-                                                  '\\s+'), t -> t <> '')) AS w
+  SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS w
   FROM documents
 ),
 c_bg AS (SELECT w, COUNT(*) AS c_bg FROM toks GROUP BY 1),

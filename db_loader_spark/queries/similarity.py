@@ -450,7 +450,14 @@ def _ivf_disk_index(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"db_loader_ivf_index_{key}")
     src = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    stamp = f"{src.st_size}:{src.st_mtime_ns}"
+    # the stamp encodes the quantizer PARAMETERS, not just the source:
+    # this dir outlives the process (unlike the session caches), so a
+    # code revision changing n_bits/iters/KM_SCALE or the lists schema
+    # must invalidate it — the r3/r4 stale-derived-artifact class
+    stamp = (
+        f"{src.st_size}:{src.st_mtime_ns}"
+        f":n_bits=4:iters=2:scale={S.KM_SCALE}:layout=v1"
+    )
     stamp_path = os.path.join(base, "_SOURCE_STAMP")
     try:
         with open(stamp_path) as f:
@@ -497,25 +504,17 @@ def ann_ivf_disk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     base = _ivf_disk_index(spark, sf_dir)
     cents = spark.read.parquet(os.path.join(base, "centroids"))
-    packed = F.broadcast(S._pack_centroids(cents))
-    probed = (
+    # probe-cell selection: the same per-query argmin S.ann_ivf_topk
+    # runs internally (both use _km_probe_cells at nprobe=3, so the
+    # pruned scan below can never drop a cell the serving join probes)
+    probed_cells = (
         emb.filter(F.col("vec_id") < 8)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_vec"),
-            F.expr(S.norm_sql("embedding")).alias("q_nrm"),
-            F.expr(S.km_codes_sql("embedding")).alias("z"),
-        )
-        .crossJoin(packed)
-        .select(
-            "query_id",
-            "q_vec",
-            "q_nrm",
-            F.explode(F.expr(S._km_probe_cells(3))).alias("cell"),
-        )
+        .select(F.expr(S.km_codes_sql("embedding")).alias("z"))
+        .crossJoin(F.broadcast(S._pack_centroids(cents)))
+        .select(F.explode(F.expr(S._km_probe_cells(3))).alias("cell"))
     )
     # the probe-list fetch: tiny by construction (|queries| × nprobe)
-    cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
+    cells = sorted({r["cell"] for r in probed_cells.distinct().collect()})
     # explicit schema: hive partition-type inference would read the
     # '0101'-style cell ids back as integers and corrupt the keys
     lists_schema = StructType(
@@ -526,26 +525,21 @@ def ann_ivf_disk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("cell", StringType()),
         ]
     )
-    lists = (
+    pruned = (
         spark.read.schema(lists_schema)
         .parquet(os.path.join(base, "lists"))
         .filter(F.col("cell").isin(cells))
     )
-    cos = S.cosine_expr("q_vec", "c_vec", "q_nrm", "c_nrm")
-    scored = (
-        lists.join(F.broadcast(probed), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cos, 4).alias("cos_sim"))
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    # serving = the one shared pipeline (probe, rescore, top-k) with
+    # the disk artifacts injected — never a second copy to keep in
+    # lockstep with the shared _IVF_ORACLE
+    return S.ann_ivf_topk(
+        emb,
+        F.col("vec_id") < 8,
+        k=3,
+        nprobe=3,
+        centroids=cents,
+        inverted_lists=pruned,
     )
 
 
@@ -723,7 +717,7 @@ QUERIES: dict[str, QuerySpec] = {
         "multi-probe sign-LSH (Hamming-1 query probes, same corpus hashing)",
     ),
     "ann_ivf_topk": QuerySpec(
-        ann_ivf_topk, _IVF_ORACLE, "k-means-trained IVF ANN (2 Lloyd rounds, nprobe=2)"
+        ann_ivf_topk, _IVF_ORACLE, "k-means-trained IVF ANN (2 Lloyd rounds, nprobe=3)"
     ),
     "dedup_semantic": QuerySpec(
         dedup_semantic,

@@ -766,9 +766,16 @@ def _bpe_ctes(n_merges: int = 16) -> tuple[list[str], list[str]]:
             f"b{k} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{k} "
             "ORDER BY pair_count DESC, lhs, rhs LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE, not CROSS JOIN: when generation k finds no
+        # pair (corpus fully merged before n_merges — bpe_train breaks
+        # early), bk is EMPTY and a cross join would empty the whole
+        # vocab chain, zeroing the tokenize oracle. With the left join
+        # the vocab row survives with NULL bb.lhs/bb.rhs, every fold
+        # comparison against NULL is false, and the fold is the
+        # identity — exactly bpe_train's early-break semantics.
         ctes.append(f"""v{k + 1} AS MATERIALIZED (
   SELECT word, freq, {finish} AS syms
-  FROM v{k} CROSS JOIN b{k} bb)""")
+  FROM v{k} LEFT JOIN b{k} bb ON TRUE)""")
         sel.append(
             f"SELECT CAST({k} AS INT) AS merge_rank, lhs, rhs, "
             f"lhs || rhs AS merged, pair_count FROM b{k}"

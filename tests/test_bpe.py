@@ -143,6 +143,46 @@ def test_dsir_weight_separates_target_lang(spark):
     assert means[True] > means[False]
 
 
+def test_bpe_oracles_match_spark_on_exhausted_corpus(spark):
+    """When the corpus runs out of learnable merges before n_merges,
+    the unrolled oracle must mirror bpe_train's early break: the merge
+    chain stops and the vocab chain PASSES THROUGH the empty
+    generations (LEFT JOIN ON TRUE) instead of emptying — the failure
+    mode the review caught (a CROSS JOIN zeroed the tokenize oracle on
+    any corpus that exhausts early)."""
+    import duckdb
+
+    from db_loader_spark.functions.bpe import bpe_train
+    from db_loader_spark.queries.textops import (
+        _bpe_tokenize_oracle,
+        _bpe_train_oracle,
+    )
+
+    docs = spark.createDataFrame([(0, "ab ab ab"), (1, "ab cd")], ["doc_id", "text"])
+    merges, vocab = bpe_train(docs, n_merges=16)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        "SELECT 0 AS doc_id, 'ab ab ab' AS text UNION ALL SELECT 1, 'ab cd'"
+    )
+    oracle_merges = con.execute(
+        _bpe_train_oracle(16) + " ORDER BY merge_rank"
+    ).fetchall()
+    assert [tuple(r) for r in merges.orderBy("merge_rank").collect()] == oracle_merges
+    assert 0 < len(oracle_merges) < 16  # the early break actually happened
+
+    spark_toks = {
+        (r["doc_id"], r["n_bpe_tokens"])
+        for r in docs.select("doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .filter(F.col("word") != "")
+        .join(vocab.select("word", F.size("syms").alias("n")), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("long").alias("n_bpe_tokens"))
+        .collect()
+    }
+    assert spark_toks == set(con.execute(_bpe_tokenize_oracle(16)).fetchall())
+
+
 def test_bpe_stops_early_when_fully_merged(spark):
     """A corpus whose every word collapses before n_merges rounds stops
     learning instead of looping on an empty argmax."""
