@@ -53,6 +53,24 @@ def settle(result: DataFrame, *stages: DataFrame) -> DataFrame:
     return out
 
 
+def diagnostic_queries() -> dict[str, QuerySpec]:
+    """Verifier/diagnostic specs value-checked by pytest
+    (tests/test_oracle_queries.py) but NOT shipped in the driver
+    registry — the r6 consolidation (VERDICT r5 #8): deliberately
+    quadratic small-data verifiers (all-pairs Jaccard/cosine) and the
+    LSH bucket-sizing diagnostic keep their DuckDB oracles locally
+    without occupying rotation slots the scale-path operators need."""
+    from db_loader_spark.queries import dedup, similarity
+
+    merged: dict[str, QuerySpec] = {}
+    for mod in (similarity, dedup):
+        for name, spec in getattr(mod, "DIAGNOSTICS", {}).items():
+            if name in merged:
+                raise ValueError(f"duplicate diagnostic name {name!r}")
+            merged[name] = spec
+    return merged
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Union of every module's registry, insertion-ordered by theme."""
     from db_loader_spark.queries import (

@@ -422,9 +422,6 @@ QUERIES: dict[str, QuerySpec] = {
         _FUNNEL_ORACLE,
         "exact dedup -> near-dup removal -> quality filter, staged counts",
     ),
-    "dedup_ngram_jaccard": QuerySpec(
-        dedup_ngram_jaccard, _JACCARD_ORACLE, "3-gram Jaccard pairs"
-    ),
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_lsh, _MINHASH_ORACLE, "MinHash→band→bucket-join (est_sim≥3/8 in-join)"
     ),
@@ -437,7 +434,17 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_components": QuerySpec(
         dedup_components, _COMPONENTS_ORACLE, "near-dup connected components"
     ),
+}
+
+# Deliberately quadratic small-data VERIFIERS (the scale paths are
+# dedup_minhash_lsh / dedup_embedding_lsh): demoted from the driver
+# registry in r6 (VERDICT r5 #8 consolidation) but still value-checked
+# against their DuckDB oracles by pytest via diagnostic_queries().
+DIAGNOSTICS: dict[str, QuerySpec] = {
+    "dedup_ngram_jaccard": QuerySpec(
+        dedup_ngram_jaccard, _JACCARD_ORACLE, "3-gram Jaccard pairs (verifier)"
+    ),
     "dedup_embedding_cosine": QuerySpec(
-        dedup_embedding_cosine, _COSINE_ORACLE, "embedding cosine near-dup"
+        dedup_embedding_cosine, _COSINE_ORACLE, "embedding cosine near-dup (verifier)"
     ),
 }

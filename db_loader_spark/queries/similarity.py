@@ -729,5 +729,13 @@ QUERIES: dict[str, QuerySpec] = {
         _IVF_ORACLE,
         "IVF served from the on-disk cell-partitioned index (partition-pruned)",
     ),
-    "ann_bucket_stats": QuerySpec(ann_bucket_stats, _BUCKET_ORACLE, "LSH bucket sizing"),
+}
+
+# Bucket-sizing DIAGNOSTIC (the tuning input for n_bits — ann_recall
+# is the recall side of that loop): demoted from the driver registry
+# in r6 (VERDICT r5 #8 consolidation), still oracle-checked by pytest.
+DIAGNOSTICS: dict[str, QuerySpec] = {
+    "ann_bucket_stats": QuerySpec(
+        ann_bucket_stats, _BUCKET_ORACLE, "LSH bucket sizing (diagnostic)"
+    ),
 }

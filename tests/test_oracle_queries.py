@@ -9,9 +9,12 @@ from __future__ import annotations
 import pytest
 
 from db_loader_spark.oracle import compare, duck_connection
-from db_loader_spark.queries import all_queries
+from db_loader_spark.queries import all_queries, diagnostic_queries
 
-REGISTRY = all_queries()
+# Driver registry PLUS the pytest-only diagnostics (quadratic
+# verifiers demoted from the registry in r6 — they keep their oracle
+# value checks here).
+REGISTRY = {**all_queries(), **diagnostic_queries()}
 
 
 @pytest.fixture(scope="module")

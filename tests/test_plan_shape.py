@@ -387,7 +387,8 @@ def test_registry_wide_no_unplanned_slow_paths(spark):
                                  # selection (the serving-side argmin)
         "text_bm25_topk",        # broadcast 1-row corpus scalars (N, avgdl)
         "curation_dsir_weight",  # broadcast 1-row LM totals (n_tgt/n_bg/V)
-        "dedup_embedding_cosine",  # deliberate small-data verifier
+        # (dedup_embedding_cosine left the registry for the pytest-only
+        # diagnostics tier in r6 — the sweep no longer plans it)
         "multimodal_embed_ann",  # broadcast query rows (brute-force arm)
         "jn2_contains_join",     # contains theta-join, dim-sized side
         "a7_id_assignment",      # broadcast max-id scalar over dim delta
