@@ -71,6 +71,63 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
     return merged
 
 
+# DRIVER_WINDOW_SIZE entries of WINDOW are exactly what the external
+# driver value-checks; test_registry_integrity pins len(WINDOW) == 50
+# so a miscounted edit can't silently shift which keys get witnessed.
+DRIVER_WINDOW_SIZE = 50
+
+WINDOW = [
+    # — stale since r4: textops tail (+ new repeated-passages) —
+    "text_repeated_passages",
+    "text_tfidf_topterms", "text_chunk", "text_pack_bins",
+    "text_repetition", "text_pii_scrub",
+    # text_token_count folded into text_bpe_token_count (its
+    # n_ws_tokens column) — r6 consolidation per VERDICT r5 #8;
+    # the freed slot carries the new trained-tokenizer key
+    "text_bpe_tokenize",
+    "text_bpe_token_count", "text_quality_score", "text_lang_id",
+    "text_fingerprint",
+    # — stale since r4: curation (+ new e2e composition, source cap) —
+    "curation_e2e", "curation_select", "curation_shard_assign",
+    "curation_source_cap",
+    # — stale since r4: eventops —
+    "a_outlier_filter", "a_stratified_sample", "t_tumbling_counts",
+    "w_event_gap", "t_session_window", "p_json_props",
+    "jn_asof_join", "jn_range_join",
+    # — stale since r4: ecj + logshape —
+    "ecj_star",
+    "j1_sessionize", "j2_section_routing", "p1_kv_extract",
+    "p5_nil_skip", "p7_trailing_int", "p9_summary_parse",
+    "p13_key_normalize", "p14_continuation_merge", "p16_uuid_extract",
+    "p18_datetime_format", "jn5_sidecar_join",
+    # — rule 2: new + touched this round —
+    "multimodal_decode_png", "multimodal_decode_jpeg",
+    "multimodal_decode_wav",  # decode_audio hardened (fuzz fixes)
+    "t_stream_signatures", "t_stream_dedup",
+    "t_stream_rollup",  # staging helper refactored (_stage_table)
+    "dedup_simhash", "dedup_minhash_lsh",
+    "dedup_minhash_tuned", "dedup_components", "curation_funnel",
+    # — remaining slots: new r6 keys + freshest r5 evidence —
+    "ann_lsh_multiprobe",  # NEW r6 (multi-probe query fan-out)
+    "t_stream_join",  # NEW r6 (watermarked stream-stream join)
+    "dedup_semantic",  # NEW r6 (SemDeDup over the shared IVF index)
+    "text_bpe_train",  # NEW r6 (distributed BPE trainer)
+]
+
+# WINDOW-OVERFLOW QUEUE (policy amendment, r6): rule 1 filled every
+# r6 slot, so brand-new keys beyond window capacity queue HERE, in
+# positions 51+, and MUST front the next round's window (they are
+# rule-1-oldest by construction: no driver evidence yet). A queued
+# key ships only with full local value verification at BOTH SFs
+# recorded in the round notes — the same bar rotated-out keys meet.
+NEXT_UP = [
+    "text_bm25_topk",  # NEW r6 (sparse-retrieval arm)
+    "curation_weighted_sample",  # NEW r6 (A-ES data-mixing sample)
+    "curation_dsir_weight",  # NEW r6 (DSIR importance weight)
+    "ann_ivf_disk_topk",  # NEW r6 (partition-pruned on-disk IVF)
+]
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Union of every module's registry, insertion-ordered by theme."""
     from db_loader_spark.queries import (
@@ -120,55 +177,8 @@ def all_queries() -> dict[str, QuerySpec]:
     # (pinned by tests/test_cache_lifecycle.py and the thread-locality
     # test); the remaining similarity/multimodal/relational keys ride
     # outside on r5 evidence, re-verified locally both SFs this round.
-    window = [
-        # — stale since r4: textops tail (+ new repeated-passages) —
-        "text_repeated_passages",
-        "text_tfidf_topterms", "text_chunk", "text_pack_bins",
-        "text_repetition", "text_pii_scrub",
-        # text_token_count folded into text_bpe_token_count (its
-        # n_ws_tokens column) — r6 consolidation per VERDICT r5 #8;
-        # the freed slot carries the new trained-tokenizer key
-        "text_bpe_tokenize",
-        "text_bpe_token_count", "text_quality_score", "text_lang_id",
-        "text_fingerprint",
-        # — stale since r4: curation (+ new e2e composition, source cap) —
-        "curation_e2e", "curation_select", "curation_shard_assign",
-        "curation_source_cap",
-        # — stale since r4: eventops —
-        "a_outlier_filter", "a_stratified_sample", "t_tumbling_counts",
-        "w_event_gap", "t_session_window", "p_json_props",
-        "jn_asof_join", "jn_range_join",
-        # — stale since r4: ecj + logshape —
-        "ecj_star",
-        "j1_sessionize", "j2_section_routing", "p1_kv_extract",
-        "p5_nil_skip", "p7_trailing_int", "p9_summary_parse",
-        "p13_key_normalize", "p14_continuation_merge", "p16_uuid_extract",
-        "p18_datetime_format", "jn5_sidecar_join",
-        # — rule 2: new + touched this round —
-        "multimodal_decode_png", "multimodal_decode_jpeg",
-        "multimodal_decode_wav",  # decode_audio hardened (fuzz fixes)
-        "t_stream_signatures", "t_stream_dedup",
-        "t_stream_rollup",  # staging helper refactored (_stage_table)
-        "dedup_simhash", "dedup_minhash_lsh",
-        "dedup_minhash_tuned", "dedup_components", "curation_funnel",
-        # — remaining slots: new r6 keys + freshest r5 evidence —
-        "ann_lsh_multiprobe",  # NEW r6 (multi-probe query fan-out)
-        "t_stream_join",  # NEW r6 (watermarked stream-stream join)
-        "dedup_semantic",  # NEW r6 (SemDeDup over the shared IVF index)
-        "text_bpe_train",  # NEW r6 (distributed BPE trainer)
-    ]
-    # WINDOW-OVERFLOW QUEUE (policy amendment, r6): rule 1 filled every
-    # r6 slot, so brand-new keys beyond window capacity queue HERE, in
-    # positions 51+, and MUST front the next round's window (they are
-    # rule-1-oldest by construction: no driver evidence yet). A queued
-    # key ships only with full local value verification at BOTH SFs
-    # recorded in the round notes — the same bar rotated-out keys meet.
-    next_up = [
-        "text_bm25_topk",  # NEW r6 (sparse-retrieval arm)
-        "curation_weighted_sample",  # NEW r6 (A-ES data-mixing sample)
-        "curation_dsir_weight",  # NEW r6 (DSIR importance weight)
-        "ann_ivf_disk_topk",  # NEW r6 (partition-pruned on-disk IVF)
-    ]
+    window = WINDOW
+    next_up = NEXT_UP
     merged: dict[str, QuerySpec] = {}
     for mod in (
         similarity,

@@ -28,6 +28,29 @@ def test_every_registry_entry_well_formed():
         ), f"{name}: oracle must be SQL or None"
 
 
+def test_driver_window_is_exactly_sized_and_fronted():
+    """The driver witnesses exactly the first DRIVER_WINDOW_SIZE
+    registry keys: WINDOW must hold exactly that many names, NEXT_UP
+    must follow immediately, and neither may overlap the other or name
+    a key outside the registry — a miscounted window edit silently
+    changes which keys get external evidence."""
+    from db_loader_spark.queries import (
+        DRIVER_WINDOW_SIZE,
+        NEXT_UP,
+        WINDOW,
+        all_queries,
+        diagnostic_queries,
+    )
+
+    assert len(WINDOW) == DRIVER_WINDOW_SIZE
+    assert not set(WINDOW) & set(NEXT_UP)
+    ordered = list(all_queries())
+    assert ordered[:DRIVER_WINDOW_SIZE] == WINDOW
+    assert ordered[DRIVER_WINDOW_SIZE : DRIVER_WINDOW_SIZE + len(NEXT_UP)] == NEXT_UP
+    # diagnostics live outside the driver registry entirely
+    assert not set(diagnostic_queries()) & set(ordered)
+
+
 def test_bench_headline_names_resolve():
     """A renamed query must break HERE, not in the driver's bench run."""
     import bench
