@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_semantic",
     "text_bpe_train",
     "ann_ivf_disk_topk",
+    "t_stream_mview",  # update-mode output (rollup=complete, join=append)
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows

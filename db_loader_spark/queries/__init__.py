@@ -125,6 +125,7 @@ NEXT_UP = [
     "curation_weighted_sample",  # NEW r6 (A-ES data-mixing sample)
     "curation_dsir_weight",  # NEW r6 (DSIR importance weight)
     "ann_ivf_disk_topk",  # NEW r6 (partition-pruned on-disk IVF)
+    "t_stream_mview",  # NEW r6 (update-mode materialized view)
 ]
 
 

@@ -437,6 +437,86 @@ def t_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def t_stream_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATERIALIZED VIEW maintenance — UPDATE output mode,
+    the third and last output semantics the registry's stream keys
+    cover (complete: t_stream_rollup; append: t_stream_join): a
+    per-user aggregate over the staged event shards where each
+    micro-batch emits ONLY the users whose aggregate changed, and
+    foreachBatch merges those deltas into an epoch-stamped table. The
+    final view = keep-latest-epoch per user (one window over the
+    update log), and it must equal DuckDB's batch aggregate — update
+    mode's contract is exactly that the last emission per key IS the
+    final value.
+
+    This is the incremental-dashboard / feature-store shape at 100 TB:
+    the view table receives |changed keys| rows per batch, not
+    |all keys|, and a reader at any epoch sees the aggregate as of
+    that epoch (the epoch column is the snapshot axis; a production
+    deployment would publish each epoch through sinks/manifest.py
+    instead of epoch dirs). State is the running aggregate per user —
+    bounded by key cardinality, not stream length."""
+    import shutil
+
+    stage = _stage_table(spark, sf_dir, "events", "stage")
+    static = spark.read.parquet(stage)
+    run_dir = tempfile.mkdtemp(prefix="db_loader_stream_mview_run_")
+    out_dir = os.path.join(run_dir, "out")
+
+    agg = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        # the epoch=N hive dir IS the epoch column on read-back
+        # (numeric values, so partition type inference is safe here)
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .foreachBatch(merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from pyspark.sql import Window as W
+
+        # read the PARENT dir (not the epoch=* glob): partition
+        # discovery then surfaces the epoch dir key as a column
+        upd = spark.read.parquet(out_dir)
+        w = W.partitionBy("user_id").orderBy(F.col("epoch").desc())
+        view = (
+            upd.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "n_events", "sum_value")
+        )
+        rows = view.collect()
+        schema = view.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_STREAM_MVIEW_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 _STREAM_JOIN_ORACLE = """
 SELECT o.o_orderpriority,
        COUNT(*) AS n_items,
@@ -471,5 +551,10 @@ QUERIES: dict[str, QuerySpec] = {
         t_stream_join,
         _STREAM_JOIN_ORACLE,
         "watermarked stream-stream interval join ≡ batch interval join",
+    ),
+    "t_stream_mview": QuerySpec(
+        t_stream_mview,
+        _STREAM_MVIEW_ORACLE,
+        "update-mode materialized view: keep-latest merge ≡ batch aggregate",
     ),
 }

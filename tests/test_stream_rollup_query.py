@@ -245,6 +245,60 @@ def test_stream_join_survives_stop_and_resume(spark, tmp_path):
     assert batch.exceptAll(got).count() == 0
 
 
+def test_stream_mview_emits_per_key_updates_across_batches(spark, tmp_path):
+    """Update-mode witness: (1) multiple micro-batches emit, (2) at
+    least one user's aggregate is RE-emitted in a later epoch (the
+    state update that distinguishes update mode from append), and
+    (3) each batch emits only changed keys — strictly fewer rows than
+    a complete-mode emission after the first batch would total."""
+    from db_loader_spark.queries.streamingq import (
+        STREAM_SHUFFLE_PARTITIONS,
+        _stage_table,
+    )
+
+    stage = _stage_table(spark, SF, "events", "stage")
+    static = spark.read.parquet(stage)
+    per_epoch: dict[int, set] = {}
+
+    def capture(batch_df, epoch_id):
+        per_epoch[epoch_id] = {(r["user_id"], r["day"]) for r in batch_df.collect()}
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            # (user_id, day) keys: far more groups than rows per
+            # micro-batch, so each batch touches a strict subset and
+            # the only-changed-keys property is observable (with bare
+            # user_id, 15 users all change every batch)
+            .groupBy("user_id", F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("n"))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(capture)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    assert len(per_epoch) >= 2, f"single-batch drain: {sorted(per_epoch)}"
+    epochs = sorted(per_epoch)
+    seen: set = set()
+    re_emitted = set()
+    for e in epochs:
+        re_emitted |= per_epoch[e] & seen
+        seen |= per_epoch[e]
+    assert re_emitted, "no key was ever updated across batches"
+    # update mode: later batches emit only CHANGED keys, never the
+    # full key set accumulated so far (that would be complete mode)
+    assert any(len(per_epoch[e]) < len(seen) for e in epochs[1:])
+
+
 def test_stream_rollup_registry_rerun_idempotent(spark):
     from db_loader_spark.queries import all_queries
 
