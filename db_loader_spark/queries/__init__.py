@@ -126,6 +126,7 @@ NEXT_UP = [
     "curation_dsir_weight",  # NEW r6 (DSIR importance weight)
     "ann_ivf_disk_topk",  # NEW r6 (partition-pruned on-disk IVF)
     "t_stream_mview",  # NEW r6 (update-mode materialized view)
+    "t_sliding_counts",  # NEW r6 (overlapping-window family member)
 ]
 
 

@@ -251,6 +251,46 @@ FROM events GROUP BY 1, 2
 """
 
 
+def t_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SLIDING-window aggregate (2-hour windows every hour)
+    — the overlapping-window member of the window family (tumbling:
+    t_tumbling_counts; session: t_session_window). ``F.window`` with a
+    slide expands each event into len/slide = 2 window copies before
+    the aggregate: the shuffle carries 2× the tumbling volume — the
+    inherent cost of overlap, priced here so the tumbling/sliding
+    choice at 100 TB is a measured one. The oracle mirrors the
+    expansion with an explicit 2-row unnest per event."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+WITH expanded AS (
+  SELECT u.ws AS window_start, event_type, value
+  FROM events,
+       LATERAL unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS u(ws)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
 def w_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event gap statistics via ``lag`` — the window-lag
     primitive (distinct from session_window's built-in gap logic).
@@ -406,6 +446,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "t_tumbling_counts": QuerySpec(
         t_tumbling_counts, _TUMBLING_ORACLE, "event-time tumbling-window agg"
+    ),
+    "t_sliding_counts": QuerySpec(
+        t_sliding_counts, _SLIDING_ORACLE, "event-time sliding-window agg (2h/1h)"
     ),
     "w_event_gap": QuerySpec(
         w_event_gap, _EVENT_GAP_ORACLE, "lag-based inter-event gaps"
