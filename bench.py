@@ -66,6 +66,7 @@ HEADLINE = [
     "text_bpe_train",
     "ann_ivf_disk_topk",
     "t_stream_mview",  # update-mode output (rollup=complete, join=append)
+    "t_sliding_counts",  # overlap cost vs the t_tumbling_counts row
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows
