@@ -79,3 +79,76 @@ def kmv_distinct(
         est.cast("long").alias("kmv_estimate"),
         F.round(est.cast("double") / F.col("n_exact"), 3).alias("rel_err"),
     )
+
+
+# ---- Count-Min Sketch (Cormode & Muthukrishnan, 2005) ----
+#
+# The frequency twin of KMV's distinct counting: d independent hash
+# rows of w counters; an item's estimate is the MIN over its d cells,
+# an overestimate bounded by eps*N with probability 1-delta
+# (w = ceil(e/eps), d = ceil(ln 1/delta)). Engine-portable for the
+# same reason as KMV: the row hashes are md5-derived, so DuckDB can
+# replay the whole sketch and the driver hash-checks the ESTIMATES.
+# The sketch is mergeable (cell-wise sum), constant-memory (d*w
+# cells), and builds with map-side combine — the standard fleet-wide
+# heavy-hitter statistic at 100 TB, where a full exact vocabulary
+# count is a luxury the sketch replaces.
+
+CMS_D = 4
+CMS_W = 256
+
+
+def cms_bucket_sql(col: str, j: str, w: int = CMS_W) -> str:
+    """Row-j bucket of a value: md5 32-bit prefix of ('cms<j>:'||x) % w."""
+    return (
+        f"pmod(CAST(conv(substring(md5(concat('cms', {j}, ':', {col})), 1, 8),"
+        f" 16, 10) AS BIGINT), {w})"
+    )
+
+
+def cms_heavy_hitters(
+    occurrences: DataFrame,
+    value_col: str,
+    k: int = 10,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Top-k heavy hitters with their CMS estimates next to exact
+    counts — the self-evaluation shape (ann_recall / kmv_distinct):
+    (value, true_count, cms_estimate). cms_estimate >= true_count
+    always (CMS never undercounts); equality means no colliding mass
+    in any of the d rows.
+
+    Build cost: one map-side-combined count shuffle (Zipf-bounded
+    vocabulary), then d x |vocab| tiny rows into the (j, bucket)
+    aggregate — the sketch itself is d*w cells regardless of corpus
+    size. The top-k side is broadcast into the estimate join."""
+    counts = occurrences.groupBy(F.col(value_col).alias("val")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    rows = counts.select(
+        "val",
+        "cnt",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+    ).withColumn("b", F.expr(cms_bucket_sql("val", "j", w)))
+    sketch = rows.groupBy("j", "b").agg(F.sum("cnt").alias("cell"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), "val")
+        .limit(k)
+        .select("val", "cnt")
+    )
+    top_cells = top.select(
+        "val",
+        "cnt",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+    ).withColumn("b", F.expr(cms_bucket_sql("val", "j", w)))
+    return (
+        sketch.join(F.broadcast(top_cells), ["j", "b"])
+        .groupBy("val", "cnt")
+        .agg(F.min("cell").cast("long").alias("cms_estimate"))
+        .select(
+            F.col("val").alias(value_col),
+            F.col("cnt").alias("true_count"),
+            "cms_estimate",
+        )
+    )

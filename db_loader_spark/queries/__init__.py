@@ -127,6 +127,7 @@ NEXT_UP = [
     "ann_ivf_disk_topk",  # NEW r6 (partition-pruned on-disk IVF)
     "t_stream_mview",  # NEW r6 (update-mode materialized view)
     "t_sliding_counts",  # NEW r6 (overlapping-window family member)
+    "text_cms_topk",  # NEW r6 (Count-Min frequency sketch)
 ]
 
 

@@ -899,7 +899,51 @@ SELECT doc_id, bm25, CAST(rk AS INT) AS rk FROM (
 """
 
 
+def text_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters over the corpus token stream —
+    the frequency twin of text_kmv_vocab's distinct sketch (see
+    functions/sketch.py for the engine-portability argument: md5 row
+    hashes let DuckDB replay the sketch, so the driver hash-checks the
+    ESTIMATES, not just row counts). Output: top-10 tokens with exact
+    count and CMS estimate side by side."""
+    from db_loader_spark.functions.sketch import cms_heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    return cms_heavy_hitters(occ, "tok", k=10)
+
+
+def _cms_oracle(k: int = 10, d: int = 4, w: int = 256) -> str:
+    bucket = (
+        "CAST(('0x' || substr(md5('cms' || j || ':' || val), 1, 8))::UBIGINT"
+        f" AS BIGINT) % {w}"
+    )
+    return f"""
+WITH occ AS (
+  SELECT unnest({_DUCK_TOKENS}) AS val FROM documents
+),
+counts AS (SELECT val, CAST(COUNT(*) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+rows_ AS (
+  SELECT val, cnt, j.j AS j, {bucket} AS b
+  FROM counts, (SELECT unnest(range({d})) AS j) j
+),
+sketch AS (SELECT j, b, SUM(cnt) AS cell FROM rows_ GROUP BY 1, 2),
+top AS (SELECT val, cnt FROM counts ORDER BY cnt DESC, val LIMIT {k})
+SELECT t.val AS tok, t.cnt AS true_count,
+       CAST(MIN(s.cell) AS BIGINT) AS cms_estimate
+FROM top t
+JOIN rows_ r ON r.val = t.val
+JOIN sketch s ON s.j = r.j AND s.b = r.b
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_cms_topk": QuerySpec(
+        text_cms_topk,
+        _cms_oracle(),
+        "Count-Min Sketch heavy hitters (estimate hash-checked vs replay)",
+    ),
     "text_bpe_train": QuerySpec(
         text_bpe_train,
         _bpe_train_oracle(),

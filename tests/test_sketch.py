@@ -65,3 +65,47 @@ def test_kmv_merge_identity(spark):
 
     merged = sorted(kmins(shard_a) + kmins(shard_b))[:k]
     assert merged == kmins(vals)
+
+
+def test_cms_never_undercounts_any_token(spark):
+    """CMS's one-sided error: for EVERY vocabulary item (not just the
+    top-k the registry key reports), min-of-cells >= true count."""
+    from db_loader_spark.functions.sketch import cms_heavy_hitters
+    from db_loader_spark.functions import text as TX
+    from db_loader_spark.tables import load_table
+
+    occ = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    )
+    n_vocab = occ.select("tok").distinct().count()
+    full = cms_heavy_hitters(occ, "tok", k=n_vocab)
+    assert full.count() == n_vocab
+    assert full.filter(F.col("cms_estimate") < F.col("true_count")).count() == 0
+
+
+def test_cms_sketch_is_mergeable(spark):
+    """Cell-wise sum of per-shard sketches == the union's sketch (the
+    property that makes CMS a fleet statistic): estimates computed
+    from merged shard sketches equal single-pass estimates."""
+    from db_loader_spark.functions.sketch import cms_heavy_hitters
+    from db_loader_spark.functions import text as TX
+    from db_loader_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    occ = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    whole = {
+        (r["tok"], r["true_count"], r["cms_estimate"])
+        for r in cms_heavy_hitters(occ.select("tok"), "tok", k=10).collect()
+    }
+    # shard by doc parity; CMS over the union must equal the whole —
+    # the union of occurrence streams IS the cell-wise sum of sketches
+    a = occ.filter(F.col("doc_id") % 2 == 0).select("tok")
+    b = occ.filter(F.col("doc_id") % 2 == 1).select("tok")
+    merged = {
+        (r["tok"], r["true_count"], r["cms_estimate"])
+        for r in cms_heavy_hitters(a.unionByName(b), "tok", k=10).collect()
+    }
+    assert whole == merged
