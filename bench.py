@@ -67,6 +67,11 @@ HEADLINE = [
     "ann_ivf_disk_topk",
     "t_stream_mview",  # update-mode output (rollup=complete, join=append)
     "t_sliding_counts",  # overlap cost vs the t_tumbling_counts row
+    # round 6c: blocked record linkage, the membership sketch the
+    # ingest path prefilters with, and the bounded-frame window
+    "jn_fuzzy_join",
+    "dedup_bloom_prefilter",
+    "w_moving_avg",
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows

@@ -152,3 +152,188 @@ def cms_heavy_hitters(
             "cms_estimate",
         )
     )
+
+
+# ---- HyperLogLog (Flajolet et al., 2007) ----
+#
+# The third sketch family member: KMV answers distinct-count by ORDER
+# STATISTICS (k smallest hashes), HLL by BIT PATTERNS (max leading-zero
+# run per register) — constant memory m registers of one small int
+# each, vs KMV's k doubles, and the estimator production engines
+# actually ship (Spark's approx_count_distinct, Redis PFCOUNT). Spark's
+# builtin is a black-box binary no other engine replays, so — same
+# design rule as KMV/CMS — the registers here are md5-derived and the
+# DuckDB oracle replays the whole sketch, letting the driver hash-check
+# the ESTIMATE itself.
+#
+# Register = first 2 md5 hex chars mod m; rho = leading-zero count of
+# the NEXT 8 hex chars (32 bits) + 1, computed TEXTUALLY (ltrim('0')
+# + a 16-way CASE on the first surviving digit) because neither engine
+# has an exact integer clz and floor(log2()) is a libm call that can
+# disagree in the last ulp. 2^-rho is built as 1.0/(1<<rho) — an exact
+# power of two, so the register sum is EXACT (64 terms, all powers of
+# two >= 2^-33, well inside one double's 52-bit window) and
+# summation order cannot flip the driver hash. The one inexact op is
+# the final alpha*m^2/Z division, identical single IEEE op on both
+# engines, then ROUND. No small-range linear-counting correction: it
+# needs ln(), which IS engine-divergent libm — the estimator self-
+# reports its small-n bias in the rel_err column instead (the
+# ann_recall self-eval pattern).
+#
+# Mergeability — the property that makes it THE fleet statistic at
+# 100 TB: registers merge by element-wise MAX, so shards ship m bytes
+# each and any coordinator (or another engine entirely) unions them.
+
+HLL_M = 64  # 2^6 registers
+HLL_ALPHA = 0.709  # alpha_64 from the HLL paper
+
+
+def hll_rho_sql(hx8: str) -> str:
+    """SQL for leading-zero-run + 1 of a 32-bit value given as an
+    8-hex-char string expression — exact text ops, no log2. Valid in
+    Spark SQL and DuckDB verbatim (both have trim(LEADING..), length,
+    substring, CASE)."""
+    t = f"trim(LEADING '0' FROM {hx8})"
+    extra = (
+        f"CASE substring({t}, 1, 1) WHEN '1' THEN 3 WHEN '2' THEN 2 "
+        "WHEN '3' THEN 2 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 "
+        "WHEN '7' THEN 1 ELSE 0 END"
+    )
+    return (
+        f"CASE WHEN length({t}) = 0 THEN 33 "
+        f"ELSE 4 * (8 - length({t})) + {extra} + 1 END"
+    )
+
+
+def hll_distinct(
+    pairs: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = HLL_M,
+) -> DataFrame:
+    """Per-group HLL distinct estimate with the exact count alongside
+    (the kmv_distinct self-eval shape): (group, n_exact, hll_estimate,
+    rel_err). One map-side-combined (group, register) max-rho shuffle —
+    at most m rows per group survive — then a per-group sum of exact
+    powers of two."""
+    src = pairs.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
+    )
+    h = src.select(
+        "grp",
+        "val",
+        F.expr(
+            "pmod(CAST(conv(substring(md5(concat('hll:', val)), 1, 2), 16, 10)"
+            f" AS INT), {m})"
+        ).alias("reg"),
+        F.expr(
+            hll_rho_sql("substring(md5(concat('hll:', val)), 3, 8)")
+        ).alias("rho"),
+    )
+    regs = h.groupBy("grp", "reg").agg(F.max("rho").alias("max_rho"))
+    exact = src.groupBy("grp").agg(
+        F.countDistinct("val").cast("long").alias("n_exact")
+    )
+    agg = regs.groupBy("grp").agg(
+        F.sum(
+            F.expr(
+                "1.0D / CAST(shiftleft(CAST(1 AS BIGINT), max_rho) AS DOUBLE)"
+            )
+        ).alias("z_used"),
+        F.count("*").alias("n_regs"),
+    )
+    est = F.round(
+        F.lit(HLL_ALPHA * m * m)
+        / (F.col("z_used") + (F.lit(m) - F.col("n_regs")))
+    ).cast("long")
+    return (
+        agg.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_exact",
+            est.alias("hll_estimate"),
+            F.round(est.cast("double") / F.col("n_exact"), 3).alias("rel_err"),
+        )
+    )
+
+
+# ---- Bloom filter (Bloom, 1970) ----
+#
+# The MEMBERSHIP sketch, completing the family (KMV/HLL: distinct,
+# CMS: frequency): is this key in the corpus, with zero false
+# negatives and a bounded false-positive rate? The 100 TB use is
+# ingest-time dedup PREFILTERING — the corpus's key set compressed to
+# m bits, built once with a mergeable bit_or aggregate, broadcast to
+# every executor; a new batch probes it locally and only the bloom-
+# POSITIVE sliver (true dups + eps false positives) pays the exact
+# verify join against the corpus. The shuffle the filter deletes is
+# the full batch-vs-corpus semi-join; what remains is |batch| * k
+# cheap hashes + a join whose left side is ~|dups|.
+#
+# Engine-portable like the other sketches: k=3 bit positions come from
+# md5 slices, words are 32-bit so no engine's signed-shift overflow
+# rules are ever exercised, and the DuckDB oracle replays filter
+# construction bit-for-bit. Word layout: BLOOM_WORDS longs holding 32
+# bits each (m = WORDS*32 bits); the filter is a WORDS-row DataFrame,
+# broadcast-joined on word index.
+
+BLOOM_WORDS = 2048
+BLOOM_BITS = BLOOM_WORDS * 32
+BLOOM_K = 3
+
+
+def _bloom_pos(key_expr: str, j: int) -> str:
+    """Bit position j of a key: md5 32-bit prefix of 'bf<j>:<key>'."""
+    return (
+        f"pmod(CAST(conv(substring(md5(concat('bf', {j}, ':', {key_expr})),"
+        f" 1, 8), 16, 10) AS BIGINT), {BLOOM_BITS})"
+    )
+
+
+def bloom_build(corpus_keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """(word, wbits) filter rows from a corpus key column: one
+    map-side-combined bit_or shuffle onto at most BLOOM_WORDS rows.
+    Mergeable across shards/snapshots by the same bit_or."""
+    pos = corpus_keys.select(
+        F.explode(
+            F.array(
+                *[F.expr(_bloom_pos(key_col, j)) for j in range(BLOOM_K)]
+            )
+        ).alias("pos")
+    )
+    return pos.groupBy(F.expr("CAST(pos div 32 AS INT)").alias("word")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 32) AS INT))")
+        ).alias("wbits")
+    )
+
+
+def bloom_probe(
+    probe: DataFrame, bloom: DataFrame, id_col: str, key_col: str
+) -> DataFrame:
+    """(id, bloom_positive) for each probe row: k broadcast lookups
+    into the filter words, positive iff every addressed bit is set.
+    No false negatives by construction."""
+    pr = probe.select(
+        F.col(id_col).alias("pid"),
+        F.explode(
+            F.array(
+                *[F.expr(_bloom_pos(key_col, j)) for j in range(BLOOM_K)]
+            )
+        ).alias("pos"),
+    ).select(
+        "pid",
+        F.expr("CAST(pos div 32 AS INT)").alias("word"),
+        F.expr("CAST(pmod(pos, 32) AS INT)").alias("bit"),
+    )
+    hit = (
+        F.coalesce(F.col("wbits"), F.lit(0))
+        .bitwiseAND(F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        != 0
+    )
+    return (
+        pr.join(F.broadcast(bloom), "word", "left")
+        .groupBy("pid")
+        .agg(F.bool_and(hit).alias("bloom_positive"))
+        .select(F.col("pid").alias(id_col), "bloom_positive")
+    )

@@ -128,6 +128,10 @@ NEXT_UP = [
     "t_stream_mview",  # NEW r6 (update-mode materialized view)
     "t_sliding_counts",  # NEW r6 (overlapping-window family member)
     "text_cms_topk",  # NEW r6 (Count-Min frequency sketch)
+    "jn_fuzzy_join",  # NEW r6 (blocked levenshtein record linkage)
+    "w_moving_avg",  # NEW r6 (bounded ROWS-frame window member)
+    "a_hll_distinct",  # NEW r6 (portable HyperLogLog registers)
+    "dedup_bloom_prefilter",  # NEW r6 (Bloom membership prefilter)
 ]
 
 

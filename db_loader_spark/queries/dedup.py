@@ -415,8 +415,94 @@ WHERE ROUND(({_duck_dot('a', 'b')})
 """
 
 
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact-dup prefiltering with a Bloom membership
+    sketch (functions.sketch.bloom_build/bloom_probe — see the module
+    comment for the broadcast-bits scale argument): the standing
+    corpus (doc_id % 5 != 0) is compressed to a 64 Kbit filter (a
+    16 KB broadcast), the incoming batch (doc_id % 5 == 0) probes it,
+    and only bloom-POSITIVE rows would pay the exact verify join.
+    Output is the confusion summary (bloom_positive x exact_member
+    counts) — the filter's self-eval: the (false, true) cell MUST be
+    empty (no false negatives, structural), and the (true, false)
+    cell over the non-members is the measured FP rate the m/k sizing
+    promises (<1% at the sf0.1 corpus, ~4k keys, k=3; an earlier
+    2048-bit sizing measurably SATURATED there — 99% FP — which is
+    the sizing lesson the summary exists to catch).
+
+    At 100 TB, m is sized from the corpus's distinct-key estimate —
+    exactly what the HLL/KMV sketches in this module provide for free
+    — and the filter is built by a mergeable bit_or aggregate and
+    maintained incrementally, like t_stream_signatures maintains
+    MinHash signatures; the probe side never shuffles the corpus at
+    all."""
+    from db_loader_spark.functions.sketch import bloom_build, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5("text").alias("key")
+    ).distinct()
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("key")
+    )
+    flags = bloom_probe(batch, bloom_build(corpus), "doc_id", "key")
+    member = batch.join(
+        corpus.withColumn("exact_member", F.lit(True)), "key", "left"
+    ).select("doc_id", F.coalesce("exact_member", F.lit(False)).alias("exact_member"))
+    return (
+        flags.join(member, "doc_id")
+        .groupBy("bloom_positive", "exact_member")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _bloom_oracle() -> str:
+    from db_loader_spark.functions.sketch import BLOOM_BITS, BLOOM_K
+
+    def pos(key: str, j: int) -> str:
+        return (
+            f"CAST(('0x' || substring(md5('bf' || {j} || ':' || {key}), 1, 8))::UBIGINT"
+            f" AS BIGINT) % {BLOOM_BITS}"
+        )
+
+    probe_pos = " UNION ALL ".join(
+        f"SELECT doc_id, key, {pos('key', j)} AS pos FROM batch"
+        for j in range(BLOOM_K)
+    )
+    corpus_pos = " UNION ALL ".join(
+        f"SELECT {pos('key', j)} AS pos FROM corpus" for j in range(BLOOM_K)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 5 <> 0
+), batch AS (
+  SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 5 = 0
+), cpos AS ({corpus_pos}),
+words AS (
+  SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS wbits
+  FROM cpos GROUP BY 1
+), ppos AS ({probe_pos}),
+hits AS (
+  SELECT p.doc_id,
+         bool_and((coalesce(w.wbits, 0) & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0)
+           AS bloom_positive
+  FROM ppos p LEFT JOIN words w ON p.pos // 32 = w.word
+  GROUP BY p.doc_id
+), member AS (
+  SELECT b.doc_id, (c.key IS NOT NULL) AS exact_member
+  FROM batch b LEFT JOIN corpus c USING (key)
+)
+SELECT h.bloom_positive, m.exact_member, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM hits h JOIN member m USING (doc_id)
+GROUP BY h.bloom_positive, m.exact_member
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, _EXACT_ORACLE, "exact hash-groupBy dedup"),
+    "dedup_bloom_prefilter": QuerySpec(
+        dedup_bloom_prefilter, _bloom_oracle(), "Bloom membership prefilter"
+    ),
     "curation_funnel": QuerySpec(
         curation_funnel,
         _FUNNEL_ORACLE,

@@ -437,6 +437,96 @@ GROUP BY e.event_type
 """
 
 
+def w_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame moving aggregate — the bounded-frame window family
+    member (w_running_sum is UNBOUNDED PRECEDING; this is the sliding
+    7-row frame a monitoring pipeline smooths metrics with).
+
+    Scale shape: one shuffle on user_id, one sort per partition; the
+    frame is evaluated incrementally (add/evict one row per step), so
+    cost is O(rows), not O(rows * frame). FP honesty: the smoothed
+    value is summed in integer CENTS inside the frame (exact,
+    order-independent) and divided ONCE at the end — sliding-sum
+    implementations differ between engines (running add/subtract vs
+    segment trees) and a double-typed frame sum would diverge in the
+    last ulp; integer frames cannot.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(
+            F.sum(cents).over(w) / (F.count(F.lit(1)).over(w) * 100.0), 4
+        ).alias("moving_avg"),
+    )
+
+
+def a_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the engine-portable
+    HyperLogLog sketch (functions.sketch.hll_distinct — see the module
+    comment there for the bit-pattern estimator, the exact-powers-of-
+    two FP argument, and why the registers are md5-replayable instead
+    of Spark's black-box approx_count_distinct binary). Exact count
+    alongside, self-eval style; the estimate column itself is driver
+    hash-checked against DuckDB replaying the identical sketch."""
+    from db_loader_spark.functions.sketch import hll_distinct
+
+    e = load_table(spark, sf_dir, "events")
+    return hll_distinct(e, "event_type", "user_id")
+
+
+def _hll_oracle() -> str:
+    from db_loader_spark.functions.sketch import HLL_M, hll_rho_sql
+
+    rho = hll_rho_sql("substring(md5('hll:' || CAST(user_id AS VARCHAR)), 3, 8)")
+    return f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT
+              AS INT) % {HLL_M} AS reg,
+         ({rho}) AS rho
+  FROM events
+), regs AS (
+  SELECT event_type, reg, MAX(rho) AS max_rho FROM h GROUP BY event_type, reg
+), agg AS (
+  SELECT event_type,
+         SUM(1.0 / CAST(1::BIGINT << max_rho AS DOUBLE)) AS z_used,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY event_type
+), exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type, e.n_exact,
+       CAST(ROUND((CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M})
+                  / (a.z_used + ({HLL_M} - a.n_regs))) AS BIGINT) AS hll_estimate,
+       ROUND(CAST(ROUND((CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M})
+                        / (a.z_used + ({HLL_M} - a.n_regs))) AS DOUBLE)
+             / e.n_exact, 3) AS rel_err
+FROM agg a JOIN exact e USING (event_type)
+"""
+
+
+_MOVING_AVG_ORACLE = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             / (COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 100.0),
+             4) AS moving_avg
+FROM events WHERE user_id % 10 = 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a_outlier_filter": QuerySpec(
         a_outlier_filter, _OUTLIER_ORACLE, "robust median/MAD outlier filter"
@@ -460,5 +550,11 @@ QUERIES: dict[str, QuerySpec] = {
     "jn_asof_join": QuerySpec(jn_asof_join, _ASOF_ORACLE, "as-of join via one window"),
     "jn_range_join": QuerySpec(
         jn_range_join, _RANGE_ORACLE, "bucketed interval join (no BNLJ)"
+    ),
+    "w_moving_avg": QuerySpec(
+        w_moving_avg, _MOVING_AVG_ORACLE, "7-row sliding-frame moving average"
+    ),
+    "a_hll_distinct": QuerySpec(
+        a_hll_distinct, _hll_oracle(), "portable HyperLogLog distinct sketch"
     ),
 }

@@ -419,3 +419,28 @@ def test_registry_wide_no_unplanned_slow_paths(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_fuzzy_join_blocks_are_hash_joined(plans):
+    """The levenshtein residual must stay INSIDE a hash join on the
+    blocking prefix — never a nested-loop over all name pairs."""
+    s = plans("jn_fuzzy_join")
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
+    assert "levenshtein" in s  # residual evaluated in-join, post-block
+
+
+def test_bloom_probe_broadcasts_filter_words(plans):
+    """The 2048-row filter must reach the probe side as a broadcast —
+    the whole point is that the corpus never shuffles to meet the
+    batch."""
+    s = plans("dedup_bloom_prefilter")
+    assert "BroadcastHashJoin" in s, s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_moving_avg_single_user_shuffle(plans):
+    """One exchange on user_id; the ROWS frame is evaluated in the
+    sorted partition, never via a self-join."""
+    s = plans("w_moving_avg")
+    assert s.count("Exchange") <= 2, s  # hash partition (+AQE read)
+    assert "Join" not in s, s

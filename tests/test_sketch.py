@@ -109,3 +109,98 @@ def test_cms_sketch_is_mergeable(spark):
         for r in cms_heavy_hitters(a.unionByName(b), "tok", k=10).collect()
     }
     assert whole == merged
+
+
+# ---- HyperLogLog ----
+
+
+def test_hll_rho_matches_python_clz(spark):
+    """The textual rho (ltrim + 16-way CASE) must equal a Python
+    leading-zero count + 1 over 32-bit values covering every branch:
+    all-zero, single-bit values at both ends, and mixed digits."""
+    from db_loader_spark.functions.sketch import hll_rho_sql
+
+    cases = ["00000000", "00000001", "80000000", "0001abcd", "7fffffff",
+             "3c0ffee0", "00000010", "ffffffff"]
+    rows = spark.createDataFrame([(h,) for h in cases], ["hx"])
+    got = {
+        r["hx"]: r["rho"]
+        for r in rows.select("hx", F.expr(hll_rho_sql("hx")).alias("rho")).collect()
+    }
+    for h in cases:
+        v = int(h, 16)
+        expected = 33 if v == 0 else 32 - v.bit_length() + 1
+        assert got[h] == expected, h
+
+
+def test_hll_estimates_large_cardinality(spark):
+    """5,000 distinct values, m=64 registers: raw HLL's relative error
+    envelope is ~1.04/sqrt(64) = 13%; assert within ~3 sigma.
+    Deterministic (fixed hash), not flaky."""
+    from db_loader_spark.functions.sketch import hll_distinct
+
+    out = hll_distinct(_synth_pairs(spark, 5_000), "grp", "val").first()
+    assert out["n_exact"] == 5_000
+    assert 0.6 <= out["rel_err"] <= 1.4
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Mergeability: element-wise MAX of two shards' registers equals
+    the whole corpus's registers — the property that lets shards ship
+    m small ints each instead of re-scanning."""
+    from db_loader_spark.functions.sketch import HLL_M, hll_rho_sql
+
+    def regs(df):
+        h = df.select(
+            F.expr(
+                "pmod(CAST(conv(substring(md5(concat('hll:', val)), 1, 2), 16, 10)"
+                f" AS INT), {HLL_M})"
+            ).alias("reg"),
+            F.expr(
+                hll_rho_sql("substring(md5(concat('hll:', val)), 3, 8)")
+            ).alias("rho"),
+        )
+        return {
+            r["reg"]: r["m"]
+            for r in h.groupBy("reg").agg(F.max("rho").alias("m")).collect()
+        }
+
+    full = _synth_pairs(spark, 2_000)
+    a = full.filter(F.col("val").substr(2, 10).cast("long") % 2 == 0)
+    b = full.filter(F.col("val").substr(2, 10).cast("long") % 2 == 1)
+    ra, rb, rf = regs(a), regs(b), regs(full)
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == rf
+
+
+# ---- Bloom filter ----
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Structural: every key that went INTO the filter probes
+    positive."""
+    from db_loader_spark.functions.sketch import bloom_build, bloom_probe
+
+    keys = _synth_pairs(spark, 500).select(F.col("val").alias("key"))
+    bloom = bloom_build(keys)
+    probe = keys.select(F.col("key").alias("id"), "key")
+    out = bloom_probe(probe, bloom, "id", "key")
+    assert out.filter(~F.col("bloom_positive")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """1,000 member keys in a 64 Kbit filter, k=3: theoretical FP rate
+    ~1e-4; assert the measured rate on 1,000 DISJOINT probes stays
+    under 1% (two orders of slack — deterministic hash, so this pins
+    sizing, not luck)."""
+    from db_loader_spark.functions.sketch import bloom_build, bloom_probe
+
+    members = _synth_pairs(spark, 1_000).select(F.col("val").alias("key"))
+    bloom = bloom_build(members)
+    others = spark.range(1_000).select(
+        F.concat(F.lit("other"), F.col("id")).alias("id"),
+        F.concat(F.lit("other"), F.col("id")).alias("key"),
+    )
+    out = bloom_probe(others, bloom, "id", "key")
+    fp = out.filter(F.col("bloom_positive")).count()
+    assert fp / 1_000 < 0.01
