@@ -72,6 +72,7 @@ HEADLINE = [
     "jn_fuzzy_join",
     "dedup_bloom_prefilter",
     "w_moving_avg",
+    "t_stream_sessions",  # custom stateful operator, full-flush drain
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows

@@ -132,6 +132,7 @@ NEXT_UP = [
     "w_moving_avg",  # NEW r6 (bounded ROWS-frame window member)
     "a_hll_distinct",  # NEW r6 (portable HyperLogLog registers)
     "dedup_bloom_prefilter",  # NEW r6 (Bloom membership prefilter)
+    "t_stream_sessions",  # NEW r6 (applyInPandasWithState, sentinel-flushed)
 ]
 
 

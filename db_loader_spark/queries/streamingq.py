@@ -531,6 +531,127 @@ GROUP BY 1
 """
 
 
+def _stage_time_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """events split into N_SHARDS single-file chunks by TIME QUARTILE
+    (the stateful stream's watermark contract: replay respects event
+    order, so nothing is ever late) plus TWO sentinel chunks past the
+    horizon, mtimes ascending so the file source drains them in order.
+
+    The sentinels (user_id = -1, at max_ts + 2h and + 4h) are the
+    end-of-stream flush protocol: the first advances the watermark past
+    every real session's close + gap, the second gives the engine the
+    extra micro-batch in which event-time TIMEOUTS actually fire
+    (watermarks update at batch end; timeouts fire in the NEXT batch).
+    After both, every real-user session has been emitted — which is
+    what makes stream ≡ batch an EQUALITY the driver can hash, not the
+    subset relation the local pytest settles for."""
+    import datetime as dt
+    import shutil
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_sess_{key}")
+    stamp = _source_stamp(sf_dir)
+    if _stage_current(stage, stamp):
+        return stage
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    e = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    qs = e.selectExpr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) AS q"
+    ).first()["q"]
+    lo, mid, hi = (int(x) for x in qs)
+    max_us = e.agg(F.max(F.unix_micros("ts"))).first()[0]
+    us = F.unix_micros("ts")
+    conds = [
+        us <= lo,
+        (us > lo) & (us <= mid),
+        (us > mid) & (us <= hi),
+        us > hi,
+    ]
+    epoch = dt.datetime(1970, 1, 1)
+    sentinels = [
+        [(epoch + dt.timedelta(microseconds=max_us + h * 3_600_000_000), -1, 0.0)]
+        for h in (2, 4)
+    ]
+    parts = [e.filter(c) for c in conds] + [
+        spark.createDataFrame(s, "ts timestamp, user_id long, value double")
+        for s in sentinels
+    ]
+    for i, chunk in enumerate(parts):
+        tmp = os.path.join(stage, f"tmp{i}")
+        chunk.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        final = os.path.join(stage, f"chunk_{i}.parquet")
+        os.rename(os.path.join(tmp, part), final)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(final, (1_700_000_000 + i * 10,) * 2)
+    with open(os.path.join(stage, "_SOURCE_STAMP"), "w") as f:
+        f.write(stamp)
+    return stage
+
+
+def t_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization computed BY THE CUSTOM STATEFUL OPERATOR
+    (streaming.stateful.sessionize_stream — applyInPandasWithState,
+    Arrow-batched per-key interval folding, event-time timeouts) over
+    a genuine multi-batch availableNow drain, flushed to completion by
+    the sentinel protocol in _stage_time_chunks and value-checked by
+    the driver against the SAME first-principles DuckDB oracle the
+    native-operator batch query (eventops.t_session_window) uses. One
+    green row is therefore a three-way theorem: hand-rolled stateful
+    streaming ≡ Spark's native session_window ≡ DuckDB lag/cumsum SQL.
+
+    State is 4 numbers per open user session, partitioned by user_id,
+    evicted on flush — the shape that scales to any key cardinality.
+    Fresh checkpoint + uniquely named memory sink per call, both
+    removed before returning (collected rows are the result; they are
+    session-count-sized)."""
+    import shutil
+
+    from db_loader_spark.streaming.stateful import sessionize_stream
+
+    stage = _stage_time_chunks(spark, sf_dir)
+    static = spark.read.parquet(os.path.join(stage, "chunk_0.parquet"))
+    run_dir = tempfile.mkdtemp(prefix="db_loader_stream_sess_run_")
+    qname = "t_stream_sessions_" + hashlib.md5(run_dir.encode()).hexdigest()[:8]
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "chunk_*.parquet")
+        .parquet(stage)
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="5 seconds")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            sessions.filter(F.col("user_id") >= 0)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.table(qname)
+        rows = result.collect()
+        schema = result.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _stream_sessions_oracle() -> str:
+    # Same first-principles session derivation the batch key is checked
+    # against — by construction, since the theorem IS stream ≡ batch.
+    from db_loader_spark.queries.eventops import _SESSION_ORACLE
+
+    return _SESSION_ORACLE
+
+
 QUERIES: dict[str, QuerySpec] = {
     "t_stream_rollup": QuerySpec(
         t_stream_rollup,
@@ -556,5 +677,10 @@ QUERIES: dict[str, QuerySpec] = {
         t_stream_mview,
         _STREAM_MVIEW_ORACLE,
         "update-mode materialized view: keep-latest merge ≡ batch aggregate",
+    ),
+    "t_stream_sessions": QuerySpec(
+        t_stream_sessions,
+        _stream_sessions_oracle(),
+        "applyInPandasWithState sessionization, sentinel-flushed ≡ batch",
     ),
 }

@@ -141,3 +141,19 @@ def test_stateful_sessions_match_batch(spark, sf_dir, chunked_events_dir, tmp_pa
     # the final (still-open / past-watermark) sessions flushed.
     assert n_streamed >= n_batch * 0.3
     assert n_streamed <= n_batch
+
+
+def test_registry_stream_sessions_equals_batch_exactly(spark, sf_dir):
+    """The registry key's sentinel-flush protocol upgrades the subset
+    relation (test above) to EQUALITY: after the two past-horizon
+    sentinel batches, every real session has flushed, so the streamed
+    set must match the native-operator batch answer row for row."""
+    from db_loader_spark.queries.eventops import t_session_window
+    from db_loader_spark.queries.streamingq import t_stream_sessions
+
+    streamed = t_stream_sessions(spark, sf_dir)
+    batch = t_session_window(spark, sf_dir)
+    cols = ["user_id", "session_start", "n_events", "total_value", "duration_min"]
+    assert streamed.count() == batch.count()
+    assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
+    assert batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
