@@ -73,6 +73,7 @@ HEADLINE = [
     "dedup_bloom_prefilter",
     "w_moving_avg",
     "t_stream_sessions",  # custom stateful operator, full-flush drain
+    "cdc_snapshot_diff",  # manifest publish -> time travel -> row delta
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows

@@ -133,6 +133,7 @@ NEXT_UP = [
     "a_hll_distinct",  # NEW r6 (portable HyperLogLog registers)
     "dedup_bloom_prefilter",  # NEW r6 (Bloom membership prefilter)
     "t_stream_sessions",  # NEW r6 (applyInPandasWithState, sentinel-flushed)
+    "cdc_snapshot_diff",  # NEW r6 (manifest time-travel row-level CDC)
 ]
 
 

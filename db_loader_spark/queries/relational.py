@@ -10,6 +10,8 @@ Reference parity notes cite /root/reference file:line in each docstring.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -756,6 +758,81 @@ FROM probes p JOIN names n
 """
 
 
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change capture between two REAL manifest snapshots
+    (operators/cdc.snapshot_diff over sinks/manifest time travel):
+    version v1 of an orders slice and version v2 with rows dropped,
+    added, and price-mutated are PUBLISHED through the manifest commit
+    protocol (immutable data files, pointer flip), read back by
+    snapshot id, and diffed with one full-outer join. The driver's
+    green row therefore witnesses the whole lakehouse loop: publish →
+    time-travel read → row-level delta — the primitive that lets a
+    100 TB pipeline reprocess only what changed between corpus
+    versions (see operators/cdc.py for the manifest-pruned incremental
+    -scan argument and the bucketed-write zero-shuffle path).
+
+    Versions are derived deterministically from orders (v1 = keys with
+    okey%10 < 8; v2 = keys with okey%10 >= 2, +$5.00 on okey%7 == 0),
+    so DuckDB recomputes the identical delta from the raw table.
+    Prices are compared as integer cents — exact, no FP channel."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from db_loader_spark.operators.cdc import snapshot_diff
+    from db_loader_spark.sinks import manifest as M
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+    v1 = o.filter(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", cents.alias("cents")
+    )
+    bump = F.when(F.col("o_orderkey") % 7 == 0, F.lit(500)).otherwise(F.lit(0))
+    v2 = o.filter(F.col("o_orderkey") % 10 >= 2).select(
+        "o_orderkey", (cents + bump).alias("cents")
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"db_loader_cdc_{key}")
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    stamp_path = os.path.join(root, "_SOURCE_STAMP")
+    try:
+        with open(stamp_path) as fh:
+            current = fh.read() == stamp
+    except OSError:
+        current = False
+    if not current:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        M.publish(v1, root, snapshot_id="v1")
+        M.publish(v2, root, snapshot_id="v2")  # lineage: v2.parent = v1
+        with open(stamp_path, "w") as fh:
+            fh.write(stamp)
+    old = M.read_snapshot(spark, root, "v1")
+    new = M.read_snapshot(spark, root, "v2")
+    return snapshot_diff(old, new, ["o_orderkey"], ["cents"])
+
+
+_CDC_ORACLE = """
+WITH v1 AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 10 < 8
+), v2 AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END AS cents
+  FROM orders WHERE o_orderkey % 10 >= 2
+)
+SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+            WHEN v2.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_op,
+       COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+       v1.cents AS old_cents, v2.cents AS new_cents
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL OR v1.cents <> v2.cents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # The seven keys that rode OUTSIDE the r4 window (r3 evidence) lead
     # the dict for round 5 — rotation rule 1 (oldest evidence first);
@@ -788,5 +865,8 @@ QUERIES: dict[str, QuerySpec] = {
     "a_quantiles": QuerySpec(a_quantiles, _QUANTILES_ORACLE, "exact grouped quantiles"),
     "jn_fuzzy_join": QuerySpec(
         jn_fuzzy_join, _FUZZY_ORACLE, "blocked levenshtein record linkage"
+    ),
+    "cdc_snapshot_diff": QuerySpec(
+        cdc_snapshot_diff, _CDC_ORACLE, "manifest time-travel row-level CDC"
     ),
 }

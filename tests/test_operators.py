@@ -158,3 +158,66 @@ def test_pii_redaction_adversarial(spark):
     assert (got[5].e, got[5].p, got[5].i) == (1, 1, 1)
     for tok in ("<EMAIL>", "<PHONE>", "<IPV4>"):
         assert tok in got[5].red
+
+
+# ---- CDC snapshot diff (operators/cdc.py) ----
+
+
+def test_snapshot_diff_classifies_all_three_ops(spark):
+    from db_loader_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40)], "k long, s string, v long"
+    )
+    got = {
+        (r.change_op, r.k): (r.old_v, r.new_v)
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    # key 2 is unchanged: absent. 1 deleted, 4 inserted, 3 updated.
+    assert got == {
+        ("delete", 1): (10, None),
+        ("insert", 4): (None, 40),
+        ("update", 3): (30, 99),
+    }
+
+
+def test_snapshot_diff_is_null_safe(spark):
+    """NULL values must neither hide a change (NULL -> 5 is an update)
+    nor invent one (NULL -> NULL is unchanged)."""
+    from db_loader_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, 7)], "k long, v long"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None)], "k long, v long"
+    )
+    got = {r.k: r.change_op for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {2: "update", 3: "update"}  # key 1 unchanged
+
+
+def test_cdc_time_travel_roundtrip(spark, tmp_path):
+    """The full lakehouse loop on a scratch root: publish v1, publish
+    v2 (lineage parent v1), time-travel both, diff. Old snapshot stays
+    readable after the pointer moved — the manifest contract."""
+    from db_loader_spark.operators.cdc import snapshot_diff
+    from db_loader_spark.sinks import manifest as M
+
+    root = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    v2 = spark.createDataFrame([(2, 21), (3, 30)], "k long, v long")
+    M.publish(v1, root, snapshot_id="s1")
+    M.publish(v2, root, snapshot_id="s2")
+    assert M.snapshots(root) == ["s1", "s2"]
+    assert M.current_snapshot(root) == "s2"
+    d = snapshot_diff(
+        M.read_snapshot(spark, root, "s1"),
+        M.read_snapshot(spark, root, "s2"),
+        ["k"],
+        ["v"],
+    )
+    got = {r.k: r.change_op for r in d.collect()}
+    assert got == {1: "delete", 2: "update", 3: "insert"}

@@ -444,3 +444,16 @@ def test_moving_avg_single_user_shuffle(plans):
     s = plans("w_moving_avg")
     assert s.count("Exchange") <= 2, s  # hash partition (+AQE read)
     assert "Join" not in s, s
+
+
+def test_cdc_diff_single_full_outer_join(plans):
+    """One co-partitioned full-outer join on the key — never a nested
+    loop, and no second join sneaking in via the change classifier."""
+    s = plans("cdc_snapshot_diff")
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
+    # formatted explain prints each node once in the tree and once in
+    # the detail section; count tree nodes (they carry the "(n)" id)
+    n_joins = sum(
+        s.count(f"{j} FullOuter (") for j in ("SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, s
