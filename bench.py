@@ -74,6 +74,8 @@ HEADLINE = [
     "w_moving_avg",
     "t_stream_sessions",  # custom stateful operator, full-flush drain
     "cdc_snapshot_diff",  # manifest publish -> time travel -> row delta
+    "a_profile_stats",  # one-pass N-column profile
+    "a_table_fingerprint",  # order-insensitive integrity checksum
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows

@@ -134,6 +134,9 @@ NEXT_UP = [
     "dedup_bloom_prefilter",  # NEW r6 (Bloom membership prefilter)
     "t_stream_sessions",  # NEW r6 (applyInPandasWithState, sentinel-flushed)
     "cdc_snapshot_diff",  # NEW r6 (manifest time-travel row-level CDC)
+    "a_profile_stats",  # NEW r6 (one-pass per-column table profile)
+    "a_histogram",  # NEW r6 (equi-width integer-cent histogram)
+    "a_table_fingerprint",  # NEW r6 (order-insensitive table checksum)
 ]
 
 

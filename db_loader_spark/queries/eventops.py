@@ -514,6 +514,129 @@ FROM agg a JOIN exact e USING (event_type)
 """
 
 
+def a_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler — the ingest-gate statistics a pipeline computes
+    before trusting a new corpus drop (the testdata schema drift that
+    voided round 3 is exactly the failure class this catches): per
+    column, row/null/distinct counts and numeric min/max, all from ONE
+    scan. Every per-column aggregate lives in the same Aggregate node
+    (count/countDistinct/min/max are all map-side-combining), then the
+    single result row is unpivoted driver-side with ``stack`` — so
+    profiling an N-column table costs one pass regardless of N, not N
+    scans. Numerics are profiled in exact integer domains (micros,
+    cents) — the FP-free channel the rest of the registry uses.
+
+    n_distinct is EXACT here (the profiler doubles as the oracle for
+    estimators); at 100 TB swap the countDistinct aggregates for the
+    HLL registers in functions/sketch.py — same plan shape, constant
+    memory, and this exact profile is the self-eval baseline."""
+    e = load_table(spark, sf_dir, "events")
+    num_exprs = {
+        "event_id": F.col("event_id"),
+        "ts": F.unix_micros("ts"),
+        "user_id": F.col("user_id"),
+        "event_type": None,
+        "value": F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+        "props": None,
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, num in num_exprs.items():
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+        lo = F.min(num) if num is not None else F.lit(None).cast("long")
+        hi = F.max(num) if num is not None else F.lit(None).cast("long")
+        aggs.append(lo.alias(f"lo_{c}"))
+        aggs.append(hi.alias(f"hi_{c}"))
+    one = e.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, lo_{c}, hi_{c}" for c in num_exprs
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(num_exprs)}, {stack_args}) AS (column_name, nn, n_distinct, min_v, max_v)",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("nn")).cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_v",
+        "max_v",
+    )
+
+
+_PROFILE_ORACLE = """
+SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(event_id) AS n_null,
+       COUNT(DISTINCT event_id) AS n_distinct,
+       MIN(event_id) AS min_v, MAX(event_id) AS max_v FROM events
+UNION ALL
+SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts), COUNT(DISTINCT ts),
+       MIN(epoch_us(ts)), MAX(epoch_us(ts)) FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id),
+       MIN(user_id), MAX(user_id) FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+       COUNT(DISTINCT event_type), NULL, NULL FROM events
+UNION ALL
+SELECT 'value', COUNT(*), COUNT(*) - COUNT(value), COUNT(DISTINCT value),
+       MIN(CAST(ROUND(value * 100) AS BIGINT)),
+       MAX(CAST(ROUND(value * 100) AS BIGINT)) FROM events
+UNION ALL
+SELECT 'props', COUNT(*), COUNT(*) - COUNT(props), COUNT(DISTINCT props),
+       NULL, NULL FROM events
+"""
+
+
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the value column, 10 buckets over the
+    observed [min, max] — the distribution half of the profiler (and
+    the DEBUG view behind every skew decision in operators/skew.py:
+    the histogram is how you SEE the hot keys before salting them).
+
+    Bucketing is pure integer arithmetic on cents — bucket =
+    (v-min)*10 / (max-min+1) with BIGINT division — so bucket edges
+    are bit-identical across engines (a double-typed (v-min)/w would
+    invite edge-of-bucket ulp flips; DuckDB also lacks width_bucket).
+    Two jobs: a 2-value min/max scan broadcast into the bucketing
+    scan — the standard two-pass histogram; at 100 TB pass 1 reads
+    parquet footer stats instead of data."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents")
+    )
+    bounds = e.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    return (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            # `div` = exact BIGINT division on both engines ('//' in
+            # DuckDB); a double '/' + cast could flip an edge bucket
+            F.expr("(cents - lo) * 10 div (hi - lo + 1)").alias("bucket"),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("cents").alias("bucket_min_cents"),
+            F.max("cents").alias("bucket_max_cents"),
+        )
+    )
+
+
+_HISTOGRAM_ORACLE = """
+WITH c AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+), b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c)
+SELECT CAST((cents - lo) * 10 // (hi - lo + 1) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       MIN(cents) AS bucket_min_cents,
+       MAX(cents) AS bucket_max_cents
+FROM c, b
+GROUP BY 1
+"""
+
+
 _MOVING_AVG_ORACLE = """
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -556,5 +679,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "a_hll_distinct": QuerySpec(
         a_hll_distinct, _hll_oracle(), "portable HyperLogLog distinct sketch"
+    ),
+    "a_profile_stats": QuerySpec(
+        a_profile_stats, _PROFILE_ORACLE, "one-pass per-column table profile"
+    ),
+    "a_histogram": QuerySpec(
+        a_histogram, _HISTOGRAM_ORACLE, "equi-width integer-cent histogram"
     ),
 }

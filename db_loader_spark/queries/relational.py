@@ -813,6 +813,80 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["o_orderkey"], ["cents"])
 
 
+_FP_MOD = (1 << 61) - 1  # Mersenne prime; sums stay exact pre-mod
+
+_FP_CANON = {
+    # canonical row renderings: ints/strings verbatim, doubles as
+    # integer cents, timestamps as fixed-format strings — every term
+    # renders identically on both engines (the same exact-channel
+    # discipline as the rest of the registry)
+    "orders": (
+        "concat_ws('|', o_orderkey, o_custkey, o_orderstatus,"
+        " CAST(ROUND(o_totalprice * 100) AS BIGINT), {ODATE}, o_orderpriority)"
+    ),
+    "customer": (
+        "concat_ws('|', c_custkey, c_name, c_nationkey,"
+        " CAST(ROUND(c_acctbal * 100) AS BIGINT), c_mktsegment)"
+    ),
+    "nation": "concat_ws('|', n_nationkey, n_name, n_regionkey)",
+    "region": "concat_ws('|', r_regionkey, r_name)",
+}
+
+
+def a_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksum — the anti-entropy primitive
+    that verifies a published snapshot (sinks/manifest.py), a JDBC
+    bulk load (sinks/jdbc_sink.py), or a replica equals its source
+    WITHOUT sorting either side: fingerprint = sum of per-row md5
+    48-bit prefixes over a canonical row rendering, mod a Mersenne
+    prime. Addition commutes, so the aggregate is partition-order-free
+    and MERGEABLE (shard fingerprints sum into the fleet fingerprint
+    — the KMV/HLL deployment shape, applied to integrity instead of
+    cardinality). One map-side-combined pass per table, no shuffle
+    wider than one row.
+
+    Exactness: 48-bit row hashes summed as DECIMAL(38,0) (exact to
+    1e38 — ~1e23 even at 10^9 rows) on the Spark side and HUGEINT in
+    DuckDB, mod taken once at the end; doubles enter the canonical
+    string as integer cents, timestamps as fixed-format strings, so
+    no FP or rendering channel exists. concat_ws null-skipping is the
+    same on both engines (production would add explicit null
+    sentinels per column; these tables are null-free)."""
+    odate = "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')"
+    parts = []
+    for t, canon in _FP_CANON.items():
+        h = (
+            f"CAST(conv(substring(md5({canon.format(ODATE=odate)}), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        )
+        agg = _t(spark, sf_dir, t).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr(
+                f"CAST(pmod(SUM(CAST({h} AS DECIMAL(38,0))), {_FP_MOD}) AS BIGINT)"
+            ).alias("fingerprint"),
+        )
+        parts.append(agg.select(F.lit(t).alias("table_name"), "n_rows", "fingerprint"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _fingerprint_oracle() -> str:
+    odate = "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"
+    selects = []
+    for t, canon in _FP_CANON.items():
+        h = (
+            f"CAST(('0x' || substring(md5({canon.format(ODATE=odate)}), 1, 12))::UBIGINT"
+            " AS BIGINT)"
+        )
+        selects.append(
+            f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows,"
+            f" CAST(SUM({h}) % {_FP_MOD} AS BIGINT) AS fingerprint FROM {t}"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 _CDC_ORACLE = """
 WITH v1 AS (
   SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
@@ -868,5 +942,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "cdc_snapshot_diff": QuerySpec(
         cdc_snapshot_diff, _CDC_ORACLE, "manifest time-travel row-level CDC"
+    ),
+    "a_table_fingerprint": QuerySpec(
+        a_table_fingerprint,
+        _fingerprint_oracle(),
+        "order-insensitive mergeable table checksum",
     ),
 }

@@ -221,3 +221,49 @@ def test_cdc_time_travel_roundtrip(spark, tmp_path):
     )
     got = {r.k: r.change_op for r in d.collect()}
     assert got == {1: "delete", 2: "update", 3: "insert"}
+
+
+# ---- Table fingerprint (queries/relational.a_table_fingerprint) ----
+
+
+def test_fingerprint_is_order_insensitive_and_mergeable(spark):
+    """Shard fingerprints SUM (mod p) to the whole-table fingerprint,
+    and shuffling row order changes nothing — the two properties that
+    make it a replica-verification primitive."""
+    from pyspark.sql import functions as F
+
+    MOD = (1 << 61) - 1
+    h = "CAST(conv(substring(md5(concat_ws('|', k, s)), 1, 12), 16, 10) AS BIGINT)"
+
+    def fp(df):
+        return df.agg(
+            F.expr(f"CAST(pmod(SUM(CAST({h} AS DECIMAL(38,0))), {MOD}) AS BIGINT)")
+        ).first()[0]
+
+    rows = [(i, f"s{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    shuffled = spark.createDataFrame(list(reversed(rows)), "k long, s string")
+    a = df.filter(F.col("k") < 250)
+    b = df.filter(F.col("k") >= 250)
+    whole, merged = fp(df), (fp(a) + fp(b)) % MOD
+    assert whole == fp(shuffled)
+    assert whole == merged
+
+
+def test_fingerprint_detects_single_cell_change(spark):
+    from pyspark.sql import functions as F
+
+    MOD = (1 << 61) - 1
+    h = "CAST(conv(substring(md5(concat_ws('|', k, s)), 1, 12), 16, 10) AS BIGINT)"
+
+    def fp(df):
+        return df.agg(
+            F.expr(f"CAST(pmod(SUM(CAST({h} AS DECIMAL(38,0))), {MOD}) AS BIGINT)")
+        ).first()[0]
+
+    rows = [(i, f"s{i}") for i in range(500)]
+    mutated = list(rows)
+    mutated[250] = (250, "s250x")
+    assert fp(spark.createDataFrame(rows, "k long, s string")) != fp(
+        spark.createDataFrame(mutated, "k long, s string")
+    )
