@@ -76,6 +76,7 @@ HEADLINE = [
     "cdc_snapshot_diff",  # manifest publish -> time travel -> row delta
     "a_profile_stats",  # one-pass N-column profile
     "a_table_fingerprint",  # order-insensitive integrity checksum
+    "g_triangle_count",  # degree-oriented wedge counting
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows

@@ -137,6 +137,7 @@ NEXT_UP = [
     "a_profile_stats",  # NEW r6 (one-pass per-column table profile)
     "a_histogram",  # NEW r6 (equi-width integer-cent histogram)
     "a_table_fingerprint",  # NEW r6 (order-insensitive table checksum)
+    "g_triangle_count",  # NEW r6 (degree-oriented wedge counting)
 ]
 
 

@@ -907,6 +907,147 @@ WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL OR v1.cents <> v2.cents
 """
 
 
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the part co-occurrence graph (parts
+    sharing an order are adjacent) — the graph-analytics family member
+    beyond connected components (functions/dedup.py pointer-jumping):
+    triangles are the unit of clustering coefficient / community
+    density, the standard graph-shape statistic for a curation corpus
+    graph (near-dup graphs, citation graphs).
+
+    Algorithm: degree-ORIENTED wedge counting (Cohen 2009 / Suri &
+    Vassilvitskii's MapReduce formulation). Each undirected edge is
+    directed from its lower-(degree, id) endpoint to the higher; every
+    triangle then has exactly ONE source node with out-edges to the
+    other two, so count = wedges (out-edge pairs) that close. The
+    orientation bounds out-degree by O(sqrt(m)) regardless of hub
+    skew — a hub of degree d contributes wedges only toward HIGHER-
+    degree nodes, so the per-node wedge term collapses from d^2 to
+    the count above it in the order; this is the difference between
+    a shuffle that explodes on hubs and one that doesn't. Three
+    hash joins, all on node keys; the DuckDB oracle counts the same
+    triangles by plain a<b<c enumeration — algorithmic cross-check,
+    not just arithmetic replay.
+
+    The edge list feeds FOUR consumers (degree count, orientation,
+    the closing-edge probe, n_edges); without pinning it, Spark
+    re-runs the edge-build (a shuffle + two distincts) per consumer.
+    Tracked-cache contract: released by settle before returning.
+
+    Broadcasts are MEASURED decisions (the decontaminate pattern,
+    functions/dedup.py): the edge count m and node count n — needed
+    for the output row anyway, so the sizing jobs are free — gate the
+    degree joins (~48 bytes/node) and the adjacency joins (~16
+    bytes/entry + ~48/node). Under ``broadcast_limit_bytes`` the big
+    edge frame never shuffles after the orientation; over it the hint
+    is omitted and Spark plans shuffled hash joins on the node key —
+    the genuine degraded mode for a graph whose adjacency exceeds
+    executor memory (100 TB shape: billions of edges).
+    """
+    from db_loader_spark import cache
+    from db_loader_spark.queries import settle
+
+    broadcast_limit_bytes = 256 << 20
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    # Edge build WITHOUT a self-join: group each order's parts into a
+    # sorted set and emit the ordered pairs JVM-side (nested
+    # transform + slice) — two shuffles (groupBy o, distinct) instead
+    # of the self-join's three (both join sides + distinct). The
+    # DuckDB oracle keeps the self-join formulation, so the pair
+    # generation itself is cross-checked, not replayed.
+    e = cache.track(
+        li.groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("parts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("ab")
+        )
+        .select("ab.a", "ab.b")
+        .distinct()
+    )
+    n_edges = e.count()  # cached here; also the output stat
+    deg = cache.track(
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    n_nodes = deg.count()  # cached; also the output stat
+
+    def _hint(df: DataFrame, est_bytes: int) -> DataFrame:
+        return F.broadcast(df) if est_bytes <= broadcast_limit_bytes else df
+
+    deg_b = _hint(deg, 48 * n_nodes)
+    ed = (
+        e.join(deg_b.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg_b.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    lower_a = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    oriented = cache.track(
+        ed.select(
+            F.when(lower_a, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_a, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    # adjacency-array formulation: for each oriented edge (u,v) the
+    # triangles it is the LOWEST edge of are |N+(u) ∩ N+(v)| (each
+    # triangle x<y<z is counted exactly once, at edge (x,y)). Wedges
+    # never materialize as shuffle rows — out-neighborhoods travel as
+    # sorted arrays and intersect JVM-side per edge (array_intersect),
+    # which cut the wedge-row version's bench time ~2x; broadcasting
+    # the adjacency (total size = m entries, one per oriented edge)
+    # keeps the per-edge probe shuffle-free.
+    adj = cache.track(
+        oriented.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs")
+        )
+    )
+    adj_b = _hint(adj, 16 * n_edges + 48 * n_nodes)
+    per_edge = (
+        oriented.select("src", "dst")
+        .join(
+            adj_b.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
+            F.col("src") == F.col("u"),
+        )
+        .join(
+            adj_b.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
+            F.col("dst") == F.col("v"),
+        )
+        .select(F.size(F.array_intersect("nu", "nv")).cast("long").alias("k"))
+    )
+    out = per_edge.agg(
+        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_triangles")
+    ).select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        "n_triangles",
+    )
+    return settle(out, *cache.drain())
+
+
+_TRIANGLE_ORACLE = """
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT DISTINCT x.p AS a, y.p AS b
+  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
+)
+SELECT (SELECT COUNT(DISTINCT node) FROM
+          (SELECT a AS node FROM e UNION SELECT b FROM e)) AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM e e1
+          JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # The seven keys that rode OUTSIDE the r4 window (r3 evidence) lead
     # the dict for round 5 — rotation rule 1 (oldest evidence first);
@@ -947,5 +1088,8 @@ QUERIES: dict[str, QuerySpec] = {
         a_table_fingerprint,
         _fingerprint_oracle(),
         "order-insensitive mergeable table checksum",
+    ),
+    "g_triangle_count": QuerySpec(
+        g_triangle_count, _TRIANGLE_ORACLE, "degree-oriented triangle counting"
     ),
 }

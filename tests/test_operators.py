@@ -267,3 +267,32 @@ def test_fingerprint_detects_single_cell_change(spark):
     assert fp(spark.createDataFrame(rows, "k long, s string")) != fp(
         spark.createDataFrame(mutated, "k long, s string")
     )
+
+
+def test_triangle_count_known_graphs(spark, sf_dir):
+    """The oriented wedge count must agree with hand-counted graphs:
+    K4 has 4 triangles, a star has none, and adding one chord to the
+    star creates exactly the triangles through its two spokes."""
+    from db_loader_spark.queries.relational import g_triangle_count  # noqa: F401  (registry parity)
+    from pyspark.sql import functions as F
+
+    # replicate the oriented pipeline over an injected edge list by
+    # running the same code path the query uses, via a temp view of
+    # fabricated "lineitem" rows: order o joins all its parts
+    def tri_of(orders):  # orders: list[list[part]]
+        rows = [(o, p) for o, parts in enumerate(orders) for p in parts]
+        df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+        import tempfile, os
+        d = tempfile.mkdtemp(prefix="tri_test_")
+        df.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        try:
+            out = g_triangle_count(spark, d).first()
+        finally:
+            import shutil
+            shutil.rmtree(d, ignore_errors=True)
+        return out["n_triangles"]
+
+    assert tri_of([[1, 2, 3, 4]]) == 4  # K4
+    assert tri_of([[0, 1], [0, 2], [0, 3], [0, 4]]) == 0  # star, no closure
+    # star + chord (1,2): exactly one triangle 0-1-2
+    assert tri_of([[0, 1], [0, 2], [0, 3], [1, 2]]) == 1

@@ -457,3 +457,14 @@ def test_cdc_diff_single_full_outer_join(plans):
         s.count(f"{j} FullOuter (") for j in ("SortMergeJoin", "ShuffledHashJoin")
     )
     assert n_joins == 1, s
+
+
+def test_triangle_count_joins_all_broadcast(plans):
+    """Under the measured gate every join in the triangle pipeline —
+    two degree annotations and two adjacency probes — broadcasts at
+    this scale; the big oriented-edge frame never re-shuffles, and
+    nothing degenerates to a nested loop."""
+    s = plans("g_triangle_count")
+    assert s.count("BroadcastHashJoin") >= 4, s
+    assert "SortMergeJoin" not in s, s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
