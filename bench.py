@@ -77,6 +77,7 @@ HEADLINE = [
     "a_profile_stats",  # one-pass N-column profile
     "a_table_fingerprint",  # order-insensitive integrity checksum
     "g_triangle_count",  # degree-oriented wedge counting
+    "g_pagerank",  # 6-round power iteration, one lazy linear plan
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows

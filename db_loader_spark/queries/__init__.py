@@ -138,6 +138,7 @@ NEXT_UP = [
     "a_histogram",  # NEW r6 (equi-width integer-cent histogram)
     "a_table_fingerprint",  # NEW r6 (order-insensitive table checksum)
     "g_triangle_count",  # NEW r6 (degree-oriented wedge counting)
+    "g_pagerank",  # NEW r6 (power iteration, unrolled-CTE oracle)
 ]
 
 

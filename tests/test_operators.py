@@ -296,3 +296,29 @@ def test_triangle_count_known_graphs(spark, sf_dir):
     assert tri_of([[0, 1], [0, 2], [0, 3], [0, 4]]) == 0  # star, no closure
     # star + chord (1,2): exactly one triangle 0-1-2
     assert tri_of([[0, 1], [0, 2], [0, 3], [1, 2]]) == 1
+
+
+def test_pagerank_known_graph_properties(spark):
+    """On a star graph the hub must outrank every leaf, leaves must tie
+    exactly (symmetry), and total mass must stay ~1 (stochasticity —
+    no dangling nodes by construction)."""
+    import os
+    import shutil
+    import tempfile
+
+    from db_loader_spark.queries.relational import g_pagerank
+
+    rows = [(o, p) for o, parts in enumerate([[0, 1], [0, 2], [0, 3], [0, 4]]) for p in parts]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = tempfile.mkdtemp(prefix="pr_test_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    try:
+        out = g_pagerank(spark, d)
+        got = {r["node"]: r["score_ppm"] for r in out.collect()}
+        out.unpersist()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    hub, leaves = got[0], [got[i] for i in (1, 2, 3, 4)]
+    assert hub > max(leaves)
+    assert len(set(leaves)) == 1  # exact symmetry after rounding
+    assert abs(sum(got.values()) / 1_000_000 - 1.0) < 1e-3

@@ -392,6 +392,7 @@ def test_registry_wide_no_unplanned_slow_paths(spark):
         "multimodal_embed_ann",  # broadcast query rows (brute-force arm)
         "jn2_contains_join",     # contains theta-join, dim-sized side
         "a7_id_assignment",      # broadcast max-id scalar over dim delta
+        "a_histogram",           # broadcast 1-row min/max bounds scalar
     }
     reg = all_queries()
     offenders = {}
