@@ -76,6 +76,7 @@ HEADLINE = [
     "cdc_snapshot_diff",  # manifest publish -> time travel -> row delta
     "a_profile_stats",  # one-pass N-column profile
     "a_table_fingerprint",  # order-insensitive integrity checksum
+    "a_quantile_sample",  # 1/16 hash-rate sample quantiles, one scan
     "g_triangle_count",  # degree-oriented wedge counting
     "g_pagerank",  # 6-round power iteration, one lazy linear plan
 ]

@@ -337,3 +337,57 @@ def bloom_probe(
         .agg(F.bool_and(hit).alias("bloom_positive"))
         .select(F.col("pid").alias(id_col), "bloom_positive")
     )
+
+
+# ---- Hash-rate sample quantiles ----
+#
+# The quantile member of the sketch family (KMV = distinct, CMS =
+# frequency, HLL = distinct-compact, Bloom = membership): estimate
+# per-group quantiles from a DETERMINISTIC 1/16 Bernoulli sample —
+# every row whose md5 first hex digit is '0' is in the sample, an
+# exact binary fraction identical in any engine. Unlike a
+# min-k/row_number sample (a full per-group sort — no cheaper than
+# the exact quantile it estimates), the rate sample is a pure
+# MAP-SIDE FILTER: no shuffle, no sort, union-mergeable by
+# construction (a sample of a union is the union of samples), and the
+# 100 TB cost is reading 1/16 of the values into a small per-group
+# percentile. Expected rank error ~1/(2*sqrt(rate*n)).
+
+SAMPLE_HEX_DIGITS = 1  # 1 hex digit == exact rate 1/16
+
+
+def quantile_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.95),
+) -> DataFrame:
+    """Per-group quantile estimates from the 1/16 hash-rate sample,
+    with the exact quantiles alongside (the self-evaluation every
+    estimator here ships — the ann_recall pattern), in ONE scan:
+    the sampled-percentile and exact-percentile aggregates share a
+    single Aggregate node via the CASE-masked column. The exact side
+    is the small-SF verifier luxury; a production deployment ships
+    only the sampled aggregate."""
+    in_sample = F.expr(
+        f"substring(md5('qs:' || CAST({key_col} AS STRING)), 1, {SAMPLE_HEX_DIGITS})"
+        f" = '{'0' * SAMPLE_HEX_DIGITS}'"
+    )
+    qarr = ", ".join(f"{q}D" for q in quantiles)
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        F.when(in_sample, F.col(value_col)).alias("sv"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.count("sv").cast("long").alias("n_sample"),
+        F.expr(f"percentile(sv, array({qarr}))").alias("qe"),
+        F.expr(f"percentile(v, array({qarr}))").alias("qx"),
+    )
+    cols = [F.col("grp").alias(group_col), F.col("n_sample")]
+    for i, q in enumerate(quantiles, start=1):
+        tag = f"p{int(q * 100)}"
+        cols.append(F.round(F.element_at("qe", i), 4).alias(f"{tag}_est"))
+        cols.append(F.round(F.element_at("qx", i), 4).alias(f"{tag}_exact"))
+    return agg.select(*cols)

@@ -139,6 +139,7 @@ NEXT_UP = [
     "a_table_fingerprint",  # NEW r6 (order-insensitive table checksum)
     "g_triangle_count",  # NEW r6 (degree-oriented wedge counting)
     "g_pagerank",  # NEW r6 (power iteration, unrolled-CTE oracle)
+    "a_quantile_sample",  # NEW r6 (hash-rate sample quantile sketch)
 ]
 
 

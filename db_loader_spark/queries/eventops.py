@@ -650,9 +650,46 @@ FROM events WHERE user_id % 10 = 0
 """
 
 
+def a_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantiles estimated from the deterministic 1/16
+    hash-rate sample, exact quantiles alongside in the same single
+    scan — the quantile member of the sketch family (see
+    functions/sketch.py module comment: map-side filter, no sort,
+    union-mergeable; the scalable alternative to a_quantiles' exact
+    per-group sorts)."""
+    from db_loader_spark.functions.sketch import quantile_sample
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    return quantile_sample(e, "event_type", "value", "event_id")
+
+
+_QUANTILE_SAMPLE_ORACLE = """
+WITH b AS (
+  SELECT event_type, value,
+         CASE WHEN substring(md5('qs:' || CAST(event_id AS VARCHAR)), 1, 1) = '0'
+              THEN value END AS sv
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(sv) AS BIGINT) AS n_sample,
+       ROUND(quantile_cont(sv, 0.25), 4) AS p25_est,
+       ROUND(quantile_cont(value, 0.25), 4) AS p25_exact,
+       ROUND(quantile_cont(sv, 0.5), 4) AS p50_est,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+       ROUND(quantile_cont(sv, 0.95), 4) AS p95_est,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95_exact
+FROM b GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a_outlier_filter": QuerySpec(
         a_outlier_filter, _OUTLIER_ORACLE, "robust median/MAD outlier filter"
+    ),
+    "a_quantile_sample": QuerySpec(
+        a_quantile_sample,
+        _QUANTILE_SAMPLE_ORACLE,
+        "hash-rate-sampled quantile estimates with exact self-eval",
     ),
     "a_stratified_sample": QuerySpec(
         a_stratified_sample, _STRATIFIED_ORACLE, "per-class deterministic sampling"

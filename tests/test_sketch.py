@@ -204,3 +204,24 @@ def test_bloom_false_positive_rate_bounded(spark):
     out = bloom_probe(others, bloom, "id", "key")
     fp = out.filter(F.col("bloom_positive")).count()
     assert fp / 1_000 < 0.01
+
+
+def test_quantile_sample_rate_and_accuracy(spark):
+    """On 20k uniform values per group: the 1/16 hash sample must land
+    within 3x the binomial sd of the expected size, the sampled median
+    must be within ~5 rank-percent of the exact one, and the exact
+    columns must equal a direct percentile computation."""
+    from db_loader_spark.functions.sketch import quantile_sample
+
+    df = spark.range(20_000).select(
+        F.lit("g").alias("grp"),
+        F.col("id").cast("double").alias("v"),
+        F.col("id").alias("key"),
+    )
+    out = quantile_sample(df, "grp", "v", "key").first()
+    expect = 20_000 / 16
+    sd = (20_000 * (1 / 16) * (15 / 16)) ** 0.5
+    assert abs(out["n_sample"] - expect) <= 3 * sd
+    assert out["p50_exact"] == 9999.5  # (n-1)*0.5 interpolation
+    assert abs(out["p50_est"] - out["p50_exact"]) <= 0.05 * 20_000
+    assert abs(out["p95_est"] - out["p95_exact"]) <= 0.05 * 20_000
