@@ -501,6 +501,37 @@ def _bench_runtime_filters(spark, sf_dir: str, timings: dict[str, float]) -> Non
                 spark.conf.set(k, v)
 
 
+def _bench_manifest_zonemap(spark, sf_dir: str, timings: dict[str, float]) -> None:
+    """File-level data skipping through the manifest's zone maps
+    (sinks/manifest.read_pruned) vs the same snapshot scanned from the
+    full file list with only the row-level residual filter. Identical
+    bytes, identical result; the delta is the files that never became
+    tasks (here 15 of 16; at 100 TB, millions). Staging the
+    range-clustered manifest table is one-time layout work, stamped
+    like the other derived layouts (the query wrapper shares it)."""
+    from pyspark.sql import functions as F
+
+    from db_loader_spark.queries.relational import _zonemap_root
+    from db_loader_spark.sinks import manifest as M
+
+    root = _zonemap_root(spark, sf_dir)
+    residual = F.col("cents").between(3000, 3500)
+    variants = {
+        "ev_manifest_unpruned": M.read_current(spark, root).filter(residual),
+        "ev_manifest_pruned": M.read_pruned(spark, root, "cents", 3000, 3500),
+    }
+    for name, df in variants.items():
+        agg = df.groupBy("event_type").agg(F.sum("cents").alias("s"))
+        agg.count()  # warm
+        spark._jvm.System.gc()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            assert agg.count() >= 0
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -555,6 +586,7 @@ def main() -> None:
     _bench_compaction(spark, sf_dir, timings)
     _bench_sorted(spark, sf_dir, timings)
     _bench_runtime_filters(spark, sf_dir, timings)
+    _bench_manifest_zonemap(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -140,6 +140,7 @@ NEXT_UP = [
     "g_triangle_count",  # NEW r6 (degree-oriented wedge counting)
     "g_pagerank",  # NEW r6 (power iteration, unrolled-CTE oracle)
     "a_quantile_sample",  # NEW r6 (hash-rate sample quantile sketch)
+    "scan_manifest_pruned",  # NEW r6 (manifest zone-map file skipping)
 ]
 
 

@@ -813,6 +813,84 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["o_orderkey"], ["cents"])
 
 
+def _zonemap_root(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per sf_dir + source stamp) a manifest-committed
+    copy of events range-clustered on integer cents, with per-file
+    zone maps in the manifest (sinks/manifest.publish stats_cols).
+    repartitionByRange gives the 16 data files near-disjoint cents
+    ranges, so a selective range predicate can drop most files from
+    the scan plan entirely. Shared by the registry query and the
+    bench pair."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from db_loader_spark.sinks import manifest as M
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"db_loader_zonemap_{key}")
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    stamp_path = os.path.join(root, "_SOURCE_STAMP")
+    try:
+        with open(stamp_path) as fh:
+            if fh.read() == stamp:
+                return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    M.publish(
+        ev.repartitionByRange(16, F.col("cents")),
+        root,
+        snapshot_id="z1",
+        stats_cols=["cents"],
+    )
+    with open(stamp_path, "w") as fh:
+        fh.write(stamp)
+    return root
+
+
+def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a selective value slice read through MANIFEST
+    zone-map pruning (sinks/manifest.read_pruned): the snapshot's
+    per-file min/max stats drop every file whose cents range cannot
+    intersect [3000, 3500] before Spark plans the scan — file-level
+    data skipping (the Delta/Iceberg design), one level above the
+    row-group skipping the sorted layouts already exercise
+    (ev_value_sorted). The residual predicate still applies row-level,
+    so the oracle recomputing the same slice from the raw table checks
+    that pruning lost nothing — the only way file skipping can be
+    wrong is dropping a file it needed, which is exactly what a value
+    hash over the result detects."""
+    from db_loader_spark.sinks import manifest as M
+
+    root = _zonemap_root(spark, sf_dir)
+    sliced = M.read_pruned(spark, root, "cents", 3000, 3500)
+    return sliced.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+_MANIFEST_PRUNED_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE CAST(ROUND(value * 100) AS BIGINT) BETWEEN 3000 AND 3500
+GROUP BY event_type
+"""
+
+
 _FP_MOD = (1 << 61) - 1  # Mersenne prime; sums stay exact pre-mod
 
 _FP_CANON = {
@@ -1200,6 +1278,11 @@ QUERIES: dict[str, QuerySpec] = {
     "a_quantiles": QuerySpec(a_quantiles, _QUANTILES_ORACLE, "exact grouped quantiles"),
     "jn_fuzzy_join": QuerySpec(
         jn_fuzzy_join, _FUZZY_ORACLE, "blocked levenshtein record linkage"
+    ),
+    "scan_manifest_pruned": QuerySpec(
+        scan_manifest_pruned,
+        _MANIFEST_PRUNED_ORACLE,
+        "file-level zone-map data skipping through the manifest",
     ),
     "cdc_snapshot_diff": QuerySpec(
         cdc_snapshot_diff, _CDC_ORACLE, "manifest time-travel row-level CDC"

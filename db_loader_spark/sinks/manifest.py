@@ -63,11 +63,37 @@ def _paths(root: str) -> tuple[str, str, str]:
     )
 
 
+def _file_stats(path: str, cols: list[str]) -> dict:
+    """Per-file zone-map entry from the parquet FOOTER (no data read):
+    row count + min/max per requested column, aggregated across row
+    groups. Values come back as plain JSON-able Python scalars."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, list] = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx[c]).statistics
+            if s is None or not s.has_min_max:
+                lo = hi = None
+                break  # any stats-less group poisons the file's entry
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            stats[c] = [lo, hi]
+    return {"rows": md.num_rows, "stats": stats}
+
+
 def publish(
     df: DataFrame,
     root: str,
     snapshot_id: str | None = None,
     parent_check: bool = True,
+    stats_cols: list[str] | None = None,
 ) -> str:
     """Write ``df`` as a new snapshot of the table at ``root`` and
     atomically make it current. Returns the snapshot id.
@@ -79,7 +105,18 @@ def publish(
     snapshot it superseded; a concurrent publish that lost the race
     fails loudly instead of silently clobbering (single-writer
     optimistic concurrency — multi-writer needs the store's
-    conditional-PUT on the pointer, same as every table format)."""
+    conditional-PUT on the pointer, same as every table format).
+
+    ``stats_cols`` adds per-file ZONE MAPS to the manifest (rows +
+    min/max per column, harvested from the parquet footers already
+    written — no second data pass): the Delta/Iceberg data-skipping
+    design in miniature. ``read_pruned`` then drops whole files from
+    the scan before Spark ever lists them — at 100 TB the win over
+    row-group skipping is METADATA-scale: files that can't match never
+    become tasks, never have their footers fetched. The footer walk
+    here is a driver-side loop over the snapshot's own staged files
+    (bounded by files-per-snapshot); a cluster writer records the same
+    stats executor-side at write time, as Delta's add-file actions do."""
     data_dir, man_dir, cur = _paths(root)
     os.makedirs(man_dir, exist_ok=True)
     sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
@@ -101,8 +138,17 @@ def publish(
         "snapshot_id": sid,
         "parent": parent,
         "files": [os.path.join(_DATA, sid, f) for f in files],
-        "row_count": None,  # optional stats slot; kept cheap here
+        "row_count": None,  # filled below when stats are requested
     }
+    if stats_cols:
+        meta = {
+            os.path.join(_DATA, sid, f): _file_stats(
+                os.path.join(staged, f), stats_cols
+            )
+            for f in files
+        }
+        manifest["files_meta"] = meta
+        manifest["row_count"] = sum(m["rows"] for m in meta.values())
     man_path = os.path.join(man_dir, f"{sid}.json")
     with open(man_path + ".tmp", "w") as fh:
         json.dump(manifest, fh)
@@ -138,6 +184,44 @@ def read_snapshot(spark: SparkSession, root: str, sid: str) -> DataFrame:
     if not files:
         raise ValueError(f"snapshot {sid!r} has no files")
     return spark.read.parquet(*files)
+
+
+def read_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lower,
+    upper,
+    sid: str | None = None,
+) -> DataFrame:
+    """Scan of the snapshot restricted to ``lower <= col <= upper``,
+    with FILE-LEVEL pruning from the manifest's zone maps: a file
+    whose [min, max] for ``col`` cannot intersect the range is dropped
+    from the read plan entirely (never listed, never a task). Files
+    with no recorded stats are kept — pruning is conservative, so a
+    stats-less manifest degrades to a full scan, never to wrongness.
+    The residual row-level predicate is ALWAYS applied (file
+    granularity over-approximates), so the result is exactly the
+    filtered snapshot."""
+    from pyspark.sql import functions as F
+
+    sid = sid or current_snapshot(root)
+    if sid is None:
+        raise FileNotFoundError(f"no current snapshot at {root!r}")
+    m = _manifest(root, sid)
+    meta = m.get("files_meta", {})
+
+    def may_match(rel: str) -> bool:
+        st = meta.get(rel, {}).get("stats", {}).get(col)
+        return st is None or (st[1] >= lower and st[0] <= upper)
+
+    kept = [os.path.join(root, f) for f in m["files"] if may_match(f)]
+    residual = (F.col(col) >= F.lit(lower)) & (F.col(col) <= F.lit(upper))
+    if not kept:
+        # zone maps exclude every file: the empty result, with the
+        # snapshot's real schema (from the full file list, zero rows)
+        return read_snapshot(spark, root, sid).filter(F.lit(False))
+    return spark.read.parquet(*kept).filter(residual)
 
 
 def read_current(spark: SparkSession, root: str) -> DataFrame:

@@ -133,3 +133,41 @@ def test_foreachbatch_publishes_manifest_snapshots(spark, tmp_path):
         seen |= rows
         total += len(rows)
     assert total == 120 and seen == set(range(120))
+
+
+def test_zonemap_stats_recorded_and_pruning_is_exact(spark, tmp_path):
+    """publish(stats_cols) must record per-file min/max + row_count;
+    read_pruned must scan strictly fewer files on a range-clustered
+    table yet return exactly the full-scan filter result; an
+    impossible range must come back empty WITH the snapshot schema."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(4_000).select(
+        F.col("id"), (F.col("id") % 13).alias("k")
+    )
+    M.publish(df.repartitionByRange(8, "id"), root, stats_cols=["id"])
+    man = M._manifest(root, M.current_snapshot(root))
+    assert man["row_count"] == 4_000
+    assert len(man["files_meta"]) == len(man["files"])
+    assert all("id" in m["stats"] for m in man["files_meta"].values())
+
+    pruned = M.read_pruned(spark, root, "id", 100, 300)
+    assert len(pruned.inputFiles()) < len(man["files"])
+    expect = {r.id for r in M.read_current(spark, root).filter("id BETWEEN 100 AND 300").collect()}
+    assert {r.id for r in pruned.collect()} == expect
+
+    empty = M.read_pruned(spark, root, "id", 10**9, 2 * 10**9)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema] == ["id", "k"]
+
+
+def test_zonemap_absent_stats_degrade_to_full_scan(spark, tmp_path):
+    """A manifest published WITHOUT stats (or by an older writer) must
+    prune nothing — conservative fallback, never wrongness."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(1_000)
+    M.publish(df.repartitionByRange(4, "id"), root)  # no stats_cols
+    pruned = M.read_pruned(spark, root, "id", 0, 10)
+    assert len(pruned.inputFiles()) == len(
+        M._manifest(root, M.current_snapshot(root))["files"]
+    )
+    assert pruned.count() == 11
