@@ -141,6 +141,7 @@ NEXT_UP = [
     "g_pagerank",  # NEW r6 (power iteration, unrolled-CTE oracle)
     "a_quantile_sample",  # NEW r6 (hash-rate sample quantile sketch)
     "scan_manifest_pruned",  # NEW r6 (manifest zone-map file skipping)
+    "t_snapshot_incremental",  # NEW r6 (delta-only agg over append commits)
 ]
 
 

@@ -813,6 +813,97 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["o_orderkey"], ["cents"])
 
 
+def _append_lineage_root(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per sf_dir + source stamp) a manifest table built
+    from THREE append commits — events thirds by event_id % 3 — so the
+    lineage v1 → v2 → v3 has real per-snapshot file deltas for the
+    incremental-scan query."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from db_loader_spark.sinks import manifest as M
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"db_loader_incr_{key}")
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    stamp_path = os.path.join(root, "_SOURCE_STAMP")
+    try:
+        with open(stamp_path) as fh:
+            if fh.read() == stamp:
+                return root
+    except OSError:
+        pass
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    for i in (0, 1, 2):
+        M.publish(
+            ev.filter(F.col("event_id") % 3 == i).repartition(4),
+            root,
+            snapshot_id=f"v{i + 1}",
+            append=(i > 0),
+        )
+    with open(stamp_path, "w") as fh:
+        fh.write(stamp)
+    return root
+
+
+def t_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance over an append-only manifest
+    lineage (sinks/manifest.publish(append=True) + read_added): the
+    per-event-type count/sum/max state is built from snapshot v1, then
+    FOLDED FORWARD with only the files each later commit added — never
+    rescanning earlier data. The fold is partial-aggregate union +
+    re-aggregate (count/sum/max are all mergeable — the KMV/HLL/
+    fingerprint deployment shape applied to plain aggregates), so each
+    maintenance job is sized to the drop, not the table: the batch
+    analog of t_stream_mview, with the manifest instead of a
+    checkpoint as the incremental contract. The oracle recomputes the
+    same aggregate from the raw table in one shot — equality proves
+    the three delta scans tiled the corpus exactly (no file double-
+    counted, none missed)."""
+    from db_loader_spark.sinks import manifest as M
+
+    root = _append_lineage_root(spark, sf_dir)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+
+    state = partial(M.read_snapshot(spark, root, "v1"))
+    for prev, cur in (("v1", "v2"), ("v2", "v3")):
+        delta = partial(M.read_added(spark, root, prev, cur))
+        state = (
+            state.unionByName(delta)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("sum_cents").cast("long").alias("sum_cents"),
+                F.max("max_cents").cast("long").alias("max_cents"),
+            )
+        )
+    return state
+
+
+_SNAPSHOT_INCREMENTAL_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 def _zonemap_root(spark: SparkSession, sf_dir: str) -> str:
     """Stage (once per sf_dir + source stamp) a manifest-committed
     copy of events range-clustered on integer cents, with per-file
@@ -1278,6 +1369,11 @@ QUERIES: dict[str, QuerySpec] = {
     "a_quantiles": QuerySpec(a_quantiles, _QUANTILES_ORACLE, "exact grouped quantiles"),
     "jn_fuzzy_join": QuerySpec(
         jn_fuzzy_join, _FUZZY_ORACLE, "blocked levenshtein record linkage"
+    ),
+    "t_snapshot_incremental": QuerySpec(
+        t_snapshot_incremental,
+        _SNAPSHOT_INCREMENTAL_ORACLE,
+        "delta-only aggregate maintenance over append commits",
     ),
     "scan_manifest_pruned": QuerySpec(
         scan_manifest_pruned,

@@ -171,3 +171,47 @@ def test_zonemap_absent_stats_degrade_to_full_scan(spark, tmp_path):
         M._manifest(root, M.current_snapshot(root))["files"]
     )
     assert pruned.count() == 11
+
+
+def test_append_commit_inherits_files_and_added_files_is_the_delta(spark, tmp_path):
+    """Append commits must list parent files + delta; added_files must
+    be exactly the per-commit delta; snapshots stay time-travelable
+    (v1 unchanged after later appends); the deltas tile the table."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(0, 100).repartition(2), root, snapshot_id="v1")
+    M.publish(spark.range(100, 150).repartition(2), root, snapshot_id="v2", append=True)
+    M.publish(spark.range(150, 160).repartition(1), root, snapshot_id="v3", append=True)
+
+    m1, m2, m3 = (M._manifest(root, s) for s in ("v1", "v2", "v3"))
+    assert set(m1["files"]) < set(m2["files"]) < set(m3["files"])
+    assert set(M.added_files(root, "v1", "v2")) == set(m2["files"]) - set(m1["files"])
+    assert {r.id for r in M.read_added(spark, root, "v2", "v3").collect()} == set(range(150, 160))
+    assert {r.id for r in M.read_snapshot(spark, root, "v1").collect()} == set(range(100))
+    assert {r.id for r in M.read_current(spark, root).collect()} == set(range(160))
+    assert M.read_added(spark, root, "v3", "v3").count() == 0  # empty delta, real schema
+
+    # vacuum keeping only the current snapshot must preserve files it
+    # inherits from older prefixes (they are live via v3's manifest)
+    M.vacuum(root, keep=1)
+    assert {r.id for r in M.read_current(spark, root).collect()} == set(range(160))
+
+
+def test_append_commit_merges_zonemap_stats(spark, tmp_path):
+    """Appends with stats_cols must carry the parent's zone maps
+    forward and add the delta's, so read_pruned keeps working across
+    the whole lineage."""
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(0, 1000).repartitionByRange(4, "id"),
+        root, snapshot_id="v1", stats_cols=["id"],
+    )
+    M.publish(
+        spark.range(1000, 2000).repartitionByRange(4, "id"),
+        root, snapshot_id="v2", append=True, stats_cols=["id"],
+    )
+    man = M._manifest(root, "v2")
+    assert len(man["files_meta"]) == len(man["files"]) == 8
+    assert man["row_count"] == 2000
+    pruned = M.read_pruned(spark, root, "id", 1500, 1600)
+    assert len(pruned.inputFiles()) < 8
+    assert pruned.count() == 101
