@@ -142,6 +142,7 @@ NEXT_UP = [
     "a_quantile_sample",  # NEW r6 (hash-rate sample quantile sketch)
     "scan_manifest_pruned",  # NEW r6 (manifest zone-map file skipping)
     "t_snapshot_incremental",  # NEW r6 (delta-only agg over append commits)
+    "t_snapshot_upsert",  # NEW r6 (copy-on-write MERGE commit)
 ]
 
 

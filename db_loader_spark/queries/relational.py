@@ -904,6 +904,89 @@ GROUP BY event_type
 """
 
 
+def t_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE as a copy-on-write manifest commit
+    (sinks/manifest.merge_upsert): a CDC-shaped batch — +$5.00 on every
+    okey%97 order (updates) plus synthetic okey%997 rows under shifted
+    keys (inserts) — is merged into an orderkey-range-clustered orders
+    snapshot. Zone maps target the touched files; every key-disjoint
+    file carries into the new snapshot BY REFERENCE (pinned in
+    tests/test_manifest_sink.py), so the write is sized to the batch,
+    not the table. The driver-checked aggregate over the merged
+    snapshot equals DuckDB recomputing the merge from the raw table —
+    a wrong anti-join, a double-applied update, or a dropped carried
+    file all flip the sum."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from db_loader_spark.sinks import manifest as M
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"db_loader_upsert_{key}")
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    stamp_path = os.path.join(root, "_SOURCE_STAMP")
+    try:
+        with open(stamp_path) as fh:
+            current = fh.read() == stamp
+    except OSError:
+        current = False
+    if not current:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        base = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pr"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        M.publish(
+            base.repartitionByRange(16, F.col("k")),
+            root,
+            snapshot_id="base",
+            stats_cols=["k"],
+        )
+        upd = base.filter(F.col("k") % 97 == 0).select(
+            "k", "pr", (F.col("cents") + 500).alias("cents")
+        )
+        ins = base.filter(F.col("k") % 997 == 0).select(
+            (F.col("k") + 100_000_000).alias("k"),
+            F.lit("INSERTED").alias("pr"),
+            F.lit(123).cast("long").alias("cents"),
+        )
+        M.merge_upsert(spark, upd.unionByName(ins), root, "k", snapshot_id="merged")
+        with open(stamp_path, "w") as fh:
+            fh.write(stamp)
+    return (
+        M.read_current(spark, root)
+        .groupBy("pr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+_SNAPSHOT_UPSERT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), upd AS (
+  SELECT k, pr, cents + 500 AS cents FROM base WHERE k % 97 = 0
+), ins AS (
+  SELECT k + 100000000 AS k, 'INSERTED' AS pr, CAST(123 AS BIGINT) AS cents
+  FROM base WHERE k % 997 = 0
+), merged AS (
+  SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT pr, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM merged GROUP BY pr
+"""
+
+
 def _zonemap_root(spark: SparkSession, sf_dir: str) -> str:
     """Stage (once per sf_dir + source stamp) a manifest-committed
     copy of events range-clustered on integer cents, with per-file
@@ -1369,6 +1452,11 @@ QUERIES: dict[str, QuerySpec] = {
     "a_quantiles": QuerySpec(a_quantiles, _QUANTILES_ORACLE, "exact grouped quantiles"),
     "jn_fuzzy_join": QuerySpec(
         jn_fuzzy_join, _FUZZY_ORACLE, "blocked levenshtein record linkage"
+    ),
+    "t_snapshot_upsert": QuerySpec(
+        t_snapshot_upsert,
+        _SNAPSHOT_UPSERT_ORACLE,
+        "copy-on-write MERGE commit through the manifest",
     ),
     "t_snapshot_incremental": QuerySpec(
         t_snapshot_incremental,

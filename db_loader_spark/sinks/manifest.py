@@ -95,6 +95,8 @@ def publish(
     parent_check: bool = True,
     stats_cols: list[str] | None = None,
     append: bool = False,
+    _inherit_files: list[str] | None = None,
+    _inherit_meta: dict | None = None,
 ) -> str:
     """Write ``df`` as a new snapshot of the table at ``root`` and
     atomically make it current. Returns the snapshot id.
@@ -144,12 +146,14 @@ def publish(
         f for f in os.listdir(staged) if f.endswith(".parquet")
     )
     new_files = [os.path.join(_DATA, sid, f) for f in files]
-    inherited: list[str] = []
-    inherited_meta: dict = {}
+    # carried-by-reference files: append inherits the whole parent;
+    # merge_upsert passes the untouched subset explicitly
+    inherited = list(_inherit_files or [])
+    inherited_meta = dict(_inherit_meta or {})
     if append and parent is not None:
         pm = _manifest(root, parent)
-        inherited = pm["files"]
-        inherited_meta = pm.get("files_meta", {})
+        inherited = pm["files"] + inherited
+        inherited_meta = {**pm.get("files_meta", {}), **inherited_meta}
     manifest = {
         "snapshot_id": sid,
         "parent": parent,
@@ -242,6 +246,89 @@ def read_pruned(
         # snapshot's real schema (from the full file list, zero rows)
         return read_snapshot(spark, root, sid).filter(F.lit(False))
     return spark.read.parquet(*kept).filter(residual)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    key_col: str,
+    snapshot_id: str | None = None,
+) -> str:
+    """Row-level upsert as a COPY-ON-WRITE commit (Delta's MERGE in
+    miniature): rows in ``df`` replace current rows with the same
+    ``key_col`` value; unmatched keys insert. Data files stay
+    immutable — the commit rewrites ONLY the files that can contain a
+    matched key and lists every other parent file unchanged, so the
+    write is sized to the touched slice, not the table.
+
+    Touched-file targeting uses the manifest's zone maps when present:
+    a parent file whose [min, max] for ``key_col`` contains ANY update
+    key (binary search of the sorted key set against each file's
+    bounds) is rewritten — its rows anti-joined against the update
+    keys, then the updates unioned in; all other files carry over by
+    reference. Without stats every file is "touched" — the
+    conservative full rewrite, correct but unpruned, same degradation
+    contract as read_pruned. The rewritten+new rows are staged under
+    the new snapshot's prefix and committed with the usual one-pointer
+    publish, so readers see the old table or the new one, never a mix.
+
+    At 100 TB: clustering the table on the merge key (repartitionByRange
+    at publish) is what makes the touched set small — the same layout
+    decision that makes read_pruned selective. The anti-join's left
+    side is only the touched files' rows; the update side is typically
+    broadcast-sized (a CDC batch)."""
+    from pyspark.sql import functions as F
+
+    import bisect
+
+    parent = current_snapshot(root)
+    if parent is None:
+        return publish(df, root, snapshot_id=snapshot_id)
+    pm = _manifest(root, parent)
+    meta = pm.get("files_meta", {})
+    keys = df.select(key_col).distinct()
+    # Per-file targeting against the key SET, not its global range: a
+    # single far-away insert key would otherwise widen [min, max] to
+    # cover every file and defeat the copy-on-write. CDC batches are
+    # driver-bounded by nature; past the cap, fall back to the range
+    # check (conservative — more files rewritten, never wrongness).
+    key_cap = 100_000
+    sample = [r[0] for r in keys.limit(key_cap + 1).collect()]
+    key_sorted = sorted(sample) if len(sample) <= key_cap else None
+    if key_sorted is None:
+        b = keys.agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi")).first()
+        lo, hi = b["lo"], b["hi"]
+
+    def touched(rel: str) -> bool:
+        st = meta.get(rel, {}).get("stats", {}).get(key_col)
+        if st is None:
+            return True  # no stats -> must assume it can match
+        if key_sorted is not None:
+            i = bisect.bisect_left(key_sorted, st[0])
+            return i < len(key_sorted) and key_sorted[i] <= st[1]
+        return lo is not None and st[1] >= lo and st[0] <= hi
+
+    touched_rel = [f for f in pm["files"] if touched(f)]
+    carried = [f for f in pm["files"] if f not in set(touched_rel)]
+    keys = df.select(key_col).distinct()
+    if touched_rel:
+        old_rows = spark.read.parquet(*[os.path.join(root, f) for f in touched_rel])
+        survivors = old_rows.join(keys, key_col, "left_anti")
+        staged_df = survivors.unionByName(df)
+    else:
+        staged_df = df
+    stats_cols = sorted(
+        {c for m in meta.values() for c in m.get("stats", {})}
+    ) or None
+    return publish(
+        staged_df,
+        root,
+        snapshot_id=snapshot_id,
+        stats_cols=stats_cols,
+        _inherit_files=carried,
+        _inherit_meta={f: meta[f] for f in carried if f in meta},
+    )
 
 
 def added_files(root: str, from_sid: str | None, to_sid: str) -> list[str]:
