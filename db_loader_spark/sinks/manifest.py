@@ -201,13 +201,27 @@ def _manifest(root: str, sid: str) -> dict:
         return json.load(fh)
 
 
-def read_snapshot(spark: SparkSession, root: str, sid: str) -> DataFrame:
+def read_snapshot(
+    spark: SparkSession, root: str, sid: str, merge_schema: bool = False
+) -> DataFrame:
     """Read an explicit snapshot (time travel). The scan is built from
-    the manifest's file list — never a directory listing."""
+    the manifest's file list — never a directory listing.
+
+    ``merge_schema=True`` unions the file schemas (schema EVOLUTION:
+    an append commit may add columns; old files surface the new
+    columns as NULL). Off by default — schema union reads every
+    footer up front, which at millions of files is the metadata cost
+    the manifest exists to avoid; evolved tables should record their
+    schema in the manifest at commit time (the Delta design) — a
+    production extension noted, not needed while publishes are
+    single-schema per lineage."""
     files = [os.path.join(root, f) for f in _manifest(root, sid)["files"]]
     if not files:
         raise ValueError(f"snapshot {sid!r} has no files")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def read_pruned(
@@ -283,6 +297,13 @@ def merge_upsert(
     import bisect
 
     parent = current_snapshot(root)
+    if snapshot_id is not None and parent == snapshot_id:
+        # Exactly-once replay guard (the foreachBatch epoch contract):
+        # this merge already committed. Re-deriving it would merge the
+        # batch into ITS OWN RESULT — updates are idempotent but
+        # inserts would anti-join against themselves and survive as
+        # duplicates-in-time; the guard makes retry a no-op instead.
+        return snapshot_id
     if parent is None:
         return publish(df, root, snapshot_id=snapshot_id)
     pm = _manifest(root, parent)
@@ -331,6 +352,36 @@ def merge_upsert(
     )
 
 
+def compact_snapshot(
+    spark: SparkSession,
+    root: str,
+    target_files: int,
+    snapshot_id: str | None = None,
+) -> str:
+    """OPTIMIZE: rewrite the current snapshot's data into
+    ``target_files`` right-sized files and commit the result as a new
+    snapshot — the manifest-native twin of ddl.compact_parquet (which
+    the r5 shattered-table bench measured at 5× pure small-file
+    overhead), but SNAPSHOT-SAFE: readers of the old manifest keep
+    their exact file list while the rewrite runs; the pointer flip is
+    the only visible event, and the old files remain until vacuum.
+    This is what absorbs the per-micro-batch file debris a
+    foreachBatch append pipeline accumulates (one tiny file per
+    epoch). Zone-map columns recorded by the parent are re-harvested
+    for the compacted files."""
+    parent = current_snapshot(root)
+    if parent is None:
+        raise FileNotFoundError(f"no current snapshot at {root!r}")
+    if snapshot_id is not None and parent == snapshot_id:
+        return snapshot_id  # replayed compaction: already committed
+    pm = _manifest(root, parent)
+    stats_cols = sorted(
+        {c for m in pm.get("files_meta", {}).values() for c in m.get("stats", {})}
+    ) or None
+    df = read_snapshot(spark, root, parent).coalesce(target_files)
+    return publish(df, root, snapshot_id=snapshot_id, stats_cols=stats_cols)
+
+
 def added_files(root: str, from_sid: str | None, to_sid: str) -> list[str]:
     """Data files in ``to_sid``'s manifest that ``from_sid``'s lacks —
     the incremental scan set between two snapshots. Files are immutable
@@ -358,11 +409,13 @@ def read_added(
     return spark.read.parquet(*[os.path.join(root, f) for f in delta])
 
 
-def read_current(spark: SparkSession, root: str) -> DataFrame:
+def read_current(
+    spark: SparkSession, root: str, merge_schema: bool = False
+) -> DataFrame:
     sid = current_snapshot(root)
     if sid is None:
         raise FileNotFoundError(f"no current snapshot at {root!r}")
-    return read_snapshot(spark, root, sid)
+    return read_snapshot(spark, root, sid, merge_schema=merge_schema)
 
 
 def snapshots(root: str) -> list[str]:

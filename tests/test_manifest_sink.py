@@ -257,3 +257,94 @@ def test_merge_upsert_without_stats_degrades_to_full_rewrite(spark, tmp_path):
     assert got[7] == 1 and got[8] == 0 and len(got) == 100
     f1, f2 = (set(M._manifest(root, s)["files"]) for s in ("v1", "v2"))
     assert not (f1 & f2)  # full rewrite: nothing carried by reference
+
+
+def test_merge_upsert_replay_is_exactly_once(spark, tmp_path):
+    """Replaying a committed merge epoch (the foreachBatch retry) must
+    be a no-op: without the guard, inserts would anti-join against
+    their own result and duplicate."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(10).select("id", F.lit(0).alias("v")), root, snapshot_id="v1")
+    batch = spark.createDataFrame([(3, 1), (50, 1)], "id long, v long")
+    M.merge_upsert(spark, batch, root, "id", snapshot_id="epoch-1")
+    M.merge_upsert(spark, batch, root, "id", snapshot_id="epoch-1")  # retry
+    rows = M.read_current(spark, root).collect()
+    assert len(rows) == 11  # 10 base + 1 insert, NOT 12
+    assert M.snapshots(root) == ["v1", "epoch-1"]
+
+
+def test_schema_evolution_merge_schema_read(spark, tmp_path):
+    """An append commit with an added column: merged-schema reads
+    surface it (NULL for old files); plain reads keep the manifest
+    cheap and see the first file's schema."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(5).select("id"), root, snapshot_id="v1")
+    M.publish(
+        spark.range(5, 8).select("id", F.lit("x").alias("tag")),
+        root, snapshot_id="v2", append=True,
+    )
+    evolved = M.read_current(spark, root, merge_schema=True)
+    assert set(evolved.columns) == {"id", "tag"}
+    got = {r.id: r.tag for r in evolved.collect()}
+    assert got[2] is None and got[6] == "x" and len(got) == 8
+
+
+def test_compact_snapshot_preserves_rows_and_zone_maps(spark, tmp_path):
+    """OPTIMIZE over append debris: row set identical, file count at
+    the target, zone maps re-harvested, old snapshot still readable
+    until vacuum."""
+    root = str(tmp_path / "tbl")
+    for i in range(6):  # six 1-file epochs of debris
+        M.publish(
+            spark.range(i * 100, (i + 1) * 100).coalesce(1),
+            root, snapshot_id=f"e{i}", append=(i > 0), stats_cols=["id"],
+        )
+    assert len(M._manifest(root, "e5")["files"]) == 6
+    M.compact_snapshot(spark, root, target_files=2, snapshot_id="opt-1")
+    man = M._manifest(root, "opt-1")
+    assert len(man["files"]) == 2
+    assert man["row_count"] == 600
+    assert {r.id for r in M.read_current(spark, root).collect()} == set(range(600))
+    assert {r.id for r in M.read_snapshot(spark, root, "e5").collect()} == set(range(600))
+    assert len(M.read_pruned(spark, root, "id", 0, 10).inputFiles()) == 1
+
+
+def test_foreachbatch_streaming_merge_apply(spark, tmp_path):
+    """The streaming CDC-apply loop: micro-batches of upserts flow
+    through foreachBatch into merge_upsert with the epoch id as the
+    snapshot token — at-least-once delivery + the replay guard =
+    exactly-once table state."""
+    src = str(tmp_path / "updates_src")
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(100).select("id", F.lit(0).cast("long").alias("v")),
+        root, snapshot_id="base", stats_cols=["id"],
+    )
+    upd = spark.createDataFrame(
+        [(i * 10 + j, 1) for i in range(3) for j in range(5)], "id long, v long"
+    )
+    upd.repartition(3).write.parquet(src)
+    static = spark.read.parquet(src)
+
+    def apply_batch(batch_df, epoch_id):
+        if batch_df.take(1):
+            M.merge_upsert(batch_df.sparkSession, batch_df, root, "id",
+                           snapshot_id=f"epoch-{epoch_id}")
+
+    q = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {r.id: r.v for r in M.read_current(spark, root).collect()}
+    assert len(got) == 100
+    touched = {i * 10 + j for i in range(3) for j in range(5)}
+    assert all(got[k] == 1 for k in touched)
+    assert all(got[k] == 0 for k in set(range(100)) - touched)
+    assert len(M.snapshots(root)) >= 3  # genuinely multi-epoch
