@@ -9,6 +9,8 @@ accepts the SAME keyword-style arguments:
     python -m db_loader_spark :filename 'runs/*.log.gz' :csv-dir out/
     python -m db_loader_spark :clean all :csv-dir out/
     python -m db_loader_spark :filename f.log :jdbc-url jdbc:mysql://h/db
+    python -m db_loader_spark :sql 'SELECT COUNT(*) FROM events' \
+        :data-dir /root/testdata/sf0.01 [:limit 100]
 
 Differences from the reference, by design (SURVEY.md §7):
 - one Spark job over ALL matching files, not a JVM per file;
@@ -115,6 +117,39 @@ def main(argv: list[str] | None = None) -> int:
         if argmap["clean"] in ("all", "") and config_exists:
             os.remove(config_path)
             print(f"removed {config_path}")
+        return 0
+
+    if "sql" in argmap:
+        # Engine surface beyond the reference loader: ad-hoc SQL over a
+        # directory of parquet tables (``:data-dir``, default the config
+        # data_dir) — every ``<name>.parquet`` file/dir registers as a
+        # temp view. Output is TSV with a header, capped by ``:limit``
+        # (default 100) so an un-LIMITed query can't flood the terminal.
+        from db_loader_spark.session import get_spark
+        from db_loader_spark.tables import load_table
+
+        data_dir = argmap.get("data-dir") or csv_dir
+        spark = get_spark("db_loader_sql")
+        registered = []
+        for entry in sorted(os.listdir(data_dir)):
+            if entry.endswith(".parquet"):
+                name = entry[: -len(".parquet")]
+                try:
+                    df = load_table(spark, data_dir, name)
+                except Exception:  # non-canonical table: raw read
+                    df = spark.read.parquet(os.path.join(data_dir, entry))
+                df.createOrReplaceTempView(name)
+                registered.append(name)
+        if not registered:
+            raise SystemExit(f"no .parquet tables under {data_dir!r}")
+        limit = int(argmap.get("limit", "100"))
+        out = spark.sql(argmap["sql"])
+        rows = out.take(limit + 1)
+        print("\t".join(out.columns))
+        for r in rows[:limit]:
+            print("\t".join("" if v is None else str(v) for v in r))
+        if len(rows) > limit:
+            print(f"... (truncated at :limit {limit})", file=sys.stderr)
         return 0
 
     if "filename" not in argmap:

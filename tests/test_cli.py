@@ -116,3 +116,29 @@ def test_cli_auto_joins_sidecar_index(spark, tmp_path):
     assert ("max-points", "50") in rows
     assert ("tourney", "true") in rows  # EDN booleans render lowercase
     assert not any(p == "x" for p, _ in rows)  # unmatched uuid stays out
+
+
+def test_cli_sql_over_parquet_dir(spark, tmp_path, capsys):
+    """:sql registers every <name>.parquet under :data-dir as a view,
+    prints a TSV header + rows, and honors :limit with a truncation
+    notice on stderr."""
+    spark.range(25).selectExpr("id", "id % 5 AS k").write.parquet(
+        str(tmp_path / "nums.parquet")
+    )
+    rc = main(
+        [":sql", "SELECT k, COUNT(*) AS n FROM nums GROUP BY k ORDER BY k",
+         ":data-dir", str(tmp_path)]
+    )
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "k\tn"
+    assert lines[1:] == [f"{k}\t5" for k in range(5)]
+
+    rc = main(
+        [":sql", "SELECT id FROM nums ORDER BY id",
+         ":data-dir", str(tmp_path), ":limit", "3"]
+    )
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert cap.out.strip().splitlines() == ["id", "0", "1", "2"]
+    assert "truncated" in cap.err
