@@ -71,6 +71,20 @@ def _file_stats(path: str, cols: list[str]) -> dict:
 
     md = pq.ParquetFile(path).metadata
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+
+    def jsonable(v):
+        # pyarrow surfaces BYTE_ARRAY (string/binary) stats as bytes in
+        # some versions; decode or drop — a stat that can't serialize
+        # must not kill the commit (absent stats only cost pruning)
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (int, float, str, bool)):
+            return v
+        return None
+
     stats: dict[str, list] = {}
     for c in cols:
         if c not in idx:
@@ -83,7 +97,8 @@ def _file_stats(path: str, cols: list[str]) -> dict:
                 break  # any stats-less group poisons the file's entry
             lo = s.min if lo is None else min(lo, s.min)
             hi = s.max if hi is None else max(hi, s.max)
-        if lo is not None:
+        lo, hi = jsonable(lo), jsonable(hi)
+        if lo is not None and hi is not None:
             stats[c] = [lo, hi]
     return {"rows": md.num_rows, "stats": stats}
 
@@ -308,6 +323,17 @@ def merge_upsert(
         return publish(df, root, snapshot_id=snapshot_id)
     pm = _manifest(root, parent)
     meta = pm.get("files_meta", {})
+    counts = df.agg(
+        F.count("*").alias("n"), F.countDistinct(key_col).alias("d")
+    ).first()
+    if counts["n"] != counts["d"]:
+        # MERGE requires unique source keys (every table format errors
+        # here): duplicated batch keys would survive the anti-join as
+        # duplicated TABLE rows — fail loudly, never corrupt.
+        raise ValueError(
+            f"merge_upsert batch has duplicate {key_col!r} values "
+            f"({counts['n']} rows, {counts['d']} distinct)"
+        )
     keys = df.select(key_col).distinct()
     # Per-file targeting against the key SET, not its global range: a
     # single far-away insert key would otherwise widen [min, max] to

@@ -348,3 +348,26 @@ def test_foreachbatch_streaming_merge_apply(spark, tmp_path):
     assert all(got[k] == 1 for k in touched)
     assert all(got[k] == 0 for k in set(range(100)) - touched)
     assert len(M.snapshots(root)) >= 3  # genuinely multi-epoch
+
+
+def test_merge_upsert_rejects_duplicate_batch_keys(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(10).select("id", F.lit(0).cast("long").alias("v")), root)
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "id long, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        M.merge_upsert(spark, dup, root, "id")
+
+
+def test_zonemap_string_stats_survive_json(spark, tmp_path):
+    """String-column zone maps must serialize (pyarrow can surface
+    BYTE_ARRAY min/max as bytes) and prune string ranges."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(260).selectExpr("id", "chr(65 + CAST(id / 10 AS INT)) AS tag")
+    M.publish(df.repartitionByRange(4, "tag"), root, stats_cols=["tag", "id"])
+    man = M._manifest(root, M.current_snapshot(root))
+    assert all(
+        isinstance(m["stats"]["tag"][0], str) for m in man["files_meta"].values()
+    )
+    pruned = M.read_pruned(spark, root, "tag", "A", "B")
+    assert len(pruned.inputFiles()) < 4
+    assert pruned.count() == 20
