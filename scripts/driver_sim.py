@@ -35,6 +35,8 @@ sample = [
     "curation_select",       # r4: components + quality composition
     "curation_shard_assign", # r4: scan-side hash sharding
     "ann_ivf_topk",          # r4: session-scoped index cache on a vanilla session
+    "g_pagerank",            # r6: iterative lazy chain + tracked caches
+    "t_snapshot_upsert",     # r6: manifest publish/merge from a foreign cwd
 ]
 results = run_all(spark, "/root/testdata/sf0.01", only=sample)
 bad = [r for r in results if not r.ok]
