@@ -67,6 +67,7 @@ HEADLINE = [
     "ann_ivf_disk_topk",
     "t_stream_mview",  # update-mode output (rollup=complete, join=append)
     "t_sliding_counts",  # overlap cost vs the t_tumbling_counts row
+    "t_sliding_hll",  # sliding distinct via HLL register-shard merge
     # round 6c: blocked record linkage, the membership sketch the
     # ingest path prefilters with, and the bounded-frame window
     "jn_fuzzy_join",

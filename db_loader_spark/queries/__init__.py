@@ -143,6 +143,7 @@ NEXT_UP = [
     "scan_manifest_pruned",  # NEW r6 (manifest zone-map file skipping)
     "t_snapshot_incremental",  # NEW r6 (delta-only agg over append commits)
     "t_snapshot_upsert",  # NEW r6 (copy-on-write MERGE commit)
+    "t_sliding_hll",  # NEW r6 (sliding distinct via HLL register merge)
 ]
 
 

@@ -291,6 +291,118 @@ FROM expanded GROUP BY 1, 2
 """
 
 
+def t_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT users (2-hour windows every hour) via
+    mergeable HyperLogLog registers — the sketch-family composition:
+    events are hashed ONCE into per-hour register shards (≤ m rows per
+    hour, the 100 TB fleet statistic), and each overlapping window is
+    a register-wise MAX merge of its two constituent hours. Contrast
+    with t_sliding_counts, which expands every EVENT into len/slide
+    window copies before the shuffle: here overlap costs m-row merges
+    — the shuffle volume is hours × m regardless of event count or
+    overlap factor, which is why production sliding-distinct (and any
+    longer window / finer slide) is sketch-merge shaped. The exact
+    per-window countDistinct rides alongside as the self-eval (the
+    kmv/hll pattern) — it IS the 2× expansion, priced as the luxury.
+    Registers/estimates replay bit-for-bit in DuckDB (see the
+    functions/sketch.py HLL module comment for the exactness
+    argument); the driver hash-checks the ESTIMATES."""
+    from db_loader_spark.functions.sketch import HLL_ALPHA, HLL_M, hll_rho_sql
+
+    m = HLL_M
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+    )
+    h = e.select(
+        "hour",
+        F.expr(
+            "pmod(CAST(conv(substring(md5(concat('hll:', user_id)), 1, 2), 16, 10)"
+            f" AS INT), {m})"
+        ).alias("reg"),
+        F.expr(
+            hll_rho_sql("substring(md5(concat('hll:', user_id)), 3, 8)")
+        ).alias("rho"),
+    )
+    hourly = h.groupBy("hour", "reg").agg(F.max("rho").alias("max_rho"))
+    expanded = hourly.select(
+        F.col("hour").alias("ws"), "reg", "max_rho"
+    ).unionAll(
+        hourly.select(
+            (F.col("hour") - F.expr("INTERVAL 1 HOUR")).alias("ws"),
+            "reg",
+            "max_rho",
+        )
+    )
+    merged = expanded.groupBy("ws", "reg").agg(F.max("max_rho").alias("max_rho"))
+    agg = merged.groupBy("ws").agg(
+        F.sum(
+            F.expr("1.0D / CAST(shiftleft(CAST(1 AS BIGINT), max_rho) AS DOUBLE)")
+        ).alias("z_used"),
+        F.count("*").alias("n_regs"),
+    )
+    exact = (
+        e.select(F.col("hour").alias("ws"), "user_id")
+        .unionAll(
+            e.select(
+                (F.col("hour") - F.expr("INTERVAL 1 HOUR")).alias("ws"), "user_id"
+            )
+        )
+        .groupBy("ws")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    est = F.round(
+        F.lit(HLL_ALPHA * m * m) / (F.col("z_used") + (F.lit(m) - F.col("n_regs")))
+    ).cast("long")
+    return agg.join(exact, "ws").select(
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_exact",
+        est.alias("hll_estimate"),
+        F.round(est.cast("double") / F.col("n_exact"), 3).alias("rel_err"),
+    )
+
+
+def _sliding_hll_oracle() -> str:
+    from db_loader_spark.functions.sketch import HLL_ALPHA, HLL_M, hll_rho_sql
+
+    m = HLL_M
+    rho = hll_rho_sql("substring(md5('hll:' || CAST(user_id AS VARCHAR)), 3, 8)")
+    est = (
+        f"CAST(ROUND((CAST({HLL_ALPHA} AS DOUBLE) * {m} * {m})"
+        " / (a.z_used + ({m} - a.n_regs))) AS BIGINT)".format(m=m)
+    )
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT
+              AS INT) % {m} AS reg,
+         ({rho}) AS rho
+  FROM events
+), hourly AS (
+  SELECT hour, reg, MAX(rho) AS max_rho FROM h GROUP BY hour, reg
+), expanded AS (
+  SELECT u.ws AS ws, reg, max_rho
+  FROM hourly, LATERAL unnest([hour, hour - INTERVAL 1 HOUR]) AS u(ws)
+), merged AS (
+  SELECT ws, reg, MAX(max_rho) AS max_rho FROM expanded GROUP BY ws, reg
+), a AS (
+  SELECT ws, SUM(1.0 / CAST(1::BIGINT << max_rho AS DOUBLE)) AS z_used,
+         COUNT(*) AS n_regs
+  FROM merged GROUP BY ws
+), ex AS (
+  SELECT u.ws AS ws, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events,
+       LATERAL unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS u(ws)
+  GROUP BY 1
+)
+SELECT strftime(a.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       ex.n_exact,
+       {est} AS hll_estimate,
+       ROUND(CAST({est} AS DOUBLE) / ex.n_exact, 3) AS rel_err
+FROM a JOIN ex USING (ws)
+"""
+
+
 def w_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event gap statistics via ``lag`` — the window-lag
     primitive (distinct from session_window's built-in gap logic).
@@ -699,6 +811,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "t_sliding_counts": QuerySpec(
         t_sliding_counts, _SLIDING_ORACLE, "event-time sliding-window agg (2h/1h)"
+    ),
+    "t_sliding_hll": QuerySpec(
+        t_sliding_hll,
+        _sliding_hll_oracle(),
+        "sliding-window distinct via mergeable HLL register shards",
     ),
     "w_event_gap": QuerySpec(
         w_event_gap, _EVENT_GAP_ORACLE, "lag-based inter-event gaps"

@@ -225,3 +225,35 @@ def test_quantile_sample_rate_and_accuracy(spark):
     assert out["p50_exact"] == 9999.5  # (n-1)*0.5 interpolation
     assert abs(out["p50_est"] - out["p50_exact"]) <= 0.05 * 20_000
     assert abs(out["p95_est"] - out["p95_exact"]) <= 0.05 * 20_000
+
+
+def test_sliding_hll_merge_equals_direct_recompute(spark, sf_dir):
+    """The mergeability theorem the operator rests on: each window's
+    estimate from MERGED per-hour register shards must equal the HLL
+    computed directly over that window's raw (window, user) pairs —
+    register-wise max-merge loses nothing. (Accuracy at tiny sf0.001
+    windows is deliberately out of scope: the sketch documents its
+    uncorrected small-n bias; the driver checks engine-equality.)"""
+    from pyspark.sql import functions as F
+
+    from db_loader_spark.functions.sketch import hll_distinct
+    from db_loader_spark.queries.eventops import t_sliding_hll
+    from db_loader_spark.tables import load_table
+
+    merged = {
+        r["window_start"]: r["hll_estimate"]
+        for r in t_sliding_hll(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "user_id"
+    )
+    pairs = e.select(F.col("hour").alias("ws"), "user_id").unionAll(
+        e.select(
+            (F.col("hour") - F.expr("INTERVAL 1 HOUR")).alias("ws"), "user_id"
+        )
+    ).select(F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("ws"), "user_id")
+    direct = {
+        r["ws"]: r["hll_estimate"]
+        for r in hll_distinct(pairs, "ws", "user_id").collect()
+    }
+    assert merged == direct
