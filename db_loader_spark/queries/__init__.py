@@ -144,7 +144,16 @@ NEXT_UP = [
     "t_snapshot_incremental",  # NEW r6 (delta-only agg over append commits)
     "t_snapshot_upsert",  # NEW r6 (copy-on-write MERGE commit)
     "t_sliding_hll",  # NEW r6 (sliding distinct via HLL register merge)
+    "a_moments",  # NEW r6 (one-pass stddev + Pearson corr per group)
 ]
+# R7 WINDOW PREP (execute at round-7 start): rule 1 makes the 24
+# NEXT_UP keys the oldest-evidence set (no driver row yet) — they MUST
+# fill the first 24 r7 slots; the remaining 26 slots go to the r5-
+# evidence keys that have now been out of window for two rounds
+# (relational q1/q3/q5/q10, the a1-a7/w_*/set_ops/rollup/eav family,
+# dedup_exact, the embedding/ANN quartet) — oldest first. Every r6
+# WINDOW key rotates out on its fresh CORRECTNESS_r06 row; re-verify
+# rotated-out keys locally at both SFs as always (rule on line above).
 
 
 def all_queries() -> dict[str, QuerySpec]:

