@@ -19,8 +19,9 @@ vacuumed.
 Mapped onto the reference's transactional-load semantics: ``publish``
 is K6's staging+atomic-publish and T5's transactional flush;
 ``vacuum`` is K8's clean; snapshot ids are the retry token (a replayed
-publish of the same writer epoch overwrites its own staged files and
-re-points, which is idempotent). file:line parity: the reference's
+publish of a fully committed writer epoch is a pure no-op; one that
+crashed pre-commit restages invisibly and re-points — idempotent
+either way). file:line parity: the reference's
 closest analog is the CSV flush-then-load loop in
 scripts/load_csv_to_cloud.sh:107-149.
 
@@ -116,10 +117,12 @@ def publish(
     """Write ``df`` as a new snapshot of the table at ``root`` and
     atomically make it current. Returns the snapshot id.
 
-    ``snapshot_id`` doubles as the idempotent retry token: a replayed
-    publish with the same id overwrites its own staged files and
-    re-points to an identical manifest — the at-least-once foreachBatch
-    contract. With ``parent_check`` (default), the manifest records the
+    ``snapshot_id`` doubles as the idempotent retry token (the
+    at-least-once foreachBatch contract): a replay of a snapshot that
+    fully committed is a pure no-op — restaging would transiently
+    delete live files out from under concurrent readers — while a
+    replay after a pre-commit crash overwrites its own (unreferenced,
+    reader-invisible) staged files and re-points. With ``parent_check`` (default), the manifest records the
     snapshot it superseded; a concurrent publish that lost the race
     fails loudly instead of silently clobbering (single-writer
     optimistic concurrency — multi-writer needs the store's
@@ -149,11 +152,19 @@ def publish(
     observed = current_snapshot(root)
     if observed == sid:
         # Idempotent replay of the CURRENT snapshot (same epoch token):
-        # keep the original lineage parent — recording self-as-parent
-        # would put a cycle in the chain.
-        parent = _manifest(root, sid)["parent"]
-    else:
-        parent = observed
+        # the pointer move is the LAST step of the protocol, so the
+        # pointer reading ``sid`` proves the staged files and manifest
+        # are complete. Restaging here would delete the very directory
+        # the live manifest's file list points to — a concurrent reader
+        # resolving the pointer mid-restage would hit missing files,
+        # violating the "complete old snapshot or complete new one"
+        # contract. The correct idempotent behavior is a pure no-op
+        # (same-token replays carry the same batch by the foreachBatch
+        # epoch contract). A crash BEFORE the pointer moved leaves
+        # observed != sid and takes the normal path, where overwriting
+        # the staged prefix is safe: no reader can reference it yet.
+        return sid
+    parent = observed
     staged = os.path.join(data_dir, sid)
     # stage: snapshot-unique prefix; overwrite = idempotent retry
     df.write.mode("overwrite").parquet(staged)
@@ -175,8 +186,18 @@ def publish(
         "files": inherited + new_files,
         "row_count": None,  # filled below when stats are requested
     }
+    # files_meta is written whenever ANY stats exist — harvested for
+    # this commit's files OR inherited from the parent. Gating on
+    # stats_cols alone would let one stats-less append silently strip
+    # the parent's zone maps from the whole lineage, permanently
+    # degrading read_pruned to full scans and merge_upsert to full
+    # rewrites (later stats appends re-inherit from the already-
+    # stripped parent). Inherited-only meta keeps the old files
+    # prunable; the new stats-less files are conservatively kept by
+    # every consumer, and row_count stays None unless every file has
+    # an entry.
+    meta = dict(inherited_meta)
     if stats_cols:
-        meta = dict(inherited_meta)
         meta.update(
             {
                 os.path.join(_DATA, sid, f): _file_stats(
@@ -185,6 +206,7 @@ def publish(
                 for f in files
             }
         )
+    if meta:
         manifest["files_meta"] = meta
         if len(meta) == len(manifest["files"]):
             manifest["row_count"] = sum(m["rows"] for m in meta.values())
@@ -306,7 +328,14 @@ def merge_upsert(
     at publish) is what makes the touched set small — the same layout
     decision that makes read_pruned selective. The anti-join's left
     side is only the touched files' rows; the update side is typically
-    broadcast-sized (a CDC batch)."""
+    broadcast-sized (a CDC batch).
+
+    ``df`` is persisted for the duration of the merge: it is consumed
+    three times (duplicate-key check, key collection, staged write),
+    and without pinning, a non-deterministic source could pass the
+    duplicate check yet stage different rows. The persist makes every
+    consumer read the SAME materialization; sources should still be
+    deterministic (every table format demands it of MERGE batches)."""
     from pyspark.sql import functions as F
 
     import bisect
@@ -323,6 +352,26 @@ def merge_upsert(
         return publish(df, root, snapshot_id=snapshot_id)
     pm = _manifest(root, parent)
     meta = pm.get("files_meta", {})
+    df = df.persist()
+    try:
+        return _merge_upsert_pinned(spark, df, root, key_col, snapshot_id, pm, meta)
+    finally:
+        df.unpersist()
+
+
+def _merge_upsert_pinned(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    key_col: str,
+    snapshot_id: str | None,
+    pm: dict,
+    meta: dict,
+) -> str:
+    from pyspark.sql import functions as F
+
+    import bisect
+
     counts = df.agg(
         F.count("*").alias("n"), F.countDistinct(key_col).alias("d")
     ).first()
@@ -358,7 +407,6 @@ def merge_upsert(
 
     touched_rel = [f for f in pm["files"] if touched(f)]
     carried = [f for f in pm["files"] if f not in set(touched_rel)]
-    keys = df.select(key_col).distinct()
     if touched_rel:
         old_rows = spark.read.parquet(*[os.path.join(root, f) for f in touched_rel])
         survivors = old_rows.join(keys, key_col, "left_anti")

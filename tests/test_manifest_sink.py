@@ -371,3 +371,64 @@ def test_zonemap_string_stats_survive_json(spark, tmp_path):
     pruned = M.read_pruned(spark, root, "tag", "A", "B")
     assert len(pruned.inputFiles()) < 4
     assert pruned.count() == 20
+
+
+def test_stats_less_append_keeps_inherited_zone_maps(spark, tmp_path):
+    """An append WITHOUT stats_cols must not strip the parent's zone
+    maps from the lineage: the parent's files stay prunable (their
+    files_meta entries carry forward), the new stats-less files are
+    conservatively kept by every consumer, and a later stats append
+    re-inherits the full map. Regression: gating files_meta on the
+    stats_cols argument alone dropped the inherited entries, silently
+    degrading read_pruned to full scans for all earlier files."""
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(0, 1000).repartitionByRange(4, "id"),
+        root, snapshot_id="v1", stats_cols=["id"],
+    )
+    M.publish(
+        spark.range(1000, 2000).repartitionByRange(2, "id"),
+        root, snapshot_id="v2", append=True,  # no stats_cols
+    )
+    man = M._manifest(root, "v2")
+    # parent's 4 entries survive; the 2 new files have no entries
+    assert len(man["files"]) == 6
+    assert len(man["files_meta"]) == 4
+    assert man["row_count"] is None  # not every file has stats
+    # pruning still skips parent files outside the range, keeps BOTH
+    # stats-less new files, and the residual predicate stays exact
+    pruned = M.read_pruned(spark, root, "id", 0, 100)
+    assert len(pruned.inputFiles()) == 1 + 2
+    assert pruned.count() == 101
+    # a later stats append re-inherits the intact map for its parents
+    M.publish(
+        spark.range(2000, 2500).repartitionByRange(2, "id"),
+        root, snapshot_id="v3", append=True, stats_cols=["id"],
+    )
+    man3 = M._manifest(root, "v3")
+    assert len(man3["files"]) == 8
+    assert len(man3["files_meta"]) == 6  # v1's 4 + v3's 2 (v2 stays bare)
+
+
+def test_replay_of_committed_snapshot_never_touches_live_files(spark, tmp_path):
+    """A replayed publish of the CURRENT snapshot is a pure no-op: the
+    pointer reading the id proves the commit finished, and restaging
+    would transiently delete the files the live manifest points to —
+    a reader resolving the pointer mid-restage would see a torn
+    snapshot. Pin: the staged parquet files' inodes/mtimes are
+    byte-identical across the replay, and no write job runs."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(25), root, snapshot_id="epoch-3")
+    staged = os.path.join(root, "data", "epoch-3")
+    before = {
+        f: os.stat(os.path.join(staged, f)).st_mtime_ns
+        for f in os.listdir(staged)
+    }
+    M.publish(spark.range(25), root, snapshot_id="epoch-3")  # replay
+    after = {
+        f: os.stat(os.path.join(staged, f)).st_mtime_ns
+        for f in os.listdir(staged)
+    }
+    assert after == before  # same files, untouched — not rewritten
+    assert M.current_snapshot(root) == "epoch-3"
+    assert M.read_current(spark, root).count() == 25
