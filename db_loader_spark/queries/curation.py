@@ -228,13 +228,15 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers, contaminated ids) is cluster/overlap-sized — tiny relative
     to the corpus — so the anti-joins broadcast; the only corpus-wide
     exchanges are the signature groupBy, the per-doc-id aggregate in
-    decontaminate, and the final per-lang packing window. The settle
+    decontaminate, and the final (lang, block)-partitioned packing
+    windows — block-bounded, so language skew never concentrates the
+    emitter on one reducer (textops.pack_doc_bins). The settle
     epilogue releases s1 plus every operator-tracked cache
     (decontaminate's eval shingles) once the small bin report is
     materialized."""
     from db_loader_spark.functions import dedup as D
     from db_loader_spark.functions import text as TX
-    from db_loader_spark.queries.textops import PACK_BUDGET
+    from db_loader_spark.queries.textops import PACK_BUDGET, pack_doc_bins
 
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'")
@@ -275,20 +277,13 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         qual.filter(F.col("quality") >= 0.3).select("doc_id"), "doc_id", "left_semi"
     )
 
-    # stage 5: greedy per-lang context packing (same formulation as
-    # text_pack_bins: bin = floor(cum_tokens_before / budget))
+    # stage 5: greedy per-lang context packing — the shared block-
+    # partitioned prefix sum (textops.pack_doc_bins), so the training-
+    # batch emitter has no head-language single-reducer sort
     toksed = s4.select(
         "doc_id", "lang", TX.token_count(F.col("text")).alias("n_tok")
     )
-    pw = (
-        W.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    packed = toksed.withColumn(
-        "bin_id",
-        F.floor((F.sum("n_tok").over(pw) - F.col("n_tok")) / PACK_BUDGET).cast("long"),
-    )
+    packed = pack_doc_bins(toksed, PACK_BUDGET)
     report = packed.groupBy("lang", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),

@@ -458,35 +458,93 @@ FROM chunks
 
 
 PACK_BUDGET = 256  # tokens per training-context bin
+PACK_BLOCK = 4096  # doc_id-range block: bounds every packing sort
 
 
-def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy context-window packing: documents fill fixed token-budget
-    bins in deterministic (doc_id) order — the sequence-packing step
-    that turns a ragged corpus into fixed-cost training batches.
+def pack_doc_bins(toksed: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Greedy context-window packing via a BLOCK-PARTITIONED two-pass
+    prefix sum: bin_id = floor(cumulative_tokens_before_doc / budget)
+    in deterministic per-language (doc_id) order — the running-sum
+    formulation of greedy first-fit-in-order.
 
-    bin_id = floor(cumulative_tokens_before_doc / budget): the running
-    -sum formulation of greedy first-fit-in-order. The window partitions
-    by ``lang`` (packing is per-language in multilingual pipelines), so
-    there is NO global single-partition window — each shard packs
-    independently, which is exactly how it distributes at 100 TB."""
+    Why not one window per language: ``Window.partitionBy("lang")``
+    routes EVERY document of a language through one task's sort, and
+    language mass is maximally skewed (a web corpus is ~half English)
+    — at 100 TB that is one reducer sorting billions of rows while the
+    rest of the cluster idles. The distributed construction instead:
+
+    1. cut each language's doc_id axis into fixed ``PACK_BLOCK``-wide
+       blocks (``blk = floor(doc_id / PACK_BLOCK)`` — order-preserving:
+       every doc in blk k precedes every doc in blk k+1);
+    2. pass 1 aggregates per-(lang, blk) token totals — a tiny frame,
+       one row per block — and a window over THAT frame turns totals
+       into per-block cumulative offsets (per-lang ordered scan of
+       block-count rows: ~n_docs/4096 tiny rows even at corpus scale;
+       recurse the same construction should block counts ever outgrow
+       one reducer);
+    3. pass 2 joins the offsets back (broadcast: offsets are
+       block-count-sized) and computes the running sum WITHIN each
+       (lang, blk) — every sort now bounded by PACK_BLOCK rows, no
+       task sees more than one block regardless of language skew.
+
+    offset + within-block cumsum ≡ the per-lang global cumsum row for
+    row, so bin assignments are bit-identical to the single-window
+    formulation (the DuckDB oracle states exactly that global form).
+
+    The two passes consume ``toksed`` twice, so it is pinned via
+    ``cache.track`` (narrow: doc_id, lang, n_tok — token counts, never
+    text) and released by the wrapper's settle; without the pin the
+    whole upstream pipeline would re-execute for the totals pass.
+
+    Input: (doc_id, lang, n_tok). Output: input + bin_id."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
-    toksed = d.select("doc_id", "lang", TX.token_count(F.col("text")).alias("n_tok"))
-    w = (
-        W.partitionBy("lang")
+    from db_loader_spark import cache
+
+    t = cache.track(
+        toksed.withColumn("blk", F.floor(F.col("doc_id") / PACK_BLOCK).cast("long"))
+    )
+    totals = t.groupBy("lang", "blk").agg(F.sum("n_tok").alias("blk_tok"))
+    off_w = (
+        W.partitionBy("lang").orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "lang",
+        "blk",
+        F.coalesce(F.sum("blk_tok").over(off_w), F.lit(0)).alias("blk_off"),
+    )
+    in_blk = (
+        W.partitionBy("lang", "blk")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    packed = toksed.withColumn(
-        "bin_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET).cast("long"),
+    return (
+        t.join(F.broadcast(offsets), ["lang", "blk"])
+        .withColumn(
+            "bin_id",
+            F.floor(
+                (F.col("blk_off") + F.sum("n_tok").over(in_blk) - F.col("n_tok"))
+                / budget
+            ).cast("long"),
+        )
+        .drop("blk", "blk_off")
     )
-    return packed.groupBy("lang", "bin_id").agg(
+
+
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sequence packing over the documents table — the
+    step that turns a ragged corpus into fixed-cost training batches.
+    All the distribution reasoning lives in ``pack_doc_bins`` (block-
+    partitioned prefix sum, no per-language single-reducer sort)."""
+    from db_loader_spark import cache
+
+    d = load_table(spark, sf_dir, "documents")
+    toksed = d.select("doc_id", "lang", TX.token_count(F.col("text")).alias("n_tok"))
+    out = pack_doc_bins(toksed, PACK_BUDGET).groupBy("lang", "bin_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("total_tokens"),
     )
+    return cache.settle_drained(out)
 
 
 _PACK_ORACLE = f"""
