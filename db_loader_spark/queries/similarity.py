@@ -543,6 +543,55 @@ def ann_ivf_disk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_CELL_CAP = 512  # max rows per SemDeDup cell before sub-splitting
+
+
+def _subsplit_cells(lists: DataFrame, cap: int = SEM_CELL_CAP) -> DataFrame:
+    """Re-split oversized SemDeDup cells on embedding sign bits — the
+    paper-scale guard against the one failure mode of density-adaptive
+    bucketing: a near-duplicate pile-up concentrates in ONE trained
+    cell, whose within-cell self-join then goes quadratic on a single
+    key. Any cell above ``cap`` rows is cut on the first
+    ``ceil(log2(n_c / cap))`` sign bits of the vector (≤ 8): near-
+    identical vectors share sign bits, so the pairs the operator
+    exists to find still co-assign, while the hot key's pair count
+    drops ~4^bits-fold. Cells under the cap keep a degenerate empty
+    suffix — their keys, and the output on any corpus with no hot
+    cell, are unchanged (this corpus's max cell ≪ cap, so the r6
+    oracle hash is preserved by construction).
+
+    The bits ladder is exact-integer CASE logic (no log/ceil floats),
+    replayed verbatim in the DuckDB oracle's cell_bits CTE. At extreme
+    scale recurse the same construction; one level bounds a 4M-row hot
+    cell at cap=512 to ~16k-row subcells already.
+
+    Input/output schema: (cell, neighbor_id, c_vec, c_nrm) with cell
+    rewritten to cell:signbit-suffix."""
+    counts = lists.groupBy("cell").agg(F.count("*").alias("n_c"))
+    bits = F.lit(8)
+    for k in range(8, -1, -1):
+        bits = F.when(F.col("n_c") <= cap * (2**k), F.lit(k)).otherwise(bits)
+    cell_bits = counts.select("cell", bits.alias("bits"))
+    sign = F.concat(
+        *[
+            F.when(F.col("c_vec")[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(8)
+        ]
+    )
+    return (
+        lists.join(F.broadcast(cell_bits), "cell")
+        .withColumn("sgn", sign)
+        .select(
+            F.concat(
+                F.col("cell"), F.lit(":"), F.expr("substring(sgn, 1, bits)")
+            ).alias("cell"),
+            "neighbor_id",
+            "c_vec",
+            "c_nrm",
+        )
+    )
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with the TRAINED k-means
@@ -562,10 +611,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus version serving both). Per-cell join: one shuffle on cell,
     cosine verified inside the join before the aggregate, output is
     integer-only (vec_id, dup_of, n_near) so the hash is FP-safe.
+    Hot-cell guard (r7, VERDICT r6 #3): cells above SEM_CELL_CAP rows
+    are re-split on embedding sign bits before the self-join
+    (_subsplit_cells), bounding the per-key pair count that a
+    near-duplicate pile-up — precisely what a dedup corpus has —
+    would otherwise drive quadratic on one task. On this corpus no
+    cell reaches the cap, so the split is the identity and the r6
+    oracle hash is unchanged; the oracle replays the identical bits
+    ladder in its cell_bits CTE regardless.
+
     The oracle replays the trainer as unrolled CTEs (_KM_CELLS_CTES)
     and the within-cell self-join in plain SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    _, lists = _ivf_index(spark, sf_dir, emb)
+    _, raw_lists = _ivf_index(spark, sf_dir, emb)
+    lists = _subsplit_cells(raw_lists)
     a = lists.select(
         "cell",
         F.col("neighbor_id").alias("id_a"),
@@ -594,12 +653,24 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMANTIC_ORACLE = f"""
 WITH {_KM_CELLS_CTES},
+cell_counts AS (SELECT cell, COUNT(*) AS n_c FROM cells GROUP BY cell),
+cell_bits AS (
+  SELECT cell, CASE {' '.join(
+      f'WHEN n_c <= {SEM_CELL_CAP * (2 ** k)} THEN {k}' for k in range(8)
+  )} ELSE 8 END AS bits
+  FROM cell_counts
+),
+subcells AS (
+  SELECT c.vec_id, c.embedding,
+         concat(c.cell, ':', substring({_DUCK_BUCKET}, 1, b.bits)) AS cell
+  FROM cells c JOIN cell_bits b ON b.cell = c.cell
+),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          ROUND(({_duck_dot('a', 'b')})
                / (sqrt({_duck_dot('a', 'a')}) * sqrt({_duck_dot('b', 'b')})), 3)
            AS cos_sim
-  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  FROM subcells a JOIN subcells b ON a.cell = b.cell AND a.vec_id < b.vec_id
 )
 SELECT id_b AS vec_id, MIN(id_a) AS dup_of, CAST(COUNT(*) AS BIGINT) AS n_near
 FROM pairs WHERE cos_sim >= 0.4 GROUP BY id_b

@@ -603,17 +603,28 @@ def t_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     State is 4 numbers per open user session, partitioned by user_id,
     evicted on flush — the shape that scales to any key cardinality.
-    Fresh checkpoint + uniquely named memory sink per call, both
-    removed before returning (collected rows are the result; they are
-    session-count-sized)."""
+
+    Publish path (r7, VERDICT r6 #2): each micro-batch's flushed
+    sessions land as epoch-owned parquet via ``foreachBatch`` (the
+    same exactly-once epoch-overwrite its siblings t_stream_dedup /
+    t_stream_join / t_stream_mview use) and the wrapper returns a LAZY
+    read of the published epochs — session rows never pass through the
+    driver, so driver memory is independent of session count (the old
+    memory-sink + collect wrapper held the full session table in the
+    driver twice). The output dir is stable and source-stamp-keyed;
+    each call clears and rewrites it, so the returned frame must be
+    consumed before the next call for the same sf_dir — the driver
+    collects immediately (and any sink publish would too)."""
     import shutil
 
     from db_loader_spark.streaming.stateful import sessionize_stream
 
     stage = _stage_time_chunks(spark, sf_dir)
     static = spark.read.parquet(os.path.join(stage, "chunk_0.parquet"))
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    out_dir = os.path.join(tempfile.gettempdir(), f"db_loader_stream_sess_out_{key}")
+    shutil.rmtree(out_dir, ignore_errors=True)
     run_dir = tempfile.mkdtemp(prefix="db_loader_stream_sess_run_")
-    qname = "t_stream_sessions_" + hashlib.md5(run_dir.encode()).hexdigest()[:8]
     stream = (
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
@@ -621,27 +632,29 @@ def t_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
     )
     sessions = sessionize_stream(stream, gap_minutes=30, watermark="5 seconds")
+
+    def publish(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.filter(F.col("user_id") >= 0).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
         q = (
-            sessions.filter(F.col("user_id") >= 0)
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
+            sessions.writeStream.outputMode("append")
             .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .foreachBatch(publish)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        result = spark.table(qname)
-        rows = result.collect()
-        schema = result.schema
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.catalog.dropTempView(qname)
+        # only the checkpoint is per-run scratch; the published epochs
+        # are the result and must outlive the wrapper (lazy read below)
         shutil.rmtree(run_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return spark.read.parquet(os.path.join(out_dir, "epoch=*"))
 
 
 def _stream_sessions_oracle() -> str:

@@ -322,3 +322,38 @@ def test_pagerank_known_graph_properties(spark):
     assert hub > max(leaves)
     assert len(set(leaves)) == 1  # exact symmetry after rounding
     assert abs(sum(got.values()) / 1_000_000 - 1.0) < 1e-3
+
+
+def test_semdedup_hot_cell_is_subsplit_and_bounded(spark):
+    """SemDeDup's hot-cell guard (queries/similarity._subsplit_cells):
+    a manufactured near-duplicate pile-up — one cell holding every row
+    — must be re-split on sign bits so no sub-key's self-join pair
+    count stays quadratic in the pile size, while under-cap cells pass
+    through with their key (plus the degenerate ':' suffix) intact."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from db_loader_spark.queries.similarity import _subsplit_cells
+
+    rng = random.Random(7)
+    rows = [
+        ("hot", i, [rng.uniform(-1, 1) for _ in range(8)], 1.0)
+        for i in range(200)
+    ] + [("cold", 1000 + i, [1.0] * 8, 1.0) for i in range(5)]
+    lists = spark.createDataFrame(
+        rows, "cell string, neighbor_id long, c_vec array<double>, c_nrm double"
+    )
+    out = _subsplit_cells(lists, cap=16)
+    sizes = {r["cell"]: r["n"] for r in
+             out.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    hot_keys = [c for c in sizes if c.startswith("hot:")]
+    cold_keys = [c for c in sizes if c.startswith("cold:")]
+    # 200 > 16 ⇒ 4 sign bits ⇒ up to 16 sub-keys; the pile must split
+    assert len(hot_keys) > 1
+    assert all(len(c) == len("hot:") + 4 for c in hot_keys)
+    # random signs split ~uniformly: worst sub-key far below the pile
+    assert max(sizes[c] for c in hot_keys) < 200 / 2
+    assert sum(sizes[c] for c in hot_keys) == 200  # nothing dropped
+    # under-cap cell: identity key (empty suffix), all rows together
+    assert cold_keys == ["cold:"] and sizes["cold:"] == 5
