@@ -145,9 +145,20 @@ def main(argv: list[str] | None = None) -> int:
         limit = int(argmap.get("limit", "100"))
         out = spark.sql(argmap["sql"])
         rows = out.take(limit + 1)
+
+        def cell(v) -> str:
+            # TSV framing: a string value containing a tab/newline
+            # would silently shift every later column — replace with
+            # spaces (escaping, not truncation; the cap above already
+            # bounds volume). Floats render via repr round-trip, which
+            # is the shortest exact form — stable across runs.
+            if v is None:
+                return ""
+            return str(v).replace("\t", " ").replace("\r", " ").replace("\n", " ")
+
         print("\t".join(out.columns))
         for r in rows[:limit]:
-            print("\t".join("" if v is None else str(v) for v in r))
+            print("\t".join(cell(v) for v in r))
         if len(rows) > limit:
             print(f"... (truncated at :limit {limit})", file=sys.stderr)
         return 0

@@ -408,32 +408,76 @@ def a_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of the profiler family (a_profile_stats: counts/nulls/ranges;
     a_histogram: shape; a_quantiles: order stats): sample stddev of
     value and its Pearson correlation with the user id, all from ONE
-    map-side-combining pass (Spark's stddev_samp/corr accumulate
-    (n, Σx, Σx², Σxy…) partials that merge associatively — the
-    mergeable-aggregate deployment shape yet again). Cross-engine FP:
-    both engines accumulate the same stable single-pass moments;
-    partition-order perturbation is ~1e-12 relative, far inside the
-    2/4 dp rounding (probed head-to-head before this key shipped).
-    corr's NULL on a zero-variance group is preserved by both engines
-    (no COALESCE — a degenerate group should look degenerate)."""
+    map-side-combining pass of EXACT INTEGER sums: n, Σc, Σc², Σu,
+    Σu², Σc·u over integer cents (the FP-free channel the rest of the
+    registry uses) and integer user ids — partition order cannot
+    perturb an integer sum, so the accumulated moments are
+    bit-identical on every run and every engine. The handful of
+    double divisions/sqrts happens ONCE per group, after aggregation,
+    with the identical expression tree stated in the oracle — IEEE
+    ops on identical inputs, not merge-order-dependent accumulation
+    (r6 shipped stddev_samp/corr here; ADVICE r6 flagged that a value
+    near a rounding boundary could flip between the engines' partial
+    -merge orders, failing the hash nondeterministically).
+    corr's NULL on a zero-variance group is preserved (explicit
+    zero-denominator guard — a degenerate group should look
+    degenerate). Pearson corr is scale-invariant, so cents-vs-user
+    equals value-vs-user exactly."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    c = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    u = F.col("user_id").cast("long")
+    m = e.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
-        F.round(F.avg("value"), 2).alias("mean_value"),
-        F.round(F.stddev_samp("value"), 2).alias("sd_value"),
-        F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias(
+        F.sum(c).alias("sc"),
+        F.sum(c * c).alias("sc2"),
+        F.sum(u).alias("su"),
+        F.sum(u * u).alias("su2"),
+        F.sum(c * u).alias("scu"),
+    )
+    nd, sc, sc2 = [F.col(x).cast("double") for x in ("n", "sc", "sc2")]
+    su, su2, scu = [F.col(x).cast("double") for x in ("su", "su2", "scu")]
+    var_c = (sc2 - sc * sc / nd) / (nd - 1)
+    den = F.sqrt(nd * sc2 - sc * sc) * F.sqrt(nd * su2 - su * su)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(sc / nd / 100.0, 2).alias("mean_value"),
+        F.when(F.col("n") > 1, F.round(F.sqrt(var_c) / 100.0, 2)).alias("sd_value"),
+        F.when(den != 0, F.round((nd * scu - sc * su) / den, 4)).alias(
             "corr_value_user"
         ),
     )
 
 
 _MOMENTS_ORACLE = """
-SELECT event_type,
-       COUNT(*) AS n,
-       ROUND(AVG(value), 2) AS mean_value,
-       ROUND(stddev_samp(value), 2) AS sd_value,
-       ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_value_user
-FROM events GROUP BY event_type
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(c) AS sc, SUM(c * c) AS sc2,
+         SUM(u) AS su, SUM(u * u) AS su2, SUM(c * u) AS scu
+  FROM (
+    SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c,
+           CAST(user_id AS BIGINT) AS u
+    FROM events
+  ) GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sc AS DOUBLE) AS sc,
+         CAST(sc2 AS DOUBLE) AS sc2, CAST(su AS DOUBLE) AS su,
+         CAST(su2 AS DOUBLE) AS su2, CAST(scu AS DOUBLE) AS scu
+  FROM s
+)
+SELECT event_type, n,
+       ROUND(sc / nd / 100.0, 2) AS mean_value,
+       CASE WHEN n > 1
+            THEN ROUND(sqrt((sc2 - sc * sc / nd) / (nd - 1)) / 100.0, 2)
+       END AS sd_value,
+       CASE WHEN sqrt(nd * sc2 - sc * sc) * sqrt(nd * su2 - su * su) <> 0
+            THEN ROUND((nd * scu - sc * su)
+                       / (sqrt(nd * sc2 - sc * sc) * sqrt(nd * su2 - su * su)), 4)
+       END AS corr_value_user
+FROM d
 """
 
 

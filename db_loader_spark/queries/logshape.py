@@ -351,7 +351,145 @@ GROUP BY w.k
 """
 
 
+CLI_USER_CAP = 50  # fixture slice: bounded (~3.4k events) at every SF
+
+
+def _stage_cli_logs(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a gz Clojush log corpus derived DETERMINISTICALLY from the
+    events table: one ``run_<uid>.log.gz`` per user below CLI_USER_CAP,
+    holding a header section, one generation section per event (in
+    event_id order, carrying the event's integer cents as a ``cents:``
+    k/v line), and a summary section — the exact section grammar of
+    the reference's logs (tests/test_cli.py's LOG fixture). Deriving
+    from a table is what lets the DuckDB oracle recompute the expected
+    answer from the ``events`` view with plain SQL.
+
+    Staging is source-stamp-keyed and reused across calls (it is the
+    corpus's storage layout, not per-query work). The driver-side
+    collect is the FIXTURE GENERATOR, bounded by construction to the
+    user_id < CLI_USER_CAP slice (~3.4k short rows at every SF) — the
+    operator under test is the CLI plan, which stays fully
+    distributed."""
+    import gzip
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    stage = os.path.join(tempfile.gettempdir(), f"db_loader_cli_e2e_{key}")
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    stamp = f"{st.st_size}:{st.st_mtime_ns}:cap={CLI_USER_CAP}:layout=v1"
+    stamp_path = os.path.join(stage, "_SOURCE_STAMP")
+    try:
+        with open(stamp_path) as fh:
+            if fh.read() == stamp:
+                return stage
+    except OSError:
+        pass
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < CLI_USER_CAP)
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["event_id"], r["cents"]))
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for uid, evs in sorted(by_user.items()):
+        evs.sort()
+        lines = [f"run-uid = {uid}", "problem-name = e2e"]
+        for gen, (_eid, cents) in enumerate(evs):
+            lines.append(";;;;;;;;;;")
+            lines.append(f";; -*- Report at generation {gen}")
+            lines.append(f"cents: {cents}")
+        lines.append(";;;;;;;;;;")
+        lines.append(f"SUCCESS at generation {len(evs) - 1}")
+        with gzip.open(os.path.join(stage, f"run_{uid:04d}.log.gz"), "wt") as fh:
+            fh.write("\n".join(lines) + "\n")
+    with open(stamp_path, "w") as fh:
+        fh.write(stamp)
+    return stage
+
+
+def e2e_cli_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REFERENCE'S FRONT DOOR under the external hash: run the E1
+    CLI entry point end-to-end — ``:filename`` glob dispatch over a
+    staged ``.log.gz`` corpus → gzip text source → seq-split
+    sessionize → section routing → k/v parse → CSV table append
+    (``__main__.main``; src/db_loader.clj:302-313,337-344, folder bulk
+    loop scripts/load_csv_to_cloud.sh:107-149) — then aggregate the
+    loaded generations table per gennum. The fixture derives
+    deterministically from ``events`` (one run per user, one
+    generation per event), so the oracle recomputes the SAME numbers
+    from the events view: any line the pipeline drops, misroutes, or
+    misparses shifts a count or a cents sum and fails the hash.
+
+    Per-call state is isolated: a fresh csv-dir (the sink appends by
+    design — reusing a dir would double rows) and a throwaway
+    ``:config`` store. The result aggregate is gennum-count-sized
+    (≤ max events/user), collected before the scratch dir is removed
+    — the same bounded-collect epilogue t_stream_dedup documents."""
+    import os
+    import shutil
+    import tempfile
+
+    from db_loader_spark.__main__ import main
+
+    stage = _stage_cli_logs(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="db_loader_cli_e2e_run_")
+    try:
+        rc = main(
+            [
+                ":filename", os.path.join(stage, "*.log.gz"),
+                ":csv-dir", out,
+                ":config", os.path.join(out, "config.edn"),
+                ":problemname", "e2e",
+            ]
+        )
+        if rc != 0:
+            raise RuntimeError(f"CLI ingest exited {rc}")
+        gens = spark.read.option("header", True).csv(os.path.join(out, "generations"))
+        agg = (
+            gens.filter(F.col("parameter") == "cents")
+            .groupBy(F.col("gennum").cast("int").alias("gennum"))
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.col("value").cast("bigint")).alias("sum_cents"),
+            )
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_E2E_CLI_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS gennum,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id < {CLI_USER_CAP}
+)
+SELECT CAST(gennum AS INT) AS gennum, COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM ev GROUP BY gennum
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "e2e_cli_ingest": QuerySpec(
+        e2e_cli_ingest,
+        _E2E_CLI_ORACLE,
+        "E1 CLI front door end-to-end: gz glob → parse → route → tables",
+    ),
     "j1_sessionize": QuerySpec(j1_sessionize, _J1_ORACLE, "J1 seq-split sessionizer"),
     "j2_section_routing": QuerySpec(j2_section_routing, _J2_ORACLE, "J2 section routing"),
     "p1_kv_extract": QuerySpec(p1_kv_extract, _P1_ORACLE, "P1/P2 kv split"),

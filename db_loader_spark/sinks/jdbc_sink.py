@@ -114,7 +114,20 @@ def upsert_row_sql(
 
     ``ansi`` covers sqlite (3.24+) and postgres (``ON CONFLICT ... DO
     UPDATE SET c = excluded.c``); ``mysql`` uses ``ON DUPLICATE KEY
-    UPDATE``. Key-only tables degrade to conflict-ignore."""
+    UPDATE``. Key-only tables degrade to conflict-ignore.
+
+    DIALECT DIVERGENCE on multi-unique-key tables (documented gap —
+    this sandbox has no MySQL/MariaDB server, so the mysql arm has no
+    wire witness; it is exercised only as generated SQL text): MySQL's
+    ``ON DUPLICATE KEY UPDATE`` fires on a conflict with ANY unique
+    index of the table, while ``ON CONFLICT (keys)`` targets exactly
+    the named columns' index — a row conflicting on a DIFFERENT unique
+    index updates in MySQL but raises a unique violation in
+    sqlite/postgres (pinned by
+    tests/test_sinks_streaming.py::test_upsert_multi_unique_key_edge).
+    Contract: callers must pass the table's ONLY unique constraint as
+    ``keys``; tables with secondary unique indexes need dialect-aware
+    review before pointing this sink at MySQL."""
     if not keys:
         raise ValueError("upsert needs at least one key column")
     cols = ", ".join(columns)

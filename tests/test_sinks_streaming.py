@@ -296,3 +296,32 @@ def test_ecj_pipeline(spark, tmp_path):
         for r in parse_ecj_params(spark, str(ecj / "params.txt")).collect()
     }
     assert params == {"pop.size": "200", "mutation": "0.1"}
+
+
+def test_upsert_multi_unique_key_edge(tmp_path):
+    """The documented mysql/ansi divergence (jdbc_sink.upsert_row_sql):
+    ON CONFLICT (keys) targets exactly the named index, so a row that
+    conflicts on a DIFFERENT unique index raises instead of updating —
+    whereas MySQL's ON DUPLICATE KEY UPDATE (no wire witness in this
+    sandbox: no server) would silently update the email-conflicting
+    row. Pins the ansi half of the contract: keys must be the table's
+    only unique constraint."""
+    from db_loader_spark.sinks.jdbc_sink import upsert_row_sql
+
+    db = str(tmp_path / "u.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE t (id INTEGER PRIMARY KEY, email TEXT UNIQUE, v TEXT)"
+        )
+        sql = upsert_row_sql("t", ["id", "email", "v"], keys=["id"])
+        conn.execute(sql, (1, "a@x", "v1"))
+        # same id → the targeted index conflicts → clean update
+        conn.execute(sql, (1, "a2@x", "v2"))
+        assert conn.execute("SELECT email, v FROM t WHERE id = 1").fetchone() == (
+            "a2@x", "v2",
+        )
+        # new id, duplicate email → conflict on the UNTARGETED unique
+        # index: ansi raises (mysql would update row id=1 instead)
+        with pytest.raises(sqlite3.IntegrityError):
+            conn.execute(sql, (2, "a2@x", "v3"))
+        assert conn.execute("SELECT COUNT(*) FROM t").fetchone() == (1,)
