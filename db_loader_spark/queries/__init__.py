@@ -77,83 +77,71 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
 DRIVER_WINDOW_SIZE = 50
 
 WINDOW = [
-    # — stale since r4: textops tail (+ new repeated-passages) —
-    "text_repeated_passages",
-    "text_tfidf_topterms", "text_chunk", "text_pack_bins",
-    "text_repetition", "text_pii_scrub",
-    # text_token_count folded into text_bpe_token_count (its
-    # n_ws_tokens column) — r6 consolidation per VERDICT r5 #8;
-    # the freed slot carries the new trained-tokenizer key
-    "text_bpe_tokenize",
-    "text_bpe_token_count", "text_quality_score", "text_lang_id",
-    "text_fingerprint",
-    # — stale since r4: curation (+ new e2e composition, source cap) —
-    "curation_e2e", "curation_select", "curation_shard_assign",
-    "curation_source_cap",
-    # — stale since r4: eventops —
-    "a_outlier_filter", "a_stratified_sample", "t_tumbling_counts",
-    "w_event_gap", "t_session_window", "p_json_props",
-    "jn_asof_join", "jn_range_join",
-    # — stale since r4: ecj + logshape —
-    "ecj_star",
-    "j1_sessionize", "j2_section_routing", "p1_kv_extract",
-    "p5_nil_skip", "p7_trailing_int", "p9_summary_parse",
-    "p13_key_normalize", "p14_continuation_merge", "p16_uuid_extract",
-    "p18_datetime_format", "jn5_sidecar_join",
-    # — rule 2: new + touched this round —
-    "multimodal_decode_png", "multimodal_decode_jpeg",
-    "multimodal_decode_wav",  # decode_audio hardened (fuzz fixes)
-    "t_stream_signatures", "t_stream_dedup",
-    "t_stream_rollup",  # staging helper refactored (_stage_table)
-    "dedup_simhash", "dedup_minhash_lsh",
-    "dedup_minhash_tuned", "dedup_components", "curation_funnel",
-    # — remaining slots: new r6 keys + freshest r5 evidence —
-    "ann_lsh_multiprobe",  # NEW r6 (multi-probe query fan-out)
-    "t_stream_join",  # NEW r6 (watermarked stream-stream join)
-    "dedup_semantic",  # NEW r6 (SemDeDup over the shared IVF index)
-    "text_bpe_train",  # NEW r6 (distributed BPE trainer)
+    # — rule 1 (oldest evidence): the 24 r6 NEXT_UP keys — queued in
+    #   positions 51+ last round, so they have NEVER seen a driver row
+    #   (r6's verdict re-verified all 24 locally; this round puts them
+    #   under the external hash, exactly as the r6 prep note staged) —
+    "text_bm25_topk",
+    "curation_weighted_sample",
+    "curation_dsir_weight",
+    "ann_ivf_disk_topk",
+    "t_stream_mview",
+    "t_sliding_counts",
+    "text_cms_topk",
+    "jn_fuzzy_join",
+    "w_moving_avg",
+    "a_hll_distinct",
+    "dedup_bloom_prefilter",
+    "t_stream_sessions",  # r7: epoch-parquet publish (also rule 2)
+    "cdc_snapshot_diff",  # r7: manifest replay/meta fixes (also rule 2)
+    "a_profile_stats",
+    "a_histogram",
+    "a_table_fingerprint",
+    "g_triangle_count",
+    "g_pagerank",
+    "a_quantile_sample",
+    "scan_manifest_pruned",  # r7: manifest meta fixes (also rule 2)
+    "t_snapshot_incremental",  # r7: manifest meta fixes (also rule 2)
+    "t_snapshot_upsert",  # r7: merge persist + replay no-op (also rule 2)
+    "t_sliding_hll",
+    "a_moments",  # r7: exact-integer moments rewrite (also rule 2)
+    # — rule 2 (touched this round, must be witnessed this round) —
+    "e2e_cli_ingest",  # NEW r7: E1 CLI front door under the hash
+    "text_pack_bins",  # r7: block-partitioned prefix-sum packing
+    "curation_e2e",  # r7: same packing rewrite in stage 5
+    "dedup_semantic",  # r7: hot-cell sign-bit sub-split
+    # — rule 1 (oldest r5 evidence, out of window for two rounds) —
+    "q1_pricing_summary", "q3_segment_revenue", "q5_region_revenue",
+    "q10_returned_items", "q_top_customers",
+    "a1_distinct_pairs", "a2_max_id", "a3_filtered_count",
+    "a4_count_distinct", "a6_run_summary", "a7_id_assignment",
+    "w_running_sum", "w_topk_per_group", "set_ops", "rollup_revenue",
+    "eav_pivot", "p10_find_first", "dedup_exact",
+    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_sq_rerank",
 ]
 
-# WINDOW-OVERFLOW QUEUE (policy amendment, r6): rule 1 filled every
-# r6 slot, so brand-new keys beyond window capacity queue HERE, in
-# positions 51+, and MUST front the next round's window (they are
-# rule-1-oldest by construction: no driver evidence yet). A queued
-# key ships only with full local value verification at BOTH SFs
-# recorded in the round notes — the same bar rotated-out keys meet.
-NEXT_UP = [
-    "text_bm25_topk",  # NEW r6 (sparse-retrieval arm)
-    "curation_weighted_sample",  # NEW r6 (A-ES data-mixing sample)
-    "curation_dsir_weight",  # NEW r6 (DSIR importance weight)
-    "ann_ivf_disk_topk",  # NEW r6 (partition-pruned on-disk IVF)
-    "t_stream_mview",  # NEW r6 (update-mode materialized view)
-    "t_sliding_counts",  # NEW r6 (overlapping-window family member)
-    "text_cms_topk",  # NEW r6 (Count-Min frequency sketch)
-    "jn_fuzzy_join",  # NEW r6 (blocked levenshtein record linkage)
-    "w_moving_avg",  # NEW r6 (bounded ROWS-frame window member)
-    "a_hll_distinct",  # NEW r6 (portable HyperLogLog registers)
-    "dedup_bloom_prefilter",  # NEW r6 (Bloom membership prefilter)
-    "t_stream_sessions",  # NEW r6 (applyInPandasWithState, sentinel-flushed)
-    "cdc_snapshot_diff",  # NEW r6 (manifest time-travel row-level CDC)
-    "a_profile_stats",  # NEW r6 (one-pass per-column table profile)
-    "a_histogram",  # NEW r6 (equi-width integer-cent histogram)
-    "a_table_fingerprint",  # NEW r6 (order-insensitive table checksum)
-    "g_triangle_count",  # NEW r6 (degree-oriented wedge counting)
-    "g_pagerank",  # NEW r6 (power iteration, unrolled-CTE oracle)
-    "a_quantile_sample",  # NEW r6 (hash-rate sample quantile sketch)
-    "scan_manifest_pruned",  # NEW r6 (manifest zone-map file skipping)
-    "t_snapshot_incremental",  # NEW r6 (delta-only agg over append commits)
-    "t_snapshot_upsert",  # NEW r6 (copy-on-write MERGE commit)
-    "t_sliding_hll",  # NEW r6 (sliding distinct via HLL register merge)
-    "a_moments",  # NEW r6 (one-pass stddev + Pearson corr per group)
-]
-# R7 WINDOW PREP (execute at round-7 start): rule 1 makes the 24
-# NEXT_UP keys the oldest-evidence set (no driver row yet) — they MUST
-# fill the first 24 r7 slots; the remaining 26 slots go to the r5-
-# evidence keys that have now been out of window for two rounds
-# (relational q1/q3/q5/q10, the a1-a7/w_*/set_ops/rollup/eav family,
-# dedup_exact, the embedding/ANN quartet) — oldest first. Every r6
-# WINDOW key rotates out on its fresh CORRECTNESS_r06 row; re-verify
-# rotated-out keys locally at both SFs as always (rule on line above).
+# WINDOW-OVERFLOW QUEUE (policy, r6): brand-new keys beyond window
+# capacity queue HERE, in positions 51+, and MUST front the next
+# round's window (rule-1-oldest by construction: no driver evidence
+# yet). A queued key ships only with full local value verification at
+# BOTH SFs recorded in the round notes. r7 adds ONE net key
+# (e2e_cli_ingest, windowed directly) — growth capped at rotation
+# capacity per the r6 verdict — so the queue is empty this round.
+NEXT_UP: list[str] = []
+# R8 WINDOW PREP (execute at round-8 start): rule 1 makes these 17
+# r5-evidence keys — out of window for THREE rounds by then — the
+# mandatory front of the r8 window: ann_recall, dedup_embedding_lsh,
+# dedup_embedding_components, multimodal_decode_bmp,
+# multimodal_embed_ann, multimodal_features, multimodal_frame_sample,
+# jn1_dim_lookup_join, jn2_contains_join, jn4_anti_join_idempotence,
+# jn7_fk_validation, a_salted_agg, a_hash_sample, a_quantiles,
+# text_decontaminate, text_kmv_vocab, text_lm_score. The remaining 33
+# slots go to the oldest r6-evidence keys (the r6 window's textops/
+# curation/eventops/logshape families, CORRECTNESS_r06 rows), rule-2
+# touches first. Every r7 WINDOW key rotates out on its fresh
+# CORRECTNESS_r07 row; re-verify rotated-out keys locally at both SFs
+# as always.
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -189,22 +177,20 @@ def all_queries() -> dict[str, QuerySpec]:
     # Since r6 the window is the EXPLICIT list below (module order was
     # the r5 mechanism; a named list keeps rule 2 auditable per-key).
     #
-    # Round-6 window (50) =
-    #  rule 1 — the 32 keys whose last green row is CORRECTNESS_r04
-    #  (textops' tail 10, curation 2, eventops 8, ecj 1, logshape 11);
-    #  rule 2 — new keys (curation_e2e, multimodal_decode_png,
-    #  t_stream_signatures) + touched lineages: dedup_simhash (in-row
-    #  HOF signature rewrite), t_stream_dedup / t_stream_rollup
-    #  (staging-stamp + cleanup changes), and the minhash banding
-    #  lineage refactored into _banded (dedup_minhash_lsh,
-    #  dedup_minhash_tuned, dedup_components, curation_funnel);
-    #  remaining slots — dedup_exact + ngram_jaccard + the embedding/
-    #  ANN quartet, freshest-evidence keys that still fit.
-    # cache.py's thread-local change is judged NOT to trigger rule 2:
-    # on the driver's single thread the operation sequence is identical
-    # (pinned by tests/test_cache_lifecycle.py and the thread-locality
-    # test); the remaining similarity/multimodal/relational keys ride
-    # outside on r5 evidence, re-verified locally both SFs this round.
+    # Round-7 window (50) =
+    #  rule 1 — the 24 r6 NEXT_UP keys (zero driver rows ever; staged
+    #  by the r6 prep note) + the 22 oldest r5-evidence keys
+    #  (relational q1/q3/q5/q10/top-customers, a1-a7, w_running_sum /
+    #  w_topk_per_group, set_ops/rollup/eav, p10, dedup_exact, the
+    #  ANN quartet — out of window since r5);
+    #  rule 2 — e2e_cli_ingest (new), text_pack_bins + curation_e2e
+    #  (block-partitioned packing rewrite), dedup_semantic (hot-cell
+    #  sub-split), plus the manifest-lineage and moments keys already
+    #  fronted by rule 1 (t_snapshot_*, cdc_snapshot_diff,
+    #  scan_manifest_pruned, t_stream_sessions, a_moments).
+    # The 17 r5-evidence keys that did not fit (named in the R8 prep
+    # note above) ride a third round on local both-SF re-verification
+    # and MUST front the r8 window.
     window = WINDOW
     next_up = NEXT_UP
     merged: dict[str, QuerySpec] = {}

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""1x/4x/16x sweep for the manifest table layout (SCALE.md evidence).
+
+The r6 manifest subsystem (sinks/manifest.py) shipped with design
+arguments but no measured slopes; this sweep measures the claims on a
+synthetic orders-shaped table whose ROW COUNT scales while the CDC
+batch and the pruned-read range stay FIXED:
+
+  - publish (base snapshot, range-clustered, zone maps): ~linear in n
+    (it writes the data; the footer walk is per-file, file count grows
+    with n at constant file size).
+  - merge_upsert of a FIXED, key-localized CDC batch: ~flat wall — the
+    copy-on-write claim. Zone maps bound the rewrite to the files
+    containing batch keys; everything else carries by reference. If
+    this slope tracks n, file targeting is broken.
+  - read_pruned over a FIXED key range: ~flat — file skipping means
+    the scan is sized to the range, not the table.
+  - append + read_added fold: ~flat in parent size (delta-sized scan).
+  - snapshot_diff base vs merged: ~linear (full-outer join over n).
+
+Deterministic hash-based data (no RNG state), same methodology as
+graph_scale.py / decontam_scale.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from db_loader_spark.session import get_spark
+from db_loader_spark.sinks import manifest as M
+
+BASE_ROWS = 200_000
+FILES_PER_SCALE = 16  # files grow with data → constant file size
+BATCH_KEYS = 1_000  # fixed CDC batch, localized to the low key range
+PRUNE_LO, PRUNE_HI = 1_000, 3_000  # fixed pruned-read range
+
+
+def synth(spark, scale: int):
+    n = BASE_ROWS * scale
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.expr("concat('P', pmod(hash(concat('pr:', id)), 5))").alias("pr"),
+        F.expr("CAST(pmod(hash(concat('c:', id)), 100000) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+
+
+def timed(label: str, fn) -> None:
+    t0 = time.perf_counter()
+    out = fn()
+    print(f"{label}: {time.perf_counter() - t0:.2f}s {out}", flush=True)
+
+
+def sweep(spark, scale: int) -> None:
+    root = tempfile.mkdtemp(prefix=f"manifest_scale_{scale}x_")
+    shutil.rmtree(root, ignore_errors=True)
+    base = synth(spark, scale)
+    n = BASE_ROWS * scale
+    timed(
+        f"publish {scale}x",
+        lambda: M.publish(
+            base.repartitionByRange(FILES_PER_SCALE * scale, F.col("k")),
+            root,
+            snapshot_id="base",
+            stats_cols=["k"],
+        ),
+    )
+    # fixed-size, key-localized CDC batch: updates in [0, BATCH_KEYS),
+    # plus a handful of inserts beyond the key range
+    upd = base.filter(F.col("k") < BATCH_KEYS).select(
+        "k", "pr", (F.col("cents") + 500).alias("cents")
+    )
+    ins = spark.range(50).select(
+        (F.col("id") + 10 * n).alias("k"),
+        F.lit("INS").alias("pr"),
+        F.lit(1).cast("long").alias("cents"),
+    )
+    timed(
+        f"merge_upsert {scale}x (fixed {BATCH_KEYS}-key batch)",
+        lambda: M.merge_upsert(
+            spark, upd.unionByName(ins), root, "k", snapshot_id="merged"
+        ),
+    )
+    timed(
+        f"read_pruned {scale}x (fixed range)",
+        lambda: M.read_pruned(spark, root, "k", PRUNE_LO, PRUNE_HI).count(),
+    )
+    delta = spark.range(10_000).select(
+        (F.col("id") + 20 * n).alias("k"),
+        F.lit("APP").alias("pr"),
+        F.lit(2).cast("long").alias("cents"),
+    )
+    timed(
+        f"append {scale}x (fixed 10k delta)",
+        lambda: M.publish(
+            delta, root, snapshot_id="appended", append=True, stats_cols=["k"]
+        ),
+    )
+    timed(
+        f"read_added {scale}x (delta-only scan)",
+        lambda: M.read_added(spark, root, "merged", "appended").count(),
+    )
+    timed(
+        f"snapshot_diff {scale}x (full-outer over n)",
+        lambda: __import__(
+            "db_loader_spark.operators.cdc", fromlist=["snapshot_diff"]
+        )
+        .snapshot_diff(
+            M.read_snapshot(spark, root, "base"),
+            M.read_snapshot(spark, root, "merged"),
+            ["k"],
+            ["cents"],
+        )
+        .groupBy("change_op")
+        .count()
+        .collect(),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark("manifest-scale")
+    spark.range(1).count()
+    sweep(spark, 1)  # warm pass: codegen + committer warmup
+    print("--- warm done, measured passes follow ---", flush=True)
+    for scale in (1, 4, 16):
+        spark._jvm.System.gc()
+        sweep(spark, scale)
+
+
+if __name__ == "__main__":
+    main()
