@@ -83,6 +83,10 @@ HEADLINE = [
     "t_snapshot_upsert",  # copy-on-write MERGE commit + merged-state agg
     "g_triangle_count",  # degree-oriented wedge counting
     "g_pagerank",  # 6-round power iteration, one lazy linear plan
+    # round 7: the E1 CLI front door end-to-end (glob dispatch, gz
+    # text source, seq-split, routing, k/v parse, CSV append)
+    "e2e_cli_ingest",
+    "text_pack_bins",  # block-partitioned packing prefix sum
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows
