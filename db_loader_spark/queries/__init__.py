@@ -125,13 +125,15 @@ WINDOW = [
 # capacity queue HERE, in positions 51+, and MUST front the next
 # round's window (rule-1-oldest by construction: no driver evidence
 # yet). A queued key ships only with full local value verification at
-# BOTH SFs recorded in the round notes. r7 adds ONE net key
-# (e2e_cli_ingest, windowed directly) — growth capped at rotation
-# capacity per the r6 verdict — so the queue is empty this round.
-NEXT_UP: list[str] = []
-# R8 WINDOW PREP (execute at round-8 start): rule 1 makes these 17
-# r5-evidence keys — out of window for THREE rounds by then — the
-# mandatory front of the r8 window: ann_recall, dedup_embedding_lsh,
+# BOTH SFs recorded in the round notes. r7 adds TWO net keys —
+# e2e_cli_ingest (windowed directly under rule 2) and the queued key
+# below — growth capped at rotation capacity per the r6 verdict.
+NEXT_UP: list[str] = [
+    "t_stream_lakehouse",  # NEW r7 (stream ingest via manifest appends)
+]
+# R8 WINDOW PREP (execute at round-8 start): rule 1 fronts the
+# NEXT_UP queue (zero driver evidence) and then these 17 r5-evidence
+# keys — out of window for THREE rounds by then: ann_recall, dedup_embedding_lsh,
 # dedup_embedding_components, multimodal_decode_bmp,
 # multimodal_embed_ann, multimodal_features, multimodal_frame_sample,
 # jn1_dim_lookup_join, jn2_contains_join, jn4_anti_join_idempotence,

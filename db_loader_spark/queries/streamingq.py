@@ -657,6 +657,95 @@ def t_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "epoch=*"))
 
 
+def t_stream_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest committing through the MANIFEST LAYER — the
+    reference's incremental T1-T4 loop (watch folder, process each
+    file once, flush, drain — scripts/load_csv_to_cloud.sh:107-141)
+    landing in T5's transactional table instead of bare CSV appends:
+    each micro-batch publishes an APPEND COMMIT (immutable epoch-
+    prefixed data files + one pointer flip; sinks/manifest.publish
+    with the epoch id as the idempotent snapshot token), so a reader
+    at any instant sees a complete prefix of the stream — never a
+    torn batch — and a crashed batch replays as a no-op (committed
+    epoch) or an invisible restage (uncommitted). availableNow +
+    maxFilesPerTrigger=1 makes it a genuine multi-batch run; the
+    wrapper asserts one commit per micro-batch landed before reading.
+
+    The driver-checked aggregate over read_current must equal DuckDB
+    over the raw events view: a dropped batch, a double-applied
+    replay, or a torn file list all flip a count or a cents sum.
+    Zone maps (stats_cols on event_id) are recorded at ingest, so the
+    landed table is immediately read_pruned-able — ingest and layout
+    in one pass, which is the lakehouse point. Integer-cents sums
+    keep the hash FP-free. The final aggregate is event-type-sized;
+    it is collected before the per-run scratch dir is removed (same
+    bounded-collect epilogue as t_stream_dedup)."""
+    import shutil
+
+    from db_loader_spark.sinks import manifest as M
+
+    stage = _stage_table(spark, sf_dir, "events", "lake")
+    static = spark.read.parquet(stage)
+    run_dir = tempfile.mkdtemp(prefix="db_loader_stream_lake_run_")
+    root = os.path.join(run_dir, "tbl")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def publish(batch_df: DataFrame, epoch_id: int) -> None:
+        M.publish(
+            batch_df,
+            root,
+            snapshot_id=f"epoch-{epoch_id:06d}",
+            append=True,
+            stats_cols=["event_id"],
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.option(
+                "checkpointLocation", os.path.join(run_dir, "ckpt")
+            )
+            .foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        lineage = M.snapshots(root)
+        if len(lineage) < N_SHARDS:
+            raise RuntimeError(
+                f"expected ≥{N_SHARDS} append commits (one per micro-batch), "
+                f"got {len(lineage)}: the multi-batch ingest collapsed"
+            )
+        agg = (
+            M.read_current(spark, root)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias(
+                    "sum_cents"
+                ),
+            )
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_STREAM_LAKEHOUSE_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""
+
+
 def _stream_sessions_oracle() -> str:
     # Same first-principles session derivation the batch key is checked
     # against — by construction, since the theorem IS stream ≡ batch.
@@ -695,5 +784,10 @@ QUERIES: dict[str, QuerySpec] = {
         t_stream_sessions,
         _stream_sessions_oracle(),
         "applyInPandasWithState sessionization, sentinel-flushed ≡ batch",
+    ),
+    "t_stream_lakehouse": QuerySpec(
+        t_stream_lakehouse,
+        _STREAM_LAKEHOUSE_ORACLE,
+        "streaming ingest as manifest append commits ≡ batch aggregate",
     ),
 }
