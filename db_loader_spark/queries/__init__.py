@@ -130,6 +130,7 @@ WINDOW = [
 # below — growth capped at rotation capacity per the r6 verdict.
 NEXT_UP: list[str] = [
     "t_stream_lakehouse",  # NEW r7 (stream ingest via manifest appends)
+    "t_stream_ann_index",  # NEW r7 (incremental IVF list maintenance)
 ]
 # R8 WINDOW PREP (execute at round-8 start): rule 1 fronts the
 # NEXT_UP queue (zero driver evidence) and then these 17 r5-evidence

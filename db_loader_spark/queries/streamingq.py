@@ -746,6 +746,88 @@ FROM events GROUP BY event_type
 """
 
 
+def t_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-INDEX MAINTENANCE — the embedding sibling of the
+    r6 MinHash row (`t_stream_signatures`): new vectors arriving in
+    micro-batches are assigned to their nearest cell of the FIXED
+    trained coarse quantizer (broadcast centroids — the production
+    shape: the quantizer trains offline on a prior corpus version;
+    ingest only assigns, retraining is a scheduled offline job) and
+    each batch's (cell, vec_id) rows publish to an epoch-owned dir —
+    per-batch cost is |batch| × cells, never corpus-sized, and the
+    accumulated index equals the one-shot batch build row for row.
+
+    The driver-checked per-cell histogram (count + exact vec_id sum)
+    over the union of epochs must equal DuckDB replaying the trainer
+    CTEs and assigning the whole corpus at once: a dropped batch, a
+    double-published epoch, or an assignment drift between the
+    incremental and batch paths all flip an integer. Centroids come
+    from the SAME shared `_ivf_index` cache the serving arms use —
+    one quantizer per corpus version feeding search, SemDeDup, and
+    now ingest."""
+    import shutil
+
+    from db_loader_spark.functions import similarity as S
+    from db_loader_spark.queries.similarity import _ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = _ivf_index(spark, sf_dir, emb)
+    stage = _stage_table(spark, sf_dir, "embeddings", "emb")
+    static = spark.read.parquet(stage)
+    run_dir = tempfile.mkdtemp(prefix="db_loader_stream_ann_run_")
+    out_dir = os.path.join(run_dir, "out")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def publish(batch_df: DataFrame, epoch_id: int) -> None:
+        assigned = S.ivf_inverted_lists(batch_df, cents).select(
+            "cell", "neighbor_id"
+        )
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.option(
+                "checkpointLocation", os.path.join(run_dir, "ckpt")
+            )
+            .foreachBatch(publish)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        agg = (
+            spark.read.parquet(os.path.join(out_dir, "epoch=*"))
+            .groupBy("cell")
+            .agg(
+                F.count("*").cast("long").alias("n_vectors"),
+                F.sum("neighbor_id").cast("long").alias("sum_id"),
+            )
+        )
+        rows = agg.collect()  # cell-count-sized (16 cells)
+        schema = agg.schema
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _stream_ann_index_oracle() -> str:
+    from db_loader_spark.queries.similarity import _KM_CELLS_CTES
+
+    return f"""
+WITH {_KM_CELLS_CTES}
+SELECT cell, COUNT(*) AS n_vectors, CAST(SUM(vec_id) AS BIGINT) AS sum_id
+FROM cells GROUP BY cell
+"""
+
+
 def _stream_sessions_oracle() -> str:
     # Same first-principles session derivation the batch key is checked
     # against — by construction, since the theorem IS stream ≡ batch.
@@ -789,5 +871,10 @@ QUERIES: dict[str, QuerySpec] = {
         t_stream_lakehouse,
         _STREAM_LAKEHOUSE_ORACLE,
         "streaming ingest as manifest append commits ≡ batch aggregate",
+    ),
+    "t_stream_ann_index": QuerySpec(
+        t_stream_ann_index,
+        _stream_ann_index_oracle(),
+        "incremental IVF list maintenance ≡ one-shot batch assignment",
     ),
 }
