@@ -87,6 +87,8 @@ HEADLINE = [
     # text source, seq-split, routing, k/v parse, CSV append)
     "e2e_cli_ingest",
     "text_pack_bins",  # block-partitioned packing prefix sum
+    "t_stream_lakehouse",  # micro-batches as manifest append commits
+    "t_stream_ann_index",  # incremental IVF assignment vs fixed quantizer
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows
