@@ -432,3 +432,16 @@ def test_replay_of_committed_snapshot_never_touches_live_files(spark, tmp_path):
     assert after == before  # same files, untouched — not rewritten
     assert M.current_snapshot(root) == "epoch-3"
     assert M.read_current(spark, root).count() == 25
+
+
+def test_append_commit_replay_is_exactly_once(spark, tmp_path):
+    """The streaming-lakehouse contract (t_stream_lakehouse): a
+    replayed APPEND commit with the same epoch token must not append
+    its rows twice. A committed-and-current epoch replays as a pure
+    no-op; the lineage holds one snapshot per epoch."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
+    M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    assert M.snapshots(root) == ["epoch-0", "epoch-1"]
+    assert M.read_current(spark, root).count() == 15
