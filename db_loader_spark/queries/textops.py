@@ -564,6 +564,54 @@ FROM packed
 GROUP BY lang, bin_id
 """
 
+BPE_PACK_BUDGET = 512  # subword budget per context (~2× the ws budget)
+
+
+def text_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context packing priced in SUBWORD tokens — the budget a training
+    batch actually pays (a context window holds N tokenizer tokens,
+    not N whitespace words; multilingual text can run 2-3 subwords per
+    word, so whitespace-budgeted bins would silently overflow the
+    model's context). Same block-partitioned prefix sum as
+    text_pack_bins (pack_doc_bins — the head-language skew argument
+    carries over verbatim); only the cost column changes: the BPE-ish
+    subword count the budgeting statistic in text_bpe_token_count is
+    built from."""
+    from db_loader_spark import cache
+
+    d = load_table(spark, sf_dir, "documents")
+    toksed = d.select(
+        "doc_id",
+        "lang",
+        F.size(TX.bpe_ish_tokens(F.col("text"))).alias("n_tok"),
+    )
+    out = pack_doc_bins(toksed, BPE_PACK_BUDGET).groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_subwords"),
+    )
+    return cache.settle_drained(out)
+
+
+_BPE_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(lower(trim(coalesce(text, ''))), '{_BPE_PAT_SQL}')) AS INT)
+           AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT lang,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / {BPE_PACK_BUDGET}) AS BIGINT) AS bin_id,
+         n_tok
+  FROM t
+)
+SELECT lang, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_subwords
+FROM packed
+GROUP BY lang, bin_id
+"""
+
 
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (functions.dedup.decontaminate): the
@@ -1045,6 +1093,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_pack_bins": QuerySpec(
         text_pack_bins, _PACK_ORACLE, "greedy context-window packing"
+    ),
+    "text_bpe_pack": QuerySpec(
+        text_bpe_pack, _BPE_PACK_ORACLE, "packing priced in subword tokens"
     ),
     "text_repetition": QuerySpec(
         text_repetition, _REPETITION_ORACLE, "repetition-ratio quality filter"
