@@ -142,3 +142,23 @@ def test_cli_sql_over_parquet_dir(spark, tmp_path, capsys):
     cap = capsys.readouterr()
     assert cap.out.strip().splitlines() == ["id", "0", "1", "2"]
     assert "truncated" in cap.err
+
+
+def test_cli_sql_tsv_escaping(spark, tmp_path, capsys):
+    """:sql output framing survives cell values containing tabs and
+    newlines (ADVICE r6: raw str(v) silently shifted later columns)."""
+    spark.createDataFrame(
+        [(1, "a\tb\nc", "plain")], "id long, nasty string, ok string"
+    ).write.parquet(str(tmp_path / "t.parquet"))
+    rc = main(
+        [":sql", "SELECT id, nasty, ok FROM t ORDER BY id",
+         ":data-dir", str(tmp_path)]
+    )
+    assert rc == 0
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln and "\t" in ln
+    ]
+    # header + exactly one data row, each with exactly 3 tab-framed cells
+    assert len(lines) == 2
+    assert all(len(ln.split("\t")) == 3 for ln in lines)
+    assert lines[1].split("\t") == ["1", "a b c", "plain"]

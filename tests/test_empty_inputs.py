@@ -100,3 +100,27 @@ def test_decontaminate_empty_sides(spark):
     out = D.decontaminate(docs, empty)
     assert out.columns == ["doc_id", "n_hits", "n_shingles", "contamination"]
     assert out.count() == 0
+
+
+def test_pack_doc_bins_empty(spark):
+    from db_loader_spark import cache
+    from db_loader_spark.queries.textops import pack_doc_bins
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, n_tok int")
+    out = pack_doc_bins(empty, 256)
+    assert out.columns == ["lang", "blk", "doc_id", "n_tok", "bin_id"] or set(
+        out.columns
+    ) == {"lang", "doc_id", "n_tok", "bin_id"}
+    assert out.count() == 0
+    cache.release()
+
+
+def test_subsplit_cells_empty(spark):
+    from db_loader_spark.queries.similarity import _subsplit_cells
+
+    empty = spark.createDataFrame(
+        [], "cell string, neighbor_id long, c_vec array<double>, c_nrm double"
+    )
+    out = _subsplit_cells(empty, cap=8)
+    assert out.columns == ["cell", "neighbor_id", "c_vec", "c_nrm"]
+    assert out.count() == 0
