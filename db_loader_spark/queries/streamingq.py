@@ -721,6 +721,20 @@ def t_stream_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"expected ≥{N_SHARDS} append commits (one per micro-batch), "
                 f"got {len(lineage)}: the multi-batch ingest collapsed"
             )
+        # OPTIMIZE epilogue: per-epoch commits each land ≥1 small file —
+        # the debris every foreachBatch pipeline accumulates. Compaction
+        # rewrites the current snapshot into right-sized files as one
+        # more commit (readers of older snapshots keep their exact file
+        # lists; the pointer flip is the only visible event), so the
+        # driver hash ALSO witnesses OPTIMIZE preserving the table:
+        # ingest → N append commits → compact → same answer.
+        n_before = len(M._manifest(root, M.current_snapshot(root))["files"])
+        M.compact_snapshot(spark, root, target_files=2, snapshot_id="compacted")
+        n_after = len(M._manifest(root, "compacted")["files"])
+        if n_after >= n_before:
+            raise RuntimeError(
+                f"compaction did not shrink the file list ({n_before} → {n_after})"
+            )
         agg = (
             M.read_current(spark, root)
             .groupBy("event_type")
