@@ -37,6 +37,10 @@ sample = [
     "ann_ivf_topk",          # r4: session-scoped index cache on a vanilla session
     "g_pagerank",            # r6: iterative lazy chain + tracked caches
     "t_snapshot_upsert",     # r6: manifest publish/merge from a foreign cwd
+    "e2e_cli_ingest",        # r7: main() CLI path driven from a foreign cwd
+    "t_stream_lakehouse",    # r7: foreachBatch closure pickling (manifest pub)
+    "t_stream_sessions",     # r7: stateful operator closure from a foreign cwd
+    "text_pack_bins",        # r7: blocked prefix sum + tracked block frame
 ]
 results = run_all(spark, "/root/testdata/sf0.01", only=sample)
 bad = [r for r in results if not r.ok]
