@@ -146,6 +146,21 @@ NEXT_UP: list[str] = [
 # touches first. Every r7 WINDOW key rotates out on its fresh
 # CORRECTNESS_r07 row; re-verify rotated-out keys locally at both SFs
 # as always.
+#
+# STEADY-STATE MATH (face it in r8, not r9): a 50-slot window cycling
+# every key within 2 rounds supports AT MOST 100 keys; the registry
+# holds 117. At r7 every key is still ≤2 rounds old (the 17 above sit
+# exactly at the bound), but from r8 on some cohort must reach age 3
+# each round unless the DRIVER registry shrinks to ≤100. The r8
+# remedy, in preference order: (1) demote keys whose scale path is
+# fully represented by a sibling to the pytest-oracle DIAGNOSTICS
+# tier (the r6 precedent — value checks retained locally, slot
+# freed), e.g. one member of each near-duplicate window/profile
+# family and the ann_recall self-eval (it re-runs three arms the
+# window already carries); (2) merge union-compatible siblings into
+# one hashed key; (3) only if neither reaches 100, write the longer
+# cadence down as explicit policy with a per-cohort ledger. Net-new
+# keys in r8 must be ≤ demotions that round.
 
 
 def all_queries() -> dict[str, QuerySpec]:
