@@ -59,11 +59,14 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
     registry — the r6 consolidation (VERDICT r5 #8): deliberately
     quadratic small-data verifiers (all-pairs Jaccard/cosine) and the
     LSH bucket-sizing diagnostic keep their DuckDB oracles locally
-    without occupying rotation slots the scale-path operators need."""
-    from db_loader_spark.queries import dedup, similarity
+    without occupying rotation slots the scale-path operators need.
+    r7 added the sibling-redundant demotions (ann_recall, the BMP
+    codec arm, multimodal_embed_ann) under the steady-state window
+    math recorded at NEXT_UP."""
+    from db_loader_spark.queries import dedup, multimodal, similarity
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (similarity, dedup):
+    for mod in (similarity, dedup, multimodal):
         for name, spec in getattr(mod, "DIAGNOSTICS", {}).items():
             if name in merged:
                 raise ValueError(f"duplicate diagnostic name {name!r}")
@@ -134,33 +137,33 @@ NEXT_UP: list[str] = [
     "text_bpe_pack",  # NEW r7 (packing priced in subword tokens)
 ]
 # R8 WINDOW PREP (execute at round-8 start): rule 1 fronts the
-# NEXT_UP queue (zero driver evidence) and then these 17 r5-evidence
-# keys — out of window for THREE rounds by then: ann_recall, dedup_embedding_lsh,
-# dedup_embedding_components, multimodal_decode_bmp,
-# multimodal_embed_ann, multimodal_features, multimodal_frame_sample,
+# NEXT_UP queue (zero driver evidence) and then these 14 r5-evidence
+# keys — out of window for THREE rounds by then: dedup_embedding_lsh,
+# dedup_embedding_components, multimodal_features,
+# multimodal_frame_sample,
 # jn1_dim_lookup_join, jn2_contains_join, jn4_anti_join_idempotence,
 # jn7_fk_validation, a_salted_agg, a_hash_sample, a_quantiles,
-# text_decontaminate, text_kmv_vocab, text_lm_score. The remaining 33
+# text_decontaminate, text_kmv_vocab, text_lm_score (the cohort's
+# other three members — ann_recall, multimodal_decode_bmp,
+# multimodal_embed_ann — were demoted to DIAGNOSTICS in r7, value
+# checks retained in pytest). The remaining 33
 # slots go to the oldest r6-evidence keys (the r6 window's textops/
 # curation/eventops/logshape families, CORRECTNESS_r06 rows), rule-2
 # touches first. Every r7 WINDOW key rotates out on its fresh
 # CORRECTNESS_r07 row; re-verify rotated-out keys locally at both SFs
 # as always.
 #
-# STEADY-STATE MATH (face it in r8, not r9): a 50-slot window cycling
-# every key within 2 rounds supports AT MOST 100 keys; the registry
-# holds 117. At r7 every key is still ≤2 rounds old (the 17 above sit
-# exactly at the bound), but from r8 on some cohort must reach age 3
-# each round unless the DRIVER registry shrinks to ≤100. The r8
-# remedy, in preference order: (1) demote keys whose scale path is
-# fully represented by a sibling to the pytest-oracle DIAGNOSTICS
-# tier (the r6 precedent — value checks retained locally, slot
-# freed), e.g. one member of each near-duplicate window/profile
-# family and the ann_recall self-eval (it re-runs three arms the
-# window already carries); (2) merge union-compatible siblings into
-# one hashed key; (3) only if neither reaches 100, write the longer
-# cadence down as explicit policy with a per-cohort ledger. Net-new
-# keys in r8 must be ≤ demotions that round.
+# STEADY-STATE MATH: a 50-slot window cycling every key within 2
+# rounds supports AT MOST 100 keys. r7 started paying this down by
+# demoting the three sibling-redundant keys above (registry 117 →
+# 114); at r7 every driver key is still ≤2 rounds old, but reaching a
+# sustainable 100 needs ~14 more demotions or merges in r8. Remedy
+# order: (1) demote keys whose scale path is fully represented by a
+# windowed sibling to the pytest-oracle DIAGNOSTICS tier (value
+# checks retained locally, slot freed); (2) merge union-compatible
+# siblings into one hashed key; (3) only if neither reaches 100,
+# write the longer cadence down as explicit policy with a per-cohort
+# ledger. Net-new keys in r8 must be ≤ demotions that round.
 
 
 def all_queries() -> dict[str, QuerySpec]:

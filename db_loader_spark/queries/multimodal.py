@@ -288,6 +288,24 @@ QUERIES: dict[str, QuerySpec] = {
         _WAV_ORACLE,
         "real stdlib WAV encode->decode round trip, feature extraction",
     ),
+    "multimodal_features": QuerySpec(
+        multimodal_features, _MM_ORACLE, "binary payload mapInPandas features"
+    ),
+    "multimodal_frame_sample": QuerySpec(
+        multimodal_frame_sample, _FRAME_ORACLE, "frame-sample explode plumbing"
+    ),
+}
+
+# Demoted to the pytest-oracle DIAGNOSTICS tier in r7 (steady-state
+# window math — driver slots go to capabilities with no windowed
+# sibling): the BMP arm exercises the identical mapInPandas codec
+# slot the PNG/JPEG/WAV driver keys hash every rotation, and
+# multimodal_embed_ann composes two independently-hashed pieces
+# (mapInPandas feature extraction + brute-force cosine top-k). Both
+# remain value-checked against their DuckDB oracles by
+# tests/test_oracle_queries.py, and the codec itself stays under the
+# fuzz battery (tests/test_codec_fuzz.py, test_multimodal_codecs.py).
+DIAGNOSTICS: dict[str, QuerySpec] = {
     "multimodal_decode_bmp": QuerySpec(
         multimodal_decode_bmp,
         _BMP_ORACLE,
@@ -297,11 +315,5 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_embed_ann,
         _EMBED_ANN_ORACLE,
         "binary -> mapInPandas embedding -> cosine top-k",
-    ),
-    "multimodal_features": QuerySpec(
-        multimodal_features, _MM_ORACLE, "binary payload mapInPandas features"
-    ),
-    "multimodal_frame_sample": QuerySpec(
-        multimodal_frame_sample, _FRAME_ORACLE, "frame-sample explode plumbing"
     ),
 }
