@@ -441,9 +441,21 @@ def e2e_cli_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from db_loader_spark.__main__ import main
+    from db_loader_spark.session import data_sized_shuffle
 
     stage = _stage_cli_logs(spark, sf_dir)
     out = tempfile.mkdtemp(prefix="db_loader_cli_e2e_run_")
+    # the CLI plan runs ~6 jobs over a bounded fixture; size the
+    # shuffle bound to the staged bytes (same rule as curation_e2e —
+    # measured 4.1 → 3.6 s; everything materializes inside the scope)
+    with data_sized_shuffle(spark, stage):
+        return _e2e_cli_run(spark, stage, out, main)
+
+
+def _e2e_cli_run(spark, stage, out, main) -> DataFrame:
+    import os
+    import shutil
+
     try:
         rc = main(
             [
