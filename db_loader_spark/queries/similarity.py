@@ -441,9 +441,27 @@ def _ivf_disk_index(spark: SparkSession, sf_dir: str) -> str:
     keyed on the embeddings source stamp so a re-shipped corpus
     rebuilds. Probing then prunes cell DIRECTORIES at planning time,
     exactly like the date layout prunes time — no index scan ever
-    lists the unprobed cells' files."""
+    lists the unprobed cells' files.
+
+    VERSIONED-PREFIX + ATOMIC-POINTER commit (r7 — the manifest sink's
+    protocol applied to the index artifact): each (source, quantizer-
+    params) stamp builds under its OWN ``versions/<id>/`` prefix, and
+    ``_CURRENT`` flips to it via write-temp + rename only after the
+    centroids AND every cell dir are complete. The previous scheme
+    rebuilt in place, so a reader resolving the dir mid-rebuild (a
+    corpus re-ship during a serving query — exactly the r3 driver
+    re-ship scenario) could scan a half-written index; now it serves
+    the complete old version until the flip, and a crashed rebuild
+    leaves only an unreferenced version dir. Superseded versions are
+    pruned AFTER the flip (single-host serving; a shared store would
+    vacuum on a delay like sinks/manifest.vacuum). Index retrains at
+    100 TB are routine (every corpus snapshot), which makes atomic
+    swap a correctness feature, not polish.
+
+    Returns the CURRENT version's directory."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -456,26 +474,31 @@ def _ivf_disk_index(spark: SparkSession, sf_dir: str) -> str:
     # must invalidate it — the r3/r4 stale-derived-artifact class
     stamp = (
         f"{src.st_size}:{src.st_mtime_ns}"
-        f":n_bits=4:iters=2:scale={S.KM_SCALE}:layout=v1"
+        f":n_bits=4:iters=2:scale={S.KM_SCALE}:layout=v2"
     )
-    stamp_path = os.path.join(base, "_SOURCE_STAMP")
+    vid = hashlib.md5(stamp.encode()).hexdigest()[:12]
+    vdir = os.path.join(base, "versions", vid)
+    cur = os.path.join(base, "_CURRENT")
     try:
-        with open(stamp_path) as f:
-            if f.read() == stamp:
-                return base
+        with open(cur) as f:
+            if f.read() == vid and os.path.isdir(vdir):
+                return vdir
     except OSError:
         pass
     from db_loader_spark.sinks.ddl import write_partitioned
 
     cents, lists = _ivf_index(spark, sf_dir, emb)
-    os.makedirs(base, exist_ok=True)
-    cents.write.mode("overwrite").parquet(os.path.join(base, "centroids"))
-    write_partitioned(
-        lists, os.path.join(base, "lists"), F.col("cell"), "cell"
-    )
-    with open(stamp_path, "w") as f:
-        f.write(stamp)
-    return base
+    shutil.rmtree(vdir, ignore_errors=True)  # crashed prior attempt
+    os.makedirs(vdir, exist_ok=True)
+    cents.write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
+    write_partitioned(lists, os.path.join(vdir, "lists"), F.col("cell"), "cell")
+    with open(cur + ".tmp", "w") as f:
+        f.write(vid)
+    os.replace(cur + ".tmp", cur)  # THE commit point: one atomic rename
+    for old in os.listdir(os.path.join(base, "versions")):
+        if old != vid:
+            shutil.rmtree(os.path.join(base, "versions", old), ignore_errors=True)
+    return vdir
 
 
 def ann_ivf_disk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -357,3 +357,33 @@ def test_semdedup_hot_cell_is_subsplit_and_bounded(spark):
     assert sum(sizes[c] for c in hot_keys) == 200  # nothing dropped
     # under-cap cell: identity key (empty suffix), all rows together
     assert cold_keys == ["cold:"] and sizes["cold:"] == 5
+
+
+def test_ivf_disk_index_atomic_versioning(spark):
+    """The r7 versioned-prefix commit for the on-disk IVF index: the
+    pointer names a COMPLETE version; crash residue (a partial version
+    dir that never got the pointer flip) is invisible to serving and
+    swept by the next successful build."""
+    import os
+
+    from db_loader_spark.queries.similarity import _ivf_disk_index
+
+    sf = "/root/testdata/sf0.001"
+    vdir = _ivf_disk_index(spark, sf)
+    base = os.path.dirname(os.path.dirname(vdir))
+    with open(os.path.join(base, "_CURRENT")) as fh:
+        assert fh.read() == os.path.basename(vdir)
+    assert os.path.isdir(os.path.join(vdir, "centroids"))
+    # simulate a crashed rebuild: partial version dir, no pointer flip
+    crashed = os.path.join(base, "versions", "deadbeefcrash")
+    os.makedirs(os.path.join(crashed, "lists"), exist_ok=True)
+    assert _ivf_disk_index(spark, sf) == vdir  # still serves current
+    with open(os.path.join(base, "_CURRENT")) as fh:
+        assert fh.read() == os.path.basename(vdir)  # pointer untouched
+    # a successful (cache-hit) resolve never deletes the current
+    # version; the crashed dir is swept only by the next real build —
+    # force one by dropping the pointer
+    os.remove(os.path.join(base, "_CURRENT"))
+    vdir2 = _ivf_disk_index(spark, sf)
+    assert vdir2 == vdir  # same stamp → same version id
+    assert not os.path.isdir(crashed)  # residue swept after the flip
