@@ -28,6 +28,15 @@ REPRESENTATIVE = [
     "text_bpe_train",
     "curation_weighted_sample",
     "ann_ivf_disk_topk",
+    # r7 mechanisms: the blocked prefix sum (block boundaries must not
+    # perturb bin ids), the one-pass integer-moments rewrite, the full
+    # CLI ingest (fresh csv dir per run — CSV append must not leak
+    # across runs), and a full availableNow drain with fresh
+    # checkpoints committing through the manifest layer
+    "text_pack_bins",
+    "a_moments",
+    "e2e_cli_ingest",
+    "t_stream_lakehouse",
 ]
 
 
