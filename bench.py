@@ -89,6 +89,7 @@ HEADLINE = [
     "text_pack_bins",  # block-partitioned packing prefix sum
     "t_stream_lakehouse",  # micro-batches as manifest append commits
     "t_stream_ann_index",  # incremental IVF assignment vs fixed quantizer
+    "ann_pq_topk",  # PQ-ADC coded-corpus scan + exact rerank
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows

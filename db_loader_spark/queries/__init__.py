@@ -135,6 +135,7 @@ NEXT_UP: list[str] = [
     "t_stream_lakehouse",  # NEW r7 (stream ingest via manifest appends)
     "t_stream_ann_index",  # NEW r7 (incremental IVF list maintenance)
     "text_bpe_pack",  # NEW r7 (packing priced in subword tokens)
+    "ann_pq_topk",  # NEW r7 (PQ-ADC: coded-corpus scan + exact rerank)
 ]
 # R8 WINDOW PREP (execute at round-8 start): rule 1 fronts the
 # NEXT_UP queue (zero driver evidence) and then these 14 r5-evidence
