@@ -424,6 +424,9 @@ def test_registry_wide_no_unplanned_slow_paths(spark):
         "jn2_contains_join",     # contains theta-join, dim-sized side
         "a7_id_assignment",      # broadcast max-id scalar over dim delta
         "a_histogram",           # broadcast 1-row min/max bounds scalar
+        "ann_pq_topk",           # broadcast codebooks (queries ×
+                                 # 2^PQ_NBITS distance tables) + the
+                                 # sub-trainer's packed-centroid argmin
     }
     reg = all_queries()
     offenders = {}
