@@ -90,6 +90,7 @@ HEADLINE = [
     "t_stream_lakehouse",  # micro-batches as manifest append commits
     "t_stream_ann_index",  # incremental IVF assignment vs fixed quantizer
     "ann_pq_topk",  # PQ-ADC coded-corpus scan + exact rerank
+    "ann_ivfpq_topk",  # IVF-PQ: probed cells, residual codes, ADC
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows

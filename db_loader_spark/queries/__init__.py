@@ -136,6 +136,7 @@ NEXT_UP: list[str] = [
     "t_stream_ann_index",  # NEW r7 (incremental IVF list maintenance)
     "text_bpe_pack",  # NEW r7 (packing priced in subword tokens)
     "ann_pq_topk",  # NEW r7 (PQ-ADC: coded-corpus scan + exact rerank)
+    "ann_ivfpq_topk",  # NEW r7 (IVF-PQ residual coding, probed ADC)
 ]
 # R8 WINDOW PREP (execute at round-8 start): rule 1 fronts the
 # NEXT_UP queue (zero driver evidence) and then these 14 r5-evidence

@@ -427,6 +427,9 @@ def test_registry_wide_no_unplanned_slow_paths(spark):
         "ann_pq_topk",           # broadcast codebooks (queries ×
                                  # 2^PQ_NBITS distance tables) + the
                                  # sub-trainer's packed-centroid argmin
+        "ann_ivfpq_topk",        # same class: broadcast packed coarse
+                                 # centroids (probe) + residual
+                                 # codebook distance tables
     }
     reg = all_queries()
     offenders = {}
