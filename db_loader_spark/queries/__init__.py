@@ -128,9 +128,9 @@ WINDOW = [
 # capacity queue HERE, in positions 51+, and MUST front the next
 # round's window (rule-1-oldest by construction: no driver evidence
 # yet). A queued key ships only with full local value verification at
-# BOTH SFs recorded in the round notes. r7 adds TWO net keys —
-# e2e_cli_ingest (windowed directly under rule 2) and the queued key
-# below — growth capped at rotation capacity per the r6 verdict.
+# BOTH SFs recorded in the round notes. r7 adds SIX new keys against
+# THREE demotions (net +3, registry 116 ≤ 120): e2e_cli_ingest is
+# windowed directly under rule 2; the five below are queued.
 NEXT_UP: list[str] = [
     "t_stream_lakehouse",  # NEW r7 (stream ingest via manifest appends)
     "t_stream_ann_index",  # NEW r7 (incremental IVF list maintenance)

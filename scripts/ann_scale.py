@@ -67,8 +67,10 @@ def main() -> None:
     warm = synth_dir(spark, 1)
     Q.ann_ivf_topk(spark, warm).count()
     Q.ann_pq_topk(spark, warm).count()
+    Q.ann_ivfpq_topk(spark, warm).count()
     Q.clear_ivf_cache()
     Q._PQ_INDEX.clear()
+    Q._IVFPQ_INDEX.clear()
     shutil.rmtree(warm, ignore_errors=True)
     print("--- warm done, measured passes follow ---", flush=True)
     for scale in (1, 4, 16):
@@ -80,16 +82,23 @@ def main() -> None:
         spark._jvm.System.gc()
         _, t_pq_build = timed(lambda: Q._pq_index(spark, d, emb)[1].count())
         _, t_pq = timed(lambda: Q.ann_pq_topk(spark, d).count())
+        spark._jvm.System.gc()
+        _, t_ipq_build = timed(lambda: Q._ivfpq_index(spark, d, emb)[1].count())
+        _, t_ipq = timed(lambda: Q.ann_ivfpq_topk(spark, d).count())
         print(
             f"ann {scale}x ({BASE_VECTORS * scale} vectors):"
             f" ivf build {t_ivf_build:.2f}s serve {t_ivf:.2f}s |"
-            f" pq build {t_pq_build:.2f}s serve {t_pq:.2f}s",
+            f" pq build {t_pq_build:.2f}s serve {t_pq:.2f}s |"
+            f" ivfpq build {t_ipq_build:.2f}s serve {t_ipq:.2f}s",
             flush=True,
         )
         Q.clear_ivf_cache()
         for _, codes in Q._PQ_INDEX.values():
             codes.unpersist()
         Q._PQ_INDEX.clear()
+        for _, codes in Q._IVFPQ_INDEX.values():
+            codes.unpersist()
+        Q._IVFPQ_INDEX.clear()
         shutil.rmtree(d, ignore_errors=True)
 
 
