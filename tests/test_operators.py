@@ -387,3 +387,61 @@ def test_ivf_disk_index_atomic_versioning(spark):
     vdir2 = _ivf_disk_index(spark, sf)
     assert vdir2 == vdir  # same stamp → same version id
     assert not os.path.isdir(crashed)  # residue swept after the flip
+
+
+def test_data_sized_shuffle_restores_on_exception(spark):
+    """The conf scope must restore the session's shuffle-partition
+    bound even when the wrapped pipeline raises — a leaked low bound
+    would silently throttle every later query in the session."""
+    import pytest
+
+    from db_loader_spark.session import data_sized_shuffle
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        with pytest.raises(RuntimeError, match="boom"):
+            with data_sized_shuffle(
+                spark, "/root/testdata/sf0.001/events.parquet"
+            ):
+                # a tiny file floors at 8, below the forced 64 ceiling
+                assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+                raise RuntimeError("boom")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "64"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_subsplit_cells_partitions_rows_exactly(spark):
+    """Property of the SemDeDup guard: sub-splitting is a PARTITION of
+    the input — every row lands in exactly one sub-key whose prefix is
+    its original cell, none dropped, none duplicated — for random cell
+    sizes straddling the cap."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from db_loader_spark.queries.similarity import _subsplit_cells
+
+    rng = random.Random(11)
+    rows = []
+    rid = 0
+    expected = {}
+    for cell, n in (("a", 3), ("b", 17), ("c", 64), ("d", 1)):
+        expected[cell] = n
+        for _ in range(n):
+            rows.append(
+                (cell, rid, [rng.uniform(-1, 1) for _ in range(8)], 1.0)
+            )
+            rid += 1
+    lists = spark.createDataFrame(
+        rows, "cell string, neighbor_id long, c_vec array<double>, c_nrm double"
+    )
+    out = _subsplit_cells(lists, cap=16).collect()
+    assert len(out) == len(rows)  # none dropped, none duplicated
+    assert len({r["neighbor_id"] for r in out}) == len(rows)
+    per_cell = {}
+    for r in out:
+        base = r["cell"].split(":")[0]
+        per_cell[base] = per_cell.get(base, 0) + 1
+    assert per_cell == expected  # partition respects original cells
