@@ -61,12 +61,12 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
     LSH bucket-sizing diagnostic keep their DuckDB oracles locally
     without occupying rotation slots the scale-path operators need.
     r7 added the sibling-redundant demotions (ann_recall, the BMP
-    codec arm, multimodal_embed_ann) under the steady-state window
-    math recorded at NEXT_UP."""
-    from db_loader_spark.queries import dedup, multimodal, similarity
+    codec arm, multimodal_embed_ann, a_quantiles) under the
+    steady-state window math recorded at NEXT_UP."""
+    from db_loader_spark.queries import dedup, multimodal, relational, similarity
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (similarity, dedup, multimodal):
+    for mod in (similarity, dedup, multimodal, relational):
         for name, spec in getattr(mod, "DIAGNOSTICS", {}).items():
             if name in merged:
                 raise ValueError(f"duplicate diagnostic name {name!r}")
@@ -129,7 +129,7 @@ WINDOW = [
 # round's window (rule-1-oldest by construction: no driver evidence
 # yet). A queued key ships only with full local value verification at
 # BOTH SFs recorded in the round notes. r7 adds SIX new keys against
-# THREE demotions (net +3, registry 116 ≤ 120): e2e_cli_ingest is
+# FOUR demotions (net +2, registry 115 ≤ 120): e2e_cli_ingest is
 # windowed directly under rule 2; the five below are queued.
 NEXT_UP: list[str] = [
     "t_stream_lakehouse",  # NEW r7 (stream ingest via manifest appends)
@@ -139,16 +139,17 @@ NEXT_UP: list[str] = [
     "ann_ivfpq_topk",  # NEW r7 (IVF-PQ residual coding, probed ADC)
 ]
 # R8 WINDOW PREP (execute at round-8 start): rule 1 fronts the
-# NEXT_UP queue (zero driver evidence) and then these 14 r5-evidence
+# NEXT_UP queue (zero driver evidence) and then these 13 r5-evidence
 # keys — out of window for THREE rounds by then: dedup_embedding_lsh,
 # dedup_embedding_components, multimodal_features,
 # multimodal_frame_sample,
 # jn1_dim_lookup_join, jn2_contains_join, jn4_anti_join_idempotence,
-# jn7_fk_validation, a_salted_agg, a_hash_sample, a_quantiles,
+# jn7_fk_validation, a_salted_agg, a_hash_sample,
 # text_decontaminate, text_kmv_vocab, text_lm_score (the cohort's
-# other three members — ann_recall, multimodal_decode_bmp,
-# multimodal_embed_ann — were demoted to DIAGNOSTICS in r7, value
-# checks retained in pytest). The remaining 33
+# other four members — ann_recall, multimodal_decode_bmp,
+# multimodal_embed_ann, a_quantiles — were demoted to DIAGNOSTICS in
+# r7, value checks retained in pytest; a_quantile_sample's windowed
+# exact-alongside-sample scan already hashes the exact surface). The remaining 33
 # slots go to the oldest r6-evidence keys (the r6 window's textops/
 # curation/eventops/logshape families, CORRECTNESS_r06 rows), rule-2
 # touches first. Every r7 WINDOW key rotates out on its fresh
@@ -156,10 +157,11 @@ NEXT_UP: list[str] = [
 # as always.
 #
 # STEADY-STATE MATH: a 50-slot window cycling every key within 2
-# rounds supports AT MOST 100 keys. r7 started paying this down by
-# demoting the three sibling-redundant keys above (registry 117 →
-# 114); at r7 every driver key is still ≤2 rounds old, but reaching a
-# sustainable 100 needs ~14 more demotions or merges in r8. Remedy
+# rounds supports AT MOST 100 keys. r7 started paying this down with
+# FOUR sibling-redundant demotions (ann_recall, the BMP codec arm,
+# multimodal_embed_ann, a_quantiles — registry ends r7 at 115); at r7
+# every driver key is still ≤2 rounds old, but reaching a sustainable
+# 100 needs ~15 more demotions or merges in r8. Remedy
 # order: (1) demote keys whose scale path is fully represented by a
 # windowed sibling to the pytest-oracle DIAGNOSTICS tier (value
 # checks retained locally, slot freed); (2) merge union-compatible

@@ -1449,7 +1449,6 @@ QUERIES: dict[str, QuerySpec] = {
     "a7_id_assignment": QuerySpec(a7_id_assignment, _A7_ORACLE, "A7 max+1 ids"),
     "a_salted_agg": QuerySpec(a_salted_agg, _SALTED_ORACLE, "skew-salted two-phase agg"),
     "a_hash_sample": QuerySpec(a_hash_sample, _HASH_SAMPLE_ORACLE, "deterministic sampling"),
-    "a_quantiles": QuerySpec(a_quantiles, _QUANTILES_ORACLE, "exact grouped quantiles"),
     "jn_fuzzy_join": QuerySpec(
         jn_fuzzy_join, _FUZZY_ORACLE, "blocked levenshtein record linkage"
     ),
@@ -1483,5 +1482,17 @@ QUERIES: dict[str, QuerySpec] = {
         g_pagerank,
         _pagerank_oracle(),
         "power-iteration PageRank (unrolled-CTE oracle)",
+    ),
+}
+
+# Demoted to the pytest-oracle DIAGNOSTICS tier in r7 (steady-state
+# window math): the exact-quantile surface is ALREADY under the
+# driver hash — a_quantile_sample (windowed) computes exact per-group
+# quantiles alongside its sampled estimates in the same scan — so
+# this key's slot bought no new external evidence. Value check
+# retained by tests/test_oracle_queries.py.
+DIAGNOSTICS: dict[str, QuerySpec] = {
+    "a_quantiles": QuerySpec(
+        a_quantiles, _QUANTILES_ORACLE, "exact grouped quantiles (diagnostic)"
     ),
 }
