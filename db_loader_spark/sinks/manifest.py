@@ -164,6 +164,26 @@ def publish(
         # observed != sid and takes the normal path, where overwriting
         # the staged prefix is safe: no reader can reference it yet.
         return sid
+    if os.path.exists(os.path.join(man_dir, f"{sid}.json")):
+        # A manifest for this token exists but the pointer is elsewhere:
+        # either the token committed earlier and was since SUPERSEDED
+        # (e.g. foreachBatch restarted with a fresh checkpoint against
+        # an existing table root), or a crash hit the one-instruction
+        # window between manifest write and pointer flip. In the
+        # superseded case the LIVE lineage inherits data/<sid> files by
+        # reference — restaging would delete files concurrent readers
+        # resolve (torn reads) and an append would list data/<sid>
+        # twice (inherited from parent + new_files), double-counting
+        # rows. The two cases are locally indistinguishable, so a
+        # committed-or-possibly-committed token is never a safe retry:
+        # only a never-committed sid (no manifest on disk) may restage.
+        # Callers retry with a FRESH token on top of the new current.
+        raise RuntimeError(
+            f"snapshot token {sid!r} already has a committed manifest at "
+            f"{root!r} but is not the current snapshot "
+            f"({observed!r}); replaying a superseded token would tear "
+            f"the live lineage — retry with a fresh snapshot_id"
+        )
     parent = observed
     staged = os.path.join(data_dir, sid)
     # stage: snapshot-unique prefix; overwrite = idempotent retry

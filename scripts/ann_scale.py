@@ -69,7 +69,14 @@ def main() -> None:
     Q.ann_pq_topk(spark, warm).count()
     Q.ann_ivfpq_topk(spark, warm).count()
     Q.clear_ivf_cache()
+    # unpersist before clearing (same as the measured loop): a bare
+    # .clear() leaks the warm pass's pinned codes/books blocks into
+    # the measured passes and skews the 1x timings (ADVICE r7)
+    for entry in Q._PQ_INDEX.values():
+        Q._evict_pq_entry(entry)
     Q._PQ_INDEX.clear()
+    for entry in Q._IVFPQ_INDEX.values():
+        Q._evict_pq_entry(entry)
     Q._IVFPQ_INDEX.clear()
     shutil.rmtree(warm, ignore_errors=True)
     print("--- warm done, measured passes follow ---", flush=True)
@@ -93,11 +100,11 @@ def main() -> None:
             flush=True,
         )
         Q.clear_ivf_cache()
-        for _, codes in Q._PQ_INDEX.values():
-            codes.unpersist()
+        for entry in Q._PQ_INDEX.values():
+            Q._evict_pq_entry(entry)
         Q._PQ_INDEX.clear()
-        for _, codes in Q._IVFPQ_INDEX.values():
-            codes.unpersist()
+        for entry in Q._IVFPQ_INDEX.values():
+            Q._evict_pq_entry(entry)
         Q._IVFPQ_INDEX.clear()
         shutil.rmtree(d, ignore_errors=True)
 

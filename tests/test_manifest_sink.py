@@ -445,3 +445,48 @@ def test_append_commit_replay_is_exactly_once(spark, tmp_path):
     M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
     assert M.snapshots(root) == ["epoch-0", "epoch-1"]
     assert M.read_current(spark, root).count() == 15
+
+
+def test_replay_of_superseded_snapshot_is_refused(spark, tmp_path):
+    """A token that committed EARLIER but was since superseded (e.g. a
+    foreachBatch restarted with a fresh checkpoint against an existing
+    table root, re-issuing epoch-0) must NOT restage: the live lineage
+    inherits data/epoch-0 files by reference, so an overwrite would
+    tear concurrent reads and an append would list the files twice,
+    double-counting rows in read_current (ADVICE r7). Pin: the publish
+    raises, the data files are untouched, and the table still reads
+    exactly once."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
+    M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    staged = os.path.join(root, "data", "epoch-0")
+    before = {
+        f: os.stat(os.path.join(staged, f)).st_mtime_ns
+        for f in os.listdir(staged)
+    }
+    with pytest.raises(RuntimeError, match="superseded"):
+        M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
+    after = {
+        f: os.stat(os.path.join(staged, f)).st_mtime_ns
+        for f in os.listdir(staged)
+    }
+    assert after == before  # live files untouched by the refused replay
+    assert M.snapshots(root) == ["epoch-0", "epoch-1"]
+    assert M.read_current(spark, root).count() == 15
+
+
+def test_never_committed_token_may_restage(spark, tmp_path):
+    """The guard must NOT break genuine crash recovery: a sid whose
+    staging wrote data files but CRASHED before its manifest landed
+    has no manifest on disk — no reader can reference it — so the
+    retry restages and commits normally."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
+    # simulate a crash mid-stage of epoch-1: data dir exists, no manifest
+    crashed = os.path.join(root, "data", "epoch-1")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-junk.parquet"), "w") as fh:
+        fh.write("torn")
+    M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    assert M.snapshots(root) == ["epoch-0", "epoch-1"]
+    assert M.read_current(spark, root).count() == 15
