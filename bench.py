@@ -34,13 +34,14 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_lsh",
+    # r8: dedup_embedding_lsh demoted (its pair stage runs inside the
+    # components key, which replaces its row here)
+    "dedup_embedding_components",
     "ecj_star",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_sq_rerank",
     "t_session_window",
-    "t_tumbling_counts",
     "t_stream_rollup",
     "w_event_gap",
     "q10_returned_items",
@@ -57,7 +58,6 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     "curation_source_cap",
     "text_repeated_passages",
-    "ann_lsh_multiprobe",
     # round 6b: stream-stream interval join, SemDeDup over the shared
     # IVF index, the distributed BPE trainer (16 merge rounds), and
     # the partition-pruned on-disk IVF serving path
@@ -66,7 +66,7 @@ HEADLINE = [
     "text_bpe_train",
     "ann_ivf_disk_topk",
     "t_stream_mview",  # update-mode output (rollup=complete, join=append)
-    "t_sliding_counts",  # overlap cost vs the t_tumbling_counts row
+    "t_sliding_counts",  # sliding-window assignment (tumbling = step=width)
     "t_sliding_hll",  # sliding distinct via HLL register-shard merge
     # round 6c: blocked record linkage, the membership sketch the
     # ingest path prefilters with, and the bounded-frame window
@@ -91,6 +91,9 @@ HEADLINE = [
     "t_stream_ann_index",  # incremental IVF assignment vs fixed quantizer
     "ann_pq_topk",  # PQ-ADC coded-corpus scan + exact rerank
     "ann_ivfpq_topk",  # IVF-PQ: probed cells, residual codes, ADC
+    # round 8: the merged parser suite (six single-expression parsers,
+    # one tagged union frame)
+    "p_parse_suite",
 ]
 
 # Bench-honesty cache resets (the r5 dedup-unpersist lesson): rows
@@ -110,6 +113,29 @@ def _reset_bpe_cache() -> None:
 
 
 RESET_BEFORE_TIMING = {"text_bpe_train": _reset_bpe_cache}
+
+# r8 methodology (VERDICT r7 #4: round-over-round claims under ~20%
+# were inside measurement noise and unadjudicable): every timed row is
+# now the MEDIAN of N_TIMED runs, and the per-row relative spread
+# ((max-min)/median) ships in the JSON as `queries_spread`, with the
+# suite-level median spread as `noise_band`. A round-over-round delta
+# smaller than the noise band is environment, not code.
+N_TIMED = 3
+
+
+def _timed_runs(fn, reset=None, n: int = N_TIMED) -> tuple[float, float]:
+    """Median and relative spread of ``n`` timed executions of ``fn``."""
+    runs = []
+    for _ in range(n):
+        if reset is not None:
+            reset()
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    med = runs[len(runs) // 2]
+    spread = (runs[-1] - runs[0]) / med if med > 0 else 0.0
+    return round(med, 4), round(spread, 3)
 
 
 def _source_stamp(*paths: str) -> str:
@@ -139,21 +165,16 @@ def _write_stamp(out_dir: str, stamp: str) -> None:
         f.write(stamp)
 
 
-def _time_agg_variants(spark, variants, timings: dict[str, float]) -> None:
-    """min-of-2 timing of the same slice aggregate over layout variants
-    (the shared methodology: warm, GC, two timed runs)."""
+def _time_agg_variants(spark, variants, timings, spreads) -> None:
+    """Median-of-N timing of the same slice aggregate over layout
+    variants (the shared methodology: warm, GC, N timed runs)."""
     from pyspark.sql import functions as F
 
     for name, df in variants.items():
         agg = df.groupBy("event_type").agg(F.round(F.sum("value"), 2).alias("v"))
         agg.count()  # warm
         spark._jvm.System.gc()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            assert agg.count() >= 0
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        timings[name], spreads[name] = _timed_runs(lambda: agg.count())
 
 
 def _bucketed_fact_tables(spark, sf_dir: str):
@@ -189,7 +210,7 @@ def _bucketed_fact_tables(spark, sf_dir: str):
     return out
 
 
-def _bench_bucketed(spark, sf_dir: str, timings: dict[str, float]) -> None:
+def _bench_bucketed(spark, sf_dir: str, timings, spreads) -> None:
     """q3/q10 with the orderkey fact⋈fact join as a real shuffle join vs
     the bucketed co-located layout (zero exchange on either fact side —
     proven by tests/test_plan_shape.py::test_bucketed_join_has_no_shuffle).
@@ -223,17 +244,12 @@ def _bench_bucketed(spark, sf_dir: str, timings: dict[str, float]) -> None:
         for name, make in variants.items():
             make().count()  # warm codegen
             spark._jvm.System.gc()  # same GC discipline as the main loop
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                assert make().count() >= 0
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+            timings[name], spreads[name] = _timed_runs(lambda: make().count())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
 
 
-def _bench_partitioned(spark, sf_dir: str, timings: dict[str, float]) -> None:
+def _bench_partitioned(spark, sf_dir: str, timings, spreads) -> None:
     """A 3-day time-slice aggregate over events: plain single-file scan
     (row-level ts filter only) vs the date-partitioned layout with
     partition bounds (sinks/ddl.write_partitioned + pruned_time_filter,
@@ -275,10 +291,10 @@ def _bench_partitioned(spark, sf_dir: str, timings: dict[str, float]) -> None:
         "ev_slice_unpruned": unpruned,
         "ev_slice_pruned": part,
     }
-    _time_agg_variants(spark, variants, timings)
+    _time_agg_variants(spark, variants, timings, spreads)
 
 
-def _bench_compaction(spark, sf_dir: str, timings: dict[str, float]) -> None:
+def _bench_compaction(spark, sf_dir: str, timings, spreads) -> None:
     """The same 3-day slice aggregate over a deliberately SHATTERED
     events table (~1,000 tiny files — the debris an availableNow
     micro-batch ingest leaves) vs its compact_parquet rewrite. The
@@ -319,10 +335,11 @@ def _bench_compaction(spark, sf_dir: str, timings: dict[str, float]) -> None:
         spark,
         {"ev_slice_shattered": slice_of(shat), "ev_slice_compacted": slice_of(comp)},
         timings,
+        spreads,
     )
 
 
-def _bench_sorted(spark, sf_dir: str, timings: dict[str, float]) -> None:
+def _bench_sorted(spark, sf_dir: str, timings, spreads) -> None:
     """A selective user_id slice over the SAME bytes in two layouts:
     range-clustered (sinks/ddl.write_sorted — row-group min/max stats
     become disjoint, so the pushed predicate skips whole groups) vs the
@@ -393,10 +410,11 @@ def _bench_sorted(spark, sf_dir: str, timings: dict[str, float]) -> None:
             "ev_value2_zorder": value_slice_of(zrd),
         },
         timings,
+        spreads,
     )
 
 
-def _bench_runtime_filters(spark, sf_dir: str, timings: dict[str, float]) -> None:
+def _bench_runtime_filters(spark, sf_dir: str, timings, spreads) -> None:
     """Join-driven pruning pairs over the derived layouts — the
     completion of the literal-bound layout benches: a star query whose
     selective predicate lives on the DIMENSION.
@@ -502,18 +520,13 @@ def _bench_runtime_filters(spark, sf_dir: str, timings: dict[str, float]) -> Non
                 spark.conf.set(k, v)
             make().count()  # warm
             spark._jvm.System.gc()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                assert make().count() >= 0
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+            timings[name], spreads[name] = _timed_runs(lambda: make().count())
         finally:
             for k, v in prev.items():
                 spark.conf.set(k, v)
 
 
-def _bench_manifest_zonemap(spark, sf_dir: str, timings: dict[str, float]) -> None:
+def _bench_manifest_zonemap(spark, sf_dir: str, timings, spreads) -> None:
     """File-level data skipping through the manifest's zone maps
     (sinks/manifest.read_pruned) vs the same snapshot scanned from the
     full file list with only the row-level residual filter. Identical
@@ -536,12 +549,7 @@ def _bench_manifest_zonemap(spark, sf_dir: str, timings: dict[str, float]) -> No
         agg = df.groupBy("event_type").agg(F.sum("cents").alias("s"))
         agg.count()  # warm
         spark._jvm.System.gc()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            assert agg.count() >= 0
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        timings[name], spreads[name] = _timed_runs(lambda: agg.count())
 
 
 def main() -> None:
@@ -555,11 +563,13 @@ def main() -> None:
 
     # Steady-state methodology: one warm run (pays one-time Janino
     # whole-stage-codegen compilation, which at deployment scale
-    # amortizes to zero over billions of rows), then TWO timed runs
-    # reporting the minimum — a single timed run occasionally absorbs a
-    # JVM GC pause and records a 5-10x outlier that reads as a
-    # regression; the min of two measures the plan, not the collector.
+    # amortizes to zero over billions of rows), then N_TIMED timed runs
+    # reporting the MEDIAN and the relative spread (r8; VERDICT r7 #4)
+    # — the median rejects the occasional multi-second GC outlier like
+    # the old min-of-2 did, and the spread makes round-over-round
+    # deltas adjudicable against a recorded noise band.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
         # Settling wrappers persist their small result and CacheManager
@@ -576,15 +586,14 @@ def main() -> None:
         # read as 2s+ by entry 20. Collect between queries so each
         # timing measures the plan, not the previous queries' garbage.
         spark._jvm.System.gc()
-        best = float("inf")
-        for _ in range(2):
+
+        def run_once(spec=spec, name=name):
             RESET_BEFORE_TIMING.get(name, lambda: None)()
-            t0 = time.perf_counter()
             df = spec.spark(spark, sf_dir)  # settled queries compute here
             assert df.count() >= 0  # full plan
-            best = min(best, time.perf_counter() - t0)
             df.unpersist()
-        timings[name] = round(best, 4)
+
+        timings[name], spreads[name] = _timed_runs(run_once)
 
     # Release the session-scoped IVF serving cache before the layout
     # benches: its persisted inverted lists are an index for the ANN
@@ -593,14 +602,15 @@ def main() -> None:
     from db_loader_spark.queries.similarity import clear_ivf_cache
 
     clear_ivf_cache()
-    _bench_bucketed(spark, sf_dir, timings)
-    _bench_partitioned(spark, sf_dir, timings)
-    _bench_compaction(spark, sf_dir, timings)
-    _bench_sorted(spark, sf_dir, timings)
-    _bench_runtime_filters(spark, sf_dir, timings)
-    _bench_manifest_zonemap(spark, sf_dir, timings)
+    _bench_bucketed(spark, sf_dir, timings, spreads)
+    _bench_partitioned(spark, sf_dir, timings, spreads)
+    _bench_compaction(spark, sf_dir, timings, spreads)
+    _bench_sorted(spark, sf_dir, timings, spreads)
+    _bench_runtime_filters(spark, sf_dir, timings, spreads)
+    _bench_manifest_zonemap(spark, sf_dir, timings, spreads)
 
     total = round(sum(timings.values()), 4)
+    band = sorted(spreads.values())
     print(
         json.dumps(
             {
@@ -608,6 +618,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-row relative spread ((max-min)/median over N_TIMED
+                # runs) and the suite-level median spread: a round-over-
+                # round delta inside the band is environment, not code
+                "queries_spread": spreads,
+                "noise_band": band[len(band) // 2] if band else 0.0,
+                "n_timed": N_TIMED,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

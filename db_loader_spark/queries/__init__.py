@@ -61,12 +61,38 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
     LSH bucket-sizing diagnostic keep their DuckDB oracles locally
     without occupying rotation slots the scale-path operators need.
     r7 added the sibling-redundant demotions (ann_recall, the BMP
-    codec arm, multimodal_embed_ann, a_quantiles) under the
-    steady-state window math recorded at NEXT_UP."""
-    from db_loader_spark.queries import dedup, multimodal, relational, similarity
+    codec arm, multimodal_embed_ann, a_quantiles); r8 executed the
+    planned shrink to the 100-key steady state (VERDICT r7 #2): ten
+    more sibling-redundant demotions (dedup_minhash_tuned,
+    dedup_components, dedup_embedding_lsh, ann_lsh_multiprobe, the
+    PNG/WAV codec arms, text_bpe_token_count, a_stratified_sample,
+    t_tumbling_counts, curation_select — each with its windowed-
+    sibling argument at the demotion site) plus the six single-
+    expression parser keys merged into the windowed p_parse_suite
+    (their full distributions stay under the external hash; the
+    standalone oracles live on here)."""
+    from db_loader_spark.queries import (
+        curation,
+        dedup,
+        eventops,
+        logshape,
+        multimodal,
+        relational,
+        similarity,
+        textops,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (similarity, dedup, multimodal, relational):
+    for mod in (
+        similarity,
+        dedup,
+        multimodal,
+        relational,
+        textops,
+        eventops,
+        curation,
+        logshape,
+    ):
         for name, spec in getattr(mod, "DIAGNOSTICS", {}).items():
             if name in merged:
                 raise ValueError(f"duplicate diagnostic name {name!r}")
@@ -79,11 +105,23 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
 # so a miscounted edit can't silently shift which keys get witnessed.
 DRIVER_WINDOW_SIZE = 50
 
+# ROUND-8 WINDOW. CORRECTNESS_r07 came back EMPTY ({} — a driver-
+# harness failure; the same registry benched fine minutes later), so
+# the r7 window got ZERO external rows and VERDICT r7 #1 ordered this
+# round to re-front the unwitnessed cohorts rather than rotate past
+# them. Priority: (a) every key with NO driver row EVER — the 24 r6
+# NEXT_UP keys (still unwitnessed after the r7 artifact loss), the r7
+# newcomers e2e_cli_ingest + text_pack_bins, the 5 r7 NEXT_UP keys,
+# and the new p_parse_suite — 32 slots; (b) rule-2 touches of this
+# round and r7-touched-but-unwitnessed keys — 5 slots; (c) the
+# stalest r5-evidence keys (VERDICT r7 #3's named cohort) — 13 slots.
+# The r5-evidence keys that still don't fit (q1/q3/q5/q10/top-k, the
+# a1-a7 aggregates, w_running_sum/w_topk, set_ops/rollup/eav, p10,
+# dedup_exact, the ANN quartet minus the three below) ride one more
+# round on local both-SF re-verification and front r9 — never-
+# witnessed wins over stale-but-witnessed, per the verdict.
 WINDOW = [
-    # — rule 1 (oldest evidence): the 24 r6 NEXT_UP keys — queued in
-    #   positions 51+ last round, so they have NEVER seen a driver row
-    #   (r6's verdict re-verified all 24 locally; this round puts them
-    #   under the external hash, exactly as the r6 prep note staged) —
+    # — (a) zero driver rows ever —
     "text_bm25_topk",
     "curation_weighted_sample",
     "curation_dsir_weight",
@@ -95,33 +133,47 @@ WINDOW = [
     "w_moving_avg",
     "a_hll_distinct",
     "dedup_bloom_prefilter",
-    "t_stream_sessions",  # r7: epoch-parquet publish (also rule 2)
-    "cdc_snapshot_diff",  # r7: manifest replay/meta fixes (also rule 2)
+    "t_stream_sessions",
+    "cdc_snapshot_diff",  # r8: manifest superseded-replay guard (rule 2)
     "a_profile_stats",
     "a_histogram",
     "a_table_fingerprint",
     "g_triangle_count",
     "g_pagerank",
     "a_quantile_sample",
-    "scan_manifest_pruned",  # r7: manifest meta fixes (also rule 2)
-    "t_snapshot_incremental",  # r7: manifest meta fixes (also rule 2)
-    "t_snapshot_upsert",  # r7: merge persist + replay no-op (also rule 2)
+    "scan_manifest_pruned",  # r8: manifest guard (rule 2)
+    "t_snapshot_incremental",  # r8: manifest guard (rule 2)
+    "t_snapshot_upsert",  # r8: manifest guard (rule 2)
     "t_sliding_hll",
-    "a_moments",  # r7: exact-integer moments rewrite (also rule 2)
-    # — rule 2 (touched this round, must be witnessed this round) —
-    "e2e_cli_ingest",  # NEW r7: E1 CLI front door under the hash
-    "text_pack_bins",  # r7: block-partitioned prefix-sum packing
-    "curation_e2e",  # r7: same packing rewrite in stage 5
-    "dedup_semantic",  # r7: hot-cell sign-bit sub-split
-    # — rule 1 (oldest r5 evidence, out of window for two rounds) —
-    "q1_pricing_summary", "q3_segment_revenue", "q5_region_revenue",
-    "q10_returned_items", "q_top_customers",
-    "a1_distinct_pairs", "a2_max_id", "a3_filtered_count",
-    "a4_count_distinct", "a6_run_summary", "a7_id_assignment",
-    "w_running_sum", "w_topk_per_group", "set_ops", "rollup_revenue",
-    "eav_pivot", "p10_find_first", "dedup_exact",
-    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_sq_rerank",
+    "a_moments",  # r8: DECIMAL(38,0) second-moment channel (rule 2)
+    "e2e_cli_ingest",  # NEW r7, unwitnessed
+    "text_pack_bins",  # NEW r7, unwitnessed
+    "t_stream_lakehouse",  # r7 NEXT_UP; r8: manifest guard (rule 2)
+    "t_stream_ann_index",  # r7 NEXT_UP
+    "text_bpe_pack",  # r7 NEXT_UP
+    "ann_pq_topk",  # r7 NEXT_UP; r8: eviction + disk versioning (rule 2)
+    "ann_ivfpq_topk",  # r7 NEXT_UP; r8: KM_SCALE interpolation (rule 2)
+    "p_parse_suite",  # NEW r8: six parser keys merged (rule 2)
+    # — (b) touched, must be witnessed this round —
+    "curation_e2e",  # r7 packing rewrite, unwitnessed
+    "dedup_semantic",  # r7 sub-split, unwitnessed; r8 docstring/recall note
+    "curation_funnel",  # r8: data_sized_shuffle scope (rule 2)
+    "text_decontaminate",  # r8: data_sized_shuffle scope (rule 2)
+    "dedup_embedding_components",  # r8: data_sized_shuffle scope (rule 2)
+    # — (c) stalest r5-evidence keys (VERDICT r7 #3 cohort) —
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "jn1_dim_lookup_join",
+    "jn2_contains_join",
+    "jn4_anti_join_idempotence",
+    "jn7_fk_validation",
+    "a_salted_agg",
+    "a_hash_sample",
+    "text_kmv_vocab",
+    "text_lm_score",
+    "q1_pricing_summary",
+    "dedup_exact",
+    "ann_bruteforce_topk",
 ]
 
 # WINDOW-OVERFLOW QUEUE (policy, r6): brand-new keys beyond window
@@ -131,48 +183,36 @@ WINDOW = [
 # BOTH SFs recorded in the round notes. r7 adds SIX new keys against
 # FOUR demotions (net +2, registry 115 ≤ 120): e2e_cli_ingest is
 # windowed directly under rule 2; the five below are queued.
-NEXT_UP: list[str] = [
-    "t_stream_lakehouse",  # NEW r7 (stream ingest via manifest appends)
-    "t_stream_ann_index",  # NEW r7 (incremental IVF list maintenance)
-    "text_bpe_pack",  # NEW r7 (packing priced in subword tokens)
-    "ann_pq_topk",  # NEW r7 (PQ-ADC: coded-corpus scan + exact rerank)
-    "ann_ivfpq_topk",  # NEW r7 (IVF-PQ residual coding, probed ADC)
-]
-# R8 WINDOW PREP (execute at round-8 start): rule 1 fronts the
-# NEXT_UP queue (zero driver evidence) and then these 13 r5-evidence
-# keys — out of window for THREE rounds by then: dedup_embedding_lsh,
-# dedup_embedding_components, multimodal_features,
-# multimodal_frame_sample,
-# jn1_dim_lookup_join, jn2_contains_join, jn4_anti_join_idempotence,
-# jn7_fk_validation, a_salted_agg, a_hash_sample,
-# text_decontaminate, text_kmv_vocab, text_lm_score (the cohort's
-# other four members — ann_recall, multimodal_decode_bmp,
-# multimodal_embed_ann, a_quantiles — were demoted to DIAGNOSTICS in
-# r7, value checks retained in pytest; a_quantile_sample's windowed
-# exact-alongside-sample scan already hashes the exact surface). The remaining 33
-# slots go to the oldest r6-evidence keys (the r6 window's textops/
-# curation/eventops/logshape families, CORRECTNESS_r06 rows), rule-2
-# touches first. Every r7 WINDOW key rotates out on its fresh
-# CORRECTNESS_r07 row; re-verify rotated-out keys locally at both SFs
-# as always.
+# r8: the queue is EMPTY — every previously-queued key is windowed
+# above, and the steady-state shrink landed (see below), so the
+# registry's 100 keys now fit the 50-slot / two-round cadence with no
+# overflow. New keys in future rounds either take a freed slot
+# (paired demotion) or queue here and front the next window.
+NEXT_UP: list[str] = []
+# STEADY-STATE LEDGER (r8). Registry = 100 keys = the 50-slot window
+# cycling every key within 2 rounds, exactly the capacity bound the
+# r7 note computed. Paid for by TEN sibling-redundant demotions
+# (dedup_minhash_tuned, dedup_components, dedup_embedding_lsh,
+# ann_lsh_multiprobe, multimodal_decode_png, multimodal_decode_wav,
+# text_bpe_token_count, a_stratified_sample, t_tumbling_counts,
+# curation_select — each justified at its DIAGNOSTICS site, all value
+# checks retained in pytest) plus the SIX single-expression parser
+# keys (p1/p5/p7/p13/p16/p18) merged into p_parse_suite, which hashes
+# every parser's full distribution in one tagged union frame — merge,
+# not demotion: external evidence is preserved. Net new keys this
+# round: 1 (the suite) against 16 removed.
 #
-# STEADY-STATE MATH: a 50-slot window cycling every key within 2
-# rounds supports AT MOST 100 keys. r7 started paying this down with
-# FOUR sibling-redundant demotions (ann_recall, the BMP codec arm,
-# multimodal_embed_ann, a_quantiles — registry ends r7 at 115); at r7
-# every driver key is still ≤2 rounds old, but reaching a sustainable
-# 100 needs ~15 more demotions or merges in r8. Remedy
-# order: (1) demote keys whose scale path is fully represented by a
-# windowed sibling to the pytest-oracle DIAGNOSTICS tier (value
-# checks retained locally, slot freed); (2) merge union-compatible
-# siblings into one hashed key; (3) only if neither reaches 100,
-# write the longer cadence down as explicit policy with a per-cohort
-# ledger. Net-new keys in r8 must be ≤ demotions that round.
-# Also queued for r8 (touched-key rule kept it off this round): apply
-# session.data_sized_shuffle to the OTHER multi-job settling wrappers
-# (curation_funnel, dedup_components lineage, text_decontaminate)
-# when they rotate into the window — curation_e2e measured 6.6 →
-# 5.5 s from it in r7 and the sizing rule is scale-correct.
+# R9 WINDOW PREP: the 50 keys NOT in the r8 window are EXACTLY one
+# window — front them all. They are the 19 r5-evidence keys
+# (q3/q5/q10/q_top_customers, a1-a7, w_running_sum, w_topk_per_group,
+# set_ops, rollup_revenue, eav_pivot, p10_find_first, ann_lsh_topk,
+# ann_ivf_topk, ann_sq_rerank — four rounds stale by r9, they MUST
+# land) plus the 31 r6-evidence keys (textops/curation/eventops/
+# logshape/streaming/jn families, CORRECTNESS_r06 rows). That
+# restores every key to ≤2-round freshness by end of r9 (assuming
+# CORRECTNESS_r08 lands — if it comes back empty again, re-front the
+# r8 window unchanged instead). Rule-2 touches of r9 that sit in the
+# r8 window would displace the youngest r6-evidence keys.
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -208,20 +248,10 @@ def all_queries() -> dict[str, QuerySpec]:
     # Since r6 the window is the EXPLICIT list below (module order was
     # the r5 mechanism; a named list keeps rule 2 auditable per-key).
     #
-    # Round-7 window (50) =
-    #  rule 1 — the 24 r6 NEXT_UP keys (zero driver rows ever; staged
-    #  by the r6 prep note) + the 22 oldest r5-evidence keys
-    #  (relational q1/q3/q5/q10/top-customers, a1-a7, w_running_sum /
-    #  w_topk_per_group, set_ops/rollup/eav, p10, dedup_exact, the
-    #  ANN quartet — out of window since r5);
-    #  rule 2 — e2e_cli_ingest (new), text_pack_bins + curation_e2e
-    #  (block-partitioned packing rewrite), dedup_semantic (hot-cell
-    #  sub-split), plus the manifest-lineage and moments keys already
-    #  fronted by rule 1 (t_snapshot_*, cdc_snapshot_diff,
-    #  scan_manifest_pruned, t_stream_sessions, a_moments).
-    # The 17 r5-evidence keys that did not fit (named in the R8 prep
-    # note above) ride a third round on local both-SF re-verification
-    # and MUST front the r8 window.
+    # The round-8 window composition and the evidence triage it
+    # implements are documented at the WINDOW list above (the empty
+    # CORRECTNESS_r07 artifact forced re-fronting the unwitnessed
+    # cohorts; never-witnessed keys won the slots).
     window = WINDOW
     next_up = NEXT_UP
     merged: dict[str, QuerySpec] = {}

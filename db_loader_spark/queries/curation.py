@@ -527,11 +527,6 @@ QUERIES: dict[str, QuerySpec] = {
         "full pipeline: dedup -> components -> select -> decontaminate "
         "-> quality -> pack, one plan",
     ),
-    "curation_select": QuerySpec(
-        curation_select,
-        _curation_select_oracle(),
-        "quality-weighted canonical doc per near-dup cluster",
-    ),
     "curation_shard_assign": QuerySpec(
         curation_shard_assign,
         _SHARD_ORACLE,
@@ -551,5 +546,19 @@ QUERIES: dict[str, QuerySpec] = {
         curation_dsir_weight,
         _DSIR_ORACLE,
         "DSIR importance weight: target/background LM log ratio per doc",
+    ),
+}
+
+# r8 steady-state demotion (pytest-oracle tier; registry → 100 keys,
+# VERDICT r7 #2): curation_select's cluster-canonical pick is stage 2
+# of the windowed curation_e2e pipeline (the same components → quality
+# → rank-1-per-cluster window, hashed end-to-end in one plan), so its
+# standalone slot bought no new external evidence. Value checks stay
+# in tests/test_oracle_queries.py via diagnostic_queries().
+DIAGNOSTICS: dict[str, QuerySpec] = {
+    "curation_select": QuerySpec(
+        curation_select,
+        _curation_select_oracle(),
+        "quality-weighted canonical doc per near-dup cluster",
     ),
 }

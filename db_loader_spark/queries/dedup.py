@@ -278,9 +278,24 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair with est_sim ≥ 0.5 (threshold evaluated INSIDE the
     band join); quality keeps ROUND(score,4) ≥ 0.3. Each stage feeds
     the next, so the counts compose — this exercises operator chaining,
-    not just single operators."""
-    from db_loader_spark.functions.text import quality_score_of, tokens
+    not just single operators.
 
+    Shuffle sizing (r8, the curation_e2e rule — VERDICT r7 #5): a
+    ~15-job settling funnel over one input pays per-stage scheduling
+    for every configured map task, so the shuffle-partition bound is
+    scoped to the input bytes for the duration of the settle; the same
+    bytes-per-partition formula yields thousands of partitions at
+    100 TB. Valid because settle_drained MATERIALIZES in scope."""
+    import os
+
+    from db_loader_spark.functions.text import quality_score_of, tokens
+    from db_loader_spark.session import data_sized_shuffle
+
+    with data_sized_shuffle(spark, os.path.join(sf_dir, "documents.parquet")):
+        return _curation_funnel_sized(spark, sf_dir, quality_score_of, tokens)
+
+
+def _curation_funnel_sized(spark, sf_dir, quality_score_of, tokens) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # same keep policy as dedup_exact -- reuse the operator, don't restate it
     keep1 = D.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
@@ -363,13 +378,23 @@ UNION ALL SELECT '4_quality', COUNT(*) FROM s3
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash/LSH pairs (est_sim ≥ 0.5) → connected
     components → (doc_id, component_id). The iterative-fixpoint operator;
-    the oracle expresses the same closure with a recursive CTE."""
+    the oracle expresses the same closure with a recursive CTE.
+
+    r8: shuffle sizing scoped to the input (the curation_e2e rule) —
+    pointer jumping runs log-round ITERATIVE jobs whose exchanges all
+    pay the configured map-task count, the worst case for a small
+    input under a big static bound."""
+    import os
+
+    from db_loader_spark.session import data_sized_shuffle
+
     docs = load_table(spark, sf_dir, "documents")
-    sig = D.minhash_signatures(docs, num_hashes=8)
-    # threshold inside the band join (residual predicate) — low-sim
-    # collisions never reach the distinct's shuffle
-    pairs = D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2, min_est_sim=0.5)
-    return cache.settle_drained(D.connected_components(pairs))
+    with data_sized_shuffle(spark, os.path.join(sf_dir, "documents.parquet")):
+        sig = D.minhash_signatures(docs, num_hashes=8)
+        # threshold inside the band join (residual predicate) — low-sim
+        # collisions never reach the distinct's shuffle
+        pairs = D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2, min_est_sim=0.5)
+        return cache.settle_drained(D.connected_components(pairs))
 
 
 _COMPONENTS_ORACLE = f"""
@@ -511,22 +536,28 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_lsh, _MINHASH_ORACLE, "MinHash→band→bucket-join (est_sim≥3/8 in-join)"
     ),
-    "dedup_minhash_tuned": QuerySpec(
-        dedup_minhash_tuned,
-        _TUNED_ORACLE,
-        "self-tuned MinHash banding (measured sample collision rate)",
-    ),
     "dedup_simhash": QuerySpec(dedup_simhash, _SIMHASH_ORACLE, "SimHash banded Hamming"),
-    "dedup_components": QuerySpec(
-        dedup_components, _COMPONENTS_ORACLE, "near-dup connected components"
-    ),
 }
 
 # Deliberately quadratic small-data VERIFIERS (the scale paths are
 # dedup_minhash_lsh / dedup_embedding_lsh): demoted from the driver
 # registry in r6 (VERDICT r5 #8 consolidation) but still value-checked
 # against their DuckDB oracles by pytest via diagnostic_queries().
+# r8 steady-state demotions (registry → 100 keys; VERDICT r7 #2):
+# dedup_minhash_tuned's banded bucket-join scale path is fully
+# represented by the windowed dedup_minhash_lsh (the tuner only picks
+# the band count); dedup_components' pointer-jumping CC lineage is
+# externally witnessed by the windowed dedup_embedding_components
+# (identical connected_components operator, different edge source).
 DIAGNOSTICS: dict[str, QuerySpec] = {
+    "dedup_minhash_tuned": QuerySpec(
+        dedup_minhash_tuned,
+        _TUNED_ORACLE,
+        "self-tuned MinHash banding (measured sample collision rate)",
+    ),
+    "dedup_components": QuerySpec(
+        dedup_components, _COMPONENTS_ORACLE, "near-dup connected components"
+    ),
     "dedup_ngram_jaccard": QuerySpec(
         dedup_ngram_jaccard, _JACCARD_ORACLE, "3-gram Jaccard pairs (verifier)"
     ),

@@ -426,13 +426,24 @@ def a_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     c = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
     u = F.col("user_id").cast("long")
+    # Second-order sums accumulate as DECIMAL(38,0), not BIGINT: each
+    # c*c term is ~1e12 (micro-cents squared), so ~1e7 rows per group
+    # already exceeds int64 — and non-ANSI Spark would WRAP silently
+    # while DuckDB promotes SUM(BIGINT) to HUGEINT, breaking the
+    # bit-identical-moments contract exactly at the scale this rewrite
+    # exists for (ADVICE r7). decimal(19,0)*decimal(19,0) →
+    # decimal(38,0) on both engines; 38 digits absorbs ~1e14 rows of
+    # 1e12-sized terms per group before overflow, at which point Spark
+    # raises/NULLs instead of wrapping — loud, not wrong.
+    cd = c.cast("decimal(19,0)")
+    ud = u.cast("decimal(19,0)")
     m = e.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sum(c).alias("sc"),
-        F.sum(c * c).alias("sc2"),
+        F.sum(cd * cd).alias("sc2"),
         F.sum(u).alias("su"),
-        F.sum(u * u).alias("su2"),
-        F.sum(c * u).alias("scu"),
+        F.sum(ud * ud).alias("su2"),
+        F.sum(cd * ud).alias("scu"),
     )
     nd, sc, sc2 = [F.col(x).cast("double") for x in ("n", "sc", "sc2")]
     su, su2, scu = [F.col(x).cast("double") for x in ("su", "su2", "scu")]
@@ -453,11 +464,13 @@ _MOMENTS_ORACLE = """
 WITH s AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
-         SUM(c) AS sc, SUM(c * c) AS sc2,
-         SUM(u) AS su, SUM(u * u) AS su2, SUM(c * u) AS scu
+         SUM(c) AS sc, SUM(cd * cd) AS sc2,
+         SUM(u) AS su, SUM(ud * ud) AS su2, SUM(cd * ud) AS scu
   FROM (
     SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c,
-           CAST(user_id AS BIGINT) AS u
+           CAST(user_id AS BIGINT) AS u,
+           CAST(ROUND(value * 100) AS DECIMAL(19,0)) AS cd,
+           CAST(user_id AS DECIMAL(19,0)) AS ud
     FROM events
   ) GROUP BY event_type
 ),
@@ -881,12 +894,6 @@ QUERIES: dict[str, QuerySpec] = {
         _QUANTILE_SAMPLE_ORACLE,
         "hash-rate-sampled quantile estimates with exact self-eval",
     ),
-    "a_stratified_sample": QuerySpec(
-        a_stratified_sample, _STRATIFIED_ORACLE, "per-class deterministic sampling"
-    ),
-    "t_tumbling_counts": QuerySpec(
-        t_tumbling_counts, _TUMBLING_ORACLE, "event-time tumbling-window agg"
-    ),
     "t_sliding_counts": QuerySpec(
         t_sliding_counts, _SLIDING_ORACLE, "event-time sliding-window agg (2h/1h)"
     ),
@@ -920,5 +927,21 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "a_histogram": QuerySpec(
         a_histogram, _HISTOGRAM_ORACLE, "equi-width integer-cent histogram"
+    ),
+}
+
+# r8 steady-state demotions (pytest-oracle tier; registry → 100 keys,
+# VERDICT r7 #2): a_stratified_sample's per-class deterministic-hash
+# gate is the windowed a_hash_sample's predicate applied per group
+# (and the weighted form is windowed as curation_weighted_sample);
+# t_tumbling_counts is t_sliding_counts with step = width — the
+# sliding key exercises the strictly more general window assignment.
+# Both keep their DuckDB value checks in tests/test_oracle_queries.py.
+DIAGNOSTICS: dict[str, QuerySpec] = {
+    "a_stratified_sample": QuerySpec(
+        a_stratified_sample, _STRATIFIED_ORACLE, "per-class deterministic sampling"
+    ),
+    "t_tumbling_counts": QuerySpec(
+        t_tumbling_counts, _TUMBLING_ORACLE, "event-time tumbling-window agg"
     ),
 }

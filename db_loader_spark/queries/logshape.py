@@ -496,6 +496,110 @@ FROM ev GROUP BY gennum
 """
 
 
+def p_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION-COMPATIBLE MERGE of the six single-expression parser keys
+    (r8 steady-state consolidation, VERDICT r7 #2 option 2): P1/P2 kv
+    split, P5/P6/P12 nil-skip, P7 trailing int, P13 key normalize, P16
+    uuid extract, P18 datetime format — each parser's FULL value
+    distribution lands in one hashed frame tagged by parser name, so
+    the merge spends one driver slot without weakening any parser's
+    external evidence (the per-parser functions stay importable and
+    keep their standalone oracles in DIAGNOSTICS).
+
+    Shape: (parser, key, cnt, metric). Grouped parsers emit their
+    distribution as (key → cnt); P7's scalar summary emits two rows
+    (avg_gen carried in `metric`, max_gen in `cnt`). Plan shape: six
+    independent scans (events ×3, part, documents ×2) unioned — each
+    sub-plan is the exact plan its standalone key compiled, so nothing
+    here shuffles differently at 100 TB than the six keys did."""
+
+    def _tag(name: str, df: DataFrame, key, cnt) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("parser"),
+            key.cast("string").alias("key"),
+            cnt.cast("long").alias("cnt"),
+            F.lit(None).cast("double").alias("metric"),
+        )
+
+    p7 = p7_trailing_int(spark, sf_dir)
+    p7_rows = p7.select(
+        F.lit("p7_trailing_int").alias("parser"),
+        F.lit("avg_gen").alias("key"),
+        F.col("n_matched").cast("long").alias("cnt"),
+        F.col("avg_gen").cast("double").alias("metric"),
+    ).unionByName(
+        p7.select(
+            F.lit("p7_trailing_int").alias("parser"),
+            F.lit("max_gen").alias("key"),
+            F.col("max_gen").cast("long").alias("cnt"),
+            F.lit(None).cast("double").alias("metric"),
+        )
+    )
+    parts = [
+        _tag("p1_kv_extract", p1_kv_extract(spark, sf_dir), F.col("k"), F.col("cnt")),
+        _tag(
+            "p5_nil_skip",
+            p5_nil_skip(spark, sf_dir),
+            F.col("lang_clean"),
+            F.col("cnt"),
+        ),
+        p7_rows,
+        _tag(
+            "p13_key_normalize",
+            p13_key_normalize(spark, sf_dir),
+            F.col("norm_name"),
+            F.col("cnt"),
+        ),
+        _tag(
+            "p16_uuid_extract",
+            p16_uuid_extract(spark, sf_dir),
+            F.col("uuid"),
+            F.col("n_files"),
+        ),
+        _tag(
+            "p18_datetime_format",
+            p18_datetime_format(spark, sf_dir),
+            F.col("hour_str"),
+            F.col("cnt"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _parse_suite_oracle() -> str:
+    def tag(name: str, sql: str, key: str, cnt: str) -> str:
+        return (
+            f"SELECT '{name}' AS parser, CAST({key} AS VARCHAR) AS key,"
+            f" CAST({cnt} AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS metric"
+            f" FROM ({sql}) t"
+        )
+
+    p7_avg = (
+        "SELECT 'p7_trailing_int' AS parser, 'avg_gen' AS key,"
+        " CAST(n_matched AS BIGINT) AS cnt, CAST(avg_gen AS DOUBLE) AS metric"
+        f" FROM ({_P7_ORACLE}) t"
+    )
+    p7_max = (
+        "SELECT 'p7_trailing_int' AS parser, 'max_gen' AS key,"
+        " CAST(max_gen AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS metric"
+        f" FROM ({_P7_ORACLE}) t"
+    )
+    return "\nUNION ALL\n".join(
+        [
+            tag("p1_kv_extract", _P1_ORACLE, "k", "cnt"),
+            tag("p5_nil_skip", _P5_ORACLE, "lang_clean", "cnt"),
+            p7_avg,
+            p7_max,
+            tag("p13_key_normalize", _P13_ORACLE, "norm_name", "cnt"),
+            tag("p16_uuid_extract", _P16_ORACLE, "uuid", "n_files"),
+            tag("p18_datetime_format", _P18_ORACLE, "hour_str", "cnt"),
+        ]
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "e2e_cli_ingest": QuerySpec(
         e2e_cli_ingest,
@@ -504,13 +608,24 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "j1_sessionize": QuerySpec(j1_sessionize, _J1_ORACLE, "J1 seq-split sessionizer"),
     "j2_section_routing": QuerySpec(j2_section_routing, _J2_ORACLE, "J2 section routing"),
+    "p_parse_suite": QuerySpec(
+        p_parse_suite,
+        _parse_suite_oracle(),
+        "P1/P5/P7/P13/P16/P18 parser suite, one tagged union frame",
+    ),
+    "p9_summary_parse": QuerySpec(p9_summary_parse, _P9_ORACLE, "P9 summary regex"),
+    "p14_continuation_merge": QuerySpec(p14_continuation_merge, _P14_ORACLE, "P14 merge"),
+    "jn5_sidecar_join": QuerySpec(jn5_sidecar_join, _JN5_ORACLE, "JN5 sidecar join"),
+}
+
+# The six merged parser keys keep their STANDALONE oracles here (the
+# suite hashes the same distributions externally; these entries keep
+# the per-parser isolation for pytest triage).
+DIAGNOSTICS: dict[str, QuerySpec] = {
     "p1_kv_extract": QuerySpec(p1_kv_extract, _P1_ORACLE, "P1/P2 kv split"),
     "p5_nil_skip": QuerySpec(p5_nil_skip, _P5_ORACLE, "P5 nil-skip filter"),
     "p7_trailing_int": QuerySpec(p7_trailing_int, _P7_ORACLE, "P7 trailing int"),
-    "p9_summary_parse": QuerySpec(p9_summary_parse, _P9_ORACLE, "P9 summary regex"),
     "p13_key_normalize": QuerySpec(p13_key_normalize, _P13_ORACLE, "P13 ws-strip"),
-    "p14_continuation_merge": QuerySpec(p14_continuation_merge, _P14_ORACLE, "P14 merge"),
     "p16_uuid_extract": QuerySpec(p16_uuid_extract, _P16_ORACLE, "P16 uuid extract"),
     "p18_datetime_format": QuerySpec(p18_datetime_format, _P18_ORACLE, "P18 datetime fmt"),
-    "jn5_sidecar_join": QuerySpec(jn5_sidecar_join, _JN5_ORACLE, "JN5 sidecar join"),
 }

@@ -278,16 +278,6 @@ QUERIES: dict[str, QuerySpec] = {
         _JPEG_ORACLE,
         "real baseline-JPEG encode->decode round trip (DCT/Huffman), features",
     ),
-    "multimodal_decode_png": QuerySpec(
-        multimodal_decode_png,
-        _PNG_ORACLE,
-        "real stdlib PNG encode->decode round trip (all 5 filters), features",
-    ),
-    "multimodal_decode_wav": QuerySpec(
-        multimodal_decode_wav,
-        _WAV_ORACLE,
-        "real stdlib WAV encode->decode round trip, feature extraction",
-    ),
     "multimodal_features": QuerySpec(
         multimodal_features, _MM_ORACLE, "binary payload mapInPandas features"
     ),
@@ -305,11 +295,27 @@ QUERIES: dict[str, QuerySpec] = {
 # remain value-checked against their DuckDB oracles by
 # tests/test_oracle_queries.py, and the codec itself stays under the
 # fuzz battery (tests/test_codec_fuzz.py, test_multimodal_codecs.py).
+# r8 adds the PNG and WAV arms to the same tier under the same
+# argument: all four codecs run through ONE mapInPandas slot whose
+# Spark-side plumbing (schema, batching, closure pickling) the
+# windowed JPEG key — the hardest codec (DCT/Huffman both directions)
+# — hashes every rotation; the per-format byte logic is pinned by the
+# 480-case fuzz battery and keeps its DuckDB value checks here.
 DIAGNOSTICS: dict[str, QuerySpec] = {
     "multimodal_decode_bmp": QuerySpec(
         multimodal_decode_bmp,
         _BMP_ORACLE,
         "real stdlib BMP encode->decode round trip, feature extraction",
+    ),
+    "multimodal_decode_png": QuerySpec(
+        multimodal_decode_png,
+        _PNG_ORACLE,
+        "real stdlib PNG encode->decode round trip (all 5 filters), features",
+    ),
+    "multimodal_decode_wav": QuerySpec(
+        multimodal_decode_wav,
+        _WAV_ORACLE,
+        "real stdlib WAV encode->decode round trip, feature extraction",
     ),
     "multimodal_embed_ann": QuerySpec(
         multimodal_embed_ann,

@@ -621,14 +621,19 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination fraction. Same split idiom as a_hash_sample, so the
     oracle replays it exactly. The wrapper settles: the flagged-doc
     result is materialized small, then the tracked eval-shingle cache
-    is released (cache.settle_drained)."""
+    is released (cache.settle_drained). r8: shuffle sizing scoped to
+    the input (the curation_e2e rule) around the settle."""
+    import os
+
     from db_loader_spark import cache
     from db_loader_spark.functions import dedup as D
+    from db_loader_spark.session import data_sized_shuffle
 
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'")
-    out = D.decontaminate(docs.filter(~is_bench), docs.filter(is_bench), n=3)
-    return cache.settle_drained(out)
+    with data_sized_shuffle(spark, os.path.join(sf_dir, "documents.parquet")):
+        out = D.decontaminate(docs.filter(~is_bench), docs.filter(is_bench), n=3)
+        return cache.settle_drained(out)
 
 
 _DECONTAM_ORACLE = """
@@ -1101,10 +1106,20 @@ QUERIES: dict[str, QuerySpec] = {
         text_repetition, _REPETITION_ORACLE, "repetition-ratio quality filter"
     ),
     "text_pii_scrub": QuerySpec(text_pii_scrub, _PII_ORACLE, "PII detect + redact"),
-    "text_bpe_token_count": QuerySpec(
-        text_bpe_token_count, _BPE_ORACLE, "BPE-ish subword token budget"
-    ),
     "text_quality_score": QuerySpec(text_quality_score, _QUALITY_ORACLE, "quality scoring"),
     "text_lang_id": QuerySpec(text_lang_id, _LANG_ORACLE, "language-ID heuristic"),
     "text_fingerprint": QuerySpec(text_fingerprint, _FP_ORACLE, "doc fingerprint"),
+}
+
+# r8 steady-state demotion (pytest-oracle tier; registry → 100 keys,
+# VERDICT r7 #2): the regex subword-budget statistic is externally
+# witnessed by the windowed text_bpe_pack, which prices its packing
+# in the SAME bpe_ish_tokens count — the trained-BPE apply path is a
+# different capability and stays in the registry (text_bpe_tokenize).
+# The value surface keeps its DuckDB oracle check in
+# tests/test_oracle_queries.py via diagnostic_queries().
+DIAGNOSTICS: dict[str, QuerySpec] = {
+    "text_bpe_token_count": QuerySpec(
+        text_bpe_token_count, _BPE_ORACLE, "BPE-ish subword token budget"
+    ),
 }

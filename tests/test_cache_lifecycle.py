@@ -33,7 +33,9 @@ def test_registry_queries_release_tracked_caches(spark):
     clear_ivf_cache()
     cache.release()
 
-    reg = all_queries()
+    from db_loader_spark.queries import diagnostic_queries
+
+    reg = {**all_queries(), **diagnostic_queries()}
     results = []
     for name in (
         "dedup_simhash",

@@ -52,7 +52,9 @@ def _reset_session_caches(name: str) -> None:
 
 @pytest.mark.parametrize("name", REPRESENTATIVE)
 def test_double_run_identical(spark, name):
-    spec = all_queries()[name]
+    from db_loader_spark.queries import diagnostic_queries
+
+    spec = {**all_queries(), **diagnostic_queries()}[name]
     _reset_session_caches(name)
     a = sorted(map(tuple, spec.spark(spark, SF).collect()))
     _reset_session_caches(name)

@@ -445,3 +445,60 @@ def test_subsplit_cells_partitions_rows_exactly(spark):
         base = r["cell"].split(":")[0]
         per_cell[base] = per_cell.get(base, 0) + 1
     assert per_cell == expected  # partition respects original cells
+
+
+def test_pq_disk_artifact_atomic_versioning(spark):
+    """r8 (VERDICT r7 #6): the PQ coded corpus + codebooks get the same
+    versioned-prefix + atomic-pointer commit the IVF index got in r7 —
+    pointer names a complete version, crash residue invisible, swept
+    by the next successful flip."""
+    import os
+
+    from db_loader_spark.queries.similarity import PQ_M, _pq_disk_artifact
+
+    sf = "/root/testdata/sf0.001"
+    vdir = _pq_disk_artifact(spark, sf)
+    base = os.path.dirname(os.path.dirname(vdir))
+    with open(os.path.join(base, "_CURRENT")) as fh:
+        assert fh.read() == os.path.basename(vdir)
+    for s in range(PQ_M):
+        assert os.path.isdir(os.path.join(vdir, f"book{s}"))
+    assert os.path.isdir(os.path.join(vdir, "codes"))
+    crashed = os.path.join(base, "versions", "deadbeefcrash")
+    os.makedirs(os.path.join(crashed, "codes"), exist_ok=True)
+    assert _pq_disk_artifact(spark, sf) == vdir  # still serves current
+    with open(os.path.join(base, "_CURRENT")) as fh:
+        assert fh.read() == os.path.basename(vdir)  # pointer untouched
+    os.remove(os.path.join(base, "_CURRENT"))
+    vdir2 = _pq_disk_artifact(spark, sf)
+    assert vdir2 == vdir  # same stamp → same version id
+    assert not os.path.isdir(crashed)  # residue swept after the flip
+
+
+def test_ivfpq_disk_artifact_atomic_versioning(spark):
+    """Same protocol for the IVF-PQ residual artifact; its stamp also
+    covers the coarse quantizer params (residual codes are meaningless
+    against a retrained coarse quantizer)."""
+    import os
+
+    from db_loader_spark.queries.similarity import (
+        PQ_M,
+        _ivfpq_disk_artifact,
+    )
+    from db_loader_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    vdir = _ivfpq_disk_artifact(spark, sf, emb)
+    base = os.path.dirname(os.path.dirname(vdir))
+    with open(os.path.join(base, "_CURRENT")) as fh:
+        assert fh.read() == os.path.basename(vdir)
+    for s in range(PQ_M):
+        assert os.path.isdir(os.path.join(vdir, f"book{s}"))
+    assert os.path.isdir(os.path.join(vdir, "coded"))
+    crashed = os.path.join(base, "versions", "deadbeefcrash")
+    os.makedirs(os.path.join(crashed, "coded"), exist_ok=True)
+    assert _ivfpq_disk_artifact(spark, sf, emb) == vdir
+    os.remove(os.path.join(base, "_CURRENT"))
+    assert _ivfpq_disk_artifact(spark, sf, emb) == vdir
+    assert not os.path.isdir(crashed)

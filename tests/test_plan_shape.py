@@ -29,7 +29,11 @@ def count_ops(plan: str, op: str) -> int:
 
 @pytest.fixture(scope="module")
 def plans(spark):
-    reg = all_queries()
+    from db_loader_spark.queries import diagnostic_queries
+
+    # plan-shape pins apply to demoted diagnostics too (their operator
+    # code is still shipped; r8 moved several plan-pinned keys there)
+    reg = {**all_queries(), **diagnostic_queries()}
 
     def plan(name: str) -> str:
         # plan_only: settling wrappers normally persist+materialize the
