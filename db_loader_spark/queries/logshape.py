@@ -521,18 +521,28 @@ def p_parse_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("metric"),
         )
 
-    p7 = p7_trailing_int(spark, sf_dir)
-    p7_rows = p7.select(
-        F.lit("p7_trailing_int").alias("parser"),
-        F.lit("avg_gen").alias("key"),
-        F.col("n_matched").cast("long").alias("cnt"),
-        F.col("avg_gen").cast("double").alias("metric"),
-    ).unionByName(
-        p7.select(
-            F.lit("p7_trailing_int").alias("parser"),
-            F.lit("max_gen").alias("key"),
-            F.col("max_gen").cast("long").alias("cnt"),
-            F.lit(None).cast("double").alias("metric"),
+    # p7's two output rows explode from ONE aggregate row — a union of
+    # two selects over the same agg would compile to two events scans
+    p7_rows = (
+        p7_trailing_int(spark, sf_dir)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("avg_gen").alias("key"),
+                        F.col("n_matched").cast("long").alias("cnt"),
+                        F.col("avg_gen").cast("double").alias("metric"),
+                    ),
+                    F.struct(
+                        F.lit("max_gen").alias("key"),
+                        F.col("max_gen").cast("long").alias("cnt"),
+                        F.lit(None).cast("double").alias("metric"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select(
+            F.lit("p7_trailing_int").alias("parser"), "r.key", "r.cnt", "r.metric"
         )
     )
     parts = [

@@ -39,7 +39,7 @@ from db_loader_spark.session import get_spark
 
 BASE_EVENTS = 60_000
 BASE_VECTORS = 4_000
-DIM = 16
+DIM = 64  # must match functions.similarity.EMBEDDING_DIM (testdata dim)
 
 
 def synth_dir(spark, scale: int) -> str:
