@@ -428,13 +428,15 @@ def a_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = F.col("user_id").cast("long")
     # Second-order sums accumulate as DECIMAL(38,0), not BIGINT: each
     # c*c term is ~1e12 (micro-cents squared), so ~1e7 rows per group
-    # already exceeds int64 — and non-ANSI Spark would WRAP silently
-    # while DuckDB promotes SUM(BIGINT) to HUGEINT, breaking the
-    # bit-identical-moments contract exactly at the scale this rewrite
-    # exists for (ADVICE r7). decimal(19,0)*decimal(19,0) →
-    # decimal(38,0) on both engines; 38 digits absorbs ~1e14 rows of
-    # 1e12-sized terms per group before overflow, at which point Spark
-    # raises/NULLs instead of wrapping — loud, not wrong.
+    # already exceeds int64 — under ANSI Spark (this deployment) the
+    # BIGINT sum then DIES with ARITHMETIC_OVERFLOW mid-query, and
+    # under non-ANSI it wraps silently while DuckDB promotes
+    # SUM(BIGINT) to HUGEINT; either way the bit-identical-moments
+    # contract breaks exactly at the scale this rewrite exists for
+    # (ADVICE r7; overflow behavior pinned by
+    # test_moments_decimal_channel_survives_bigint_overflow).
+    # decimal(19,0)*decimal(19,0) → decimal(38,0) on both engines; 38
+    # digits absorbs ~1e14 rows of 1e12-sized terms per group.
     cd = c.cast("decimal(19,0)")
     ud = u.cast("decimal(19,0)")
     m = e.groupBy("event_type").agg(

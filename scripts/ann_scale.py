@@ -37,6 +37,21 @@ BASE_VECTORS = 2_000  # driver sf0.1 scale as the 1x point
 DIM = 64
 
 
+def _sweep_artifact_bases(sf_dir: str) -> list[str]:
+    """The versioned on-disk PQ/IVF-PQ/IVF artifacts a sweep pass
+    creates for a SYNTHETIC corpus dir — removed with the corpus so
+    repeated sweeps don't accumulate orphaned index versions in /tmp
+    (the testdata corpora's artifacts are deliberately kept)."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return [
+        os.path.join(tempfile.gettempdir(), f"db_loader_{kind}_index_{key}")
+        for kind in ("ivf", "pq", "ivfpq")
+    ]
+
+
 def synth_dir(spark, scale: int) -> str:
     d = tempfile.mkdtemp(prefix=f"ann_scale_{scale}x_")
     n = BASE_VECTORS * scale
@@ -78,6 +93,8 @@ def main() -> None:
     for entry in Q._IVFPQ_INDEX.values():
         Q._evict_pq_entry(entry)
     Q._IVFPQ_INDEX.clear()
+    for b in _sweep_artifact_bases(warm):
+        shutil.rmtree(b, ignore_errors=True)
     shutil.rmtree(warm, ignore_errors=True)
     print("--- warm done, measured passes follow ---", flush=True)
     for scale in (1, 4, 16):
@@ -106,6 +123,8 @@ def main() -> None:
         for entry in Q._IVFPQ_INDEX.values():
             Q._evict_pq_entry(entry)
         Q._IVFPQ_INDEX.clear()
+        for b in _sweep_artifact_bases(d):
+            shutil.rmtree(b, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
 
 

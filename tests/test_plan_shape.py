@@ -510,3 +510,19 @@ def test_triangle_count_joins_all_broadcast(plans):
     assert s.count("BroadcastHashJoin") >= 4, s
     assert "SortMergeJoin" not in s, s
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_parse_suite_scans_are_pruned_and_single(plans):
+    """The r8 parser merge must keep the standalone keys' plan shape:
+    six FileScans (events props ×2 for p1/p7 + events ts, part,
+    documents lang + source — p7's two output rows explode from ONE
+    aggregate, not a second events scan), each reading exactly ONE
+    column (pruning pin), all JVM-side."""
+    import re
+
+    s = plans("p_parse_suite")
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", s)
+    assert len(scans) == 6, f"expected 6 scans, got {len(scans)}: {scans}"
+    for cols in scans:
+        assert "," not in cols, f"scan reads more than one column: {cols}"
