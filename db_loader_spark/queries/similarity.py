@@ -448,15 +448,27 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
     at a complete dir for it, serve that; otherwise ``build(vdir)``
     writes the whole artifact under ``versions/<id>/`` and the pointer
     flips via write-temp + rename ONLY after the build returns.
-    A crashed build leaves an unreferenced version dir, swept after
+    A crashed build leaves an unreferenced scratch dir, swept after
     the next successful flip; a reader resolving mid-rebuild serves
-    the complete old version until the flip."""
+    the complete old version until the flip.
+
+    CONCURRENT BUILDERS (r8): two processes resolving the same stamp
+    simultaneously (a bench run and a test session were observed doing
+    exactly this) must not interleave writes into one version dir.
+    Each builder writes into its OWN scratch prefix and RENAMES it to
+    ``versions/<id>/`` when complete — rename into an existing name
+    fails on POSIX for non-empty dirs, so exactly one builder lands
+    the artifact and the loser discards its identical scratch copy
+    (same stamp ⇒ same deterministic bytes, so either copy is
+    correct)."""
     import hashlib
     import os
     import shutil
+    import uuid as _uuid
 
     vid = hashlib.md5(stamp.encode()).hexdigest()[:12]
-    vdir = os.path.join(base, "versions", vid)
+    vroot = os.path.join(base, "versions")
+    vdir = os.path.join(vroot, vid)
     cur = os.path.join(base, "_CURRENT")
     try:
         with open(cur) as f:
@@ -464,15 +476,35 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
                 return vdir
     except OSError:
         pass
-    shutil.rmtree(vdir, ignore_errors=True)  # crashed prior attempt
-    os.makedirs(vdir, exist_ok=True)
-    build(vdir)
+    if not os.path.isdir(vdir):
+        scratch = os.path.join(vroot, f".build-{vid}-{_uuid.uuid4().hex[:8]}")
+        os.makedirs(scratch, exist_ok=True)
+        build(scratch)
+        try:
+            os.rename(scratch, vdir)  # atomic: first complete build wins
+        except OSError:
+            # another builder landed the same version first; ours is an
+            # identical deterministic copy — discard it
+            shutil.rmtree(scratch, ignore_errors=True)
     with open(cur + ".tmp", "w") as f:
         f.write(vid)
     os.replace(cur + ".tmp", cur)  # THE commit point: one atomic rename
-    for old in os.listdir(os.path.join(base, "versions")):
-        if old != vid:
-            shutil.rmtree(os.path.join(base, "versions", old), ignore_errors=True)
+    import time as _time
+
+    for old in os.listdir(vroot):
+        if old == vid:
+            continue
+        p = os.path.join(vroot, old)
+        if old.startswith(".build-"):
+            # a LIVE concurrent builder's scratch must not be swept out
+            # from under it — only reap scratch dirs stale enough to be
+            # crash residue (no build here takes an hour)
+            try:
+                if _time.time() - os.path.getmtime(p) < 3600:
+                    continue
+            except OSError:
+                continue
+        shutil.rmtree(p, ignore_errors=True)  # superseded version / residue
     return vdir
 
 

@@ -502,3 +502,46 @@ def test_ivfpq_disk_artifact_atomic_versioning(spark):
     os.remove(os.path.join(base, "_CURRENT"))
     assert _ivfpq_disk_artifact(spark, sf, emb) == vdir
     assert not os.path.isdir(crashed)
+
+
+def test_versioned_artifact_concurrent_builder_semantics(tmp_path):
+    """r8 hardening of the shared artifact protocol: builders write
+    into private scratch prefixes and RENAME into place — exactly one
+    lands the version; an existing complete version is adopted without
+    rebuilding; a LIVE concurrent builder's scratch dir survives the
+    winner's sweep while stale crash residue is reaped."""
+    import os
+    import time
+
+    from db_loader_spark.queries.similarity import _versioned_artifact
+
+    base = str(tmp_path / "art")
+    calls = []
+
+    def build(vdir):
+        calls.append(vdir)
+        with open(os.path.join(vdir, "payload"), "w") as fh:
+            fh.write("x")
+
+    v1 = _versioned_artifact(base, "stamp-a", build)
+    assert len(calls) == 1 and os.path.isfile(os.path.join(v1, "payload"))
+    assert ".build-" in calls[0] and calls[0] != v1  # built in scratch
+    # resolve again: served from _CURRENT, no rebuild
+    assert _versioned_artifact(base, "stamp-a", build) == v1
+    assert len(calls) == 1
+    # pointer lost but version dir complete -> adopt, never rebuild
+    os.remove(os.path.join(base, "_CURRENT"))
+    assert _versioned_artifact(base, "stamp-a", build) == v1
+    assert len(calls) == 1
+    # a FRESH concurrent scratch survives the sweep; a stale one is reaped
+    vroot = os.path.join(base, "versions")
+    live = os.path.join(vroot, ".build-other-live")
+    stale = os.path.join(vroot, ".build-other-stale")
+    os.makedirs(live)
+    os.makedirs(stale)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    _versioned_artifact(base, "stamp-b", build)  # new version, sweeps
+    assert os.path.isdir(live)
+    assert not os.path.isdir(stale)
+    assert not os.path.isdir(v1)  # superseded version swept
