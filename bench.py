@@ -147,7 +147,18 @@ def _timed_runs(fn, reset=None, n: int = N_TIMED) -> tuple[float, float]:
         one()
     runs.sort()
     med = runs[len(runs) // 2]
-    spread = (runs[-1] - runs[0]) / med if med > 0 else 0.0
+    if len(runs) > n:
+        # adaptive rows: the FULL range grows with sample count by
+        # construction (a 5-sample max-min reads wider than a 3-sample
+        # one on identical noise — measured: suite band 0.171 → 0.229
+        # from the extra samples alone), which would make the band
+        # incomparable across row types. Trim one extreme per side so
+        # the reported spread is the middle-3 range — the same
+        # statistic the 3-sample rows report — while the median keeps
+        # the benefit of all 5 samples.
+        spread = (runs[-2] - runs[1]) / med if med > 0 else 0.0
+    else:
+        spread = (runs[-1] - runs[0]) / med if med > 0 else 0.0
     return round(med, 4), round(spread, 3)
 
 

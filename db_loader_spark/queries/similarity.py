@@ -716,10 +716,12 @@ _PQ_INDEX_MAX = 2
 
 def _evict_pq_entry(entry: tuple[list[DataFrame], DataFrame]) -> None:
     """Release EVERY pinned block an index entry holds: the persisted
-    coded corpus AND the M localCheckpointed codebooks (checkpoint
-    blocks are MEMORY_AND_DISK persists under the hood — evicting only
-    `coded` leaked M book frames per entry across a long driver
-    session running all three ANN families; ADVICE/VERDICT r7)."""
+    coded corpus and any codebook blocks (VERDICT r7: evicting only
+    `coded` leaked book frames per entry across a long driver session
+    running all three ANN families). Since the r8 disk-artifact
+    refactor the cached books are plain parquet reads — unpersist is a
+    safe no-op there, and this stays correct for any future entry that
+    persists its books again."""
     books, coded = entry
     coded.unpersist()
     for b in books:
