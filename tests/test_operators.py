@@ -545,3 +545,29 @@ def test_versioned_artifact_concurrent_builder_semantics(tmp_path):
     assert os.path.isdir(live)
     assert not os.path.isdir(stale)
     assert not os.path.isdir(v1)  # superseded version swept
+
+
+def test_pq_artifact_rebuild_is_deterministic(spark):
+    """The artifact boundary must not introduce nondeterminism: wiping
+    the versioned PQ artifact and rebuilding from the same source must
+    reproduce the coded corpus row-for-row (the exact-integer trainer
+    contract, now pinned ACROSS the disk round trip — a drift here
+    would mean serving results depend on which process happened to
+    build the artifact)."""
+    import os
+    import shutil
+
+    from db_loader_spark.queries.similarity import _pq_disk_artifact
+
+    sf = "/root/testdata/sf0.001"
+    v1 = _pq_disk_artifact(spark, sf)
+    codes1 = sorted(
+        map(tuple, spark.read.parquet(os.path.join(v1, "codes")).collect())
+    )
+    base = os.path.dirname(os.path.dirname(v1))
+    shutil.rmtree(base)  # wipe versions + pointer: force a full rebuild
+    v2 = _pq_disk_artifact(spark, sf)
+    codes2 = sorted(
+        map(tuple, spark.read.parquet(os.path.join(v2, "codes")).collect())
+    )
+    assert codes1 == codes2
