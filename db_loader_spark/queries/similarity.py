@@ -460,7 +460,28 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
     fails on POSIX for non-empty dirs, so exactly one builder lands
     the artifact and the loser discards its identical scratch copy
     (same stamp ⇒ same deterministic bytes, so either copy is
-    correct)."""
+    correct).
+
+    COMPLETENESS SENTINEL (r9, ADVICE r8): a version dir is adopted
+    WITHOUT rebuilding only if it carries the ``_COMPLETE`` sentinel,
+    written into the scratch as the build's LAST file so the atomic
+    rename publishes data and proof together. A sentinel-less dir at
+    the version path (residue of the pre-r8 build-in-place protocol,
+    or any non-rename writer) is a crashed partial — it is removed
+    and rebuilt instead of being committed as current. The
+    ``_CURRENT``-named fast path skips the check: the pointer only
+    ever flips after a complete build lands, so pointer ⇒ complete.
+
+    DELAYED VACUUM (r9, VERDICT r8 #3): the post-flip sweep age-gates
+    version dirs exactly like ``.build-`` scratch (1 h mtime), for two
+    live-reader races the immediate reap allowed: (a) two builders
+    resolving DIFFERENT stamps concurrently — the first flipper's
+    sweep deleted the other's just-landed version before its pointer
+    flip, leaving ``_CURRENT`` naming a missing dir; (b) a session
+    cache holding lazy (unpersisted) parquet scans of a superseded
+    version — its next action would hit FileNotFound mid-plan. An
+    hour bounds both (no build or cached serve spans one); a shared
+    store would vacuum on retention like sinks/manifest.vacuum."""
     import hashlib
     import os
     import shutil
@@ -476,10 +497,18 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
                 return vdir
     except OSError:
         pass
+    if os.path.isdir(vdir) and not os.path.exists(
+        os.path.join(vdir, "_COMPLETE")
+    ):
+        # sentinel-less dir at the version path: crashed partial from a
+        # non-rename writer — never adopt; rebuild from scratch
+        shutil.rmtree(vdir, ignore_errors=True)
     if not os.path.isdir(vdir):
         scratch = os.path.join(vroot, f".build-{vid}-{_uuid.uuid4().hex[:8]}")
         os.makedirs(scratch, exist_ok=True)
         build(scratch)
+        with open(os.path.join(scratch, "_COMPLETE"), "w") as f:
+            f.write(stamp)  # last write: rename publishes data + proof
         try:
             os.rename(scratch, vdir)  # atomic: first complete build wins
         except OSError:
@@ -495,16 +524,17 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
         if old == vid:
             continue
         p = os.path.join(vroot, old)
-        if old.startswith(".build-"):
-            # a LIVE concurrent builder's scratch must not be swept out
-            # from under it — only reap scratch dirs stale enough to be
-            # crash residue (no build here takes an hour)
-            try:
-                if _time.time() - os.path.getmtime(p) < 3600:
-                    continue
-            except OSError:
+        # DELAYED VACUUM: both superseded versions and scratch dirs are
+        # reaped only once stale (see docstring) — a live concurrent
+        # builder's scratch OR just-landed different-stamp version, and
+        # a live session's lazy scans of the superseded version, must
+        # not lose their files mid-protocol (no build/serve spans 1 h)
+        try:
+            if _time.time() - os.path.getmtime(p) < 3600:
                 continue
-        shutil.rmtree(p, ignore_errors=True)  # superseded version / residue
+        except OSError:
+            continue
+        shutil.rmtree(p, ignore_errors=True)  # stale version / residue
     return vdir
 
 

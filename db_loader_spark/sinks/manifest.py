@@ -174,10 +174,29 @@ def publish(
         # reference — restaging would delete files concurrent readers
         # resolve (torn reads) and an append would list data/<sid>
         # twice (inherited from parent + new_files), double-counting
-        # rows. The two cases are locally indistinguishable, so a
-        # committed-or-possibly-committed token is never a safe retry:
-        # only a never-committed sid (no manifest on disk) may restage.
-        # Callers retry with a FRESH token on top of the new current.
+        # rows. The two cases ARE locally distinguishable (r9, ADVICE
+        # r8): the on-disk manifest records the snapshot it superseded,
+        # and no operation ever moves the pointer BACKWARD (every
+        # publish/merge/compact commits a child of the observed
+        # current; vacuum keeps manifests), so
+        #   manifest.parent == observed  ⇔  the pointer never flipped —
+        # the crash case. Manifest and staged data are complete (the
+        # manifest is written AFTER its data files, both atomically),
+        # so the correct recovery is to FINISH the commit: flip the
+        # pointer and return. Treating this as unretryable made a
+        # persistent-checkpoint stream permanently wedged — foreachBatch
+        # derives sid from the epoch id and cannot mint a fresh token,
+        # so the restart re-raised forever until manual cleanup.
+        # Any other parent means the token committed earlier and was
+        # since superseded — replaying it would tear the live lineage,
+        # so the caller must retry with a FRESH token on the new
+        # current. (If a rollback/restore op is ever added, it must
+        # tombstone rolled-back manifests so this test stays sound.)
+        if _manifest(root, sid).get("parent") == observed:
+            with open(cur + ".tmp", "w") as fh:
+                fh.write(sid)
+            os.replace(cur + ".tmp", cur)  # finish the torn commit
+            return sid
         raise RuntimeError(
             f"snapshot token {sid!r} already has a committed manifest at "
             f"{root!r} but is not the current snapshot "

@@ -475,6 +475,45 @@ def test_replay_of_superseded_snapshot_is_refused(spark, tmp_path):
     assert M.read_current(spark, root).count() == 15
 
 
+def test_replay_after_pre_flip_crash_completes_the_commit(spark, tmp_path):
+    """r9 (ADVICE r8): a crash in the one-instruction window between
+    manifest write and pointer flip leaves manifest.parent == observed
+    current — a state no other operation can produce (nothing moves
+    the pointer backward). The replay must FINISH the commit (flip the
+    pointer, no restage) rather than raise: foreachBatch derives sid
+    from the epoch id and cannot mint a fresh token, so refusing here
+    permanently wedged a persistent-checkpoint stream on restart."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
+    M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    # simulate the pre-flip crash: manifest + staged data for epoch-1
+    # are complete but the pointer still names its parent
+    cur = os.path.join(root, M._CURRENT)
+    with open(cur, "w") as fh:
+        fh.write("epoch-0")
+    staged = os.path.join(root, "data", "epoch-1")
+    before = {
+        f: os.stat(os.path.join(staged, f)).st_mtime_ns
+        for f in os.listdir(staged)
+    }
+    out = M.publish(
+        spark.range(10, 15), root, snapshot_id="epoch-1", append=True
+    )
+    assert out == "epoch-1"
+    assert M.current_snapshot(root) == "epoch-1"  # commit finished
+    after = {
+        f: os.stat(os.path.join(staged, f)).st_mtime_ns
+        for f in os.listdir(staged)
+    }
+    assert after == before  # completed by pointer flip, never restaged
+    assert M.read_current(spark, root).count() == 15
+    # and the recovery is idempotent: a second replay is the no-op path
+    assert M.publish(
+        spark.range(10, 15), root, snapshot_id="epoch-1", append=True
+    ) == "epoch-1"
+    assert M.read_current(spark, root).count() == 15
+
+
 def test_never_committed_token_may_restage(spark, tmp_path):
     """The guard must NOT break genuine crash recovery: a sid whose
     staging wrote data files but CRASHED before its manifest landed

@@ -363,8 +363,10 @@ def test_ivf_disk_index_atomic_versioning(spark):
     """The r7 versioned-prefix commit for the on-disk IVF index: the
     pointer names a COMPLETE version; crash residue (a partial version
     dir that never got the pointer flip) is invisible to serving and
-    swept by the next successful build."""
+    swept by the next successful build once stale (r9: delayed
+    vacuum)."""
     import os
+    import time
 
     from db_loader_spark.queries.similarity import _ivf_disk_index
 
@@ -384,9 +386,11 @@ def test_ivf_disk_index_atomic_versioning(spark):
     # version; the crashed dir is swept only by the next real build —
     # force one by dropping the pointer
     os.remove(os.path.join(base, "_CURRENT"))
+    old = time.time() - 7200
+    os.utime(crashed, (old, old))  # age past the delayed-vacuum gate
     vdir2 = _ivf_disk_index(spark, sf)
     assert vdir2 == vdir  # same stamp → same version id
-    assert not os.path.isdir(crashed)  # residue swept after the flip
+    assert not os.path.isdir(crashed)  # stale residue swept after flip
 
 
 def test_data_sized_shuffle_restores_on_exception(spark):
@@ -451,8 +455,9 @@ def test_pq_disk_artifact_atomic_versioning(spark):
     """r8 (VERDICT r7 #6): the PQ coded corpus + codebooks get the same
     versioned-prefix + atomic-pointer commit the IVF index got in r7 —
     pointer names a complete version, crash residue invisible, swept
-    by the next successful flip."""
+    by the next successful flip once stale (r9: delayed vacuum)."""
     import os
+    import time
 
     from db_loader_spark.queries.similarity import PQ_M, _pq_disk_artifact
 
@@ -470,9 +475,11 @@ def test_pq_disk_artifact_atomic_versioning(spark):
     with open(os.path.join(base, "_CURRENT")) as fh:
         assert fh.read() == os.path.basename(vdir)  # pointer untouched
     os.remove(os.path.join(base, "_CURRENT"))
+    old = time.time() - 7200
+    os.utime(crashed, (old, old))  # age past the delayed-vacuum gate
     vdir2 = _pq_disk_artifact(spark, sf)
     assert vdir2 == vdir  # same stamp → same version id
-    assert not os.path.isdir(crashed)  # residue swept after the flip
+    assert not os.path.isdir(crashed)  # stale residue swept after flip
 
 
 def test_ivfpq_disk_artifact_atomic_versioning(spark):
@@ -480,6 +487,7 @@ def test_ivfpq_disk_artifact_atomic_versioning(spark):
     covers the coarse quantizer params (residual codes are meaningless
     against a retrained coarse quantizer)."""
     import os
+    import time
 
     from db_loader_spark.queries.similarity import (
         PQ_M,
@@ -500,6 +508,8 @@ def test_ivfpq_disk_artifact_atomic_versioning(spark):
     os.makedirs(os.path.join(crashed, "coded"), exist_ok=True)
     assert _ivfpq_disk_artifact(spark, sf, emb) == vdir
     os.remove(os.path.join(base, "_CURRENT"))
+    old = time.time() - 7200
+    os.utime(crashed, (old, old))  # age past the delayed-vacuum gate
     assert _ivfpq_disk_artifact(spark, sf, emb) == vdir
     assert not os.path.isdir(crashed)
 
@@ -544,7 +554,60 @@ def test_versioned_artifact_concurrent_builder_semantics(tmp_path):
     _versioned_artifact(base, "stamp-b", build)  # new version, sweeps
     assert os.path.isdir(live)
     assert not os.path.isdir(stale)
-    assert not os.path.isdir(v1)  # superseded version swept
+    # r9 (VERDICT r8 #3): superseded versions get the SAME age gate as
+    # scratch — a live session's lazy scans of v1 must not lose their
+    # files at the flip; v1 is reaped only by a later flip's delayed
+    # vacuum once stale
+    assert os.path.isdir(v1)
+    old = time.time() - 7200
+    os.utime(v1, (old, old))
+    # a re-resolve of the CURRENT stamp fast-paths without sweeping —
+    # only the next pointer FLIP (a new stamp) runs the vacuum
+    _versioned_artifact(base, "stamp-c", build)
+    assert not os.path.isdir(v1)  # stale superseded version swept
+
+
+def test_versioned_artifact_two_stamp_delayed_vacuum(tmp_path):
+    """r9 (VERDICT r8 #3 + ADVICE r8): (a) a sentinel-less dir at the
+    version path is a crashed partial (pre-r8 in-place writer residue)
+    — rebuilt, never adopted as current; (b) the post-flip sweep
+    age-gates VERSION dirs like scratch, so a concurrent builder
+    resolving a DIFFERENT stamp (corpus re-ship during serving) keeps
+    its just-landed version through the other builder's flip."""
+    import os
+    import time
+
+    from db_loader_spark.queries.similarity import _versioned_artifact
+
+    base = str(tmp_path / "art")
+    calls = []
+
+    def build(vdir):
+        calls.append(vdir)
+        with open(os.path.join(vdir, "payload"), "w") as fh:
+            fh.write("x")
+
+    # (a) sentinel written last, inside the atomic rename
+    v_a = _versioned_artifact(base, "stamp-a", build)
+    assert os.path.isfile(os.path.join(v_a, "_COMPLETE"))
+    os.remove(os.path.join(base, "_CURRENT"))
+    os.remove(os.path.join(v_a, "_COMPLETE"))  # simulate a partial dir
+    assert _versioned_artifact(base, "stamp-a", build) == v_a
+    assert len(calls) == 2  # rebuilt — a partial is never adopted
+    assert os.path.isfile(os.path.join(v_a, "_COMPLETE"))
+
+    # (b) two builders, two stamps: B lands stamp-b and flips; A then
+    # re-flips stamp-a — A's sweep must NOT reap B's fresh version
+    v_b = _versioned_artifact(base, "stamp-b", build)
+    assert len(calls) == 3
+    assert _versioned_artifact(base, "stamp-a", build) == v_a
+    assert os.path.isdir(v_b)  # B's just-landed version survives A's flip
+    assert _versioned_artifact(base, "stamp-b", build) == v_b
+    assert len(calls) == 3  # both adoptions served complete versions
+    # delayed vacuum: only once stale is the superseded version reaped
+    os.utime(v_b, (time.time() - 7200,) * 2)
+    _versioned_artifact(base, "stamp-a", build)
+    assert not os.path.isdir(v_b)
 
 
 def test_pq_artifact_rebuild_is_deterministic(spark):
