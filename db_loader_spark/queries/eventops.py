@@ -439,6 +439,12 @@ def a_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # digits absorbs ~1e14 rows of 1e12-sized terms per group.
     cd = c.cast("decimal(19,0)")
     ud = u.cast("decimal(19,0)")
+    # First-order sums (sc, su) stay BIGINT deliberately: terms are
+    # ~1e8 (micro-cents at value≈1e6, user ids), so int64's ~9.2e18
+    # headroom holds to ~9e12 rows PER GROUP — beyond a 100 TB table's
+    # per-key cardinality by orders of magnitude, and both engines sum
+    # them exactly (DuckDB in HUGEINT, cast back). Only the ~1e12-
+    # sized second-order terms need the DECIMAL channel above.
     m = e.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sum(c).alias("sc"),
