@@ -81,7 +81,7 @@ HEADLINE = [
     "cdc_snapshot_diff",  # manifest publish -> time travel -> row delta
     "a_profile_stats",  # one-pass N-column profile
     "a_table_fingerprint",  # order-insensitive integrity checksum
-    "a_quantile_sample",  # 1/16 hash-rate sample quantiles, one scan
+    "a_quantile_sketch",  # stored bottom-k mergeable quantile sketch
     "a_moments",  # one-pass stddev + Pearson corr per group
     "t_snapshot_incremental",  # delta-only agg over append commits
     "t_snapshot_upsert",  # copy-on-write MERGE commit + merged-state agg

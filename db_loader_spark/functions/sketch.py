@@ -391,3 +391,152 @@ def quantile_sample(
         cols.append(F.round(F.element_at("qe", i), 4).alias(f"{tag}_est"))
         cols.append(F.round(F.element_at("qx", i), 4).alias(f"{tag}_exact"))
     return agg.select(*cols)
+
+# ---- Bottom-k canonical quantile sketch (Cohen & Kaplan, 2007) ----
+#
+# The STORED-STATE quantile member of the family (KMV: distinct, CMS:
+# frequency, HLL: distinct-compact, Bloom: membership, rate-sample:
+# one-shot quantiles). quantile_sample above is a map-side filter
+# whose SAMPLE GROWS WITH n — at 100 TB a 1/16 sample is still ~6 TB,
+# too big to store per table as a profile, and `percentile` over it
+# collects per-group value lists. This sketch is the opposite
+# tradeoff: CONSTANT state — the k rows with the smallest
+# deterministic hash per group — that a profiling pass can persist
+# next to every snapshot and maintain incrementally (bottom-k of
+# (stored sketch ∪ new batch's bottom-k) = bottom-k of the union;
+# exactly the KMV merge identity, applied to rows instead of distinct
+# values).
+#
+# Why bottom-k and not KLL/t-digest (Karnin-Lang-Liberty 2016; the
+# verdict's suggestion): KLL's compactor state is a function of
+# ARRIVAL AND MERGE ORDER — two correct engines (or two shardings of
+# the same corpus) legitimately hold different bytes, so its merge
+# theorem can only ever be tested statistically, and a cross-engine
+# value-hash equality (this repo's entire external evidence model) is
+# unobtainable. Bottom-k is a CANONICAL function of the row multiset:
+# any sharding, any merge tree, any engine lands the identical k
+# rows. The price is rank error O(sqrt(q(1-q)/k)) (uniform-sample
+# order statistics) instead of KLL's O(1/k) at equal k — stated, not
+# hidden; at the profile-sketch sizes this repo ships (k=128) that is
+# ~4% rank error, the regime where column profiles live. The driver
+# row for a_quantile_sketch witnesses the merge theorem itself: Spark
+# runs the sharded two-level plan, DuckDB replays the one-pass form,
+# and the hashes must agree bit-for-bit.
+
+QSK_K = 128  # per-group stored rows; rank error ~ sqrt(q(1-q)/k)
+QSK_SHARDS = 8  # stage-1 fan-in of the two-level demonstration plan
+
+
+def qsk_hash(key_col: str) -> F.Column:
+    """Deterministic uniform fraction in [0,1) for a ROW key: 'qsk:'-
+    salted md5 52-bit prefix (exact in an IEEE double — see kmv_hash)."""
+    return (
+        F.expr(
+            f"CAST(conv(substring(md5(concat('qsk:', CAST({key_col} AS STRING))),"
+            f" 1, {KMV_BITS // 4}), 16, 10) AS BIGINT)"
+        )
+        / F.lit(KMV_DENOM)
+    )
+
+
+def bottom_k_sketch(
+    rows: DataFrame, k: int = QSK_K, shards: int | None = QSK_SHARDS
+) -> DataFrame:
+    """The sketch itself: per-group bottom-k rows by deterministic row
+    hash, from a (grp, v, key) frame — (grp, v, h, rn) with rn the
+    1-based hash rank.
+
+    With ``shards``, the plan is the two-level fleet shape: stage 1
+    bounds every (grp, shard) to k rows (the per-executor / per-site
+    state), stage 2 merges the ≤ shards*k survivors per group.
+    Canonicality makes the shard count semantics-free — shards=None
+    (one-pass), shards=1, and any other sharding produce the
+    identical frame, which tests/test_sketch.py pins bit-for-bit."""
+    b = rows.select("grp", "v", "key", qsk_hash("key").alias("h"))
+    if shards is not None:
+        w1 = W.partitionBy("grp", "shard").orderBy("h", "key")
+        b = (
+            b.withColumn("shard", F.pmod("key", F.lit(shards)))
+            .withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= k)
+            .drop("rn", "shard")
+        )
+    w2 = W.partitionBy("grp").orderBy("h", "key")
+    return (
+        b.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("key")
+    )
+
+
+def quantile_sketch(
+    pairs: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = QSK_K,
+    shards: int | None = QSK_SHARDS,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group quantile estimates from the stored bottom-k sketch,
+    exact type-1 quantiles alongside (the ann_recall self-eval shape
+    every estimator here ships; the exact channel is the small-SF
+    verifier luxury — production persists only the sketch rows).
+
+    ``value_col`` must be integer-valued (cents, ids, counts): every
+    output is then a BIGINT an external engine hashes exactly.
+    Estimate = the ceil(q * k_eff)-th smallest sketch value; exact =
+    the ceil(q * n)-th smallest corpus value (type-1 / lower
+    empirical quantile on both sides — no interpolation, no FP)."""
+    rows = pairs.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        F.col(key_col).alias("key"),
+    )
+    sk = bottom_k_sketch(rows, k=k, shards=shards)
+    wg = W.partitionBy("grp")
+    # rn is the HASH rank (which rows are in the sketch); quantile
+    # selection needs the VALUE rank within the sample — rv. The h
+    # tiebreak keeps the row order total; tied values make the
+    # selected v identical either way (type-1 quantile of the sample).
+    wv = W.partitionBy("grp").orderBy("v", "h")
+    ke = sk.withColumn("k_eff", F.max("rn").over(wg)).withColumn(
+        "rv", F.row_number().over(wv)
+    )
+    est = ke.groupBy("grp").agg(
+        F.max("k_eff").cast("long").alias("k_eff"),
+        *[
+            F.max(
+                F.when(
+                    F.col("rv")
+                    == F.greatest(
+                        F.lit(1), F.ceil(F.lit(q) * F.col("k_eff"))
+                    ),
+                    F.col("v"),
+                )
+            ).alias(f"p{round(q * 100)}_est")
+            for q in quantiles
+        ],
+    )
+    wx = W.partitionBy("grp").orderBy("v", "key")
+    ranked = rows.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "n", F.count("*").over(wg)
+    )
+    exact = ranked.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"),
+        *[
+            F.max(
+                F.when(
+                    F.col("rx")
+                    == F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("n"))),
+                    F.col("v"),
+                )
+            ).alias(f"p{round(q * 100)}_exact")
+            for q in quantiles
+        ],
+    )
+    cols = [F.col("grp").alias(group_col), "n", "k_eff"]
+    for q in quantiles:
+        tag = f"p{round(q * 100)}"
+        cols += [F.col(f"{tag}_est"), F.col(f"{tag}_exact")]
+    return est.join(exact, "grp").select(*cols)

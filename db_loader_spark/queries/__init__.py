@@ -105,75 +105,79 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
 # so a miscounted edit can't silently shift which keys get witnessed.
 DRIVER_WINDOW_SIZE = 50
 
-# ROUND-8 WINDOW. CORRECTNESS_r07 came back EMPTY ({} — a driver-
-# harness failure; the same registry benched fine minutes later), so
-# the r7 window got ZERO external rows and VERDICT r7 #1 ordered this
-# round to re-front the unwitnessed cohorts rather than rotate past
-# them. Priority: (a) every key with NO driver row EVER — the 24 r6
-# NEXT_UP keys (still unwitnessed after the r7 artifact loss), the r7
-# newcomers e2e_cli_ingest + text_pack_bins, the 5 r7 NEXT_UP keys,
-# and the new p_parse_suite — 32 slots; (b) rule-2 touches of this
-# round and r7-touched-but-unwitnessed keys — 5 slots; (c) the
-# stalest r5-evidence keys (VERDICT r7 #3's named cohort) — 13 slots.
-# The r5-evidence keys that still don't fit (q1/q3/q5/q10/top-k, the
-# a1-a7 aggregates, w_running_sum/w_topk, set_ops/rollup/eav, p10,
-# dedup_exact, the ANN quartet minus the three below) ride one more
-# round on local both-SF re-verification and front r9 — never-
-# witnessed wins over stale-but-witnessed, per the verdict.
+# ROUND-9 WINDOW. CORRECTNESS_r08 came back EMPTY again ({} — same
+# driver-harness failure class as r07; the driver's bench ran the
+# identical registry fine the same session), so the r8 prep note's
+# contingency applies LITERALLY (VERDICT r8 #1): this is the SAME 50
+# keys as the r8 window — the never-witnessed cohort still has zero
+# driver rows ever — with exactly one substitution forced by the
+# round's only registry change (a_quantile_sketch supersedes the
+# demoted a_quantile_sample at its slot; rule 2 — new key must be
+# witnessed the round it lands). The staged r9 rotation (the other
+# 50 keys, prep note below) moves to r10.
+#
+# HARNESS INSURANCE (VERDICT r8 #4): the list is ordered CHEAPEST
+# FIRST by measured per-key sweep cost at sf0.01 (Spark + DuckDB
+# oracle wall time, scripts/window_cost.py) — if the external
+# harness dies on a wall-clock cap mid-sweep, a prefix run now lands
+# the maximum number of rows. Ordering is evidence-neutral: the
+# driver checks set membership of the first 50, and all 50 are the
+# contingency cohort either way.
+# Cohort tags (the r8 triage, carried): [a] = zero driver rows ever,
+# [b] = touched r7/r8 and still unwitnessed, [c] = stalest r5-evidence
+# keys. Trailing number = measured sf0.01 sweep cost (Spark + oracle,
+# scripts/window_cost.py, 2026-08-15; suite total 82.6 s).
 WINDOW = [
-    # — (a) zero driver rows ever —
-    "text_bm25_topk",
-    "curation_weighted_sample",
-    "curation_dsir_weight",
-    "ann_ivf_disk_topk",
-    "t_stream_mview",
-    "t_sliding_counts",
-    "text_cms_topk",
-    "jn_fuzzy_join",
-    "w_moving_avg",
-    "a_hll_distinct",
-    "dedup_bloom_prefilter",
-    "t_stream_sessions",
-    "cdc_snapshot_diff",  # r8: manifest superseded-replay guard (rule 2)
-    "a_profile_stats",
-    "a_histogram",
-    "a_table_fingerprint",
-    "g_triangle_count",
-    "g_pagerank",
-    "a_quantile_sample",
-    "scan_manifest_pruned",  # r8: manifest guard (rule 2)
-    "t_snapshot_incremental",  # r8: manifest guard (rule 2)
-    "t_snapshot_upsert",  # r8: manifest guard (rule 2)
-    "t_sliding_hll",
-    "a_moments",  # r8: DECIMAL(38,0) second-moment channel (rule 2)
-    "e2e_cli_ingest",  # NEW r7, unwitnessed
-    "text_pack_bins",  # NEW r7, unwitnessed
-    "t_stream_lakehouse",  # r7 NEXT_UP; r8: manifest guard (rule 2)
-    "t_stream_ann_index",  # r7 NEXT_UP
-    "text_bpe_pack",  # r7 NEXT_UP
-    "ann_pq_topk",  # r7 NEXT_UP; r8: eviction + disk versioning (rule 2)
-    "ann_ivfpq_topk",  # r7 NEXT_UP; r8: KM_SCALE interpolation (rule 2)
-    "p_parse_suite",  # NEW r8: six parser keys merged (rule 2)
-    # — (b) touched, must be witnessed this round —
-    "curation_e2e",  # r7 packing rewrite, unwitnessed
-    "dedup_semantic",  # r7 sub-split, unwitnessed; r8 docstring/recall note
-    "curation_funnel",  # r8: data_sized_shuffle scope (rule 2)
-    "text_decontaminate",  # r8: data_sized_shuffle scope (rule 2)
-    "dedup_embedding_components",  # r8: data_sized_shuffle scope (rule 2)
-    # — (c) stalest r5-evidence keys (VERDICT r7 #3 cohort) —
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "jn1_dim_lookup_join",
-    "jn2_contains_join",
-    "jn4_anti_join_idempotence",
-    "jn7_fk_validation",
-    "a_salted_agg",
-    "a_hash_sample",
-    "text_kmv_vocab",
-    "text_lm_score",
-    "q1_pricing_summary",
-    "dedup_exact",
-    "ann_bruteforce_topk",
+    "dedup_exact",  # [c] 0.19s
+    "a_hash_sample",  # [c] 0.22s
+    "t_snapshot_upsert",  # [a] 0.22s; r8 manifest guard (rule 2)
+    "multimodal_frame_sample",  # [c] 0.24s
+    "q1_pricing_summary",  # [c] 0.31s
+    "a_salted_agg",  # [c] 0.33s
+    "scan_manifest_pruned",  # [a] 0.33s; r8 manifest guard (rule 2)
+    "jn4_anti_join_idempotence",  # [c] 0.33s
+    "w_moving_avg",  # [a] 0.35s
+    "jn1_dim_lookup_join",  # [c] 0.36s
+    "multimodal_features",  # [c] 0.36s
+    "a_histogram",  # [a] 0.38s
+    "a_moments",  # [a] 0.39s; r8 DECIMAL second-moment channel (rule 2)
+    "jn7_fk_validation",  # [c] 0.42s
+    "text_kmv_vocab",  # [c] 0.45s
+    "jn2_contains_join",  # [c] 0.48s
+    "jn_fuzzy_join",  # [a] 0.53s
+    "t_sliding_counts",  # [a] 0.54s
+    "t_snapshot_incremental",  # [a] 0.56s; r8 manifest guard (rule 2)
+    "curation_weighted_sample",  # [a] 0.67s
+    "cdc_snapshot_diff",  # [a] 0.70s; r8 manifest guard (rule 2)
+    "text_lm_score",  # [c] 0.71s
+    "text_cms_topk",  # [a] 0.72s
+    "text_bpe_pack",  # [a] 0.72s; r7 NEXT_UP
+    "a_hll_distinct",  # [a] 0.75s
+    "text_pack_bins",  # [a] 0.84s; NEW r7
+    "a_profile_stats",  # [a] 0.89s
+    "p_parse_suite",  # [a] 0.91s; NEW r8 parser-suite merge (rule 2)
+    "t_sliding_hll",  # [a] 0.92s
+    "text_decontaminate",  # [b] 0.92s; r8 data_sized_shuffle (rule 2)
+    "dedup_bloom_prefilter",  # [a] 0.99s
+    "ann_bruteforce_topk",  # [c] 0.99s
+    "a_table_fingerprint",  # [a] 1.00s
+    "a_quantile_sketch",  # NEW r9: supersedes demoted a_quantile_sample (rule 2); 1.07s
+    "curation_dsir_weight",  # [a] 1.13s
+    "text_bm25_topk",  # [a] 1.47s
+    "curation_funnel",  # [b] 1.75s; r8 data_sized_shuffle (rule 2)
+    "t_stream_lakehouse",  # [a] 1.99s; r8 manifest guard (rule 2)
+    "ann_pq_topk",  # [a] 2.39s; r8 disk versioning + r9 sentinel (rule 2)
+    "dedup_embedding_components",  # [b] 2.63s; r8 shuffle scope (rule 2)
+    "ann_ivf_disk_topk",  # [a] 3.42s; r9 sentinel/vacuum (rule 2)
+    "e2e_cli_ingest",  # [a] 3.66s; NEW r7
+    "g_pagerank",  # [a] 3.73s
+    "dedup_semantic",  # [b] 4.18s; r7 sub-split + r8 recall note
+    "g_triangle_count",  # [a] 4.61s
+    "t_stream_mview",  # [a] 4.62s
+    "t_stream_ann_index",  # [a] 5.65s; r7 NEXT_UP
+    "ann_ivfpq_topk",  # [a] 6.33s; r8 KM_SCALE + r9 sentinel (rule 2)
+    "curation_e2e",  # [b] 6.75s; r7 packing rewrite, unwitnessed
+    "t_stream_sessions",  # [a] 8.48s
 ]
 
 # WINDOW-OVERFLOW QUEUE (policy, r6): brand-new keys beyond window
@@ -202,17 +206,19 @@ NEXT_UP: list[str] = []
 # not demotion: external evidence is preserved. Net new keys this
 # round: 1 (the suite) against 16 removed.
 #
-# R9 WINDOW PREP: the 50 keys NOT in the r8 window are EXACTLY one
-# window — front them all. They are the 19 r5-evidence keys
-# (q3/q5/q10/q_top_customers, a1-a7, w_running_sum, w_topk_per_group,
-# set_ops, rollup_revenue, eav_pivot, p10_find_first, ann_lsh_topk,
-# ann_ivf_topk, ann_sq_rerank — four rounds stale by r9, they MUST
-# land) plus the 31 r6-evidence keys (textops/curation/eventops/
-# logshape/streaming/jn families, CORRECTNESS_r06 rows). That
-# restores every key to ≤2-round freshness by end of r9 (assuming
-# CORRECTNESS_r08 lands — if it comes back empty again, re-front the
-# r8 window unchanged instead). Rule-2 touches of r9 that sit in the
-# r8 window would displace the youngest r6-evidence keys.
+# R10 WINDOW PREP (carried from the r8 note, one round later): the 50
+# keys NOT in this window are EXACTLY one window — if CORRECTNESS_r09
+# lands non-empty, front them all in r10. They are the 19 r5-evidence
+# keys (q3/q5/q10/q_top_customers, a1-a7, w_running_sum,
+# w_topk_per_group, set_ops, rollup_revenue, eav_pivot,
+# p10_find_first, ann_lsh_topk, ann_ivf_topk, ann_sq_rerank — five
+# rounds stale by r10, they MUST land) plus the 31 r6-evidence keys
+# (textops/curation/eventops/logshape/streaming/jn families,
+# CORRECTNESS_r06 rows). Rule-2 touches of r10 that sit in this
+# window would displace the youngest r6-evidence keys. CONTINGENCY,
+# unchanged: if CORRECTNESS_r09 also comes back empty/unreadable,
+# re-front THIS window once more — never rotate past a window with
+# zero external rows.
 
 
 def all_queries() -> dict[str, QuerySpec]:

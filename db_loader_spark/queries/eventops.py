@@ -893,14 +893,95 @@ FROM b GROUP BY event_type
 """
 
 
+def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantiles from the STORED bottom-k canonical
+    sketch (functions.sketch.quantile_sketch) — the constant-state,
+    exactly-mergeable quantile member of the sketch family, run here
+    as the two-level shard→merge plan (8 stage-1 shards of k=128
+    each). The DuckDB oracle replays the ONE-PASS form, so the green
+    driver row is the merge theorem itself: bottom-k of per-shard
+    bottom-ks ≡ bottom-k of the corpus, bit-for-bit across engines.
+    Values are integer cents (the a_histogram idiom) and quantiles
+    are type-1 rank selections — every output column is a BIGINT the
+    driver hashes exactly. Exact quantiles ride alongside as the
+    self-eval channel (small-SF verifier luxury; production persists
+    only the k sketch rows per group)."""
+    from db_loader_spark.functions.sketch import quantile_sketch
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    return quantile_sketch(e, "event_type", "cents", "event_id")
+
+
+# 13-nibble md5-prefix decode as an exact double — the textops
+# _KMV_NIBSUM idiom with the 'qsk:' row salt
+_QSK_NIBSUM = " + ".join(
+    f"(instr('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1) * {float(16 ** (12 - i))!r}"
+    for i in range(13)
+)
+
+_QUANTILE_SKETCH_ORACLE = f"""
+WITH c AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100) AS BIGINT) AS v,
+         event_id AS key
+  FROM events
+),
+h AS (
+  SELECT grp, v, key, ({_QSK_NIBSUM}) / 4503599627370496.0 AS h
+  FROM (SELECT grp, v, key,
+               substr(md5('qsk:' || CAST(key AS VARCHAR)), 1, 13) AS hx
+        FROM c)
+),
+sk AS (
+  SELECT grp, v, h,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h, key) AS rn
+  FROM h QUALIFY rn <= 128
+),
+ke AS (
+  SELECT grp, v, rn, MAX(rn) OVER (PARTITION BY grp) AS k_eff,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, h) AS rv
+  FROM sk
+),
+est AS (
+  SELECT grp, CAST(MAX(k_eff) AS BIGINT) AS k_eff,
+         MAX(CASE WHEN rv = GREATEST(1, CAST(CEIL(0.25 * k_eff) AS BIGINT)) THEN v END) AS p25_est,
+         MAX(CASE WHEN rv = GREATEST(1, CAST(CEIL(0.5 * k_eff) AS BIGINT)) THEN v END) AS p50_est,
+         MAX(CASE WHEN rv = GREATEST(1, CAST(CEIL(0.9 * k_eff) AS BIGINT)) THEN v END) AS p90_est,
+         MAX(CASE WHEN rv = GREATEST(1, CAST(CEIL(0.99 * k_eff) AS BIGINT)) THEN v END) AS p99_est
+  FROM ke GROUP BY grp
+),
+ex AS (
+  SELECT grp, v,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, key) AS rx,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM c
+),
+exa AS (
+  SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+         MAX(CASE WHEN rx = GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT)) THEN v END) AS p25_exact,
+         MAX(CASE WHEN rx = GREATEST(1, CAST(CEIL(0.5 * n) AS BIGINT)) THEN v END) AS p50_exact,
+         MAX(CASE WHEN rx = GREATEST(1, CAST(CEIL(0.9 * n) AS BIGINT)) THEN v END) AS p90_exact,
+         MAX(CASE WHEN rx = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) THEN v END) AS p99_exact
+  FROM ex GROUP BY grp
+)
+SELECT est.grp AS event_type, n, k_eff,
+       p25_est, p25_exact, p50_est, p50_exact,
+       p90_est, p90_exact, p99_est, p99_exact
+FROM est JOIN exa ON est.grp = exa.grp
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "a_outlier_filter": QuerySpec(
         a_outlier_filter, _OUTLIER_ORACLE, "robust median/MAD outlier filter"
     ),
-    "a_quantile_sample": QuerySpec(
-        a_quantile_sample,
-        _QUANTILE_SAMPLE_ORACLE,
-        "hash-rate-sampled quantile estimates with exact self-eval",
+    "a_quantile_sketch": QuerySpec(
+        a_quantile_sketch,
+        _QUANTILE_SKETCH_ORACLE,
+        "stored bottom-k mergeable quantile sketch with exact self-eval",
     ),
     "t_sliding_counts": QuerySpec(
         t_sliding_counts, _SLIDING_ORACLE, "event-time sliding-window agg (2h/1h)"
@@ -945,11 +1026,23 @@ QUERIES: dict[str, QuerySpec] = {
 # t_tumbling_counts is t_sliding_counts with step = width — the
 # sliding key exercises the strictly more general window assignment.
 # Both keep their DuckDB value checks in tests/test_oracle_queries.py.
+# r9 slot payment (VERDICT r8 #7): a_quantile_sample funds the
+# a_quantile_sketch slot — both answer "per-group quantiles without
+# exact per-group sorts", and the sketch is the strictly stronger
+# family member (constant state vs a sample that grows with n,
+# exactly mergeable vs union-only, and its driver row witnesses the
+# merge theorem cross-engine). The rate-sample's estimator keeps its
+# full DuckDB value check here.
 DIAGNOSTICS: dict[str, QuerySpec] = {
     "a_stratified_sample": QuerySpec(
         a_stratified_sample, _STRATIFIED_ORACLE, "per-class deterministic sampling"
     ),
     "t_tumbling_counts": QuerySpec(
         t_tumbling_counts, _TUMBLING_ORACLE, "event-time tumbling-window agg"
+    ),
+    "a_quantile_sample": QuerySpec(
+        a_quantile_sample,
+        _QUANTILE_SAMPLE_ORACLE,
+        "hash-rate-sampled quantile estimates with exact self-eval",
     ),
 }

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Measure the driver-window sweep cost per key at sf0.01.
+
+The external correctness harness runs each WINDOW key's Spark query
+AND its DuckDB oracle; if it dies on a wall-clock cap mid-sweep, only
+the prefix lands rows. This script measures that per-key cost (Spark
+toPandas + oracle execute, same work the driver does) so the WINDOW
+can be ordered cheapest-first (VERDICT r8 #4 — harness insurance):
+a partial run then lands the maximum number of rows.
+
+Usage: python scripts/window_cost.py [sf_dir]
+Prints one line per key (cost-sorted) plus a python list literal of
+the window in cheapest-first order, ready to paste into
+queries/__init__.py.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from db_loader_spark.oracle import compare, duck_connection
+from db_loader_spark.queries import WINDOW, all_queries
+from db_loader_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("window-cost")
+    con = duck_connection(sf_dir)
+    specs = all_queries()
+    # one throwaway action first: JVM + codegen warmup must not be
+    # attributed to whichever key happens to run first
+    specs[WINDOW[0]].spark(spark, sf_dir).count()
+    costs: dict[str, float] = {}
+    for name in WINDOW:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        df = spec.spark(spark, sf_dir)
+        if spec.oracle is None:
+            ok = df.count() >= 0
+        else:
+            ok = compare(name, df, spec.oracle, con).ok
+        costs[name] = time.perf_counter() - t0
+        print(f"{'OK  ' if ok else 'FAIL'} {name:32s} {costs[name]:7.2f}s", flush=True)
+    ordered = sorted(costs, key=costs.get)
+    total = sum(costs.values())
+    print(f"\ntotal window sweep: {total:.1f}s over {len(costs)} keys")
+    print("\ncheapest-first order:")
+    for name in ordered:
+        print(f'    "{name}",  # {costs[name]:.2f}s')
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

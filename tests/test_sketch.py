@@ -257,3 +257,95 @@ def test_sliding_hll_merge_equals_direct_recompute(spark, sf_dir):
         for r in hll_distinct(pairs, "ws", "user_id").collect()
     }
     assert merged == direct
+
+
+def _qsk_rows(spark, n: int = 4_000, groups: int = 3):
+    """Synthetic (grp, v, key) rows: per-group shifted value ranges so
+    quantiles differ by group and errors can't cancel across groups."""
+    return spark.range(n).select(
+        F.concat(F.lit("g"), F.pmod("id", F.lit(groups))).alias("grp"),
+        (F.col("id") * 7 % 1000 + F.pmod("id", F.lit(groups)) * 500).alias("v"),
+        F.col("id").alias("key"),
+    )
+
+
+def test_bottom_k_sketch_is_canonical_across_shardings(spark):
+    """The merge theorem, bit-for-bit: one-pass (shards=None), the
+    degenerate sharding (shards=1), and two different fan-ins (8, 3)
+    all land the IDENTICAL sketch rows — the canonicality that makes
+    the sketch a function of the multiset, not of the plan, and lets
+    the DuckDB oracle replay the one-pass form against Spark's
+    two-level plan in a_quantile_sketch's driver row."""
+    from db_loader_spark.functions.sketch import bottom_k_sketch
+
+    rows = _qsk_rows(spark)
+    ref = sorted(
+        bottom_k_sketch(rows, k=32, shards=None).collect(),
+        key=lambda r: (r["grp"], r["rn"]),
+    )
+    assert len(ref) == 3 * 32
+    for shards in (1, 8, 3):
+        got = sorted(
+            bottom_k_sketch(rows, k=32, shards=shards).collect(),
+            key=lambda r: (r["grp"], r["rn"]),
+        )
+        assert got == ref, f"sharding {shards} changed the sketch"
+
+
+def test_bottom_k_sketch_incremental_merge(spark):
+    """Incremental maintenance: bottom-k(stored sketch ∪ new batch's
+    sketch) == bottom-k(full corpus) — the stored profile absorbs a
+    new ingest batch without recomputation over history."""
+    from db_loader_spark.functions.sketch import bottom_k_sketch
+
+    rows = _qsk_rows(spark)
+    old = rows.filter(F.col("key") < 3_000)
+    new = rows.filter(F.col("key") >= 3_000)
+    merged_in = bottom_k_sketch(old, k=32, shards=None).drop("rn").unionByName(
+        bottom_k_sketch(new, k=32, shards=None).drop("rn")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("grp").orderBy("h")
+    merged = (
+        merged_in.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 32)
+        .select("grp", "v", "h", "rn")
+    )
+    full = bottom_k_sketch(rows, k=32, shards=None)
+    assert sorted(merged.collect()) == sorted(full.collect())
+
+
+def test_quantile_sketch_rank_error_within_envelope(spark):
+    """Estimates from the k=64 sketch land within the uniform-sample
+    rank-error envelope: |rank(est) - q*n| / n <= 4/sqrt(k) (~3σ).
+    Deterministic (fixed hash), not flaky."""
+    from db_loader_spark.functions.sketch import quantile_sketch
+
+    rows = _qsk_rows(spark).withColumnRenamed("grp", "g")
+    out = quantile_sketch(
+        rows, "g", "v", "key", k=64, shards=4, quantiles=(0.25, 0.5, 0.9)
+    ).collect()
+    assert len(out) == 3
+    data = {
+        r["g"]: sorted(
+            x["v"] for x in rows.filter(F.col("g") == r["g"]).collect()
+        )
+        for r in out
+    }
+    bound = 4.0 / (64**0.5)
+    for r in out:
+        vals = data[r["g"]]
+        n = len(vals)
+        assert r["n"] == n and r["k_eff"] == 64
+        import bisect
+        import math
+
+        for q in (0.25, 0.5, 0.9):
+            est = r[f"p{round(q * 100)}_est"]
+            # rank of the estimate in the full data (upper-bound side)
+            rank = bisect.bisect_right(vals, est)
+            assert abs(rank / n - q) <= bound, (r["g"], q, rank / n)
+            # exact channel is the true type-1 quantile of the corpus
+            exact = r[f"p{round(q * 100)}_exact"]
+            assert exact == vals[max(1, math.ceil(q * n)) - 1]
