@@ -172,12 +172,12 @@ WINDOW = [
     "e2e_cli_ingest",  # [a] 3.66s; NEW r7
     "g_pagerank",  # [a] 3.73s
     "dedup_semantic",  # [b] 4.18s; r7 sub-split + r8 recall note
+    "t_stream_sessions",  # [a] 4.5s after the r9 chunk shave (was 8.48s; rule 2)
     "g_triangle_count",  # [a] 4.61s
     "t_stream_mview",  # [a] 4.62s
     "t_stream_ann_index",  # [a] 5.65s; r7 NEXT_UP
     "ann_ivfpq_topk",  # [a] 6.33s; r8 KM_SCALE + r9 sentinel (rule 2)
     "curation_e2e",  # [b] 6.75s; r7 packing rewrite, unwitnessed
-    "t_stream_sessions",  # [a] 8.48s
 ]
 
 # WINDOW-OVERFLOW QUEUE (policy, r6): brand-new keys beyond window

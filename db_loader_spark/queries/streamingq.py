@@ -532,10 +532,16 @@ GROUP BY 1
 
 
 def _stage_time_chunks(spark: SparkSession, sf_dir: str) -> str:
-    """events split into N_SHARDS single-file chunks by TIME QUARTILE
+    """events split into TWO single-file chunks at the TIME MEDIAN
     (the stateful stream's watermark contract: replay respects event
     order, so nothing is ever late) plus TWO sentinel chunks past the
     horizon, mtimes ascending so the file source drains them in order.
+    Two data chunks, not four (r9, VERDICT r8 #4 fixed-cost shave):
+    each applyInPandasWithState micro-batch carries ~1.3 s of fixed
+    machinery regardless of rows, two data batches already witness
+    multi-batch ordered replay, and the flush protocol needs exactly
+    the two sentinel batches — so 4 micro-batches, not 6, with the
+    stream ≡ batch EQUALITY test unchanged.
 
     The sentinels (user_id = -1, at max_ts + 2h and + 4h) are the
     end-of-stream flush protocol: the first advances the watermark past
@@ -550,24 +556,20 @@ def _stage_time_chunks(spark: SparkSession, sf_dir: str) -> str:
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_sess_{key}")
-    stamp = _source_stamp(sf_dir)
+    # layout-versioned stamp: a warm stage from the pre-r9 4-chunk
+    # layout must rebuild, not be silently reused
+    stamp = _source_stamp(sf_dir) + ":chunks2"
     if _stage_current(stage, stamp):
         return stage
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage, exist_ok=True)
     e = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
-    qs = e.selectExpr(
-        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) AS q"
-    ).first()["q"]
-    lo, mid, hi = (int(x) for x in qs)
+    mid = int(
+        e.selectExpr("percentile(unix_micros(ts), 0.5) AS q").first()["q"]
+    )
     max_us = e.agg(F.max(F.unix_micros("ts"))).first()[0]
     us = F.unix_micros("ts")
-    conds = [
-        us <= lo,
-        (us > lo) & (us <= mid),
-        (us > mid) & (us <= hi),
-        us > hi,
-    ]
+    conds = [us <= mid, us > mid]
     epoch = dt.datetime(1970, 1, 1)
     sentinels = [
         [(epoch + dt.timedelta(microseconds=max_us + h * 3_600_000_000), -1, 0.0)]
