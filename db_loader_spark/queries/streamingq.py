@@ -32,7 +32,24 @@ from pyspark.sql import functions as F
 from db_loader_spark.queries import QuerySpec
 from db_loader_spark.tables import load_table
 
-N_SHARDS = 4  # staged files → micro-batches (maxFilesPerTrigger=1)
+# Staged files → micro-batches (maxFilesPerTrigger=1). Two batches
+# already witness genuine multi-batch incremental execution (state
+# carried across a batch boundary: dedup guard, join buffers, index
+# maintenance, one manifest commit per batch), and every micro-batch
+# pays ~1-1.5 s of fixed machinery regardless of rows — so the r9
+# fixed-cost shave (VERDICT r8 #4) moves streaming keys from 4
+# staged shards to SHARDS_SHAVED=2. Applied this round ONLY to the
+# keys inside the r9 driver window (sessions/lakehouse/mview/
+# ann_index): the re-front contingency fills the window with the
+# never-witnessed cohort, and widening the shave to the other four
+# streaming keys (rollup/dedup/join/signatures) would drag them in
+# under the touched-key rule, displacing contingency slots. They
+# keep N_SHARDS=4 untouched this round and take the same shave in
+# r10 when their window slots come up. Stage stamps carry the shard
+# layout so a warm stage with the other layout rebuilds instead of
+# being silently reused.
+N_SHARDS = 4
+SHARDS_SHAVED = 2
 
 # State-store partition count for the streaming queries. Stateful
 # operators instantiate one state store PER shuffle partition PER
@@ -62,17 +79,23 @@ def _stage_current(stage: str, stamp: str) -> bool:
         return False
 
 
-def _stage_table(spark: SparkSession, sf_dir: str, table: str, tag: str) -> str:
-    """Stage a source table as N_SHARDS parquet files under the system
-    temp dir (keyed by sf_dir + source stamp; reused across calls —
-    staging is the table's storage layout, not per-query work). The
-    shards are what turns the availableNow drain into a REAL
-    multi-batch run."""
+def _stage_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    tag: str,
+    shards: int = N_SHARDS,
+) -> str:
+    """Stage a source table as ``shards`` parquet files under the
+    system temp dir (keyed by sf_dir + source stamp + shard layout;
+    reused across calls — staging is the table's storage layout, not
+    per-query work). The shards are what turns the availableNow drain
+    into a REAL multi-batch run."""
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_{tag}_{key}")
-    stamp = _source_stamp(sf_dir, table)
+    stamp = _source_stamp(sf_dir, table) + f":shards{shards}"
     if not _stage_current(stage, stamp):
-        load_table(spark, sf_dir, table).repartition(N_SHARDS).write.mode(
+        load_table(spark, sf_dir, table).repartition(shards).write.mode(
             "overwrite"
         ).parquet(stage)
         with open(os.path.join(stage, "_SOURCE_STAMP"), "w") as f:
@@ -156,7 +179,7 @@ def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_dup_{key}")
-    stamp = _source_stamp(sf_dir)
+    stamp = _source_stamp(sf_dir) + f":shards{N_SHARDS}"
     if not _stage_current(stage, stamp):
         shutil.rmtree(stage, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events").repartition(N_SHARDS)
@@ -274,15 +297,15 @@ def t_stream_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_MINHASH_ORACLE) — equality is the stream ≡ batch theorem for the
     incremental index: each qualifying pair is found exactly once, by
     the batch in which its later member arrives. A green driver row
-    here witnesses genuine multi-batch incremental execution (4 staged
-    shards, 1 file per trigger), not a one-shot recompute."""
+    here witnesses genuine multi-batch incremental execution (N_SHARDS
+    staged shards, 1 file per trigger), not a one-shot recompute."""
     import shutil
 
     from db_loader_spark.tables import load_table as _load
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_docs_{key}")
-    stamp = _source_stamp(sf_dir, "documents")
+    stamp = _source_stamp(sf_dir, "documents") + f":shards{N_SHARDS}"
     if not _stage_current(stage, stamp):
         shutil.rmtree(stage, ignore_errors=True)
         _load(spark, sf_dir, "documents").repartition(N_SHARDS).write.mode(
@@ -458,7 +481,9 @@ def t_stream_mview(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by key cardinality, not stream length."""
     import shutil
 
-    stage = _stage_table(spark, sf_dir, "events", "stage")
+    # own "mv" tag (not the rollup-shared "stage"): the r9 shard
+    # shave applies to this windowed key only — see N_SHARDS comment
+    stage = _stage_table(spark, sf_dir, "events", "mv", shards=SHARDS_SHAVED)
     static = spark.read.parquet(stage)
     run_dir = tempfile.mkdtemp(prefix="db_loader_stream_mview_run_")
     out_dir = os.path.join(run_dir, "out")
@@ -686,7 +711,7 @@ def t_stream_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from db_loader_spark.sinks import manifest as M
 
-    stage = _stage_table(spark, sf_dir, "events", "lake")
+    stage = _stage_table(spark, sf_dir, "events", "lake", shards=SHARDS_SHAVED)
     static = spark.read.parquet(stage)
     run_dir = tempfile.mkdtemp(prefix="db_loader_stream_lake_run_")
     root = os.path.join(run_dir, "tbl")
@@ -718,9 +743,9 @@ def t_stream_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         lineage = M.snapshots(root)
-        if len(lineage) < N_SHARDS:
+        if len(lineage) < SHARDS_SHAVED:
             raise RuntimeError(
-                f"expected ≥{N_SHARDS} append commits (one per micro-batch), "
+                f"expected ≥{SHARDS_SHAVED} append commits (one per micro-batch), "
                 f"got {len(lineage)}: the multi-batch ingest collapsed"
             )
         # OPTIMIZE epilogue: per-epoch commits each land ≥1 small file —
@@ -731,7 +756,9 @@ def t_stream_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver hash ALSO witnesses OPTIMIZE preserving the table:
         # ingest → N append commits → compact → same answer.
         n_before = len(M._manifest(root, M.current_snapshot(root))["files"])
-        M.compact_snapshot(spark, root, target_files=2, snapshot_id="compacted")
+        # target 1 < N_SHARDS so the shrink assertion below stays a
+        # real witness at the current per-epoch file count
+        M.compact_snapshot(spark, root, target_files=1, snapshot_id="compacted")
         n_after = len(M._manifest(root, "compacted")["files"])
         if n_after >= n_before:
             raise RuntimeError(
@@ -788,7 +815,7 @@ def t_stream_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _ = _ivf_index(spark, sf_dir, emb)
-    stage = _stage_table(spark, sf_dir, "embeddings", "emb")
+    stage = _stage_table(spark, sf_dir, "embeddings", "emb", shards=SHARDS_SHAVED)
     static = spark.read.parquet(stage)
     run_dir = tempfile.mkdtemp(prefix="db_loader_stream_ann_run_")
     out_dir = os.path.join(run_dir, "out")
