@@ -125,59 +125,60 @@ DRIVER_WINDOW_SIZE = 50
 # contingency cohort either way.
 # Cohort tags (the r8 triage, carried): [a] = zero driver rows ever,
 # [b] = touched r7/r8 and still unwitnessed, [c] = stalest r5-evidence
-# keys. Trailing number = measured sf0.01 sweep cost (Spark + oracle,
-# scripts/window_cost.py, 2026-08-15; suite total 82.6 s).
+# keys. Trailing number = measured warm sf0.01 sweep cost (Spark +
+# oracle, scripts/window_cost.py, 2026-08-15, AFTER the r9 streaming
+# fixed-cost shave; suite total 76.0 s, was 82.6 s pre-shave).
 WINDOW = [
-    "dedup_exact",  # [c] 0.19s
-    "a_hash_sample",  # [c] 0.22s
-    "t_snapshot_upsert",  # [a] 0.22s; r8 manifest guard (rule 2)
-    "multimodal_frame_sample",  # [c] 0.24s
-    "q1_pricing_summary",  # [c] 0.31s
-    "a_salted_agg",  # [c] 0.33s
-    "scan_manifest_pruned",  # [a] 0.33s; r8 manifest guard (rule 2)
-    "jn4_anti_join_idempotence",  # [c] 0.33s
-    "w_moving_avg",  # [a] 0.35s
-    "jn1_dim_lookup_join",  # [c] 0.36s
-    "multimodal_features",  # [c] 0.36s
-    "a_histogram",  # [a] 0.38s
-    "a_moments",  # [a] 0.39s; r8 DECIMAL second-moment channel (rule 2)
-    "jn7_fk_validation",  # [c] 0.42s
-    "text_kmv_vocab",  # [c] 0.45s
-    "jn2_contains_join",  # [c] 0.48s
-    "jn_fuzzy_join",  # [a] 0.53s
-    "t_sliding_counts",  # [a] 0.54s
-    "t_snapshot_incremental",  # [a] 0.56s; r8 manifest guard (rule 2)
-    "curation_weighted_sample",  # [a] 0.67s
-    "cdc_snapshot_diff",  # [a] 0.70s; r8 manifest guard (rule 2)
-    "text_lm_score",  # [c] 0.71s
-    "text_cms_topk",  # [a] 0.72s
-    "text_bpe_pack",  # [a] 0.72s; r7 NEXT_UP
-    "a_hll_distinct",  # [a] 0.75s
-    "text_pack_bins",  # [a] 0.84s; NEW r7
-    "a_profile_stats",  # [a] 0.89s
-    "p_parse_suite",  # [a] 0.91s; NEW r8 parser-suite merge (rule 2)
-    "t_sliding_hll",  # [a] 0.92s
-    "text_decontaminate",  # [b] 0.92s; r8 data_sized_shuffle (rule 2)
-    "dedup_bloom_prefilter",  # [a] 0.99s
-    "ann_bruteforce_topk",  # [c] 0.99s
-    "a_table_fingerprint",  # [a] 1.00s
-    "a_quantile_sketch",  # NEW r9: supersedes demoted a_quantile_sample (rule 2); 1.07s
-    "curation_dsir_weight",  # [a] 1.13s
-    "text_bm25_topk",  # [a] 1.47s
-    "curation_funnel",  # [b] 1.75s; r8 data_sized_shuffle (rule 2)
-    "t_stream_lakehouse",  # [a] 1.99s; r8 manifest guard (rule 2)
-    "ann_pq_topk",  # [a] 2.39s; r8 disk versioning + r9 sentinel (rule 2)
-    "dedup_embedding_components",  # [b] 2.63s; r8 shuffle scope (rule 2)
-    "ann_ivf_disk_topk",  # [a] 3.42s; r9 sentinel/vacuum (rule 2)
-    "e2e_cli_ingest",  # [a] 3.66s; NEW r7
-    "g_pagerank",  # [a] 3.73s
-    "dedup_semantic",  # [b] 4.18s; r7 sub-split + r8 recall note
-    "t_stream_sessions",  # [a] 4.5s after the r9 chunk shave (was 8.48s; rule 2)
-    "g_triangle_count",  # [a] 4.61s
-    "t_stream_mview",  # [a] 4.62s
-    "t_stream_ann_index",  # [a] 5.65s; r7 NEXT_UP
-    "ann_ivfpq_topk",  # [a] 6.33s; r8 KM_SCALE + r9 sentinel (rule 2)
-    "curation_e2e",  # [b] 6.75s; r7 packing rewrite, unwitnessed
+    "curation_weighted_sample",  # [a]; 0.37s
+    "t_snapshot_upsert",  # [a] r8 manifest guard (rule 2); 0.50s
+    "t_sliding_counts",  # [a]; 0.50s
+    "jn_fuzzy_join",  # [a]; 0.53s
+    "jn1_dim_lookup_join",  # [c]; 0.53s
+    "w_moving_avg",  # [a]; 0.54s
+    "a_histogram",  # [a]; 0.55s
+    "scan_manifest_pruned",  # [a] r8 manifest guard (rule 2); 0.55s
+    "a_salted_agg",  # [c]; 0.55s
+    "a_moments",  # [a] r8 DECIMAL second-moment channel (rule 2); 0.57s
+    "multimodal_frame_sample",  # [c]; 0.59s
+    "a_table_fingerprint",  # [a]; 0.61s
+    "jn7_fk_validation",  # [c]; 0.61s
+    "cdc_snapshot_diff",  # [a] r8 manifest guard (rule 2); 0.61s
+    "jn4_anti_join_idempotence",  # [c]; 0.65s
+    "text_cms_topk",  # [a]; 0.66s
+    "curation_dsir_weight",  # [a]; 0.66s
+    "q1_pricing_summary",  # [c]; 0.67s
+    "a_hll_distinct",  # [a]; 0.67s
+    "dedup_exact",  # [c]; 0.70s
+    "text_pack_bins",  # [a] NEW r7; 0.72s
+    "a_profile_stats",  # [a]; 0.73s
+    "t_snapshot_incremental",  # [a] r8 manifest guard (rule 2); 0.73s
+    "text_bm25_topk",  # [a]; 0.78s
+    "dedup_bloom_prefilter",  # [a]; 0.88s
+    "t_sliding_hll",  # [a]; 0.89s
+    "text_lm_score",  # [c]; 0.92s
+    "p_parse_suite",  # [a] NEW r8 parser-suite merge (rule 2); 0.97s
+    "a_hash_sample",  # [c]; 0.99s
+    "a_quantile_sketch",  # NEW r9: supersedes demoted a_quantile_sample (rule 2); 1.06s
+    "text_decontaminate",  # [b] r8 data_sized_shuffle (rule 2); 1.16s
+    "text_bpe_pack",  # [a] r7 NEXT_UP; 1.16s
+    "ann_bruteforce_topk",  # [c]; 1.18s
+    "multimodal_features",  # [c]; 1.54s
+    "jn2_contains_join",  # [c]; 1.58s
+    "t_stream_mview",  # [a] r9 shard shave (rule 2); 1.58s
+    "curation_funnel",  # [b] r8 data_sized_shuffle (rule 2); 1.81s
+    "text_kmv_vocab",  # [c]; 1.97s
+    "t_stream_ann_index",  # [a] r7 NEXT_UP; r9 shard shave (rule 2); 2.01s
+    "ann_pq_topk",  # [a] r8 disk versioning + r9 sentinel (rule 2); 2.13s
+    "t_stream_lakehouse",  # [a] r8 manifest guard + r9 shard shave (rule 2); 2.33s
+    "ann_ivf_disk_topk",  # [a] r9 sentinel/vacuum (rule 2); 2.49s
+    "g_triangle_count",  # [a]; 2.90s
+    "dedup_embedding_components",  # [b] r8 shuffle scope (rule 2); 3.24s
+    "e2e_cli_ingest",  # [a] NEW r7; 3.57s
+    "g_pagerank",  # [a]; 3.82s
+    "t_stream_sessions",  # [a] r9 chunk shave, was 8.5s (rule 2); 4.63s
+    "curation_e2e",  # [b] r7 packing rewrite, unwitnessed; 5.42s
+    "ann_ivfpq_topk",  # [a] r8 KM_SCALE + r9 sentinel (rule 2); 5.45s
+    "dedup_semantic",  # [b] r7 sub-split + r8 recall note; 5.75s
 ]
 
 # WINDOW-OVERFLOW QUEUE (policy, r6): brand-new keys beyond window
