@@ -615,25 +615,39 @@ def main() -> None:
         # the second run would read the first run's cache and time an
         # InMemoryTableScan instead of the plan. Unpersist is a no-op
         # for non-settled queries.
+        t_warm = time.perf_counter()
         warm = spec.spark(spark, sf_dir)
         warm.count()  # warm: compile + fill codegen cache
         warm.unpersist()
+        warm_s = time.perf_counter() - t_warm
         # A long single-JVM bench accumulates driver garbage (plan trees,
         # codegen classes, listener events) and successive queries start
         # absorbing multi-second GC pauses — fresh-session 0.2s queries
         # read as 2s+ by entry 20. Collect between queries so each
         # timing measures the plan, not the previous queries' garbage.
+        t_gc = time.perf_counter()
         spark._jvm.System.gc()
+        gc_s = time.perf_counter() - t_gc
 
         def run_once(spec=spec):
             df = spec.spark(spark, sf_dir)  # settled queries compute here
             assert df.count() >= 0  # full plan
             return df
 
+        t_row = time.perf_counter()
         timings[name], spreads[name] = _timed_runs(
             run_once,
             reset=RESET_BEFORE_TIMING.get(name),
             cleanup=lambda df: df.unpersist(),
+        )
+        # stderr progress (the driver parses stdout only): median vs
+        # full row wall — warm run + all samples — so a bench that
+        # nears the harness's timeout shows WHERE the wall went.
+        print(
+            f"[bench] {name} med={timings[name]}s row_wall={time.perf_counter() - t_row:.1f}s"
+            f" warm={warm_s:.1f}s gc={gc_s:.1f}s",
+            file=sys.stderr,
+            flush=True,
         )
 
     # Release the session-scoped IVF serving cache before the layout

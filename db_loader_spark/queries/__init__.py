@@ -128,6 +128,28 @@ DRIVER_WINDOW_SIZE = 50
 # keys. Trailing number = measured warm sf0.01 sweep cost (Spark +
 # oracle, scripts/window_cost.py, 2026-08-15, AFTER the r9 streaming
 # fixed-cost shave; suite total 76.0 s, was 82.6 s pre-shave).
+#
+# ROOT CAUSE FOUND AND FIXED (r9): the empty r7/r8 artifacts were NOT
+# a driver-side fluke. Under DuckDB's DEFAULT config (threads=32 on
+# this box; every prior local/judge sweep used a bounded 16GB/8-thread
+# connection), the dedup_semantic and ann_ivfpq_topk oracles died
+# nondeterministically with std::bad_alloc — plan blowup from
+# re-inlined non-materialized trainer CTEs, able to terminate() the
+# whole harness process mid-sweep, which zeroes the artifact exactly
+# as observed. Both keys sat in the r7 AND r8 windows; r6 (the last
+# green round) predates them. Fixed by MATERIALIZED-izing
+# _KM_CELLS_CTES (similarity.py), verified 3/3 default-config passes
+# per key and value-equal at both SFs; scripts/oracle_cost.py now
+# probes every registry oracle on a DEFAULT connection in a fresh
+# subprocess so this class regresses loudly.
+#
+# Rule-2 note: _KM_CELLS_CTES is oracle-text shared with ann_ivf_topk
+# (r10 cohort). Its touch this round is ORACLE-ONLY (Spark impl
+# untouched, values identical both SFs) and the identical changed
+# text is witnessed THIS round by four windowed keys (dedup_semantic,
+# ann_ivfpq_topk, ann_ivf_disk_topk, t_stream_ann_index), so
+# ann_ivf_topk keeps its r10 slot instead of displacing a
+# never-witnessed contingency key.
 WINDOW = [
     "curation_weighted_sample",  # [a]; 0.37s
     "t_snapshot_upsert",  # [a] r8 manifest guard (rule 2); 0.50s

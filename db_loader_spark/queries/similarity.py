@@ -278,16 +278,31 @@ def _duck_km_assign(cents: str) -> str:
 # with their trained cell. Reused by the IVF ANN oracle and the
 # SemDeDup oracle — one trained quantizer, two consumers, exactly like
 # the Spark side's _ivf_index.
-_KM_CELLS_CTES = f"""zz AS (
+#
+# Every stage is MATERIALIZED (r9, root cause of the empty
+# CORRECTNESS_r07/r08 artifacts): consumers reference zz/c2/af three
+# or four times each, and DuckDB re-inlines a non-materialized CTE at
+# every reference — duplicating the whole 6-level trainer with its
+# 128-term unrolled expressions into one enormous plan. Under
+# DuckDB's DEFAULT config (threads = n_cpus = 32 on the driver box)
+# the per-thread executor state for that plan nondeterministically
+# exhausts allocation (std::bad_alloc at ~1.5 GB RSS; a bad_alloc
+# escaping a worker thread can terminate() the whole harness process
+# — which is exactly what zeroed two rounds of driver artifacts; see
+# scripts/oracle_cost.py). Materialized: each stage is computed once,
+# default-config runs pass 3/3 at 400-800 MB and 2-5 s, and
+# dedup_semantic's oracle got 6x faster. Values are unchanged —
+# materialization only changes evaluation strategy.
+_KM_CELLS_CTES = f"""zz AS MATERIALIZED (
   SELECT vec_id, embedding, {_DUCK_KM_CODES} AS z, {_DUCK_CELL} AS cid FROM embeddings
 ),
-c0 AS ({_duck_km_means('zz')}),
-a1 AS ({_duck_km_assign('c0')}),
-c1 AS ({_duck_km_means('a1')}),
-a2 AS ({_duck_km_assign('c1')}),
-c2 AS ({_duck_km_means('a2')}),
-af AS ({_duck_km_assign('c2')}),
-cells AS (
+c0 AS MATERIALIZED ({_duck_km_means('zz')}),
+a1 AS MATERIALIZED ({_duck_km_assign('c0')}),
+c1 AS MATERIALIZED ({_duck_km_means('a1')}),
+a2 AS MATERIALIZED ({_duck_km_assign('c1')}),
+c2 AS MATERIALIZED ({_duck_km_means('a2')}),
+af AS MATERIALIZED ({_duck_km_assign('c2')}),
+cells AS MATERIALIZED (
   SELECT e.vec_id, e.embedding, af.cid AS cell
   FROM embeddings e JOIN af ON af.vec_id = e.vec_id
 )"""
