@@ -11,6 +11,14 @@ Determinism rules (the driver hash-compares values order-insensitively):
 - no raw timestamp outputs — always formatted strings or dates;
 - DuckDB ``SUM(int)`` returns HUGEINT → always CAST to BIGINT in oracles
   to match Spark's LongType.
+
+Robustness rule (r9, learned the hard way): the driver runs oracles on
+a DEFAULT DuckDB connection (no memory limit, threads = n_cpus), and a
+single oracle whose plan explodes there can kill the whole harness
+process and zero the round's artifact. Any CTE referenced more than
+once MUST be ``AS MATERIALIZED`` (DuckDB re-inlines otherwise), and
+every new/changed oracle must pass ``scripts/oracle_cost.py`` —
+default-config, fresh-subprocess — before it ships.
 """
 
 from __future__ import annotations
@@ -244,7 +252,12 @@ NEXT_UP: list[str] = []
 # window would displace the youngest r6-evidence keys. CONTINGENCY,
 # unchanged: if CORRECTNESS_r09 also comes back empty/unreadable,
 # re-front THIS window once more — never rotate past a window with
-# zero external rows.
+# zero external rows. With the r9 root-cause fix (materialized
+# trainer CTEs — the harness-killer lived in two of this window's own
+# oracles) the expectation is that r9 LANDS; if it does, also re-run
+# scripts/window_cost.py on the r10 cohort and order it cheapest-
+# first before shipping, and give t_stream_join/signatures/rollup/
+# dedup their deferred 4->2 shard shave (rule-2-safe once windowed).
 
 
 def all_queries() -> dict[str, QuerySpec]:
