@@ -21,26 +21,25 @@ print(f"entry(): {rows} rows, schema={df.schema.simpleString()}")
 assert rows >= 0
 
 from db_loader_spark.oracle import run_all
+from db_loader_spark.queries import WINDOW
 
-sample = [
+# r9: the sample is the FULL driver window — this script is the
+# closest local mirror of the external gate that produced two empty
+# artifacts, so it now exercises exactly what that gate will run
+# (all 50 windowed keys, vanilla session, foreign cwd, value-compared
+# against their DuckDB oracles at the driver's sf0.01) — plus the
+# historically pickle-sensitive non-window keys below, which cover
+# executor-closure classes the window doesn't.
+sample = list(WINDOW) + [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",
     "ann_sq_rerank",
-    "dedup_embedding_components",  # r8: lsh pairs + CC (lsh key demoted)
     "ecj_star",          # events table: ts decode in a VANILLA session
     "text_tfidf_topterms",
     "t_session_window",  # events again, different decode path
-    "text_decontaminate",    # r4: shingle broadcast join
-    "p_parse_suite",         # r8: six-parser tagged union frame
     "curation_shard_assign", # r4: scan-side hash sharding
     "ann_ivf_topk",          # r4: session-scoped index cache on a vanilla session
-    "g_pagerank",            # r6: iterative lazy chain + tracked caches
-    "t_snapshot_upsert",     # r6: manifest publish/merge from a foreign cwd
-    "e2e_cli_ingest",        # r7: main() CLI path driven from a foreign cwd
-    "t_stream_lakehouse",    # r7: foreachBatch closure pickling (manifest pub)
-    "t_stream_sessions",     # r7: stateful operator closure from a foreign cwd
-    "text_pack_bins",        # r7: blocked prefix sum + tracked block frame
 ]
 results = run_all(spark, "/root/testdata/sf0.01", only=sample)
 bad = [r for r in results if not r.ok]
