@@ -707,8 +707,15 @@ def main() -> None:
         "full": "bench_full.json",
         "sf": full["sf"],
     }
+    # The final line MUST print no matter what: dying here (an assert)
+    # would discard the whole ~10-minute run and recreate the exact
+    # null-artifact failure this block fixes. If names/values ever grow
+    # the line past the tail budget, shed top-10 entries until it fits
+    # — the full dict is already on the sidecar and the early line.
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= 1500, f"final bench line too long: {len(line)}"
+    while len(line) > 1500 and compact["queries"]:
+        compact["queries"].popitem()
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

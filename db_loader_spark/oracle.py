@@ -54,11 +54,45 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con.execute(f"SET memory_limit='{limit_gb}GB'")
     con.execute(f"SET temp_directory='{spill}'")
     con.execute("SET threads TO 8")
+    _register_views(con, sf_dir)
+    return con
+
+
+def _register_views(con: duckdb.DuckDBPyConnection, sf_dir: str) -> None:
     for t in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+
+def duck_default_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DRIVER-CONDITIONS connection: DuckDB defaults, no memory limit,
+    threads = n_cpus — exactly how the external harness runs oracles.
+    Only for the subprocess probes (scripts/oracle_cost.py,
+    tests/test_oracle_driver_conditions.py): an oracle that only
+    survives the bounded connection above is a harness-killer (r9)."""
+    con = duckdb.connect()
+    _register_views(con, sf_dir)
     return con
+
+
+def probe_default(name: str, sf_dir: str) -> dict:
+    """Run one registry oracle on a default connection; return timing
+    and row count. The single shared body behind the driver-conditions
+    probes — run it IN A FRESH SUBPROCESS (``python -m
+    db_loader_spark.oracle <name> <sf_dir>``): a plan explosion under
+    default config can terminate() the host process."""
+    import time
+
+    from db_loader_spark.queries import all_queries
+
+    sql = all_queries()[name].oracle
+    if sql is None:
+        return {"name": name, "rows": -1, "wall_s": 0.0, "skipped": "no oracle"}
+    con = duck_default_connection(sf_dir)
+    t0 = time.time()
+    rows = len(con.execute(sql).fetchall())
+    return {"name": name, "rows": rows, "wall_s": round(time.time() - t0, 2)}
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -141,3 +175,15 @@ def run_all(
         else:
             results.append(compare(name, df, spec.oracle, con))
     return results
+
+
+if __name__ == "__main__":  # python -m db_loader_spark.oracle <name> <sf_dir>
+    import json as _json
+    import resource as _resource
+    import sys as _sys
+
+    _out = probe_default(_sys.argv[1], _sys.argv[2])
+    _out["peak_rss_mb"] = round(
+        _resource.getrusage(_resource.RUSAGE_SELF).ru_maxrss / 1024
+    )
+    print(_json.dumps(_out))

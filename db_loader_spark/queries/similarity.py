@@ -530,6 +530,13 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
             # another builder landed the same version first; ours is an
             # identical deterministic copy — discard it
             shutil.rmtree(scratch, ignore_errors=True)
+    # A re-adopted version (corpus reverted to an old stamp) must shed
+    # any supersession marker from its previous retirement, or its next
+    # retirement would inherit the stale timestamp and reap instantly.
+    try:
+        os.remove(os.path.join(vdir, "_SUPERSEDED_AT"))
+    except OSError:
+        pass
     with open(cur + ".tmp", "w") as f:
         f.write(vid)
     os.replace(cur + ".tmp", cur)  # THE commit point: one atomic rename
@@ -539,17 +546,36 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
         if old == vid:
             continue
         p = os.path.join(vroot, old)
-        # DELAYED VACUUM: both superseded versions and scratch dirs are
-        # reaped only once stale (see docstring) — a live concurrent
-        # builder's scratch OR just-landed different-stamp version, and
-        # a live session's lazy scans of the superseded version, must
-        # not lose their files mid-protocol (no build/serve spans 1 h)
-        try:
-            if _time.time() - os.path.getmtime(p) < 3600:
+        # DELAYED VACUUM. Scratch dirs age on mtime (last build
+        # activity). Version dirs age on TIME SINCE SUPERSESSION, not
+        # build mtime (r9 review): a version built at t0 and superseded
+        # at t0+2h would otherwise be reaped at the instant of
+        # supersession, yanking files from a live session's lazy scans
+        # — the race the protocol exists to prevent. The first sweep
+        # that sees a superseded version writes _SUPERSEDED_AT inside
+        # it (underscore-prefixed: parquet scans ignore it); it is
+        # reaped one hour after THAT. No build/serve spans 1 h.
+        if old.startswith(".build-"):
+            try:
+                if _time.time() - os.path.getmtime(p) < 3600:
+                    continue
+            except OSError:
                 continue
-        except OSError:
+            shutil.rmtree(p, ignore_errors=True)  # crashed-build residue
             continue
-        shutil.rmtree(p, ignore_errors=True)  # stale version / residue
+        marker = os.path.join(p, "_SUPERSEDED_AT")
+        try:
+            with open(marker) as f:
+                t_sup = float(f.read())
+        except (OSError, ValueError):
+            try:
+                with open(marker, "w") as f:
+                    f.write(str(_time.time()))
+            except OSError:
+                pass
+            continue  # first seen superseded now: start its clock
+        if _time.time() - t_sup >= 3600:
+            shutil.rmtree(p, ignore_errors=True)  # stale version
     return vdir
 
 

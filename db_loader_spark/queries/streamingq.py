@@ -45,9 +45,13 @@ from db_loader_spark.tables import load_table
 # streaming keys (rollup/dedup/join/signatures) would drag them in
 # under the touched-key rule, displacing contingency slots. They
 # keep N_SHARDS=4 untouched this round and take the same shave in
-# r10 when their window slots come up. Stage stamps carry the shard
-# layout so a warm stage with the other layout rebuilds instead of
-# being silently reused.
+# r10 when their window slots come up — including their stamp TEXT,
+# which stays bit-identical to the pre-r9 form so their staging
+# lineage is genuinely unchanged (a stamp change would force a
+# restage, itself a rule-2 touch). Non-default layouts carry a
+# ":shards{n}" stamp suffix; every stage tag is used at exactly one
+# layout (windowed keys got their own tags), so a warm stage can
+# never be silently reused at the wrong layout.
 N_SHARDS = 4
 SHARDS_SHAVED = 2
 
@@ -93,7 +97,12 @@ def _stage_table(
     into a REAL multi-batch run."""
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_{tag}_{key}")
-    stamp = _source_stamp(sf_dir, table) + f":shards{shards}"
+    # Stamp carries the shard layout ONLY for non-default layouts: the
+    # default-layout stamp text is bit-identical to the pre-r9 form, so
+    # the non-windowed streaming keys' staging lineage is untouched this
+    # round (rule 2) — their stages neither restage nor change meaning.
+    suffix = "" if shards == N_SHARDS else f":shards{shards}"
+    stamp = _source_stamp(sf_dir, table) + suffix
     if not _stage_current(stage, stamp):
         load_table(spark, sf_dir, table).repartition(shards).write.mode(
             "overwrite"
@@ -179,7 +188,9 @@ def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_dup_{key}")
-    stamp = _source_stamp(sf_dir) + f":shards{N_SHARDS}"
+    # pre-r9 stamp text: this key stays at the default layout and is
+    # outside the r9 window — its lineage must not change this round
+    stamp = _source_stamp(sf_dir)
     if not _stage_current(stage, stamp):
         shutil.rmtree(stage, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events").repartition(N_SHARDS)
@@ -305,7 +316,8 @@ def t_stream_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_docs_{key}")
-    stamp = _source_stamp(sf_dir, "documents") + f":shards{N_SHARDS}"
+    # pre-r9 stamp text: default layout, outside the r9 window (rule 2)
+    stamp = _source_stamp(sf_dir, "documents")
     if not _stage_current(stage, stamp):
         shutil.rmtree(stage, ignore_errors=True)
         _load(spark, sf_dir, "documents").repartition(N_SHARDS).write.mode(

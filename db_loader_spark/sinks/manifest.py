@@ -193,10 +193,18 @@ def publish(
         # current. (If a rollback/restore op is ever added, it must
         # tombstone rolled-back manifests so this test stays sound.)
         if _manifest(root, sid).get("parent") == observed:
-            with open(cur + ".tmp", "w") as fh:
-                fh.write(sid)
-            os.replace(cur + ".tmp", cur)  # finish the torn commit
-            return sid
+            # Same re-read the normal path does before ITS flip (r9
+            # review): between reading `observed` and deciding to
+            # recover, a concurrent writer may have committed a child
+            # of `observed` and moved the pointer — blind-flipping to
+            # sid would silently orphan that snapshot from the current
+            # lineage. If current moved, this token is now genuinely
+            # superseded: fall through to the unretryable error.
+            if current_snapshot(root) == observed:
+                with open(cur + ".tmp", "w") as fh:
+                    fh.write(sid)
+                os.replace(cur + ".tmp", cur)  # finish the torn commit
+                return sid
         raise RuntimeError(
             f"snapshot token {sid!r} already has a committed manifest at "
             f"{root!r} but is not the current snapshot "

@@ -514,6 +514,31 @@ def test_replay_after_pre_flip_crash_completes_the_commit(spark, tmp_path):
     assert M.read_current(spark, root).count() == 15
 
 
+def test_recovery_flip_detects_concurrent_move(spark, tmp_path, monkeypatch):
+    """r9 review: the crash-recovery flip must re-check that `current`
+    still equals the observed snapshot — between the replay's first
+    read and its flip, a concurrent writer may commit a child of
+    `observed` and move the pointer; blind-flipping to the replayed
+    token would silently orphan that snapshot from the live lineage.
+    Simulated by making the second current_snapshot read return a
+    moved pointer: the recovery must fall through to the unretryable
+    refusal instead of flipping."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
+    M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    cur = os.path.join(root, M._CURRENT)
+    with open(cur, "w") as fh:
+        fh.write("epoch-0")  # the torn pre-flip state
+    reads = iter(["epoch-0", "epoch-X"])  # entry read, pre-flip re-read
+    monkeypatch.setattr(
+        M, "current_snapshot", lambda r: next(reads, "epoch-X")
+    )
+    with pytest.raises(RuntimeError, match="superseded"):
+        M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+
+
 def test_never_committed_token_may_restage(spark, tmp_path):
     """The guard must NOT break genuine crash recovery: a sid whose
     staging wrote data files but CRASHED before its manifest landed

@@ -386,8 +386,11 @@ def test_ivf_disk_index_atomic_versioning(spark):
     # version; the crashed dir is swept only by the next real build —
     # force one by dropping the pointer
     os.remove(os.path.join(base, "_CURRENT"))
-    old = time.time() - 7200
-    os.utime(crashed, (old, old))  # age past the delayed-vacuum gate
+    # r9 marker protocol: version dirs age from SUPERSESSION (the
+    # _SUPERSEDED_AT a sweep writes on first sight), not build mtime —
+    # simulate "observed superseded >1h ago" by writing a stale marker
+    with open(os.path.join(crashed, "_SUPERSEDED_AT"), "w") as fh:
+        fh.write(str(time.time() - 7200))
     vdir2 = _ivf_disk_index(spark, sf)
     assert vdir2 == vdir  # same stamp → same version id
     assert not os.path.isdir(crashed)  # stale residue swept after flip
@@ -475,8 +478,8 @@ def test_pq_disk_artifact_atomic_versioning(spark):
     with open(os.path.join(base, "_CURRENT")) as fh:
         assert fh.read() == os.path.basename(vdir)  # pointer untouched
     os.remove(os.path.join(base, "_CURRENT"))
-    old = time.time() - 7200
-    os.utime(crashed, (old, old))  # age past the delayed-vacuum gate
+    with open(os.path.join(crashed, "_SUPERSEDED_AT"), "w") as fh:
+        fh.write(str(time.time() - 7200))  # observed superseded >1h ago
     vdir2 = _pq_disk_artifact(spark, sf)
     assert vdir2 == vdir  # same stamp → same version id
     assert not os.path.isdir(crashed)  # stale residue swept after flip
@@ -508,8 +511,8 @@ def test_ivfpq_disk_artifact_atomic_versioning(spark):
     os.makedirs(os.path.join(crashed, "coded"), exist_ok=True)
     assert _ivfpq_disk_artifact(spark, sf, emb) == vdir
     os.remove(os.path.join(base, "_CURRENT"))
-    old = time.time() - 7200
-    os.utime(crashed, (old, old))  # age past the delayed-vacuum gate
+    with open(os.path.join(crashed, "_SUPERSEDED_AT"), "w") as fh:
+        fh.write(str(time.time() - 7200))  # observed superseded >1h ago
     assert _ivfpq_disk_artifact(spark, sf, emb) == vdir
     assert not os.path.isdir(crashed)
 
@@ -554,13 +557,16 @@ def test_versioned_artifact_concurrent_builder_semantics(tmp_path):
     _versioned_artifact(base, "stamp-b", build)  # new version, sweeps
     assert os.path.isdir(live)
     assert not os.path.isdir(stale)
-    # r9 (VERDICT r8 #3): superseded versions get the SAME age gate as
-    # scratch — a live session's lazy scans of v1 must not lose their
-    # files at the flip; v1 is reaped only by a later flip's delayed
-    # vacuum once stale
+    # r9 (VERDICT r8 #3 + review): superseded versions age from
+    # SUPERSESSION, not build mtime — the stamp-b flip's sweep saw v1
+    # newly superseded and started its clock by writing _SUPERSEDED_AT
+    # inside it; a live session's lazy scans of v1 keep their files
+    # for an hour from THAT moment, however old the build is.
     assert os.path.isdir(v1)
-    old = time.time() - 7200
-    os.utime(v1, (old, old))
+    marker = os.path.join(v1, "_SUPERSEDED_AT")
+    assert os.path.isfile(marker)  # clock started at the flip
+    with open(marker, "w") as fh:
+        fh.write(str(time.time() - 7200))  # now stale
     # a re-resolve of the CURRENT stamp fast-paths without sweeping —
     # only the next pointer FLIP (a new stamp) runs the vacuum
     _versioned_artifact(base, "stamp-c", build)
@@ -604,8 +610,14 @@ def test_versioned_artifact_two_stamp_delayed_vacuum(tmp_path):
     assert os.path.isdir(v_b)  # B's just-landed version survives A's flip
     assert _versioned_artifact(base, "stamp-b", build) == v_b
     assert len(calls) == 3  # both adoptions served complete versions
-    # delayed vacuum: only once stale is the superseded version reaped
-    os.utime(v_b, (time.time() - 7200,) * 2)
+    # re-adoption must clear the retirement clock: v_b was superseded
+    # by A's flip (marker written), and flipping BACK to stamp-b must
+    # remove it, or v_b's next retirement would inherit the old stamp
+    # and reap instantly under a live reader (r9 review)
+    assert not os.path.isfile(os.path.join(v_b, "_SUPERSEDED_AT"))
+    # delayed vacuum: only once stale-since-supersession is it reaped
+    with open(os.path.join(v_b, "_SUPERSEDED_AT"), "w") as fh:
+        fh.write(str(time.time() - 7200))
     _versioned_artifact(base, "stamp-a", build)
     assert not os.path.isdir(v_b)
 

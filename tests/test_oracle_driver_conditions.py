@@ -15,10 +15,11 @@ back as literal `{}` while bench (no DuckDB) ran green in the same
 session.
 
 Fix: _KM_CELLS_CTES stages are MATERIALIZED (similarity.py). This test
-replays the DRIVER's conditions — default connection, fresh
-SUBPROCESS so a terminate() cannot take pytest down — for the two
-formerly-crashing oracles. scripts/oracle_cost.py sweeps the full
-registry the same way; run it whenever an oracle gains a CTE.
+replays the DRIVER's conditions — default connection via the shared
+`python -m db_loader_spark.oracle` probe body, fresh SUBPROCESS so a
+terminate() cannot take pytest down — for every trainer-CTE consumer
+in the registry. scripts/oracle_cost.py sweeps the full registry the
+same way; run it whenever an oracle gains a CTE.
 """
 
 import json
@@ -28,41 +29,35 @@ import sys
 
 import pytest
 
-_CHILD = r"""
-import json, os, sys, time
-import duckdb
-sys.path.insert(0, %(repo)r)
-from db_loader_spark.queries import all_queries
-from db_loader_spark.tables import TABLE_NAMES
-name, sf_dir = sys.argv[1], sys.argv[2]
-sql = all_queries()[name].oracle
-con = duckdb.connect()  # DRIVER CONDITIONS: no memory limit, default threads
-for t in TABLE_NAMES:
-    p = os.path.join(sf_dir, f"{t}.parquet")
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-t0 = time.time()
-rows = con.execute(sql).fetchall()
-print(json.dumps({"rows": len(rows), "wall_s": round(time.time() - t0, 2)}))
-""" % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The two oracles that crashed the driver harness in r7/r8, plus the
-# remaining trainer-CTE consumers (same shared SQL, cheap insurance).
-_FRAGILE = ["dedup_semantic", "ann_ivfpq_topk"]
+# Every registry oracle embedding the shared _KM_CELLS_CTES trainer:
+# the two that actually crashed the driver harness in r7/r8 first,
+# then the remaining consumers of the identical SQL text — a future
+# edit to the trainer (or a consumer's own CTEs) that reintroduces
+# plan explosion must fail HERE, whichever consumer it bites.
+_FRAGILE = [
+    "dedup_semantic",
+    "ann_ivfpq_topk",
+    "ann_ivf_topk",
+    "ann_ivf_disk_topk",
+    "t_stream_ann_index",
+]
 
 
 @pytest.mark.parametrize("name", _FRAGILE)
 def test_oracle_survives_default_duckdb_config(name, sf_dir):
     r = subprocess.run(
-        [sys.executable, "-c", _CHILD, name, sf_dir],
+        [sys.executable, "-m", "db_loader_spark.oracle", name, sf_dir],
         capture_output=True,
         text=True,
         timeout=300,
+        cwd=_REPO,
     )
     assert r.returncode == 0, f"{name} oracle died under default config: {r.stderr[-500:]}"
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["rows"] > 0
     # generous bound: pre-fix these either crashed or (bounded) took
-    # 13-35 s; post-fix both run in 1.5-5 s. 60 s flags a structural
+    # 13-35 s; post-fix all run in 1.5-8 s. 60 s flags a structural
     # regression without being timing-flaky.
     assert out["wall_s"] < 60, f"{name} oracle took {out['wall_s']}s under default config"
