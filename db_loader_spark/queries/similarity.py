@@ -509,6 +509,16 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
     try:
         with open(cur) as f:
             if f.read() == vid and os.path.isdir(vdir):
+                # CURRENT must never carry a retirement clock: a
+                # concurrent different-stamp flipper's sweep may have
+                # marked this dir in the window before OUR flip won —
+                # left in place, its next real supersession would read
+                # the stale marker and reap instantly under live
+                # readers (r9 review #2).
+                try:
+                    os.remove(os.path.join(vdir, "_SUPERSEDED_AT"))
+                except OSError:
+                    pass
                 return vdir
     except OSError:
         pass
@@ -542,8 +552,26 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
     os.replace(cur + ".tmp", cur)  # THE commit point: one atomic rename
     import time as _time
 
+    # Re-read the pointer before sweeping: a concurrent different-stamp
+    # builder may have flipped _CURRENT after our flip above — the dir
+    # the pointer NOW names must be neither marked nor reaped (its
+    # readers are live by definition; r9 review #2). If that concurrent
+    # flipper already marked OUR vdir in the same window, the fast path
+    # clears it on the next resolve.
+    try:
+        with open(cur) as f:
+            pointed = f.read()
+    except OSError:
+        pointed = vid
     for old in os.listdir(vroot):
-        if old == vid:
+        if old == vid or old == pointed:
+            # the currently-pointed dir also sheds any marker a racing
+            # sweep left on it, so its eventual retirement starts from
+            # its real supersession time
+            try:
+                os.remove(os.path.join(vroot, old, "_SUPERSEDED_AT"))
+            except OSError:
+                pass
             continue
         p = os.path.join(vroot, old)
         # DELAYED VACUUM. Scratch dirs age on mtime (last build
@@ -571,9 +599,18 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
             try:
                 with open(marker, "w") as f:
                     f.write(str(_time.time()))
+                continue  # first seen superseded now: start its clock
             except OSError:
-                pass
-            continue  # first seen superseded now: start its clock
+                # marker can be neither read nor written (read-only
+                # residue): fall back to the mtime gate so the dir
+                # cannot linger forever (r9 review #3)
+                try:
+                    if _time.time() - os.path.getmtime(p) < 3600:
+                        continue
+                except OSError:
+                    continue
+                shutil.rmtree(p, ignore_errors=True)
+                continue
         if _time.time() - t_sup >= 3600:
             shutil.rmtree(p, ignore_errors=True)  # stale version
     return vdir

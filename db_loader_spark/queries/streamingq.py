@@ -47,8 +47,11 @@ from db_loader_spark.tables import load_table
 # keep N_SHARDS=4 untouched this round and take the same shave in
 # r10 when their window slots come up — including their stamp TEXT,
 # which stays bit-identical to the pre-r9 form so their staging
-# lineage is genuinely unchanged (a stamp change would force a
-# restage, itself a rule-2 touch). Non-default layouts carry a
+# lineage is genuinely unchanged relative to r8 (a stamp change would
+# force a restage, itself a rule-2 touch; stages built by this
+# round's brief intermediate ":shards4" stamps restage once on
+# builder boxes — the driver's stages were built by r8 code and
+# revalidate untouched). Non-default layouts carry a
 # ":shards{n}" stamp suffix; every stage tag is used at exactly one
 # layout (windowed keys got their own tags), so a warm stage can
 # never be silently reused at the wrong layout.

@@ -198,9 +198,17 @@ def publish(
             # recover, a concurrent writer may have committed a child
             # of `observed` and moved the pointer — blind-flipping to
             # sid would silently orphan that snapshot from the current
-            # lineage. If current moved, this token is now genuinely
-            # superseded: fall through to the unretryable error.
-            if current_snapshot(root) == observed:
+            # lineage. Two benign outcomes of the re-read: the pointer
+            # is unmoved (finish the commit), or a CONCURRENT REPLAY OF
+            # THIS SAME TOKEN finished the flip first (current == sid —
+            # the commit is done; raising would spuriously crash an
+            # at-least-once restart that cannot mint a fresh token).
+            # Anything else means a different child committed: fall
+            # through to the unretryable error.
+            rechecked = current_snapshot(root)
+            if rechecked == sid:
+                return sid  # a same-token replay completed the commit
+            if rechecked == observed:
                 with open(cur + ".tmp", "w") as fh:
                     fh.write(sid)
                 os.replace(cur + ".tmp", cur)  # finish the torn commit

@@ -57,9 +57,17 @@ def main() -> int:
             print(json.dumps({"name": name, "error": r.stderr[-300:]}))
             worst.append((name, "CRASH"))
             continue
-        line = r.stdout.strip().splitlines()[-1]
+        try:
+            line = r.stdout.strip().splitlines()[-1]
+            d = json.loads(line)
+        except (IndexError, ValueError):
+            # rc=0 but no parseable JSON tail (stray atexit prints,
+            # empty stdout): record and keep sweeping — the SUSPECTS
+            # summary must always print (r9 review)
+            print(json.dumps({"name": name, "error": "BAD-OUTPUT"}))
+            worst.append((name, "BAD-OUTPUT"))
+            continue
         print(line, flush=True)
-        d = json.loads(line)
         if d["wall_s"] > 20 or d["peak_rss_mb"] > 4096:
             worst.append((name, d))
     print("---")

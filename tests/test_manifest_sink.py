@@ -539,6 +539,28 @@ def test_recovery_flip_detects_concurrent_move(spark, tmp_path, monkeypatch):
         M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
 
 
+def test_recovery_flip_tolerates_same_token_race(spark, tmp_path, monkeypatch):
+    """r9 review #2: if a CONCURRENT REPLAY OF THE SAME token finished
+    the torn-commit flip between this replay's entry read and its
+    re-read, the commit is complete — the recovery must return success
+    (at-least-once restarts cannot mint a fresh token), not raise the
+    unretryable 'superseded' error."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
+    M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    cur = os.path.join(root, M._CURRENT)
+    with open(cur, "w") as fh:
+        fh.write("epoch-0")  # the torn pre-flip state
+    # entry read sees the torn state; by the re-read a twin replay of
+    # epoch-1 has completed the flip
+    reads = iter(["epoch-0", "epoch-1"])
+    monkeypatch.setattr(
+        M, "current_snapshot", lambda r: next(reads, "epoch-1")
+    )
+    out = M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    assert out == "epoch-1"
+
+
 def test_never_committed_token_may_restage(spark, tmp_path):
     """The guard must NOT break genuine crash recovery: a sid whose
     staging wrote data files but CRASHED before its manifest landed

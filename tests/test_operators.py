@@ -621,6 +621,17 @@ def test_versioned_artifact_two_stamp_delayed_vacuum(tmp_path):
     _versioned_artifact(base, "stamp-a", build)
     assert not os.path.isdir(v_b)
 
+    # (c) the FAST PATH also sheds a marker: a racing different-stamp
+    # sweep can mark the dir that ends up current (it re-reads the
+    # pointer before sweeping, but the mark-vs-flip window exists) —
+    # a plain resolve of the current stamp must clear it, or the
+    # version's eventual real retirement would inherit a stale clock
+    # and reap instantly under live readers (r9 review #2)
+    with open(os.path.join(v_a, "_SUPERSEDED_AT"), "w") as fh:
+        fh.write(str(time.time() - 7200))
+    assert _versioned_artifact(base, "stamp-a", build) == v_a  # fast path
+    assert not os.path.isfile(os.path.join(v_a, "_SUPERSEDED_AT"))
+
 
 def test_pq_artifact_rebuild_is_deterministic(spark):
     """The artifact boundary must not introduce nondeterminism: wiping
