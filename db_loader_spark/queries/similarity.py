@@ -502,6 +502,13 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
     import shutil
     import uuid as _uuid
 
+    def _shed_marker(d: str) -> None:
+        """Clear a version dir's retirement clock (idempotent)."""
+        try:
+            os.remove(os.path.join(d, "_SUPERSEDED_AT"))
+        except OSError:
+            pass
+
     vid = hashlib.md5(stamp.encode()).hexdigest()[:12]
     vroot = os.path.join(base, "versions")
     vdir = os.path.join(vroot, vid)
@@ -515,10 +522,7 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
                 # left in place, its next real supersession would read
                 # the stale marker and reap instantly under live
                 # readers (r9 review #2).
-                try:
-                    os.remove(os.path.join(vdir, "_SUPERSEDED_AT"))
-                except OSError:
-                    pass
+                _shed_marker(vdir)
                 return vdir
     except OSError:
         pass
@@ -543,10 +547,7 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
     # A re-adopted version (corpus reverted to an old stamp) must shed
     # any supersession marker from its previous retirement, or its next
     # retirement would inherit the stale timestamp and reap instantly.
-    try:
-        os.remove(os.path.join(vdir, "_SUPERSEDED_AT"))
-    except OSError:
-        pass
+    _shed_marker(vdir)
     with open(cur + ".tmp", "w") as f:
         f.write(vid)
     os.replace(cur + ".tmp", cur)  # THE commit point: one atomic rename
@@ -568,10 +569,7 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
             # the currently-pointed dir also sheds any marker a racing
             # sweep left on it, so its eventual retirement starts from
             # its real supersession time
-            try:
-                os.remove(os.path.join(vroot, old, "_SUPERSEDED_AT"))
-            except OSError:
-                pass
+            _shed_marker(os.path.join(vroot, old))
             continue
         p = os.path.join(vroot, old)
         # DELAYED VACUUM. Scratch dirs age on mtime (last build
@@ -599,18 +597,20 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
             try:
                 with open(marker, "w") as f:
                     f.write(str(_time.time()))
-                continue  # first seen superseded now: start its clock
             except OSError:
-                # marker can be neither read nor written (read-only
-                # residue): fall back to the mtime gate so the dir
-                # cannot linger forever (r9 review #3)
-                try:
-                    if _time.time() - os.path.getmtime(p) < 3600:
-                        continue
-                except OSError:
-                    continue
-                shutil.rmtree(p, ignore_errors=True)
-                continue
+                # Marker can be neither read nor written (transient
+                # ENOSPC/EMFILE, or read-only residue): DEFER — retry
+                # at the next sweep. Never fall back to the dir mtime
+                # here: mtime is the BUILD time (rename preserves it),
+                # so a transient write failure at the moment of
+                # supersession would reap an hours-old version under a
+                # live reader's lazy scans — the exact race this
+                # protocol prevents. Genuinely read-only residue is
+                # unreapable by rmtree(ignore_errors) anyway; a shared
+                # store handles it via retention-based vacuum
+                # (sinks/manifest.vacuum), not this sweep.
+                pass
+            continue  # clock starts (or retries) at a later sweep
         if _time.time() - t_sup >= 3600:
             shutil.rmtree(p, ignore_errors=True)  # stale version
     return vdir

@@ -60,15 +60,17 @@ def main() -> int:
         try:
             line = r.stdout.strip().splitlines()[-1]
             d = json.loads(line)
-        except (IndexError, ValueError):
-            # rc=0 but no parseable JSON tail (stray atexit prints,
-            # empty stdout): record and keep sweeping — the SUSPECTS
-            # summary must always print (r9 review)
+            wall, rss = d["wall_s"], d["peak_rss_mb"]
+        except (IndexError, ValueError, KeyError, TypeError):
+            # rc=0 but the stdout tail is not the probe dict (stray
+            # atexit prints, empty stdout, bare JSON scalar): record
+            # and keep sweeping — the SUSPECTS summary must always
+            # print (r9 review, both passes)
             print(json.dumps({"name": name, "error": "BAD-OUTPUT"}))
             worst.append((name, "BAD-OUTPUT"))
             continue
         print(line, flush=True)
-        if d["wall_s"] > 20 or d["peak_rss_mb"] > 4096:
+        if wall > 20 or rss > 4096:
             worst.append((name, d))
     print("---")
     print("SUSPECTS:", json.dumps(worst) if worst else "none")
