@@ -121,6 +121,12 @@ def _values_equal(a, b) -> bool:
             return True
         # Exact — mirrors the driver's value-hash compare. Queries are
         # designed (rounding, fixed-order FP) to be bit-identical.
+        # BIT-faithful, not ==-faithful (r9 lesson): the driver's hash
+        # distinguishes -0.0 from +0.0, while IEEE == does not — the
+        # exact blind spot that let curation_dsir_weight ship a red
+        # row. Compare sign bits whenever either side is zero.
+        if af == 0.0 and bf == 0.0:
+            return math.copysign(1.0, af) == math.copysign(1.0, bf)
         return af == bf
     return a == b
 

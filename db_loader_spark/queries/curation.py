@@ -461,7 +461,12 @@ def curation_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     smooth to c=0), corpus scalars broadcast as one row, scoring join
     on the token key, one per-doc aggregate. Counts are exact
     integers; the final mean-of-log-ratios is the only FP, ROUNDed
-    4 dp on both engines."""
+    4 dp on both engines, then ``+ 0.0`` to normalize signed zeros:
+    a tiny negative mean rounds to ``-0.0`` in DuckDB but ``+0.0``
+    through Spark's pipeline, and the driver's value hash
+    distinguishes the two (the r9 round's one red row); IEEE 754
+    defines ``-0.0 + 0.0 = +0.0``, so the addition is a no-op on
+    every other value."""
     from db_loader_spark.functions import text as TX
 
     d = load_table(spark, sf_dir, "documents")
@@ -491,7 +496,9 @@ def curation_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
-            F.round(F.sum(log_ratio) / F.count("*"), 4).alias("dsir_weight"),
+            (F.round(F.sum(log_ratio) / F.count("*"), 4) + F.lit(0.0)).alias(
+                "dsir_weight"
+            ),
         )
     )
 
@@ -513,7 +520,7 @@ stats AS (
 )
 SELECT tk.doc_id, tk.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(SUM(ln((vb.c_tgt + 1) / (s.n_tgt + s.v))
-                 - ln((vb.c_bg + 1) / (s.n_bg + s.v))) / COUNT(*), 4)
+                 - ln((vb.c_bg + 1) / (s.n_bg + s.v))) / COUNT(*), 4) + 0.0
          AS dsir_weight
 FROM toks tk JOIN vocab vb USING (w) CROSS JOIN stats s
 GROUP BY tk.doc_id, tk.lang
