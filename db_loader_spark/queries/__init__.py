@@ -113,105 +113,103 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
 # so a miscounted edit can't silently shift which keys get witnessed.
 DRIVER_WINDOW_SIZE = 50
 
-# ROUND-9 WINDOW. CORRECTNESS_r08 came back EMPTY again ({} — same
-# driver-harness failure class as r07; the driver's bench ran the
-# identical registry fine the same session), so the r8 prep note's
-# contingency applies LITERALLY (VERDICT r8 #1): this is the SAME 50
-# keys as the r8 window — the never-witnessed cohort still has zero
-# driver rows ever — with exactly one substitution forced by the
-# round's only registry change (a_quantile_sketch supersedes the
-# demoted a_quantile_sample at its slot; rule 2 — new key must be
-# witnessed the round it lands). The staged r9 rotation (the other
-# 50 keys, prep note below) moves to r10.
+# ROUND-10 WINDOW: the staged rotation finally runs. CORRECTNESS_r09
+# landed non-empty (49 green / 1 red of 50 — the first external rows
+# since r6), so per the r8/r9 prep notes this window fronts the 50
+# keys with the STALEST evidence: the 19 r5-evidence keys (five
+# rounds stale — q3/q5/q10/q_top_customers, a1-a7, w_running_sum,
+# w_topk_per_group, set_ops, rollup_revenue, eav_pivot,
+# p10_find_first, ann_lsh_topk, ann_ivf_topk, ann_sq_rerank) plus 30
+# of the 31 r6-evidence keys.
 #
-# HARNESS INSURANCE (VERDICT r8 #4): the list is ordered CHEAPEST
-# FIRST by measured per-key sweep cost at sf0.01 (Spark + DuckDB
-# oracle wall time, scripts/window_cost.py) — if the external
-# harness dies on a wall-clock cap mid-sweep, a prefix run now lands
-# the maximum number of rows. Ordering is evidence-neutral: the
-# driver checks set membership of the first 50, and all 50 are the
-# contingency cohort either way.
-# Cohort tags (the r8 triage, carried): [a] = zero driver rows ever,
-# [b] = touched r7/r8 and still unwitnessed, [c] = stalest r5-evidence
-# keys. Trailing number = measured warm sf0.01 sweep cost (Spark +
-# oracle, scripts/window_cost.py, 2026-08-15, re-measured AFTER the
-# oracle-materialization fix below; suite total 94.7 s on a slower
-# box-day — the earlier post-shave sweep read 76.0 s; only the
-# relative order matters, and the two fixed-oracle keys moved off the
-# tail).
+# Rule-2 touches this round, all inside this window:
+# - curation_dsir_weight — the r9 round's ONE red row (signed-zero
+#   hash divergence: DuckDB ROUND emitted -0.0 where Spark emitted
+#   +0.0; normalized with '+ 0.0' on both engines, curation.py). It
+#   re-enters per rule 2 AND as the only externally-red key ever,
+#   displacing ONE r6-evidence key: t_session_window, chosen because
+#   it is the maximally sibling-witnessed r6 key — its DuckDB oracle
+#   is the SAME first-principles session SQL the r9-green
+#   t_stream_sessions row hashed (stream ≡ batch ≡ SQL three-way),
+#   so the displaced semantics carry fresh r9 external evidence.
+#   t_session_window re-enters in r11 with the rest of the r9 cohort.
+# - t_stream_rollup / t_stream_dedup / t_stream_signatures /
+#   t_stream_join — the deferred 4→2 shard shave (planned r9, rule-2
+#   -safe now that their slots are up). Values verified unchanged
+#   against oracles at both SFs; SHARDS_SHAVED=2 documented as the
+#   floor.
+# Shared-helper note (the r9 _KM_CELLS_CTES precedent): the
+# _stage_table suffix line changed for ALL streaming keys, but the
+# r9-witnessed keys (mview/lakehouse/ann_index) already passed
+# shards=SHARDS_SHAVED explicitly, so their stamp text and staged
+# bytes are bit-identical; the changed line is witnessed this round
+# by the windowed rollup/join keys. They stay in the r11 cohort.
 #
-# ROOT CAUSE FOUND AND FIXED (r9): the empty r7/r8 artifacts were NOT
-# a driver-side fluke. Under DuckDB's DEFAULT config (threads=32 on
-# this box; every prior local/judge sweep used a bounded 16GB/8-thread
-# connection), the dedup_semantic and ann_ivfpq_topk oracles died
-# nondeterministically with std::bad_alloc — plan blowup from
-# re-inlined non-materialized trainer CTEs, able to terminate() the
-# whole harness process mid-sweep, which zeroes the artifact exactly
-# as observed. Both keys sat in the r7 AND r8 windows; r6 (the last
-# green round) predates them. Fixed by MATERIALIZED-izing
-# _KM_CELLS_CTES (similarity.py), verified 3/3 default-config passes
-# per key and value-equal at both SFs; scripts/oracle_cost.py now
-# probes every registry oracle on a DEFAULT connection in a fresh
-# subprocess so this class regresses loudly.
-#
-# Rule-2 note: _KM_CELLS_CTES is oracle-text shared with ann_ivf_topk
-# (r10 cohort). Its touch this round is ORACLE-ONLY (Spark impl
-# untouched, values identical both SFs) and the identical changed
-# text is witnessed THIS round by four windowed keys (dedup_semantic,
-# ann_ivfpq_topk, ann_ivf_disk_topk, t_stream_ann_index), so
-# ann_ivf_topk keeps its r10 slot instead of displacing a
-# never-witnessed contingency key.
+# HARNESS INSURANCE (VERDICT r8 #4, carried): ordered CHEAPEST FIRST
+# by measured per-key sweep cost at sf0.01 (Spark + DuckDB oracle
+# wall time, scripts/window_cost.py, re-measured on THIS cohort
+# 2026-08-15 after the shave) — a wall-clock-capped prefix run lands
+# the maximum number of rows. Ordering is evidence-neutral (driver
+# checks set membership of the first 50).
+# Cohort tags: [r5] = last external row in CORRECTNESS_r05,
+# [r6] = last external row in CORRECTNESS_r06, [t] = rule-2 touched
+# this round. Trailing number = measured sf0.01 sweep cost; for the
+# shaved streaming keys the figure deliberately includes their
+# ONE-TIME restage at the new 2-shard layout (the driver's stages
+# were built by pre-r10 stamps, so its first run pays the same) —
+# the cold model is the right insurance model. A second warm-stage
+# sweep read 84.1 s / 50 keys, 0 FAIL.
 WINDOW = [
-    "dedup_exact",  # [c]; 0.30s
-    "a_hash_sample",  # [c]; 0.34s
-    "q1_pricing_summary",  # [c]; 0.48s
-    "multimodal_frame_sample",  # [c]; 0.50s
-    "text_kmv_vocab",  # [c]; 0.55s
-    "w_moving_avg",  # [a]; 0.63s
-    "jn4_anti_join_idempotence",  # [c]; 0.67s
-    "a_salted_agg",  # [c]; 0.69s
-    "a_hll_distinct",  # [a]; 0.76s
-    "a_moments",  # [a] r8 DECIMAL second-moment channel (rule 2); 0.77s
-    "a_histogram",  # [a]; 0.81s
-    "jn7_fk_validation",  # [c]; 0.83s
-    "jn1_dim_lookup_join",  # [c]; 0.95s
-    "t_snapshot_upsert",  # [a] r8 manifest guard (rule 2); 0.96s
-    "text_bpe_pack",  # [a] r7 NEXT_UP; 0.99s
-    "curation_weighted_sample",  # [a]; 1.00s
-    "text_lm_score",  # [c]; 1.01s
-    "curation_dsir_weight",  # [a]; 1.04s
-    "a_profile_stats",  # [a]; 1.09s
-    "t_sliding_hll",  # [a]; 1.10s
-    "t_sliding_counts",  # [a]; 1.13s
-    "jn_fuzzy_join",  # [a]; 1.15s
-    "dedup_bloom_prefilter",  # [a]; 1.16s
-    "a_table_fingerprint",  # [a]; 1.17s
-    "p_parse_suite",  # [a] NEW r8 parser-suite merge (rule 2); 1.21s
-    "text_bm25_topk",  # [a]; 1.22s
-    "a_quantile_sketch",  # NEW r9: supersedes demoted a_quantile_sample (rule 2); 1.37s
-    "text_pack_bins",  # [a] NEW r7; 1.39s
-    "cdc_snapshot_diff",  # [a] r8 manifest guard (rule 2); 1.47s
-    "text_decontaminate",  # [b] r8 data_sized_shuffle (rule 2); 1.48s
-    "ann_bruteforce_topk",  # [c]; 1.50s
-    "t_snapshot_incremental",  # [a] r8 manifest guard (rule 2); 1.62s
-    "t_stream_lakehouse",  # [a] r8 manifest guard + r9 shard shave (rule 2); 1.67s
-    "scan_manifest_pruned",  # [a] r8 manifest guard (rule 2); 1.77s
-    "multimodal_features",  # [c]; 1.78s
-    "jn2_contains_join",  # [c]; 1.85s
-    "text_cms_topk",  # [a]; 2.19s
-    "curation_funnel",  # [b] r8 data_sized_shuffle (rule 2); 2.49s
-    "ann_ivf_disk_topk",  # [a] r9 sentinel/vacuum (rule 2); 2.74s
-    "ann_pq_topk",  # [a] r8 disk versioning + r9 sentinel (rule 2); 2.75s
-    "t_stream_mview",  # [a] r9 shard shave (rule 2); 3.32s
-    "dedup_embedding_components",  # [b] r8 shuffle scope (rule 2); 3.38s
-    "dedup_semantic",  # [b] r7 sub-split + r8 recall note; 3.55s
-    "g_triangle_count",  # [a]; 3.92s
-    "ann_ivfpq_topk",  # [a] r8 KM_SCALE + r9 sentinel (rule 2); 4.15s
-    "e2e_cli_ingest",  # [a] NEW r7; 4.40s
-    "g_pagerank",  # [a]; 4.44s
-    "t_stream_ann_index",  # [a] r7 NEXT_UP; r9 shard shave (rule 2); 5.20s
-    "t_stream_sessions",  # [a] r9 chunk shave, was 8.5s (rule 2); 6.56s
-    "curation_e2e",  # [b] r7 packing rewrite, unwitnessed; 7.17s
+    "text_fingerprint",  # [r6]; 0.27s
+    "a2_max_id",  # [r5]; 0.28s
+    "p10_find_first",  # [r5]; 0.36s
+    "a1_distinct_pairs",  # [r5]; 0.37s
+    "a3_filtered_count",  # [r5]; 0.42s
+    "a6_run_summary",  # [r5]; 0.43s
+    "curation_shard_assign",  # [r6]; 0.45s
+    "text_pii_scrub",  # [r6]; 0.48s
+    "w_running_sum",  # [r5]; 0.48s
+    "w_topk_per_group",  # [r5]; 0.48s
+    "eav_pivot",  # [r5]; 0.49s
+    "p9_summary_parse",  # [r6]; 0.50s
+    "a4_count_distinct",  # [r5]; 0.53s
+    "text_quality_score",  # [r6]; 0.57s
+    "text_lang_id",  # [r6]; 0.57s
+    "jn_asof_join",  # [r6]; 0.58s
+    "text_chunk",  # [r6]; 0.61s
+    "text_repetition",  # [r6]; 0.64s
+    "j1_sessionize",  # [r6]; 0.65s
+    "p_json_props",  # [r6]; 0.66s
+    "jn5_sidecar_join",  # [r6]; 0.66s
+    "w_event_gap",  # [r6]; 0.66s
+    "curation_source_cap",  # [r6]; 0.67s
+    "q_top_customers",  # [r5]; 0.67s
+    "a7_id_assignment",  # [r5]; 0.71s
+    "j2_section_routing",  # [r6]; 0.75s
+    "jn_range_join",  # [r6]; 0.75s
+    "rollup_revenue",  # [r5]; 0.85s
+    "set_ops",  # [r5]; 0.93s
+    "p14_continuation_merge",  # [r6]; 1.00s
+    "text_tfidf_topterms",  # [r6]; 1.00s
+    "text_bpe_tokenize",  # [r6]; 1.03s
+    "q10_returned_items",  # [r5]; 1.17s
+    "q3_segment_revenue",  # [r5]; 1.21s
+    "curation_dsir_weight",  # [t] signed-zero fix — the r9 red row; 1.21s
+    "text_repeated_passages",  # [r6]; 1.24s
+    "a_outlier_filter",  # [r6]; 1.25s
+    "q5_region_revenue",  # [r5]; 1.31s
+    "ecj_star",  # [r6]; 2.38s
+    "dedup_simhash",  # [r6]; 2.38s
+    "multimodal_decode_jpeg",  # [r6]; 2.59s
+    "ann_sq_rerank",  # [r5]; 3.30s
+    "ann_lsh_topk",  # [r5]; 3.81s
+    "t_stream_rollup",  # [r6][t] 4→2 shard shave; 3.92s
+    "dedup_minhash_lsh",  # [r6]; 5.23s
+    "text_bpe_train",  # [r6]; 6.02s
+    "t_stream_signatures",  # [r6][t] 4→2 shard shave; 6.40s
+    "t_stream_dedup",  # [r6][t] 4→2 shard shave; 6.77s
+    "ann_ivf_topk",  # [r5]; 8.25s
+    "t_stream_join",  # [r6][t] 4→2 shard shave; 8.33s
 ]
 
 # WINDOW-OVERFLOW QUEUE (policy, r6): brand-new keys beyond window
@@ -240,24 +238,19 @@ NEXT_UP: list[str] = []
 # not demotion: external evidence is preserved. Net new keys this
 # round: 1 (the suite) against 16 removed.
 #
-# R10 WINDOW PREP (carried from the r8 note, one round later): the 50
-# keys NOT in this window are EXACTLY one window — if CORRECTNESS_r09
-# lands non-empty, front them all in r10. They are the 19 r5-evidence
-# keys (q3/q5/q10/q_top_customers, a1-a7, w_running_sum,
-# w_topk_per_group, set_ops, rollup_revenue, eav_pivot,
-# p10_find_first, ann_lsh_topk, ann_ivf_topk, ann_sq_rerank — five
-# rounds stale by r10, they MUST land) plus the 31 r6-evidence keys
-# (textops/curation/eventops/logshape/streaming/jn families,
-# CORRECTNESS_r06 rows). Rule-2 touches of r10 that sit in this
-# window would displace the youngest r6-evidence keys. CONTINGENCY,
-# unchanged: if CORRECTNESS_r09 also comes back empty/unreadable,
-# re-front THIS window once more — never rotate past a window with
-# zero external rows. With the r9 root-cause fix (materialized
-# trainer CTEs — the harness-killer lived in two of this window's own
-# oracles) the expectation is that r9 LANDS; if it does, also re-run
-# scripts/window_cost.py on the r10 cohort and order it cheapest-
-# first before shipping, and give t_stream_join/signatures/rollup/
-# dedup their deferred 4->2 shard shave (rule-2-safe once windowed).
+# R11 WINDOW PREP: the 50 keys NOT in this window are exactly the r9
+# window (49 green rows in CORRECTNESS_r09, every key evidenced) PLUS
+# t_session_window (displaced this round by the curation_dsir_weight
+# rule-2 re-entry; its session SQL stayed externally witnessed via
+# the r9-green t_stream_sessions row) MINUS curation_dsir_weight
+# (windowed here). If CORRECTNESS_r10 lands non-empty, r11 fronts
+# that cohort — t_session_window included — re-measured by
+# scripts/window_cost.py and ordered cheapest-first. Rule-2 touches
+# of r11 that sit in THIS window displace the youngest-evidence r10
+# keys (the r6-tagged ones, freshly re-evidenced). CONTINGENCY,
+# unchanged: if CORRECTNESS_r10 comes back empty/unreadable,
+# re-front THIS window — never rotate past a window with zero
+# external rows.
 
 
 def all_queries() -> dict[str, QuerySpec]:
