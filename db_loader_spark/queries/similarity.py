@@ -590,6 +590,19 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
             shutil.rmtree(p, ignore_errors=True)  # crashed-build residue
             continue
         marker = os.path.join(p, "_SUPERSEDED_AT")
+        # RESIDUAL WINDOW (ADVICE r9, documented not closed): if this
+        # dir carries a marker >1h stale AND a re-adopter is flipping
+        # _CURRENT back to it concurrently, this sweep may have read
+        # the pointer before the re-adopter's flip and still reap the
+        # dir just after the flip lands — pointer then names a missing
+        # dir until the next resolve rebuilds (deterministic rebuild,
+        # no wrong answers; one wasted build). The mtime scheme had
+        # the same window; the marker scheme narrows it to the
+        # re-adoption-of-an-hour-stale-version case. Fully closing it
+        # needs either a per-reap pointer re-read (planned r11 — a
+        # touched-key-rule change to the three disk-ANN lineages, so
+        # it lands when their window slots next come up) or an O_EXCL
+        # lock serializing flips, which no single-box caller needs.
         try:
             with open(marker) as f:
                 t_sup = float(f.read())

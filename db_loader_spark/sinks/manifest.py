@@ -39,6 +39,18 @@ Commit protocol details that carry the correctness weight:
 - Readers never list ``data/``: ``read_current`` loads the manifest's
   explicit file list, so partial uploads and stale files cannot leak
   into a scan.
+- CONCURRENCY CONTRACT: single writer per table root. The protocol is
+  lock-free (no O_EXCL serialization of pointer flips), so two
+  writers racing commits against one root have read-then-flip windows
+  — in the normal path and, narrowed but not eliminated, in the
+  torn-commit recovery re-check — in which one writer's freshly
+  committed child can be orphaned from the current lineage (its
+  manifest and files persist; it is not torn, just not current).
+  Every caller in this package honors the contract (each stream owns
+  its per-checkpoint root; batch publishes are sequential). A
+  multi-writer deployment must add a commit lock or CAS pointer (the
+  conditional-PUT primitive object stores provide) rather than rely
+  on the re-checks.
 """
 
 from __future__ import annotations
@@ -209,6 +221,20 @@ def publish(
             if rechecked == sid:
                 return sid  # a same-token replay completed the commit
             if rechecked == observed:
+                # RESIDUAL WINDOW (ADVICE r9, acknowledged): between
+                # this re-check and the os.replace below, a concurrent
+                # writer could still commit a child of `observed` and
+                # be orphaned by our flip. The window is NARROWED by
+                # the re-check (one instruction gap vs the whole
+                # recovery path), not eliminated — identical in kind
+                # to the normal path's read-then-flip gap, which is
+                # inherent to this lock-free file protocol. True
+                # mutual exclusion would need an O_EXCL lock file
+                # serializing all flips; no current caller runs
+                # concurrent writers against one table root (streams
+                # own their roots per-checkpoint), so the honest
+                # contract is single-writer-per-root, stated in the
+                # module docstring.
                 with open(cur + ".tmp", "w") as fh:
                     fh.write(sid)
                 os.replace(cur + ".tmp", cur)  # finish the torn commit
