@@ -116,9 +116,17 @@ def upsert_row_sql(
     UPDATE SET c = excluded.c``); ``mysql`` uses ``ON DUPLICATE KEY
     UPDATE``. Key-only tables degrade to conflict-ignore.
 
-    DIALECT DIVERGENCE on multi-unique-key tables (documented gap —
-    this sandbox has no MySQL/MariaDB server, so the mysql arm has no
-    wire witness; it is exercised only as generated SQL text): MySQL's
+    WIRE WITNESS (r10): the ansi/postgres arm of this and the staging
+    publish script runs against a REAL PostgreSQL 15 server in
+    tests/test_postgres_wire.py (temp cluster on a unix socket) —
+    upsert-on-replay, key-only DO NOTHING, staging publish + drain,
+    transaction rollback, and the divergence below are all executed on
+    the wire. The MYSQL arm remains text-pinned only (no MySQL/MariaDB
+    server in this sandbox).
+
+    DIALECT DIVERGENCE on multi-unique-key tables (the mysql side is a
+    documented gap — no MySQL server, so that arm has no wire witness;
+    it is exercised only as generated SQL text): MySQL's
     ``ON DUPLICATE KEY UPDATE`` fires on a conflict with ANY unique
     index of the table, while ``ON CONFLICT (keys)`` targets exactly
     the named columns' index — a row conflicting on a DIFFERENT unique
