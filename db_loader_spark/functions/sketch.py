@@ -540,3 +540,219 @@ def quantile_sketch(
         tag = f"p{round(q * 100)}"
         cols += [F.col(f"{tag}_est"), F.col(f"{tag}_exact")]
     return est.join(exact, "grp").select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic KLL-style compaction sketch (the O(polylog/k) rank-error
+# member beside bottom-k's O(sqrt(q(1-q)/k)); VERDICT r9 #8).
+#
+# The accepted tradeoff ledger, stated plainly:
+# - bottom_k_sketch (above) is CANONICAL — shard-count-invariant,
+#   order-free, replayable in one SQL window — which is why IT holds
+#   the external driver slot. Its rank error is the Bernoulli-sampling
+#   rate O(sqrt(q(1-q)/k)).
+# - Compaction sketches (MRL'98 lineage; KLL = Karnin-Lang-Liberty,
+#   FOCS'16) reach far smaller error per stored row, but compaction is
+#   inherently ORDER-DEPENDENT, and the randomized KLL is additionally
+#   seed-dependent — neither is replayable by an engine that does not
+#   implement the identical algorithm, so per the engine-portability
+#   design rule (module docstring) it cannot take a DuckDB-oracled
+#   registry slot, and it does NOT displace one (pytest-tier only).
+#
+# What makes THIS variant engine-portable in the text_kmv_vocab sense
+# (spec-replayable, bit-for-bit) is that every degree of freedom is
+# pinned by the spec rather than by runtime nondeterminism:
+# 1. no random coins — compaction keeps odd/even positions by a
+#    per-level ALTERNATING parity clock (the classical deterministic
+#    MRL schedule; adjacent compactions at a level cancel error to
+#    first order, giving worst-case rank error O(k) after compacting
+#    w·k items ... i.e. relative error O(log^2(n/k)/k));
+# 2. a CANONICAL feed order — values enter in ascending
+#    (md5-hash, key) order (qsk_hash), a property of the DATA, not of
+#    partition layout or scheduler timing;
+# 3. a CANONICAL plan shape — exactly KLL_SHARDS pmod(key) shards,
+#    each fed in canonical order, merged in shard order 0..S-1. The
+#    shard count is part of the spec (unlike bottom-k it is NOT
+#    semantics-free), so it is a named constant, not a tunable.
+# Any engine that implements this page reproduces the sketch
+# bit-for-bit; tests/test_kll.py witnesses that by replaying the spec
+# in plain single-process Python (pandas-free) and hash-comparing
+# against the distributed applyInPandas plan, plus input-order /
+# repartitioning invariance and measured-vs-stated error bounds.
+#
+# Weight exactness invariant: a compaction always consumes an EVEN
+# number of items (odd buffers retain their largest item at the same
+# level), and every kept item doubles its weight — so total stored
+# weight equals the exact row count n at all times; n is never
+# tracked out-of-band and cannot drift from the sketch.
+# ---------------------------------------------------------------------------
+
+KLL_K = 128  # per-level buffer capacity
+KLL_SHARDS = 8  # part of the spec: fixed two-level fan-in
+
+
+def kll_helpers(k: int = KLL_K):
+    """The sketch spec as a dict of CLOSURES (the multimodal codec
+    pattern: cloudpickle ships closure cells by value, so Spark Python
+    workers never need this package importable — the driver contract).
+
+    State is a plain JSON-able pair ``(levels, parities)``: ``levels``
+    a list of value-lists (level i items carry weight 2^i, unsorted
+    between compactions — compaction sorts), ``parities`` the per-level
+    alternating offset clocks. Exposed ops: ``new() / update(state, v)
+    / merge(state, other) / quantile(state, q) / total(state)``."""
+
+    def new():
+        return ([[]], [0])
+
+    def _compact(levels, parities, i):
+        if i + 1 == len(levels):
+            levels.append([])
+            parities.append(0)
+        buf = sorted(levels[i])
+        if len(buf) % 2:
+            # retain the largest at this level: weight-exact, and the
+            # retained choice is part of the spec (deterministic)
+            levels[i] = [buf[-1]]
+            buf = buf[:-1]
+        else:
+            levels[i] = []
+        levels[i + 1].extend(buf[parities[i]::2])
+        parities[i] ^= 1
+        if len(levels[i + 1]) > k:
+            _compact(levels, parities, i + 1)
+
+    def update(state, v):
+        levels, parities = state
+        levels[0].append(v)
+        if len(levels[0]) > k:
+            _compact(levels, parities, 0)
+        return state
+
+    def merge(state, other):
+        """Inject ``other``'s levels into ``state`` bottom-up; the
+        ACCUMULATOR's parity clocks keep ticking (merge order is fixed
+        by the plan spec, so this is deterministic)."""
+        levels, parities = state
+        olevels, _ = other
+        for i, buf in enumerate(olevels):
+            while i >= len(levels):
+                levels.append([])
+                parities.append(0)
+            levels[i].extend(buf)
+        for i in range(len(levels)):
+            while len(levels[i]) > k:
+                _compact(levels, parities, i)
+        return state
+
+    def total(state):
+        return sum(len(buf) << i for i, buf in enumerate(state[0]))
+
+    def quantile(state, q):
+        """Weighted type-1 (lower empirical) quantile: the smallest
+        stored value whose cumulative weight reaches ceil(q*n)."""
+        import math as _math
+
+        levels, _ = state
+        n = total(state)
+        if n == 0:
+            return None
+        target = max(1, _math.ceil(q * n))
+        weighted = sorted(
+            (v, 1 << i) for i, buf in enumerate(levels) for v in buf
+        )
+        cum = 0
+        for v, w in weighted:
+            cum += w
+            if cum >= target:
+                return v
+        return weighted[-1][0]
+
+    return {
+        "new": new,
+        "update": update,
+        "merge": merge,
+        "total": total,
+        "quantile": quantile,
+    }
+
+
+def kll_group_quantiles(
+    pairs: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = KLL_K,
+    shards: int = KLL_SHARDS,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group quantile estimates via the deterministic compaction
+    sketch, as the canonical two-level plan: stage 1 builds one sketch
+    per (group, pmod-shard) from rows fed in ascending (md5-hash, key)
+    order — the per-executor state, O(k log(n/k)) rows each — stage 2
+    merges each group's shard sketches in shard order and reads the
+    estimates. ``value_col`` must be integer-valued so outputs are
+    BIGINTs any engine compares exactly.
+
+    At 100 TB: stage 1 is one shuffle to (group, shard) grain with the
+    in-shard sort local to each pandas group; stage 2 moves only
+    sketches (kilobytes per group), never data. The canonical feed
+    order costs a per-shard sort — the price of spec-pinned
+    determinism; drop-in randomized KLL would shave the sort but lose
+    the replayability this package's design rule demands."""
+    import json as _json
+
+    helpers = kll_helpers(k)
+    qs = list(quantiles)
+
+    rows = pairs.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(key_col).cast("long").alias("key"),
+    )
+    sharded = rows.withColumn("shard", F.pmod("key", F.lit(shards))).withColumn(
+        "h", qsk_hash("key")
+    )
+
+    def build_shard(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values(["h", "key"], kind="mergesort")
+        st = helpers["new"]()
+        for v in pdf["v"]:
+            helpers["update"](st, int(v))
+        return _pd.DataFrame(
+            {
+                "grp": [pdf["grp"].iloc[0]],
+                "shard": [int(pdf["shard"].iloc[0])],
+                "sketch": [_json.dumps(st)],
+            }
+        )
+
+    stage1 = sharded.groupBy("grp", "shard").applyInPandas(
+        build_shard, schema="grp string, shard int, sketch string"
+    )
+
+    def merge_group(pdf):
+        import pandas as _pd
+
+        pdf = pdf.sort_values("shard", kind="mergesort")
+        st = helpers["new"]()
+        for s in pdf["sketch"]:
+            helpers["merge"](st, _json.loads(s))
+        out = {
+            "grp": [pdf["grp"].iloc[0]],
+            "n": [helpers["total"](st)],
+        }
+        for q in qs:
+            out[f"p{round(q * 100)}_est"] = [helpers["quantile"](st, q)]
+        return _pd.DataFrame(out)
+
+    est_schema = "grp string, n long, " + ", ".join(
+        f"p{round(q * 100)}_est long" for q in qs
+    )
+    return (
+        stage1.groupBy("grp")
+        .applyInPandas(merge_group, schema=est_schema)
+        .withColumnRenamed("grp", group_col)
+    )
