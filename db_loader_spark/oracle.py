@@ -124,7 +124,8 @@ def _values_equal(a, b) -> bool:
         # BIT-faithful, not ==-faithful (r9 lesson): the driver's hash
         # distinguishes -0.0 from +0.0, while IEEE == does not — the
         # exact blind spot that let curation_dsir_weight ship a red
-        # row. Compare sign bits whenever either side is zero.
+        # row. Compare sign bits when both sides are zero (the only
+        # case where == reports equal across a bit difference).
         if af == 0.0 and bf == 0.0:
             return math.copysign(1.0, af) == math.copysign(1.0, bf)
         return af == bf

@@ -100,10 +100,10 @@ def test_decontaminate_no_gate_path_matches(spark):
 
 def test_stream_join_is_multi_batch_and_complete(spark, tmp_path):
     """The stream-stream interval join emits matches across MULTIPLE
-    micro-batches (symmetric-hash state buffering both sides — with 4
-    random shards per side an order and its lineitems land in different
-    files, so later epochs must match against earlier epochs' buffered
-    state) and the union over epochs is EXACTLY the batch interval
+    micro-batches (symmetric-hash state buffering both sides — with 2
+    random shards per side an order and its lineitems often land in
+    different files, so later epochs must match against earlier epochs'
+    buffered state) and the union over epochs is EXACTLY the batch interval
     join — no row dropped by the span-covering watermark, none
     duplicated across epochs."""
     from db_loader_spark.queries.streamingq import (
