@@ -119,6 +119,99 @@ def test_rank_error_within_stated_bounds(dist, gen):
         assert err <= min(bound, 0.02), (dist, q, err)
 
 
+def _independent_sketch(rows, k=KLL_K, shards=KLL_SHARDS):
+    """A SECOND implementation of the spec, written independently of
+    kll_helpers (dict-of-levels state, iterative cascade, no shared
+    code): pmod sharding, ascending (hash, key) feed, in-order merge,
+    sorted compaction keeping positions parity::2 with the parity
+    clock flipping per compaction, odd buffers retaining their largest
+    item at the same level. Two independent implementations agreeing
+    bit-for-bit is the engine-portability claim made real — a bug in
+    the shared compactor cannot hide by agreeing with itself."""
+
+    def compact_once(levels, parities, i):
+        buf = sorted(levels.get(i, []))
+        keep_back = []
+        if len(buf) % 2 == 1:
+            keep_back = [buf[-1]]
+            buf = buf[:-1]
+        p = parities.get(i, 0)
+        promoted = [buf[j] for j in range(p, len(buf), 2)]
+        parities[i] = 1 - p
+        levels[i] = keep_back
+        levels[i + 1] = levels.get(i + 1, []) + promoted
+
+    def cascade(levels, parities, start):
+        i = start
+        while len(levels.get(i, [])) > k:
+            compact_once(levels, parities, i)
+            i += 1
+
+    def feed(levels, parities, vs):
+        for v in vs:
+            levels[0] = levels.get(0, []) + [v]
+            cascade(levels, parities, 0)
+
+    def inject(levels, parities, other_levels):
+        for i, buf in other_levels.items():
+            levels[i] = levels.get(i, []) + list(buf)
+        for i in sorted(set(levels)):
+            cascade(levels, parities, i)
+
+    shard_states = []
+    for s in range(shards):
+        mine = [(key, v) for key, v in rows if key % shards == s]
+        mine.sort(key=lambda t: (_h(t[0]), t[0]))
+        lv: dict[int, list] = {}
+        pa: dict[int, int] = {}
+        feed(lv, pa, [v for _, v in mine])
+        shard_states.append(lv)
+    acc: dict[int, list] = {}
+    acc_pa: dict[int, int] = {}
+    for lv in shard_states:
+        inject(acc, acc_pa, lv)
+    n = sum(len(b) << i for i, b in acc.items())
+    weighted = sorted((v, 1 << i) for i, b in acc.items() for v in b)
+
+    def quantile(q):
+        target = max(1, math.ceil(q * n))
+        cum = 0
+        for v, w in weighted:
+            cum += w
+            if cum >= target:
+                return v
+        return weighted[-1][0]
+
+    return n, quantile, acc, acc_pa
+
+
+def test_independent_reimplementation_agrees_bit_for_bit():
+    """kll_helpers vs the from-spec reimplementation above: identical
+    level contents (as sorted multisets per level — storage order
+    within an uncompacted buffer is not part of the spec; compaction
+    sorts), identical parity clocks, identical n and quantiles, across
+    distributions."""
+    rng = random.Random(23)
+    for gen in (
+        lambda i: rng.randrange(10**6),
+        lambda i: int(rng.paretovariate(1.2)),
+        lambda i: i,
+        lambda i: i % 17,
+    ):
+        rows = [(i, gen(i)) for i in range(12_000)]
+        H, st = _replay(rows)
+        n2, quant2, lv2, pa2 = _independent_sketch(rows)
+        assert H["total"](st) == n2
+        levels, parities = st
+        lv1 = {i: sorted(b) for i, b in enumerate(levels) if b}
+        assert lv1 == {i: sorted(b) for i, b in lv2.items() if b}
+        pa1 = {i: p for i, p in enumerate(parities)}
+        for i in lv1:
+            assert pa1.get(i, 0) == pa2.get(i, 0), i
+        for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+            assert H["quantile"](st, q) == quant2(q), q
+
+
 def test_spec_determinism_is_input_order_free():
     """The canonical feed order is a property of the data (hash, key),
     so ARRIVAL order cannot change the sketch."""
@@ -129,6 +222,36 @@ def test_spec_determinism_is_input_order_free():
     rng.shuffle(shuffled)
     _, b = _replay(shuffled)
     assert a == b
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        vals=st_.lists(st_.integers(-(10**9), 10**9), min_size=0, max_size=400),
+        k=st_.integers(4, 16),
+    )
+    def test_property_weight_exact_and_impls_agree(vals, k):
+        """For arbitrary values at tiny k (deep compaction): total
+        weight equals n, quantiles live inside [min, max], and the two
+        independent implementations agree bit-for-bit."""
+        rows = list(enumerate(vals))
+        H, st = _replay(rows, k=k, shards=3)
+        n2, quant2, _, _ = _independent_sketch(rows, k=k, shards=3)
+        assert H["total"](st) == len(vals) == n2
+        if vals:
+            lo, hi = min(vals), max(vals)
+            for q in (0.0, 0.3, 0.5, 0.97, 1.0):
+                a, b = H["quantile"](st, q), quant2(q)
+                assert a == b
+                assert lo <= a <= hi
+        else:
+            assert H["quantile"](st, 0.5) is None
+
+except ImportError:  # pragma: no cover - hypothesis is in the baked env
+    pass
 
 
 def test_spark_plan_matches_pure_python_spec_replay(spark):
