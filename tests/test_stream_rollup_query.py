@@ -62,6 +62,45 @@ def test_staging_invalidated_on_source_change(spark, tmp_path):
     assert open(os.path.join(stage, "_SOURCE_STAMP")).read() != first_stamp
 
 
+def test_stale_layout_stage_restages_under_new_stamp(spark, tmp_path):
+    """r10 migration pin: a warm stage carrying the PRE-r10 suffix-less
+    stamp text (the old default-layout form) must restage at the new
+    2-shard layout — the stamp↔layout bijection means old-format
+    stamps can never validate."""
+    import os
+    import shutil
+
+    from db_loader_spark.queries.streamingq import (
+        SHARDS_SHAVED,
+        _source_stamp,
+        _stage_table,
+    )
+
+    src = tmp_path / "sfdir"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "events.parquet")
+    stage = _stage_table(spark, str(src), "events", "migr")
+    files = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    assert len(files) == SHARDS_SHAVED
+    stamp_path = os.path.join(stage, "_SOURCE_STAMP")
+    new_stamp = open(stamp_path).read()
+    assert new_stamp.endswith(f":shards{SHARDS_SHAVED}")
+    # forge the pre-r10 stamp text (no layout suffix) over a fake old
+    # 4-file layout; the next call must reject it and restage
+    for f in files[:1]:
+        for i in (97, 98):  # two extra fake shard files
+            shutil.copy(
+                os.path.join(stage, f), os.path.join(stage, f"part-fake{i}.parquet")
+            )
+    with open(stamp_path, "w") as fh:
+        fh.write(_source_stamp(str(src)))
+    stage2 = _stage_table(spark, str(src), "events", "migr")
+    assert stage2 == stage
+    assert open(stamp_path).read() == new_stamp
+    files2 = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    assert len(files2) == SHARDS_SHAVED  # fake extra shards were wiped
+
+
 def test_stream_dedup_actually_removes_duplicates(spark):
     """The staged input really is 2× the table (the dedup has work to
     do), and the streamed output equals exactly one copy."""
