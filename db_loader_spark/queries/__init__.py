@@ -251,6 +251,19 @@ NEXT_UP: list[str] = []
 # unchanged: if CORRECTNESS_r10 comes back empty/unreadable,
 # re-front THIS window — never rotate past a window with zero
 # external rows.
+#
+# STAGED R11 TOUCHES (deliberately deferred — their keys are in the
+# r11 cohort, so landing them now would displace r10 slots):
+# 1. Signed-zero prophylaxis on the sign-CAPABLE rounded floats among
+#    the r9-window keys: a_profile_stats.min_v (a ROUND(min(value))
+#    that goes -0.0 the day testdata ships a tiny-negative value) and
+#    a_moments' correlation channel. Append `+ 0.0` on both engines,
+#    same as curation_dsir_weight r10. (Measured r10: no -0.0
+#    anywhere at either SF; the sign-aware comparator + sf0.01 scan
+#    test catch any drift loudly in the meantime. Columns that are
+#    nonnegative by construction — ratios, durations — need nothing.)
+# 2. The versioned-artifact sweep's per-reap pointer re-read
+#    (similarity.py, ADVICE r9 #2's code path) — disk-ANN lineages.
 
 
 def all_queries() -> dict[str, QuerySpec]:
