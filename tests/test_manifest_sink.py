@@ -576,3 +576,45 @@ def test_never_committed_token_may_restage(spark, tmp_path):
     M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
     assert M.snapshots(root) == ["epoch-0", "epoch-1"]
     assert M.read_current(spark, root).count() == 15
+
+
+def test_orphaned_concurrent_commit_is_whole_not_torn(spark, tmp_path, monkeypatch):
+    """r10, pinning the documented residual window's blast radius: if a
+    concurrent writer's commit lands inside the recovery re-check's
+    read-then-flip gap, the recovery flip orphans it from the current
+    lineage — but the orphan must be WHOLE (manifest + every data file
+    intact, time-travel readable), never torn, and the recovery's own
+    lineage must be complete. That bounded damage is what makes the
+    lock-free single-writer-per-root contract honest."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
+    M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    cur = os.path.join(root, M._CURRENT)
+    with open(cur, "w") as fh:
+        fh.write("epoch-0")  # epoch-1's torn pre-flip state
+    # concurrent writer: commits a DIFFERENT child of epoch-0 and flips
+    M.publish(spark.range(100, 103), root, snapshot_id="epoch-2", append=True)
+    assert M.current_snapshot(root) == "epoch-2"
+    # replay of epoch-1 whose entry read AND re-check both happened
+    # before the concurrent flip (the residual gap): it finishes its
+    # own commit, orphaning epoch-2
+    reads = iter(["epoch-0", "epoch-0"])
+    monkeypatch.setattr(M, "current_snapshot", lambda r: next(reads, "epoch-0"))
+    out = M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    monkeypatch.undo()
+    assert out == "epoch-1"
+    assert M.current_snapshot(root) == "epoch-1"
+    # current lineage is complete and correct
+    assert sorted(
+        r["id"] for r in M.read_current(spark, root).select("id").collect()
+    ) == list(range(15))
+    # the orphan: not current, absent from the forward lineage walk,
+    # but manifest + files are all present and time-travel readable
+    assert "epoch-2" not in M.snapshots(root)
+    man = M._manifest(root, "epoch-2")
+    assert man["parent"] == "epoch-0"
+    for f in man["files"]:
+        assert os.path.exists(os.path.join(root, f)), f
+    assert sorted(
+        r["id"] for r in M.read_snapshot(spark, root, "epoch-2").select("id").collect()
+    ) == list(range(10)) + [100, 101, 102]
