@@ -657,3 +657,28 @@ def test_pq_artifact_rebuild_is_deterministic(spark):
         map(tuple, spark.read.parquet(os.path.join(v2, "codes")).collect())
     )
     assert codes1 == codes2
+
+
+def test_ivf_disk_index_heals_pointer_to_missing_dir(spark):
+    """r10, pinning the documented sweep-race blast radius: if the
+    race ever leaves _CURRENT naming a missing version dir, the next
+    resolve must not serve garbage or raise — it rebuilds the version
+    for the current stamp deterministically and re-flips. One wasted
+    build is the whole cost."""
+    import os
+    import shutil
+
+    from db_loader_spark.queries.similarity import _ivf_disk_index
+
+    sf = "/root/testdata/sf0.001"
+    vdir = _ivf_disk_index(spark, sf)
+    base = os.path.dirname(os.path.dirname(vdir))
+    # the raced end-state: pointer names a dir that no longer exists
+    shutil.rmtree(vdir)
+    with open(os.path.join(base, "_CURRENT"), "w") as fh:
+        fh.write(os.path.basename(vdir))
+    vdir2 = _ivf_disk_index(spark, sf)
+    assert vdir2 == vdir  # same stamp → same version id, rebuilt
+    assert os.path.isdir(os.path.join(vdir2, "centroids"))
+    with open(os.path.join(base, "_CURRENT")) as fh:
+        assert fh.read() == os.path.basename(vdir2)
