@@ -618,3 +618,82 @@ def test_orphaned_concurrent_commit_is_whole_not_torn(spark, tmp_path, monkeypat
     assert sorted(
         r["id"] for r in M.read_snapshot(spark, root, "epoch-2").select("id").collect()
     ) == list(range(10)) + [100, 101, 102]
+
+
+def test_concurrent_readers_always_see_a_complete_snapshot(spark, tmp_path):
+    """r10 stress witness for the module's core claim — readers
+    resolving pointer -> manifest -> file list see "a complete old
+    snapshot or a complete new one, never a mix" — under REAL thread
+    concurrency rather than scripted interleavings. One writer (the
+    documented single-writer contract) publishes a rapid sequence of
+    overwrite commits, vacuuming as it goes; three reader threads
+    hammer read_current the whole time. Every read must surface
+    exactly one committed (marker, rowcount) pair, and each reader's
+    marker sequence must be non-decreasing (the pointer is a single
+    os.replace-atomic file, so one thread's sequential resolves can
+    never travel backwards). The vacuum retention (keep=10 of 12)
+    stays far outside any reader's resolve-to-scan window, per the
+    retention-window caveat the vacuum docstring documents."""
+    import threading
+
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "tbl")
+    n_commits = 12
+    expected = {i: 50 + i for i in range(n_commits)}
+
+    def frame(i):
+        return spark.createDataFrame(
+            [(i, j) for j in range(expected[i])],
+            T.StructType(
+                [
+                    T.StructField("marker", T.IntegerType()),
+                    T.StructField("j", T.IntegerType()),
+                ]
+            ),
+        )
+
+    M.publish(frame(0), root, snapshot_id="epoch-00")  # readers never see "no table"
+    done = threading.Event()
+    errors: list[str] = []
+    reads_per_thread: list[int] = []
+
+    def reader():
+        last = -1
+        n_reads = 0
+        while not done.is_set() or n_reads == 0:
+            rows = M.read_current(spark, root).collect()
+            n_reads += 1
+            markers = {r["marker"] for r in rows}
+            if len(markers) != 1:
+                errors.append(f"torn read: mixed markers {sorted(markers)}")
+                break
+            (m,) = markers
+            if len(rows) != expected.get(m):
+                errors.append(f"torn read: marker {m} with {len(rows)} rows")
+                break
+            if m < last:
+                errors.append(f"pointer went backwards: {last} -> {m}")
+                break
+            last = m
+        reads_per_thread.append(n_reads)
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(1, n_commits):
+            M.publish(frame(i), root, snapshot_id=f"epoch-{i:02d}")
+            if i % 4 == 0:
+                M.vacuum(root, keep=10)
+    finally:
+        done.set()
+        for t in threads:
+            t.join(timeout=120)
+    assert errors == [], errors
+    assert all(not t.is_alive() for t in threads)
+    assert all(n > 0 for n in reads_per_thread)
+    # the writer's own end state is intact after the storm
+    final = M.read_current(spark, root).collect()
+    assert {r["marker"] for r in final} == {n_commits - 1}
+    assert len(final) == expected[n_commits - 1]
