@@ -126,6 +126,26 @@ RESET_BEFORE_TIMING = {"text_bpe_train": _reset_bpe_cache}
 # smaller than the noise band is environment, not code.
 N_TIMED = 3
 
+# Soft wall-clock budget for the WHOLE bench process (r10): the suite's
+# wall is ~4x its summed medians (warm + N_TIMED samples + GC per row),
+# and session weather alone moves medians +/-20% — a bad-weather run
+# can cross the harness's capture window and lose the entire artifact
+# (the BENCH_r06-r08 null-parse class, in timeout form). Rather than
+# shed ROWS (which changes the artifact's shape), the headline loop
+# sheds SAMPLES: past 55% of budget new rows take 2 timed runs, past
+# 75% they take 1. Degraded rows keep honest per-row spreads (0.0 for
+# single samples) but are EXCLUDED from the suite noise band, and the
+# JSON reports how many rows degraded so a cross-round band comparison
+# knows its basis. Full-sample runs are byte-identical to r9 behavior.
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
+
+
+def _samples_for_elapsed(elapsed_s: float, budget_s: float = BENCH_BUDGET_S) -> int:
+    frac = elapsed_s / budget_s if budget_s > 0 else 0.0
+    if frac < 0.55:
+        return N_TIMED
+    return 2 if frac < 0.75 else 1
+
 
 def _timed_runs(
     fn, reset=None, cleanup=None, n: int = N_TIMED
@@ -156,7 +176,10 @@ def _timed_runs(
 
     for _ in range(n):
         one()
-    if sorted(runs)[len(runs) // 2] < 0.5:
+    # the sub-second top-up only applies at full sample count: a
+    # deadline-degraded row must not win back the samples the budget
+    # shed (and a 1-sample "median" has no meaningful range anyway)
+    if n >= N_TIMED and sorted(runs)[len(runs) // 2] < 0.5:
         one()
         one()
     runs.sort()
@@ -591,6 +614,7 @@ def _bench_manifest_zonemap(spark, sf_dir: str, timings, spreads) -> None:
 
 
 def main() -> None:
+    t_start = time.monotonic()  # budget clock covers Spark startup too
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
@@ -608,8 +632,15 @@ def main() -> None:
     # deltas adjudicable against a recorded noise band.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    full_sample_rows: set[str] = set()
+    degraded_rows = 0
     for name in HEADLINE:
         spec = registry[name]
+        n_samples = _samples_for_elapsed(time.monotonic() - t_start)
+        if n_samples == N_TIMED:
+            full_sample_rows.add(name)
+        else:
+            degraded_rows += 1
         # Settling wrappers persist their small result and CacheManager
         # dedups identical plans — without the unpersist between runs,
         # the second run would read the first run's cache and time an
@@ -639,13 +670,15 @@ def main() -> None:
             run_once,
             reset=RESET_BEFORE_TIMING.get(name),
             cleanup=lambda df: df.unpersist(),
+            n=n_samples,
         )
         # stderr progress (the driver parses stdout only): median vs
         # full row wall — warm run + all samples — so a bench that
         # nears the harness's timeout shows WHERE the wall went.
         print(
             f"[bench] {name} med={timings[name]}s row_wall={time.perf_counter() - t_row:.1f}s"
-            f" warm={warm_s:.1f}s gc={gc_s:.1f}s",
+            f" warm={warm_s:.1f}s gc={gc_s:.1f}s n={n_samples}"
+            f" elapsed={time.monotonic() - t_start:.0f}s",
             file=sys.stderr,
             flush=True,
         )
@@ -665,7 +698,12 @@ def main() -> None:
     _bench_manifest_zonemap(spark, sf_dir, timings, spreads)
 
     total = round(sum(timings.values()), 4)
-    band = sorted(spreads.values())
+    # the layout micro-bench rows (everything added after the headline
+    # loop) always run at full sample count; deadline-degraded headline
+    # rows are excluded from the suite band — a 1-sample "spread" of
+    # 0.0 would read as phantom stability and shrink the band
+    full_sample_rows.update(k for k in spreads if k not in set(HEADLINE))
+    band = sorted(v for k, v in spreads.items() if k in full_sample_rows)
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -677,6 +715,9 @@ def main() -> None:
         "queries_spread": spreads,
         "noise_band": band[len(band) // 2] if band else 0.0,
         "n_timed": N_TIMED,
+        # rows that the soft deadline timed with <N_TIMED samples (and
+        # excluded from the band); 0 on a healthy-weather run
+        "degraded_rows": degraded_rows,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The external driver captures only the LAST ~2000 chars of stdout
@@ -704,6 +745,7 @@ def main() -> None:
         "n_queries": len(timings),
         "noise_band": full["noise_band"],
         "n_timed": N_TIMED,
+        "degraded_rows": degraded_rows,
         "full": "bench_full.json",
         "sf": full["sf"],
     }

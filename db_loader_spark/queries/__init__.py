@@ -264,6 +264,19 @@ NEXT_UP: list[str] = []
 #    nonnegative by construction — ratios, durations — need nothing.)
 # 2. The versioned-artifact sweep's per-reap pointer re-read
 #    (similarity.py, ADVICE r9 #2's code path) — disk-ANN lineages.
+#
+# Landed in-round WITHOUT displacement (r10, post-close): the
+# _versioned_artifact pointer flip's temp file is now writer-unique —
+# a thread-storm test found two concurrent flippers sharing the
+# literal "_CURRENT.tmp" race write→replace, crashing the loser with
+# FileNotFoundError (in-contract: the protocol explicitly supports
+# concurrent builders). Result-NEUTRAL by construction (artifact
+# bytes, pointer contents, and query outputs identical — crash-class
+# only) and verified: the three disk-ANN keys re-checked value-green
+# at sf0.01 post-fix. The touch rule's rationale is evidence
+# staleness; no result can differ, so the r9 external rows for those
+# keys remain bit-valid and no window slot moves. The per-reap
+# re-read (above) is behavior-affecting and stays deferred.
 
 
 def all_queries() -> dict[str, QuerySpec]:

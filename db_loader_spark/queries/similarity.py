@@ -548,9 +548,17 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
     # any supersession marker from its previous retirement, or its next
     # retirement would inherit the stale timestamp and reap instantly.
     _shed_marker(vdir)
-    with open(cur + ".tmp", "w") as f:
+    # The flip's temp file is WRITER-UNIQUE (r10): this protocol
+    # explicitly supports concurrent builders, and two flippers
+    # sharing one literal "_CURRENT.tmp" race write→replace — the
+    # loser's os.replace hits FileNotFoundError because the winner's
+    # replace already consumed the shared temp (found by the thread-
+    # storm test). A crashed flip leaves one ~12-byte tmp file in
+    # ``base``; harmless residue, never read by anything.
+    tmp = f"{cur}.tmp-{_uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
         f.write(vid)
-    os.replace(cur + ".tmp", cur)  # THE commit point: one atomic rename
+    os.replace(tmp, cur)  # THE commit point: one atomic rename
     import time as _time
 
     # Re-read the pointer before sweeping: a concurrent different-stamp

@@ -682,3 +682,76 @@ def test_ivf_disk_index_heals_pointer_to_missing_dir(spark):
     assert os.path.isdir(os.path.join(vdir2, "centroids"))
     with open(os.path.join(base, "_CURRENT")) as fh:
         assert fh.read() == os.path.basename(vdir2)
+
+
+def test_versioned_artifact_thread_storm_invariants(tmp_path):
+    """r10 stress witness: the scripted interleaving tests above pin
+    specific races; this one hammers _versioned_artifact from six
+    threads cycling three stamps concurrently and asserts the
+    invariants that must hold under ANY interleaving within the 1 h
+    vacuum horizon (nothing is reapable in a seconds-long storm, so
+    every landed version dir must persist intact): every call returns
+    a directory that exists, carries the _COMPLETE sentinel for the
+    requested stamp, and contains that stamp's exact deterministic
+    payload (no cross-stamp contamination from racing builders); and
+    after the storm _CURRENT names an existing complete dir and every
+    versions/ entry is either a complete version or .build- scratch."""
+    import os
+    import threading
+    import time as _time
+
+    from db_loader_spark.queries.similarity import _versioned_artifact
+
+    base = str(tmp_path / "art")
+    stamps = ["stamp-a", "stamp-b", "stamp-c"]
+
+    def make_build(stamp):
+        def build(d):
+            # widen the race windows a little; rename still publishes
+            # atomically after this returns
+            _time.sleep(0.002)
+            with open(os.path.join(d, "payload"), "w") as f:
+                f.write(f"payload-for-{stamp}")
+        return build
+
+    errors: list[str] = []
+
+    def worker(tid):
+        # any escape (e.g. the shared-tmp-name flip crash this test
+        # originally caught) must FAIL the test, not silently shrink
+        # its coverage — hence the blanket except into errors
+        try:
+            for i in range(15):
+                stamp = stamps[(tid + i) % len(stamps)]
+                vdir = _versioned_artifact(base, stamp, make_build(stamp))
+                with open(os.path.join(vdir, "_COMPLETE")) as f:
+                    got_stamp = f.read()
+                with open(os.path.join(vdir, "payload")) as f:
+                    got_payload = f.read()
+                if got_stamp != stamp:
+                    errors.append(f"t{tid}/{i}: sentinel {got_stamp!r} != {stamp!r}")
+                    return
+                if got_payload != f"payload-for-{stamp}":
+                    errors.append(f"t{tid}/{i}: cross-stamp payload {got_payload!r}")
+                    return
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"t{tid}: worker crashed: {e!r}")
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert errors == [], errors
+    assert all(not t.is_alive() for t in threads)
+    with open(os.path.join(base, "_CURRENT")) as f:
+        vid = f.read()
+    vroot = os.path.join(base, "versions")
+    assert os.path.isdir(os.path.join(vroot, vid))
+    assert os.path.exists(os.path.join(vroot, vid, "_COMPLETE"))
+    for entry in os.listdir(vroot):
+        if entry.startswith(".build-"):
+            continue  # loser-builder scratch, swept by the 1 h horizon
+        assert os.path.exists(
+            os.path.join(vroot, entry, "_COMPLETE")
+        ), f"incomplete version dir {entry} left published"
