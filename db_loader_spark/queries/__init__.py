@@ -264,6 +264,13 @@ NEXT_UP: list[str] = []
 #    nonnegative by construction — ratios, durations — need nothing.)
 # 2. The versioned-artifact sweep's per-reap pointer re-read
 #    (similarity.py, ADVICE r9 #2's code path) — disk-ANN lineages.
+# 3. Scratch+rename stage builds in streamingq.py (r10 audit): the
+#    in-place build (clear + chunks + stamp last) can interleave to a
+#    mixed-generation stage under two sessions racing a layout
+#    transition — same class the artifact protocol closed in r8.
+#    Apply the identical scratch dir + stamp-inside + os.rename
+#    pattern to _stage_table/_stage_time_chunks; contract documented
+#    at _stage_current pending the fix.
 #
 # Landed in-round WITHOUT displacement (r10, post-close): the
 # _versioned_artifact pointer flip's temp file is now writer-unique —

@@ -81,6 +81,21 @@ def _source_stamp(sf_dir: str, table: str = "events") -> str:
 
 
 def _stage_current(stage: str, stamp: str) -> bool:
+    """True if ``stage`` carries exactly ``stamp`` (written LAST by the
+    builder, so a crashed build never passes).
+
+    CONCURRENCY CONTRACT (r10 audit): stage builds are IN-PLACE
+    (clear + write chunks + stamp last), so the protocol assumes ONE
+    session builds a given stage at a time — the same exposure the
+    versioned-artifact protocol closed with scratch+rename in r8.
+    Two sessions racing a LAYOUT TRANSITION here could interleave
+    into a mixed-generation stage whose stamp validates while stale
+    extra chunks from the old layout linger (the file-source stream
+    reads every parquet in the dir). Every caller in this repo is
+    sequential (driver, bench, pytest each run alone); the
+    scratch+rename fix is staged for r11 with the other touched-key
+    work (see queries/__init__.py STAGED R11 TOUCHES) because these
+    stage dirs feed both r10-window and r11-cohort keys."""
     try:
         with open(os.path.join(stage, "_SOURCE_STAMP")) as f:
             return f.read() == stamp
