@@ -84,3 +84,21 @@ def test_sq_rerank_recall_is_exact(spark, sf_dir):
         .collect()[0]
     )
     assert rec.worst == 1.0
+
+
+def test_bench_deadline_sheds_samples_never_rows():
+    """r10: the soft budget degrades SAMPLE COUNT with elapsed wall —
+    full N_TIMED below 55%, 2 below 75%, 1 past that — and a zero or
+    negative budget must mean "no deadline" rather than instant
+    degradation (the guard for a misconfigured env var)."""
+    import bench
+
+    assert bench._samples_for_elapsed(0.0, 540) == bench.N_TIMED
+    assert bench._samples_for_elapsed(0.54 * 540, 540) == bench.N_TIMED
+    assert bench._samples_for_elapsed(0.56 * 540, 540) == 2
+    assert bench._samples_for_elapsed(0.74 * 540, 540) == 2
+    assert bench._samples_for_elapsed(0.76 * 540, 540) == 1
+    assert bench._samples_for_elapsed(1e9, 540) == 1
+    # no-deadline sentinel: budget <= 0 never degrades
+    assert bench._samples_for_elapsed(1e9, 0) == bench.N_TIMED
+    assert bench._samples_for_elapsed(1e9, -1) == bench.N_TIMED
