@@ -132,19 +132,34 @@ N_TIMED = 3
 # can cross the harness's capture window and lose the entire artifact
 # (the BENCH_r06-r08 null-parse class, in timeout form). Rather than
 # shed ROWS (which changes the artifact's shape), the headline loop
-# sheds SAMPLES: past 55% of budget new rows take 2 timed runs, past
-# 75% they take 1. Degraded rows keep honest per-row spreads (0.0 for
-# single samples) but are EXCLUDED from the suite noise band, and the
-# JSON reports how many rows degraded so a cross-round band comparison
-# knows its basis. Full-sample runs are byte-identical to r9 behavior.
-BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
+# sheds SAMPLES when the PROJECTED final wall (elapsed + average row
+# wall so far x remaining rows) exceeds the budget minus a tail
+# reserve for the layout micro-benches: over it, new rows take 2
+# timed runs; 20% over, 1. Projection — not elapsed fractions — so a
+# healthy-weather run NEVER degrades (r9's measured ~620 s wall, all
+# driver benches rc=0, projects under the 780 s default and keeps
+# full 3-sample comparability), while a doomed run sheds early enough
+# to land. The projection re-evaluates per row, so cheap-tail runs
+# re-promote themselves. Degraded rows keep honest per-row spreads
+# but are EXCLUDED from the suite noise band, and the JSON reports
+# how many rows degraded so a cross-round band comparison knows its
+# basis. HEADLINE's expensive streaming rows sit late in the list, so
+# the uniform-average projection under-estimates slightly — the tail
+# reserve and the 1.2x hard tier absorb that, and the budget is soft
+# by design (the harness cap it insures against is not exact either).
+BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "780"))
+TAIL_RESERVE_S = 60.0  # layout micro-benches + JSON emission after headline
 
 
-def _samples_for_elapsed(elapsed_s: float, budget_s: float = BENCH_BUDGET_S) -> int:
-    frac = elapsed_s / budget_s if budget_s > 0 else 0.0
-    if frac < 0.55:
+def _samples_for_projection(
+    projected_s: float, budget_s: float = BENCH_BUDGET_S
+) -> int:
+    if budget_s <= 0:  # no-deadline sentinel for a misconfigured env
         return N_TIMED
-    return 2 if frac < 0.75 else 1
+    room = budget_s - TAIL_RESERVE_S
+    if projected_s <= room:
+        return N_TIMED
+    return 2 if projected_s <= room * 1.2 else 1
 
 
 def _timed_runs(
@@ -634,9 +649,17 @@ def main() -> None:
     spreads: dict[str, float] = {}
     full_sample_rows: set[str] = set()
     degraded_rows = 0
+    t_head = time.monotonic()
+    rows_done = 0
     for name in HEADLINE:
         spec = registry[name]
-        n_samples = _samples_for_elapsed(time.monotonic() - t_start)
+        now = time.monotonic()
+        if rows_done:
+            avg_row = (now - t_head) / rows_done
+            projected = (now - t_start) + avg_row * (len(HEADLINE) - rows_done)
+        else:
+            projected = 0.0  # first row: no basis yet, run full
+        n_samples = _samples_for_projection(projected)
         if n_samples == N_TIMED:
             full_sample_rows.add(name)
         else:
@@ -678,10 +701,11 @@ def main() -> None:
         print(
             f"[bench] {name} med={timings[name]}s row_wall={time.perf_counter() - t_row:.1f}s"
             f" warm={warm_s:.1f}s gc={gc_s:.1f}s n={n_samples}"
-            f" elapsed={time.monotonic() - t_start:.0f}s",
+            f" elapsed={time.monotonic() - t_start:.0f}s proj={projected:.0f}s",
             file=sys.stderr,
             flush=True,
         )
+        rows_done += 1
 
     # Release the session-scoped IVF serving cache before the layout
     # benches: its persisted inverted lists are an index for the ANN

@@ -87,18 +87,22 @@ def test_sq_rerank_recall_is_exact(spark, sf_dir):
 
 
 def test_bench_deadline_sheds_samples_never_rows():
-    """r10: the soft budget degrades SAMPLE COUNT with elapsed wall —
-    full N_TIMED below 55%, 2 below 75%, 1 past that — and a zero or
-    negative budget must mean "no deadline" rather than instant
+    """r10: the soft budget degrades SAMPLE COUNT when the projected
+    final wall exceeds budget minus the tail reserve (2 samples over
+    it, 1 past 1.2x), a healthy projection keeps full N_TIMED, and a
+    zero/negative budget means "no deadline" rather than instant
     degradation (the guard for a misconfigured env var)."""
     import bench
 
-    assert bench._samples_for_elapsed(0.0, 540) == bench.N_TIMED
-    assert bench._samples_for_elapsed(0.54 * 540, 540) == bench.N_TIMED
-    assert bench._samples_for_elapsed(0.56 * 540, 540) == 2
-    assert bench._samples_for_elapsed(0.74 * 540, 540) == 2
-    assert bench._samples_for_elapsed(0.76 * 540, 540) == 1
-    assert bench._samples_for_elapsed(1e9, 540) == 1
+    room = 780 - bench.TAIL_RESERVE_S
+    assert bench._samples_for_projection(0.0, 780) == bench.N_TIMED
+    # r9-weather healthy wall (~620 s) must NOT degrade at the default
+    assert bench._samples_for_projection(620.0, 780) == bench.N_TIMED
+    assert bench._samples_for_projection(room, 780) == bench.N_TIMED
+    assert bench._samples_for_projection(room + 1, 780) == 2
+    assert bench._samples_for_projection(room * 1.2, 780) == 2
+    assert bench._samples_for_projection(room * 1.2 + 1, 780) == 1
+    assert bench._samples_for_projection(1e9, 780) == 1
     # no-deadline sentinel: budget <= 0 never degrades
-    assert bench._samples_for_elapsed(1e9, 0) == bench.N_TIMED
-    assert bench._samples_for_elapsed(1e9, -1) == bench.N_TIMED
+    assert bench._samples_for_projection(1e9, 0) == bench.N_TIMED
+    assert bench._samples_for_projection(1e9, -1) == bench.N_TIMED
