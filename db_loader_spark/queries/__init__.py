@@ -272,6 +272,31 @@ NEXT_UP: list[str] = []
 #    pattern to _stage_table/_stage_time_chunks; contract documented
 #    at _stage_current pending the fix.
 #
+# PROVISIONAL R11 ORDERING (pre-measured at r10 close,
+# `window_cost.py --complement` at sf0.01, idle box, 79.9 s total —
+# RE-MEASURE at r11 start per the prep note; rule-2 touches from the
+# staged list above will displace youngest-evidence keys):
+# t_snapshot_upsert 0.25 / multimodal_frame_sample 0.26 /
+# a_hash_sample 0.26 / dedup_exact 0.27 / scan_manifest_pruned 0.29 /
+# curation_weighted_sample 0.33 / a_salted_agg 0.33 / w_moving_avg
+# 0.34 / jn_fuzzy_join 0.36 / jn4_anti_join_idempotence 0.40 /
+# q1_pricing_summary 0.42 / a_histogram 0.42 / jn1_dim_lookup_join
+# 0.44 / jn7_fk_validation 0.45 / a_moments 0.47 / t_sliding_counts
+# 0.47 / text_cms_topk 0.52 / cdc_snapshot_diff 0.54 /
+# t_snapshot_incremental 0.56 / text_kmv_vocab 0.57 /
+# t_session_window 0.58 / a_hll_distinct 0.60 / text_bpe_pack 0.69 /
+# a_table_fingerprint 0.69 / text_lm_score 0.82 / text_pack_bins
+# 0.84 / a_profile_stats 0.85 / text_bm25_topk 0.86 / p_parse_suite
+# 1.04 / t_sliding_hll 1.17 / a_quantile_sketch 1.20 /
+# text_decontaminate 1.22 / dedup_bloom_prefilter 1.45 /
+# multimodal_features 1.51 / jn2_contains_join 1.51 /
+# ann_bruteforce_topk 1.55 / t_stream_lakehouse 1.61 /
+# t_stream_ann_index 2.31 / t_stream_mview 2.52 / ann_pq_topk 3.06 /
+# ann_ivf_disk_topk 3.10 / g_triangle_count 3.27 /
+# dedup_embedding_components 3.43 / g_pagerank 3.69 / curation_funnel
+# 3.87 / ann_ivfpq_topk 4.29 / e2e_cli_ingest 4.63 /
+# t_stream_sessions 5.09 / dedup_semantic 5.59 / curation_e2e 8.87
+#
 # Landed in-round WITHOUT displacement (r10, post-close): the
 # _versioned_artifact pointer flip's temp file is now writer-unique —
 # a thread-storm test found two concurrent flippers sharing the

@@ -8,10 +8,12 @@ toPandas + oracle execute, same work the driver does) so the WINDOW
 can be ordered cheapest-first (VERDICT r8 #4 — harness insurance):
 a partial run then lands the maximum number of rows.
 
-Usage: python scripts/window_cost.py [sf_dir]
+Usage: python scripts/window_cost.py [sf_dir] [--complement]
 Prints one line per key (cost-sorted) plus a python list literal of
 the window in cheapest-first order, ready to paste into
-queries/__init__.py.
+queries/__init__.py. With --complement, measures the 50 registry keys
+NOT in the current window instead — the next round's cohort — so its
+rotation can be pre-ordered before the round starts.
 """
 
 import sys
@@ -25,15 +27,20 @@ from db_loader_spark.session import get_spark
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--complement"]
+    complement = "--complement" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("window-cost")
     con = duck_connection(sf_dir)
     specs = all_queries()
+    keys = (
+        [k for k in specs if k not in set(WINDOW)] if complement else list(WINDOW)
+    )
     # one throwaway action first: JVM + codegen warmup must not be
     # attributed to whichever key happens to run first
-    specs[WINDOW[0]].spark(spark, sf_dir).count()
+    specs[keys[0]].spark(spark, sf_dir).count()
     costs: dict[str, float] = {}
-    for name in WINDOW:
+    for name in keys:
         spec = specs[name]
         t0 = time.perf_counter()
         df = spec.spark(spark, sf_dir)
