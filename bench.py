@@ -198,7 +198,11 @@ def _timed_runs(
         one()
         one()
     runs.sort()
-    med = runs[len(runs) // 2]
+    # lower-middle median: identical for odd counts; for a deadline-
+    # degraded 2-sample row it takes the MIN (the pre-r8 min-of-2
+    # methodology) rather than the max, which would bias degraded rows
+    # slow relative to their full-sample history
+    med = runs[(len(runs) - 1) // 2]
     if len(runs) > n:
         # adaptive rows: the FULL range grows with sample count by
         # construction (a 5-sample max-min reads wider than a 3-sample
@@ -726,7 +730,8 @@ def main() -> None:
     # loop) always run at full sample count; deadline-degraded headline
     # rows are excluded from the suite band — a 1-sample "spread" of
     # 0.0 would read as phantom stability and shrink the band
-    full_sample_rows.update(k for k in spreads if k not in set(HEADLINE))
+    headline_set = set(HEADLINE)
+    full_sample_rows.update(k for k in spreads if k not in headline_set)
     band = sorted(v for k, v in spreads.items() if k in full_sample_rows)
     full = {
         "metric": "headline_queries_total",
