@@ -309,6 +309,17 @@ NEXT_UP: list[str] = []
 # staleness; no result can differ, so the r9 external rows for those
 # keys remain bit-valid and no window slot moves. The per-reap
 # re-read (above) is behavior-affecting and stays deferred.
+#
+# Second no-displacement fix (same argument, same round): manifest
+# `snapshots()` raised FileNotFoundError on the first vacuum-reaped
+# ancestor (immutable manifests can't have their parent pointers
+# rewritten), breaking every lineage consumer — including a second
+# vacuum — after the first reaping vacuum. The walk now truncates at
+# the retention horizon; a missing manifest for the CURRENT pointer
+# still raises. Result-neutral for every registry key (none runs
+# vacuum-then-list): the five manifest-lineage keys re-checked
+# value-green at sf0.01 post-fix; regression + reaping-storm tests
+# pin it.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -574,7 +574,18 @@ def read_current(
 
 
 def snapshots(root: str) -> list[str]:
-    """All published snapshot ids, oldest first (lineage via parents)."""
+    """All LISTABLE snapshot ids, oldest first (lineage via parents).
+
+    The walk ends at the retention horizon: a parent whose manifest is
+    gone was reaped by ``vacuum``, which deletes old manifests but
+    cannot rewrite the survivors' parent pointers (manifests are
+    immutable) — so a truncated history is the NORMAL post-vacuum
+    state, not corruption (r10 fix: the walk used to raise on the
+    first reaped ancestor, which broke every ``snapshots`` consumer —
+    including a second ``vacuum`` — after the first reaping vacuum).
+    A missing manifest for the CURRENT pointer itself is still an
+    error: the pointer only ever flips to a fully committed snapshot,
+    so that can only be out-of-contract interference."""
     chain: list[str] = []
     seen: set[str] = set()
     sid = current_snapshot(root)
@@ -582,8 +593,14 @@ def snapshots(root: str) -> list[str]:
         if sid in seen:  # defensive: a corrupted lineage must not hang
             raise RuntimeError(f"snapshot lineage cycle at {sid!r} in {root!r}")
         seen.add(sid)
+        try:
+            parent = _manifest(root, sid)["parent"]
+        except OSError:
+            if not chain:
+                raise  # pointer names a missing manifest: corruption
+            break  # reaped ancestor: history truncated here
         chain.append(sid)
-        sid = _manifest(root, sid)["parent"]
+        sid = parent
     return list(reversed(chain))
 
 

@@ -627,13 +627,18 @@ def test_concurrent_readers_always_see_a_complete_snapshot(spark, tmp_path):
     concurrency rather than scripted interleavings. One writer (the
     documented single-writer contract) publishes a rapid sequence of
     overwrite commits, vacuuming as it goes; three reader threads
-    hammer read_current the whole time. Every read must surface
-    exactly one committed (marker, rowcount) pair, and each reader's
-    marker sequence must be non-decreasing (the pointer is a single
-    os.replace-atomic file, so one thread's sequential resolves can
-    never travel backwards). The vacuum retention (keep=10 of 12)
-    stays far outside any reader's resolve-to-scan window, per the
-    retention-window caveat the vacuum docstring documents."""
+    hammer resolve+read the whole time. Every successful read must
+    surface exactly one committed (marker, rowcount) pair, and each
+    reader's marker sequence must be non-decreasing (the pointer is a
+    single os.replace-atomic file, so one thread's sequential resolves
+    can never travel backwards). Vacuum runs with keep=5, so it
+    GENUINELY reaps old snapshots during the storm; the one failure
+    the contract permits is the retention-window casualty the vacuum
+    docstring documents — a reader whose resolved snapshot was
+    vacuumed between resolve and scan — which the reader verifies
+    (the failed sid must be absent from the surviving lineage) and
+    counts rather than reports. Any OTHER read failure, or any
+    mixed/miscounted row set, fails the test."""
     import threading
 
     from pyspark.sql import types as T
@@ -657,12 +662,25 @@ def test_concurrent_readers_always_see_a_complete_snapshot(spark, tmp_path):
     done = threading.Event()
     errors: list[str] = []
     reads_per_thread: list[int] = []
+    retention_casualties: list[str] = []
 
     def reader():
         last = -1
         n_reads = 0
         while not done.is_set() or n_reads == 0:
-            rows = M.read_current(spark, root).collect()
+            sid = M.current_snapshot(root)
+            try:
+                rows = M.read_snapshot(spark, root, sid).collect()
+            except Exception:  # noqa: BLE001 — classified below
+                # permitted ONLY as the documented retention-window
+                # casualty: the resolved snapshot was vacuumed between
+                # resolve and scan. Verify that's what happened — the
+                # sid must be gone from the surviving lineage.
+                if sid in M.snapshots(root):
+                    errors.append(f"read of LIVE snapshot {sid} failed")
+                    break
+                retention_casualties.append(sid)
+                continue
             n_reads += 1
             markers = {r["marker"] for r in rows}
             if len(markers) != 1:
@@ -685,7 +703,7 @@ def test_concurrent_readers_always_see_a_complete_snapshot(spark, tmp_path):
         for i in range(1, n_commits):
             M.publish(frame(i), root, snapshot_id=f"epoch-{i:02d}")
             if i % 4 == 0:
-                M.vacuum(root, keep=10)
+                M.vacuum(root, keep=5)
     finally:
         done.set()
         for t in threads:
@@ -697,3 +715,32 @@ def test_concurrent_readers_always_see_a_complete_snapshot(spark, tmp_path):
     final = M.read_current(spark, root).collect()
     assert {r["marker"] for r in final} == {n_commits - 1}
     assert len(final) == expected[n_commits - 1]
+
+
+def test_snapshots_walk_survives_vacuum_truncation(spark, tmp_path):
+    """r10 bug fix: vacuum deletes old manifests but cannot rewrite the
+    survivors' immutable parent pointers, so the lineage walk MUST
+    treat a missing ancestor manifest as the retention horizon. Before
+    the fix, snapshots() raised FileNotFoundError on the first reaped
+    parent — which broke every consumer after the first reaping
+    vacuum, including vacuum itself (not idempotent). A missing
+    manifest for the CURRENT pointer is still corruption and raises."""
+    import os
+
+    root = str(tmp_path / "tbl")
+    sids = [M.publish(spark.range(i + 1), root) for i in range(4)]
+    assert M.snapshots(root) == sids
+    removed = M.vacuum(root, keep=2)
+    assert set(removed) == set(sids[:2])
+    # the walk lists exactly the surviving suffix of the lineage
+    assert M.snapshots(root) == sids[2:]
+    # vacuum is idempotent post-truncation
+    assert M.vacuum(root, keep=2) == []
+    assert M.snapshots(root) == sids[2:]
+    # and publishing on the truncated lineage keeps working
+    s5 = M.publish(spark.range(9), root)
+    assert M.snapshots(root) == sids[2:] + [s5]
+    # pointer naming a missing manifest is still an error, not truncation
+    os.remove(os.path.join(root, "_manifests", f"{s5}.json"))
+    with pytest.raises(OSError):
+        M.snapshots(root)
