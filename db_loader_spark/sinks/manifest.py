@@ -585,7 +585,15 @@ def snapshots(root: str) -> list[str]:
     including a second ``vacuum`` — after the first reaping vacuum).
     A missing manifest for the CURRENT pointer itself is still an
     error: the pointer only ever flips to a fully committed snapshot,
-    so that can only be out-of-contract interference."""
+    so that can only be out-of-contract interference.
+
+    Only ``FileNotFoundError`` means "reaped" (r11, ADVICE r10): a
+    TRANSIENT OSError on an ancestor (EMFILE, EACCES, EIO) must
+    propagate, not masquerade as the horizon — ``vacuum`` derives its
+    keep set from this walk, so a transiently truncated lineage would
+    make it reap manifests and uniquely-referenced data of snapshots
+    INSIDE the keep window. Propagating aborts the vacuum instead;
+    retrying after the transient condition clears is always safe."""
     chain: list[str] = []
     seen: set[str] = set()
     sid = current_snapshot(root)
@@ -595,7 +603,7 @@ def snapshots(root: str) -> list[str]:
         seen.add(sid)
         try:
             parent = _manifest(root, sid)["parent"]
-        except OSError:
+        except FileNotFoundError:
             if not chain:
                 raise  # pointer names a missing manifest: corruption
             break  # reaped ancestor: history truncated here

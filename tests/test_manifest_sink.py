@@ -744,3 +744,38 @@ def test_snapshots_walk_survives_vacuum_truncation(spark, tmp_path):
     os.remove(os.path.join(root, "_manifests", f"{s5}.json"))
     with pytest.raises(OSError):
         M.snapshots(root)
+
+
+def test_transient_ancestor_error_propagates_and_aborts_vacuum(
+    spark, tmp_path, monkeypatch
+):
+    """r11 fix (ADVICE r10, medium): only FileNotFoundError on an
+    ancestor manifest means "reaped by vacuum". A TRANSIENT OSError
+    (EMFILE, EACCES, EIO) must propagate: vacuum derives its keep set
+    from snapshots()[-keep:], so a transiently truncated walk would
+    reap manifests and uniquely-referenced data of snapshots INSIDE
+    the keep window — permanent loss from a recoverable error."""
+    root = str(tmp_path / "tbl")
+    sids = [M.publish(spark.range(i + 1), root) for i in range(4)]
+
+    real_manifest = M._manifest
+
+    def flaky_manifest(r, sid):
+        if sid == sids[1]:  # an ANCESTOR, not the current pointer
+            raise PermissionError(13, "transient EACCES", f"{sid}.json")
+        return real_manifest(r, sid)
+
+    monkeypatch.setattr(M, "_manifest", flaky_manifest)
+    # the walk must not misread the transient error as the horizon
+    with pytest.raises(PermissionError):
+        M.snapshots(root)
+    # and vacuum must abort (propagate), reaping NOTHING
+    with pytest.raises(PermissionError):
+        M.vacuum(root, keep=2)
+    monkeypatch.setattr(M, "_manifest", real_manifest)
+    # nothing was deleted during the aborted vacuum; full lineage intact
+    assert M.snapshots(root) == sids
+    # once the condition clears, the same vacuum succeeds normally
+    removed = M.vacuum(root, keep=2)
+    assert set(removed) == set(sids[:2])
+    assert M.snapshots(root) == sids[2:]
