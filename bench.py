@@ -159,7 +159,12 @@ def _samples_for_projection(
     room = budget_s - TAIL_RESERVE_S
     if projected_s <= room:
         return N_TIMED
-    return 2 if projected_s <= room * 1.2 else 1
+    # The 1-sample tier anchors at the BUDGET itself (r11, ADVICE r10):
+    # the old room*1.2 boundary sat ABOVE the budget (864 s vs 780), so
+    # a run already projected past the number the shedding insures
+    # against still kept 2 samples. Now any projection over the budget
+    # drops to 1; the 2-sample band is exactly (room, budget].
+    return 2 if projected_s <= budget_s else 1
 
 
 def _timed_runs(

@@ -699,7 +699,14 @@ def kll_group_quantiles(
     sketches (kilobytes per group), never data. The canonical feed
     order costs a per-shard sort — the price of spec-pinned
     determinism; drop-in randomized KLL would shave the sort but lose
-    the replayability this package's design rule demands."""
+    the replayability this package's design rule demands.
+
+    PRECONDITION (r11, ADVICE r10 — same contract as bottom_k's ROW
+    key): ``key_col`` must be UNIQUE and NON-NULL. Duplicate keys tie
+    on the (h, key) feed sort and fall back to pandas group arrival
+    order — nondeterministic across runs, diverging from the pure-
+    Python spec replay; null keys hash/shard to null and drop or
+    diverge silently. ``build_shard`` checks both and raises."""
     import json as _json
 
     helpers = kll_helpers(k)
@@ -717,6 +724,20 @@ def kll_group_quantiles(
     def build_shard(pdf):
         import pandas as _pd
 
+        # Cheap defensive check of the docstring's determinism
+        # precondition: a violated contract must fail loudly, not
+        # produce run-to-run-unstable estimates. O(shard) vs the
+        # O(shard log shard) sort below.
+        if pdf["key"].isna().any():
+            raise ValueError(
+                "kll_group_quantiles: key_col contains nulls — the "
+                "deterministic feed order requires unique non-null keys"
+            )
+        if pdf["key"].duplicated().any():
+            raise ValueError(
+                "kll_group_quantiles: key_col is not unique — duplicate "
+                "keys tie on the feed sort and break determinism"
+            )
         pdf = pdf.sort_values(["h", "key"], kind="mergesort")
         st = helpers["new"]()
         for v in pdf["v"]:

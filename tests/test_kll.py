@@ -292,3 +292,24 @@ def test_spark_plan_matches_pure_python_spec_replay(spark):
         H, st = _replay(rows)
         expect = tuple(H["quantile"](st, q) for q in QS) + (H["total"](st),)
         assert got[g] == expect, g
+
+
+def test_key_col_precondition_violations_fail_loudly(spark):
+    """r11 (ADVICE r10): the determinism contract requires key_col
+    unique and non-null — duplicate keys tie on the (h, key) feed sort
+    and fall back to nondeterministic pandas arrival order; null keys
+    shard to null. Both must raise, not silently destabilize."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    dup = spark.createDataFrame(
+        [("a", 1, 7), ("a", 2, 7), ("a", 3, 9)], "grp string, v long, key long"
+    )
+    with pytest.raises(PySparkException, match="not unique"):
+        kll_group_quantiles(dup, "grp", "v", "key").collect()
+
+    withnull = spark.createDataFrame(
+        [("a", 1, 7), ("a", 2, None)], "grp string, v long, key long"
+    )
+    with pytest.raises(PySparkException, match="nulls"):
+        kll_group_quantiles(withnull, "grp", "v", "key").collect()

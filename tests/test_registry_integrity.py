@@ -88,10 +88,13 @@ def test_sq_rerank_recall_is_exact(spark, sf_dir):
 
 def test_bench_deadline_sheds_samples_never_rows():
     """r10: the soft budget degrades SAMPLE COUNT when the projected
-    final wall exceeds budget minus the tail reserve (2 samples over
-    it, 1 past 1.2x), a healthy projection keeps full N_TIMED, and a
-    zero/negative budget means "no deadline" rather than instant
-    degradation (the guard for a misconfigured env var)."""
+    final wall exceeds budget minus the tail reserve; a healthy
+    projection keeps full N_TIMED, and a zero/negative budget means
+    "no deadline" rather than instant degradation (the guard for a
+    misconfigured env var). r11 (ADVICE r10): the 1-sample tier
+    anchors at the BUDGET — the old room*1.2 boundary (864 s) sat
+    above the 780 s budget, so a run already projected past the
+    number the shedding insures against still kept 2 samples."""
     import bench
 
     room = 780 - bench.TAIL_RESERVE_S
@@ -100,8 +103,10 @@ def test_bench_deadline_sheds_samples_never_rows():
     assert bench._samples_for_projection(620.0, 780) == bench.N_TIMED
     assert bench._samples_for_projection(room, 780) == bench.N_TIMED
     assert bench._samples_for_projection(room + 1, 780) == 2
-    assert bench._samples_for_projection(room * 1.2, 780) == 2
-    assert bench._samples_for_projection(room * 1.2 + 1, 780) == 1
+    # a projection at the budget keeps 2 samples; past it drops to 1
+    assert bench._samples_for_projection(780.0, 780) == 2
+    assert bench._samples_for_projection(780.1, 780) == 1
+    assert bench._samples_for_projection(room * 1.2, 780) == 1
     assert bench._samples_for_projection(1e9, 780) == 1
     # no-deadline sentinel: budget <= 0 never degrades
     assert bench._samples_for_projection(1e9, 0) == bench.N_TIMED
