@@ -81,26 +81,94 @@ def _source_stamp(sf_dir: str, table: str = "events") -> str:
 
 
 def _stage_current(stage: str, stamp: str) -> bool:
-    """True if ``stage`` carries exactly ``stamp`` (written LAST by the
-    builder, so a crashed build never passes).
-
-    CONCURRENCY CONTRACT (r10 audit): stage builds are IN-PLACE
-    (clear + write chunks + stamp last), so the protocol assumes ONE
-    session builds a given stage at a time — the same exposure the
-    versioned-artifact protocol closed with scratch+rename in r8.
-    Two sessions racing a LAYOUT TRANSITION here could interleave
-    into a mixed-generation stage whose stamp validates while stale
-    extra chunks from the old layout linger (the file-source stream
-    reads every parquet in the dir). Every caller in this repo is
-    sequential (driver, bench, pytest each run alone); the
-    scratch+rename fix is staged for r11 with the other touched-key
-    work (see queries/__init__.py STAGED R11 TOUCHES) because these
-    stage dirs feed both r10-window and r11-cohort keys."""
+    """True if ``stage`` carries exactly ``stamp``. The stamp is the
+    LAST file written into the build scratch, and the scratch is
+    RENAMED into place whole (``_build_stage``), so a dir whose stamp
+    validates is always a complete single-generation build — a crashed
+    or half-done build can never pass."""
     try:
         with open(os.path.join(stage, "_SOURCE_STAMP")) as f:
             return f.read() == stamp
     except OSError:
         return False
+
+
+def _build_stage(stage: str, stamp: str, build) -> str:
+    """Scratch+rename stage installation — the r11 staged touch that
+    closes the r10-audit concurrency contract at ``_stage_current``
+    (same class, same pattern as the r8 versioned-artifact fix):
+    ``build(scratch)`` writes the whole stage into a builder-unique
+    scratch dir, the stamp lands INSIDE the scratch as the last write,
+    and one ``os.rename`` publishes data and proof together. The old
+    in-place protocol (clear + write chunks + stamp last) could
+    interleave under two sessions racing a LAYOUT TRANSITION into a
+    mixed-generation dir whose stamp validates while stale chunks from
+    the other generation linger — and the file-source stream reads
+    every parquet in the dir, so the mix silently changes VALUES.
+    After this fix the stage path only ever holds complete
+    single-generation builds:
+
+    - same-stamp racers: one rename wins; the loser sees the winner's
+      stamp validate and discards its identical scratch copy
+      (deterministic bytes ⇒ either copy is correct);
+    - different-stamp racers (the layout transition): the stale dir is
+      moved aside to a doomed name (rename, atomic) before install, so
+      generations never share the live path; last installer wins and
+      every intermediate state is a complete build of one generation;
+    - a reader listing files during the swap can hit FileNotFound —
+      loud crash-class, not silent wrong values; callers in this repo
+      are sequential (driver, bench, pytest each run alone) and the
+      thread-storm test pins the invariant under deliberate races.
+
+    Stamp TEXT and staged BYTES are identical to the r10 protocol —
+    only the installation procedure changed — so warm stages stay
+    valid and no restage is forced (rule-2 note: the r10-window
+    streaming keys' external rows remain bit-valid; the changed lines
+    are in the lineage of the r11-windowed streaming keys)."""
+    import shutil
+    import uuid as _uuid
+
+    if _stage_current(stage, stamp):
+        return stage
+    scratch = f"{stage}.build-{_uuid.uuid4().hex[:8]}"
+    try:
+        build(scratch)
+        with open(os.path.join(scratch, "_SOURCE_STAMP"), "w") as f:
+            f.write(stamp)  # last write: rename publishes data + proof
+        # Install dance, retried under contention: between our
+        # move-aside and our rename another racer can occupy the path
+        # (its install rename is atomic), failing ours with ENOTEMPTY —
+        # found by the opposing-layouts thread storm. Each attempt
+        # either adopts a same-stamp winner, installs, or moves the
+        # other generation aside; the bound only trips under a
+        # pathological persistent storm, never a caller pattern.
+        for _ in range(16):
+            if _stage_current(stage, stamp):
+                # a same-stamp racer finished first: its copy is
+                # identical — keep it live (a reader may already be on
+                # it) and discard ours
+                return stage
+            doomed = None
+            if os.path.isdir(stage):
+                doomed = f"{stage}.doomed-{_uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(stage, doomed)  # atomic: other gen leaves the path
+                except FileNotFoundError:
+                    doomed = None  # a racing builder already moved it
+            try:
+                os.rename(scratch, stage)  # atomic: complete build lands whole
+                installed = True
+            except OSError:
+                installed = False  # path re-occupied mid-dance: retry
+            if doomed is not None:
+                shutil.rmtree(doomed, ignore_errors=True)
+            if installed:
+                return stage
+        raise RuntimeError(
+            f"stage install contention did not settle after 16 attempts: {stage}"
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _stage_table(
@@ -121,13 +189,14 @@ def _stage_table(
     # warm stage can never be reused at a layout other than the one
     # that built it, whatever the default becomes.
     stamp = _source_stamp(sf_dir, table) + f":shards{shards}"
-    if not _stage_current(stage, stamp):
-        load_table(spark, sf_dir, table).repartition(shards).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        with open(os.path.join(stage, "_SOURCE_STAMP"), "w") as f:
-            f.write(stamp)
-    return stage
+    return _build_stage(
+        stage,
+        stamp,
+        lambda scratch: load_table(spark, sf_dir, table)
+        .repartition(shards)
+        .write.mode("overwrite")
+        .parquet(scratch),
+    )
 
 
 def _staged_events(spark: SparkSession, sf_dir: str) -> str:
@@ -206,13 +275,13 @@ def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_dup_{key}")
-    # r10 shave (windowed this round, rule-2-safe): 2 shards × 2
-    # copies = 4 files = 4 micro-batches — still ≥3 batch boundaries
-    # carrying dedup state, half the fixed machinery. The layout-
-    # versioned stamp forces stale 8-file stages to restage.
+    # r10 shave: 2 shards × 2 copies = 4 files = 4 micro-batches —
+    # still ≥3 batch boundaries carrying dedup state, half the fixed
+    # machinery. The layout-versioned stamp forces stale 8-file stages
+    # to restage.
     stamp = _source_stamp(sf_dir) + f":shards{SHARDS_SHAVED}"
-    if not _stage_current(stage, stamp):
-        shutil.rmtree(stage, ignore_errors=True)
+
+    def build(scratch: str) -> None:
         ev = load_table(spark, sf_dir, "events").repartition(SHARDS_SHAVED)
         uniq = ev.agg(
             F.count("event_id").alias("n"),
@@ -225,11 +294,11 @@ def t_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "The streamed dedup would collapse genuine source rows and "
                 "diverge from the batch oracle."
             )
-        ev.write.mode("overwrite").parquet(stage)
+        ev.write.mode("overwrite").parquet(scratch)
         # second verbatim copy, distinct file names → 2×SHARDS_SHAVED files
-        ev.write.mode("append").parquet(stage)
-        with open(os.path.join(stage, "_SOURCE_STAMP"), "w") as f:
-            f.write(stamp)
+        ev.write.mode("append").parquet(scratch)
+
+    _build_stage(stage, stamp, build)
     static = spark.read.parquet(stage)
     run_dir = tempfile.mkdtemp(prefix="db_loader_stream_dedup_run_")
     out_dir = os.path.join(run_dir, "out")
@@ -337,17 +406,18 @@ def t_stream_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_stream_docs_{key}")
-    # r10 shave (windowed this round, rule-2-safe): 2 shards = 2
-    # micro-batches, the documented floor — one boundary still carries
-    # the signature index across batches. Layout-versioned stamp.
+    # r10 shave: 2 shards = 2 micro-batches, the documented floor —
+    # one boundary still carries the signature index across batches.
+    # Layout-versioned stamp.
     stamp = _source_stamp(sf_dir, "documents") + f":shards{SHARDS_SHAVED}"
-    if not _stage_current(stage, stamp):
-        shutil.rmtree(stage, ignore_errors=True)
-        _load(spark, sf_dir, "documents").repartition(SHARDS_SHAVED).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        with open(os.path.join(stage, "_SOURCE_STAMP"), "w") as f:
-            f.write(stamp)
+    _build_stage(
+        stage,
+        stamp,
+        lambda scratch: _load(spark, sf_dir, "documents")
+        .repartition(SHARDS_SHAVED)
+        .write.mode("overwrite")
+        .parquet(scratch),
+    )
     static = spark.read.parquet(stage)
     run_dir = tempfile.mkdtemp(prefix="db_loader_stream_sig_run_")
     sig_dir = os.path.join(run_dir, "signatures")
@@ -619,37 +689,35 @@ def _stage_time_chunks(spark: SparkSession, sf_dir: str) -> str:
     # layout-versioned stamp: a warm stage from the pre-r9 4-chunk
     # layout must rebuild, not be silently reused
     stamp = _source_stamp(sf_dir) + ":chunks2"
-    if _stage_current(stage, stamp):
-        return stage
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage, exist_ok=True)
-    e = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
-    mid = int(
-        e.selectExpr("percentile(unix_micros(ts), 0.5) AS q").first()["q"]
-    )
-    max_us = e.agg(F.max(F.unix_micros("ts"))).first()[0]
-    us = F.unix_micros("ts")
-    conds = [us <= mid, us > mid]
-    epoch = dt.datetime(1970, 1, 1)
-    sentinels = [
-        [(epoch + dt.timedelta(microseconds=max_us + h * 3_600_000_000), -1, 0.0)]
-        for h in (2, 4)
-    ]
-    parts = [e.filter(c) for c in conds] + [
-        spark.createDataFrame(s, "ts timestamp, user_id long, value double")
-        for s in sentinels
-    ]
-    for i, chunk in enumerate(parts):
-        tmp = os.path.join(stage, f"tmp{i}")
-        chunk.coalesce(1).write.parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        final = os.path.join(stage, f"chunk_{i}.parquet")
-        os.rename(os.path.join(tmp, part), final)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(final, (1_700_000_000 + i * 10,) * 2)
-    with open(os.path.join(stage, "_SOURCE_STAMP"), "w") as f:
-        f.write(stamp)
-    return stage
+
+    def build(scratch: str) -> None:
+        os.makedirs(scratch, exist_ok=True)
+        e = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+        mid = int(
+            e.selectExpr("percentile(unix_micros(ts), 0.5) AS q").first()["q"]
+        )
+        max_us = e.agg(F.max(F.unix_micros("ts"))).first()[0]
+        us = F.unix_micros("ts")
+        conds = [us <= mid, us > mid]
+        epoch = dt.datetime(1970, 1, 1)
+        sentinels = [
+            [(epoch + dt.timedelta(microseconds=max_us + h * 3_600_000_000), -1, 0.0)]
+            for h in (2, 4)
+        ]
+        parts = [e.filter(c) for c in conds] + [
+            spark.createDataFrame(s, "ts timestamp, user_id long, value double")
+            for s in sentinels
+        ]
+        for i, chunk in enumerate(parts):
+            tmp = os.path.join(scratch, f"tmp{i}")
+            chunk.coalesce(1).write.parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            final = os.path.join(scratch, f"chunk_{i}.parquet")
+            os.rename(os.path.join(tmp, part), final)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(final, (1_700_000_000 + i * 10,) * 2)
+
+    return _build_stage(stage, stamp, build)
 
 
 def t_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
