@@ -496,7 +496,23 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
     cache holding lazy (unpersisted) parquet scans of a superseded
     version — its next action would hit FileNotFound mid-plan. An
     hour bounds both (no build or cached serve spans one); a shared
-    store would vacuum on retention like sinks/manifest.vacuum."""
+    store would vacuum on retention like sinks/manifest.vacuum.
+
+    REAP-VS-RE-ADOPT TOCTOU CLOSED (r11, the staged ADVICE r9 #2
+    touch): the old sweep read the pointer ONCE before iterating, so a
+    re-adopter flipping ``_CURRENT`` back to an hour-stale version
+    mid-sweep could still lose the dir and strand the pointer until
+    the next resolve rebuilt it. Two complementary guards now make a
+    stranded pointer unreachable: (a) sweeper side — each reap first
+    CLAIMS the dir with an atomic rename, then re-reads the pointer
+    and restores the dir untouched if a re-adopter flipped to it;
+    (b) flipper side — every flip verifies its version dir still
+    exists after the sweep and rebuilds+re-flips if a racing sweep
+    won (the rebuild is marker-free, hence unreapable inside the
+    horizon, so the retry settles in ≤2 rounds). The flip's
+    writer-unique temp file is unlinked on exception paths and crash
+    residue (``_CURRENT.tmp-*``, ``*.reap-*``) is age-swept with the
+    versions (ADVICE r10)."""
     import hashlib
     import os
     import shutil
@@ -509,132 +525,175 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
         except OSError:
             pass
 
+    import time as _time
+
+    def _pointer() -> str | None:
+        try:
+            with open(cur) as f:
+                return f.read()
+        except OSError:
+            return None
+
     vid = hashlib.md5(stamp.encode()).hexdigest()[:12]
     vroot = os.path.join(base, "versions")
     vdir = os.path.join(vroot, vid)
     cur = os.path.join(base, "_CURRENT")
-    try:
-        with open(cur) as f:
-            if f.read() == vid and os.path.isdir(vdir):
-                # CURRENT must never carry a retirement clock: a
-                # concurrent different-stamp flipper's sweep may have
-                # marked this dir in the window before OUR flip won —
-                # left in place, its next real supersession would read
-                # the stale marker and reap instantly under live
-                # readers (r9 review #2).
-                _shed_marker(vdir)
-                return vdir
-    except OSError:
-        pass
-    if os.path.isdir(vdir) and not os.path.exists(
-        os.path.join(vdir, "_COMPLETE")
-    ):
-        # sentinel-less dir at the version path: crashed partial from a
-        # non-rename writer — never adopt; rebuild from scratch
-        shutil.rmtree(vdir, ignore_errors=True)
-    if not os.path.isdir(vdir):
-        scratch = os.path.join(vroot, f".build-{vid}-{_uuid.uuid4().hex[:8]}")
-        os.makedirs(scratch, exist_ok=True)
-        build(scratch)
-        with open(os.path.join(scratch, "_COMPLETE"), "w") as f:
-            f.write(stamp)  # last write: rename publishes data + proof
-        try:
-            os.rename(scratch, vdir)  # atomic: first complete build wins
-        except OSError:
-            # another builder landed the same version first; ours is an
-            # identical deterministic copy — discard it
-            shutil.rmtree(scratch, ignore_errors=True)
-    # A re-adopted version (corpus reverted to an old stamp) must shed
-    # any supersession marker from its previous retirement, or its next
-    # retirement would inherit the stale timestamp and reap instantly.
-    _shed_marker(vdir)
-    # The flip's temp file is WRITER-UNIQUE (r10): this protocol
-    # explicitly supports concurrent builders, and two flippers
-    # sharing one literal "_CURRENT.tmp" race write→replace — the
-    # loser's os.replace hits FileNotFoundError because the winner's
-    # replace already consumed the shared temp (found by the thread-
-    # storm test). A crashed flip leaves one ~12-byte tmp file in
-    # ``base``; harmless residue, never read by anything.
-    tmp = f"{cur}.tmp-{_uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(vid)
-    os.replace(tmp, cur)  # THE commit point: one atomic rename
-    import time as _time
-
-    # Re-read the pointer before sweeping: a concurrent different-stamp
-    # builder may have flipped _CURRENT after our flip above — the dir
-    # the pointer NOW names must be neither marked nor reaped (its
-    # readers are live by definition; r9 review #2). If that concurrent
-    # flipper already marked OUR vdir in the same window, the fast path
-    # clears it on the next resolve.
-    try:
-        with open(cur) as f:
-            pointed = f.read()
-    except OSError:
-        pointed = vid
-    for old in os.listdir(vroot):
-        if old == vid or old == pointed:
-            # the currently-pointed dir also sheds any marker a racing
-            # sweep left on it, so its eventual retirement starts from
-            # its real supersession time
-            _shed_marker(os.path.join(vroot, old))
-            continue
-        p = os.path.join(vroot, old)
-        # DELAYED VACUUM. Scratch dirs age on mtime (last build
-        # activity). Version dirs age on TIME SINCE SUPERSESSION, not
-        # build mtime (r9 review): a version built at t0 and superseded
-        # at t0+2h would otherwise be reaped at the instant of
-        # supersession, yanking files from a live session's lazy scans
-        # — the race the protocol exists to prevent. The first sweep
-        # that sees a superseded version writes _SUPERSEDED_AT inside
-        # it (underscore-prefixed: parquet scans ignore it); it is
-        # reaped one hour after THAT. No build/serve spans 1 h.
-        if old.startswith(".build-"):
+    if _pointer() == vid and os.path.isdir(vdir):
+        # CURRENT must never carry a retirement clock: a concurrent
+        # different-stamp flipper's sweep may have marked this dir in
+        # the window before OUR flip won — left in place, its next real
+        # supersession would read the stale marker and reap instantly
+        # under live readers (r9 review #2).
+        _shed_marker(vdir)
+        return vdir
+    # Build + flip + sweep, retried if a concurrent sweep reaps the
+    # just-flipped dir (r11, closes ADVICE r9 #2's residual window from
+    # the flipper's side; the sweeper's side is the claim-and-re-read
+    # below). A reaped re-adoption rebuilds marker-free, which no sweep
+    # can touch inside the hour horizon — so the loop settles in ≤2
+    # iterations; 3 is headroom, not a tunable.
+    for _attempt in range(3):
+        if os.path.isdir(vdir) and not os.path.exists(
+            os.path.join(vdir, "_COMPLETE")
+        ):
+            # sentinel-less dir at the version path: crashed partial
+            # from a non-rename writer — never adopt; rebuild
+            shutil.rmtree(vdir, ignore_errors=True)
+        if not os.path.isdir(vdir):
+            scratch = os.path.join(vroot, f".build-{vid}-{_uuid.uuid4().hex[:8]}")
+            os.makedirs(scratch, exist_ok=True)
+            build(scratch)
+            with open(os.path.join(scratch, "_COMPLETE"), "w") as f:
+                f.write(stamp)  # last write: rename publishes data + proof
             try:
-                if _time.time() - os.path.getmtime(p) < 3600:
-                    continue
+                os.rename(scratch, vdir)  # atomic: first complete build wins
             except OSError:
-                continue
-            shutil.rmtree(p, ignore_errors=True)  # crashed-build residue
-            continue
-        marker = os.path.join(p, "_SUPERSEDED_AT")
-        # RESIDUAL WINDOW (ADVICE r9, documented not closed): if this
-        # dir carries a marker >1h stale AND a re-adopter is flipping
-        # _CURRENT back to it concurrently, this sweep may have read
-        # the pointer before the re-adopter's flip and still reap the
-        # dir just after the flip lands — pointer then names a missing
-        # dir until the next resolve rebuilds (deterministic rebuild,
-        # no wrong answers; one wasted build). The mtime scheme had
-        # the same window; the marker scheme narrows it to the
-        # re-adoption-of-an-hour-stale-version case. Fully closing it
-        # needs either a per-reap pointer re-read (planned r11 — a
-        # touched-key-rule change to the three disk-ANN lineages, so
-        # it lands when their window slots next come up) or an O_EXCL
-        # lock serializing flips, which no single-box caller needs.
+                # another builder landed the same version first; ours is
+                # an identical deterministic copy — discard it
+                shutil.rmtree(scratch, ignore_errors=True)
+        # A re-adopted version (corpus reverted to an old stamp) must
+        # shed any supersession marker from its previous retirement, or
+        # its next retirement would inherit the stale timestamp and
+        # reap instantly.
+        _shed_marker(vdir)
+        # The flip's temp file is WRITER-UNIQUE (r10): this protocol
+        # explicitly supports concurrent builders, and two flippers
+        # sharing one literal "_CURRENT.tmp" raced write→replace. The
+        # finally-unlink clears exception-path residue (ADVICE r10);
+        # process-crash residue is swept below with the versions.
+        tmp = f"{cur}.tmp-{_uuid.uuid4().hex[:8]}"
         try:
-            with open(marker) as f:
-                t_sup = float(f.read())
-        except (OSError, ValueError):
+            with open(tmp, "w") as f:
+                f.write(vid)
+            os.replace(tmp, cur)  # THE commit point: one atomic rename
+        finally:
             try:
-                with open(marker, "w") as f:
-                    f.write(str(_time.time()))
+                os.unlink(tmp)  # no-op when the replace consumed it
             except OSError:
-                # Marker can be neither read nor written (transient
-                # ENOSPC/EMFILE, or read-only residue): DEFER — retry
-                # at the next sweep. Never fall back to the dir mtime
-                # here: mtime is the BUILD time (rename preserves it),
-                # so a transient write failure at the moment of
-                # supersession would reap an hours-old version under a
-                # live reader's lazy scans — the exact race this
-                # protocol prevents. Genuinely read-only residue is
-                # unreapable by rmtree(ignore_errors) anyway; a shared
-                # store handles it via retention-based vacuum
-                # (sinks/manifest.vacuum), not this sweep.
                 pass
-            continue  # clock starts (or retries) at a later sweep
-        if _time.time() - t_sup >= 3600:
-            shutil.rmtree(p, ignore_errors=True)  # stale version
-    return vdir
+        # Re-read the pointer before sweeping: a concurrent different-
+        # stamp builder may have flipped _CURRENT after our flip above —
+        # the dir the pointer NOW names must be neither marked nor
+        # reaped (its readers are live by definition; r9 review #2). If
+        # that concurrent flipper already marked OUR vdir in the same
+        # window, the fast path clears it on the next resolve.
+        pointed = _pointer() or vid
+        for old in os.listdir(vroot):
+            if old == vid or old == pointed:
+                # the currently-pointed dir also sheds any marker a
+                # racing sweep left on it, so its eventual retirement
+                # starts from its real supersession time
+                _shed_marker(os.path.join(vroot, old))
+                continue
+            p = os.path.join(vroot, old)
+            # DELAYED VACUUM. Scratch dirs and crashed reap claims age
+            # on mtime (last build/claim activity). Version dirs age on
+            # TIME SINCE SUPERSESSION, not build mtime (r9 review): a
+            # version built at t0 and superseded at t0+2h would
+            # otherwise be reaped at the instant of supersession,
+            # yanking files from a live session's lazy scans — the race
+            # the protocol exists to prevent. The first sweep that sees
+            # a superseded version writes _SUPERSEDED_AT inside it
+            # (underscore-prefixed: parquet scans ignore it); it is
+            # reaped one hour after THAT. No build/serve spans 1 h.
+            if old.startswith(".build-") or ".reap-" in old:
+                try:
+                    if _time.time() - os.path.getmtime(p) < 3600:
+                        continue
+                except OSError:
+                    continue
+                shutil.rmtree(p, ignore_errors=True)  # crashed residue
+                continue
+            marker = os.path.join(p, "_SUPERSEDED_AT")
+            try:
+                with open(marker) as f:
+                    t_sup = float(f.read())
+            except (OSError, ValueError):
+                try:
+                    with open(marker, "w") as f:
+                        f.write(str(_time.time()))
+                except OSError:
+                    # Marker can be neither read nor written (transient
+                    # ENOSPC/EMFILE, or read-only residue): DEFER —
+                    # retry at the next sweep. Never fall back to the
+                    # dir mtime here: mtime is the BUILD time (rename
+                    # preserves it), so a transient write failure at
+                    # the moment of supersession would reap an
+                    # hours-old version under a live reader's lazy
+                    # scans — the exact race this protocol prevents.
+                    # Genuinely read-only residue is unreapable by
+                    # rmtree(ignore_errors) anyway; a shared store
+                    # handles it via retention-based vacuum
+                    # (sinks/manifest.vacuum), not this sweep.
+                    pass
+                continue  # clock starts (or retries) at a later sweep
+            if _time.time() - t_sup < 3600:
+                continue
+            # PER-REAP POINTER RE-READ (r11, the staged ADVICE r9 #2
+            # touch — closes the hour-stale re-adoption TOCTOU from the
+            # sweeper's side): CLAIM the dir with an atomic rename
+            # first, then re-read the pointer. A re-adopter that
+            # flipped to this version between our marker read and the
+            # claim is detected and the dir is restored untouched; a
+            # re-adopter that passed its isdir check before our claim
+            # but flips after finds the dir missing at its post-flip
+            # verify and rebuilds (the loop above) — either way the
+            # pointer can never settle on a missing dir.
+            claim = f"{p}.reap-{_uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(p, claim)
+            except OSError:
+                continue  # another sweeper claimed it, or it vanished
+            if _pointer() == old:
+                try:
+                    os.rename(claim, p)  # restore under the live pointer
+                except OSError:
+                    # a re-adopter already rebuilt at p: drop our claim
+                    shutil.rmtree(claim, ignore_errors=True)
+                _shed_marker(p)
+                continue
+            shutil.rmtree(claim, ignore_errors=True)  # stale version
+        # Crashed-flip tmp residue (ADVICE r10): writer-unique names
+        # mean nothing ever reuses them — sweep any older than the
+        # same 1 h horizon.
+        for fn in os.listdir(base):
+            if not fn.startswith("_CURRENT.tmp-"):
+                continue
+            fp = os.path.join(base, fn)
+            try:
+                if _time.time() - os.path.getmtime(fp) >= 3600:
+                    os.unlink(fp)
+            except OSError:
+                pass
+        if os.path.isdir(vdir):
+            return vdir
+        # a concurrent sweep reaped the just-flipped dir (it read the
+        # pointer before our flip): rebuild — marker-free, unreapable
+        # inside the horizon — and re-flip
+    raise RuntimeError(
+        f"versioned artifact {vid} at {base!r} could not settle after 3 "
+        "build+flip attempts — sweeps kept reaping the flipped version"
+    )
 
 
 def _emb_source_stamp(sf_dir: str) -> str:

@@ -755,3 +755,175 @@ def test_versioned_artifact_thread_storm_invariants(tmp_path):
         assert os.path.exists(
             os.path.join(vroot, entry, "_COMPLETE")
         ), f"incomplete version dir {entry} left published"
+
+
+def test_reap_claim_restores_dir_under_readopted_pointer(tmp_path, monkeypatch):
+    """r11 (the staged ADVICE r9 #2 touch, sweeper side): a reap first
+    CLAIMS the stale dir with an atomic rename, then RE-READS the
+    pointer — a re-adopter whose flip lands just before the claim is
+    detected and the dir restored untouched, so the pointer can never
+    settle on a missing dir. The hook lands the re-adopter's flip at
+    the worst instant: inside the claim rename itself."""
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    from db_loader_spark.queries.similarity import _versioned_artifact
+
+    base = str(tmp_path / "art")
+    cur = os.path.join(base, "_CURRENT")
+
+    def make_build(stamp):
+        def build(d):
+            with open(os.path.join(d, "payload"), "w") as fh:
+                fh.write(f"payload-for-{stamp}")
+
+        return build
+
+    vid_a = hashlib.md5(b"stamp-a").hexdigest()[:12]
+    v_a = os.path.join(base, "versions", vid_a)
+    _versioned_artifact(base, "stamp-a", make_build("stamp-a"))
+    _versioned_artifact(base, "stamp-b", make_build("stamp-b"))
+    # stamp-b's sweep started v_a's retirement clock; make it hour-stale
+    with open(os.path.join(v_a, "_SUPERSEDED_AT"), "w") as fh:
+        fh.write(str(time.time() - 7200))
+
+    real_rename = os.rename
+    flips = []
+
+    def rename_hook(src, dst, **kw):
+        if src == v_a and ".reap-" in str(dst):
+            # the re-adopter's flip lands between the sweeper's marker
+            # read and its claim
+            with open(cur, "w") as fh:
+                fh.write(vid_a)
+            flips.append(vid_a)
+        return real_rename(src, dst, **kw)
+
+    monkeypatch.setattr(os, "rename", rename_hook)
+    v_c = _versioned_artifact(base, "stamp-c", make_build("stamp-c"))
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert flips == [vid_a]  # the race actually fired
+    # the re-adopted dir was restored, not reaped, and is intact
+    assert os.path.isdir(v_a)
+    with open(os.path.join(v_a, "payload")) as fh:
+        assert fh.read() == "payload-for-stamp-a"
+    # its retirement clock was shed: a later real retirement restarts it
+    assert not os.path.isfile(os.path.join(v_a, "_SUPERSEDED_AT"))
+    # the pointer names an existing dir (the re-adopter's)
+    with open(cur) as fh:
+        pointed = fh.read()
+    assert pointed == vid_a
+    assert os.path.isdir(os.path.join(base, "versions", pointed))
+    assert os.path.isdir(v_c)  # the sweeper's own version landed too
+    shutil.rmtree(base)
+
+
+def test_flip_rebuilds_when_concurrent_sweep_reaps_flipped_dir(
+    tmp_path, monkeypatch
+):
+    """r11 (flipper side): a concurrent sweep that read the pointer
+    BEFORE our flip can reap the dir we just flipped to (the hour-stale
+    re-adoption TOCTOU). The flipper now verifies its dir still exists
+    after its own sweep and rebuilds+re-flips — the resolve returns an
+    existing dir and the pointer is never left stranded. The hook reaps
+    at the worst instant: immediately after the pointer commit."""
+    import hashlib
+    import os
+    import shutil
+
+    from db_loader_spark.queries.similarity import _versioned_artifact
+
+    base = str(tmp_path / "art")
+    cur = os.path.join(base, "_CURRENT")
+    vid = hashlib.md5(b"stamp-a").hexdigest()[:12]
+    vdir = os.path.join(base, "versions", vid)
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        with open(os.path.join(d, "payload"), "w") as fh:
+            fh.write("payload-for-stamp-a")
+
+    real_replace = os.replace
+    state = {"reaped": False}
+
+    def replace_hook(src, dst, **kw):
+        real_replace(src, dst, **kw)
+        if str(dst) == cur and not state["reaped"]:
+            state["reaped"] = True
+            shutil.rmtree(vdir, ignore_errors=True)
+
+    monkeypatch.setattr(os, "replace", replace_hook)
+    got = _versioned_artifact(base, "stamp-a", build)
+    monkeypatch.setattr(os, "replace", real_replace)
+    assert state["reaped"]  # the race actually fired
+    assert got == vdir and os.path.isdir(got)
+    assert len(calls) == 2  # one wasted build is the whole cost
+    with open(os.path.join(got, "payload")) as fh:
+        assert fh.read() == "payload-for-stamp-a"
+    with open(cur) as fh:
+        assert fh.read() == vid
+
+
+def test_flip_tmp_residue_is_unlinked_and_age_swept(tmp_path, monkeypatch):
+    """r11 (ADVICE r10): a crashed flip's writer-unique _CURRENT.tmp-*
+    no longer accumulates — exception paths unlink it in a finally,
+    and process-crash residue older than the reap horizon is swept by
+    the next flip (fresh residue survives: its writer may be mid-flip)."""
+    import os
+    import time
+
+    from db_loader_spark.queries.similarity import _versioned_artifact
+
+    base = str(tmp_path / "art")
+
+    def build(d):
+        with open(os.path.join(d, "payload"), "w") as fh:
+            fh.write("x")
+
+    # exception path: os.replace fails once — the tmp must not survive
+    real_replace = os.replace
+    state = {"failed": False}
+
+    def replace_boom(src, dst, **kw):
+        if str(dst).endswith("_CURRENT") and not state["failed"]:
+            state["failed"] = True
+            raise OSError(28, "simulated ENOSPC")
+        return real_replace(src, dst, **kw)
+
+    monkeypatch.setattr(os, "replace", replace_boom)
+    try:
+        _versioned_artifact(base, "stamp-a", build)
+    except OSError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("simulated flip failure must propagate")
+    monkeypatch.setattr(os, "replace", real_replace)
+    assert not [f for f in os.listdir(base) if f.startswith("_CURRENT.tmp-")]
+
+    # crash residue: an aged tmp is swept by the next flip, a fresh
+    # one (a concurrent flipper mid-commit) survives
+    _versioned_artifact(base, "stamp-a", build)
+    old_tmp = os.path.join(base, "_CURRENT.tmp-deadbeef")
+    new_tmp = os.path.join(base, "_CURRENT.tmp-cafebabe")
+    for p in (old_tmp, new_tmp):
+        with open(p, "w") as fh:
+            fh.write("junk")
+    past = time.time() - 7200
+    os.utime(old_tmp, (past, past))
+    _versioned_artifact(base, "stamp-b", build)  # a flip runs the sweep
+    assert not os.path.exists(old_tmp)
+    assert os.path.exists(new_tmp)
+
+    # crashed reap claims age-sweep like scratch dirs
+    vroot = os.path.join(base, "versions")
+    stale_claim = os.path.join(vroot, "0123456789ab.reap-deadbeef")
+    os.makedirs(stale_claim)
+    os.utime(stale_claim, (past, past))
+    fresh_claim = os.path.join(vroot, "0123456789ab.reap-cafebabe")
+    os.makedirs(fresh_claim)
+    _versioned_artifact(base, "stamp-c", build)
+    assert not os.path.isdir(stale_claim)
+    assert os.path.isdir(fresh_claim)
