@@ -457,12 +457,18 @@ def a_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     su, su2, scu = [F.col(x).cast("double") for x in ("su", "su2", "scu")]
     var_c = (sc2 - sc * sc / nd) / (nd - 1)
     den = F.sqrt(nd * sc2 - sc * sc) * F.sqrt(nd * su2 - su * su)
+    # `+ 0.0` after ROUND on the SIGN-CAPABLE channels (r11, the staged
+    # signed-zero prophylaxis — same normalization as the r10
+    # curation_dsir_weight fix, mirrored in the oracle): a tiny-negative
+    # mean or correlation ROUNDs to -0.0, which the driver's value hash
+    # distinguishes from DuckDB's +0.0 (or vice versa). sd_value is
+    # nonnegative by construction (sqrt) and needs nothing.
     return m.select(
         "event_type",
         "n",
-        F.round(sc / nd / 100.0, 2).alias("mean_value"),
+        (F.round(sc / nd / 100.0, 2) + 0.0).alias("mean_value"),
         F.when(F.col("n") > 1, F.round(F.sqrt(var_c) / 100.0, 2)).alias("sd_value"),
-        F.when(den != 0, F.round((nd * scu - sc * su) / den, 4)).alias(
+        F.when(den != 0, F.round((nd * scu - sc * su) / den, 4) + 0.0).alias(
             "corr_value_user"
         ),
     )
@@ -490,13 +496,14 @@ d AS (
   FROM s
 )
 SELECT event_type, n,
-       ROUND(sc / nd / 100.0, 2) AS mean_value,
+       ROUND(sc / nd / 100.0, 2) + 0.0 AS mean_value,
        CASE WHEN n > 1
             THEN ROUND(sqrt((sc2 - sc * sc / nd) / (nd - 1)) / 100.0, 2)
        END AS sd_value,
        CASE WHEN sqrt(nd * sc2 - sc * sc) * sqrt(nd * su2 - su * su) <> 0
             THEN ROUND((nd * scu - sc * su)
                        / (sqrt(nd * sc2 - sc * sc) * sqrt(nd * su2 - su * su)), 4)
+                 + 0.0
        END AS corr_value_user
 FROM d
 """
@@ -740,7 +747,15 @@ def a_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct is EXACT here (the profiler doubles as the oracle for
     estimators); at 100 TB swap the countDistinct aggregates for the
     HLL registers in functions/sketch.py — same plan shape, constant
-    memory, and this exact profile is the self-eval baseline."""
+    memory, and this exact profile is the self-eval baseline.
+
+    Signed-zero audit (r11, the staged prophylaxis pass): this key is
+    SIGN-INCAPABLE by construction — every output column is BIGINT
+    (min_v/max_v profile exact integer domains: ids, micros, cents; the
+    ROUND in the cents channel happens BEFORE the CAST to BIGINT), and
+    integers have no -0.0. No ``+ 0.0`` is needed or applied; the
+    registry-wide scan in tests/test_signed_zero.py would flag any
+    future float column here."""
     e = load_table(spark, sf_dir, "events")
     num_exprs = {
         "event_id": F.col("event_id"),

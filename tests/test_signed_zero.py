@@ -96,6 +96,61 @@ def test_no_negative_zero_in_any_oracle_output(oracle_frames):
     )
 
 
+def test_moments_prophylaxis_on_tiny_negative_fixture(spark, tmp_path):
+    """r11 (the staged prophylaxis touch): a_moments' sign-capable
+    rounded floats (mean_value, corr_value_user) are normalized with
+    `+ 0.0` on BOTH engines. This fixture is engineered so that
+    WITHOUT the guard both channels emit -0.0 (mean_cents = -1/4 →
+    ROUND(-0.0025, 2) = -0.0; corr numerator 4·scu - sc·su = -1
+    against a ~4e9 denominator → ROUND(-2.6e-10, 4) = -0.0): group
+    "neg" exercises the mean channel, group "tiny" the corr channel.
+    Values, rows and schema must also match the oracle exactly under
+    driver hash semantics. Testdata today has no negative values — the
+    staged guard exists for the day it does, and this fixture is that
+    day."""
+    import datetime as dt
+    import os
+
+    from db_loader_spark.oracle import compare, duck_connection
+    from db_loader_spark.queries.eventops import _MOMENTS_ORACLE, a_moments
+
+    ts = dt.datetime(2024, 1, 1)
+    # (event_id, user_id, value_cents) per group; props/ts constant
+    rows = [
+        # mean channel: sum_cents = -1 over n=4 → mean -0.0025 → ROUND -0.0
+        ("neg", [(1, 1, -1), (2, 2, 0), (3, 3, 0), (4, 4, 0)]),
+        # corr channel: sc=1, su=6+79999, scu=20001 → 4·scu - sc·su = -1
+        ("tiny", [(5, 1, -9999), (6, 2, 0), (7, 3, 10000), (8, 79999, 0)]),
+    ]
+    data = [
+        (eid, ts, uid, grp, cents / 100.0, "{}")
+        for grp, triples in rows
+        for eid, uid, cents in triples
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    fixture_dir = str(tmp_path / "sfneg")
+    os.makedirs(fixture_dir)
+    df.toPandas().to_parquet(os.path.join(fixture_dir, "events.parquet"))
+
+    out = a_moments(spark, fixture_dir)
+    pdf = out.toPandas()
+    # the trap actually fires here: both channels hit the zero boundary
+    by_grp = {r["event_type"]: r for _, r in pdf.iterrows()}
+    assert by_grp["neg"]["mean_value"] == 0.0
+    assert by_grp["tiny"]["corr_value_user"] == 0.0
+    # and neither engine emits -0.0
+    assert _negative_zeros(pdf) == [], _negative_zeros(pdf)
+    con = duck_connection(fixture_dir)
+    assert _negative_zeros(con.execute(_MOMENTS_ORACLE).df()) == []
+    # full driver-semantics value match on the fixture
+    res = compare("a_moments_tiny_negative", out, _MOMENTS_ORACLE, con)
+    assert res.ok, res.detail
+
+
 def test_zero_boundary_keys_match_driver_semantics(
     spark, duck_sf001, oracle_frames
 ):
