@@ -113,103 +113,95 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
 # so a miscounted edit can't silently shift which keys get witnessed.
 DRIVER_WINDOW_SIZE = 50
 
-# ROUND-10 WINDOW: the staged rotation finally runs. CORRECTNESS_r09
-# landed non-empty (49 green / 1 red of 50 — the first external rows
-# since r6), so per the r8/r9 prep notes this window fronts the 50
-# keys with the STALEST evidence: the 19 r5-evidence keys (five
-# rounds stale — q3/q5/q10/q_top_customers, a1-a7, w_running_sum,
-# w_topk_per_group, set_ops, rollup_revenue, eav_pivot,
-# p10_find_first, ann_lsh_topk, ann_ivf_topk, ann_sq_rerank) plus 30
-# of the 31 r6-evidence keys.
+# ROUND-11 WINDOW: the staged rotation runs exactly as the r10 prep
+# note committed. CORRECTNESS_r10 landed non-empty and 50/50 GREEN, so
+# this window fronts the complement cohort: the 49 r9-evidence keys
+# plus t_session_window — the ONE registry key without an r9/r10
+# external row (displaced in r10 by the curation_dsir_weight rule-2
+# re-entry; its session SQL stayed externally witnessed via the
+# r9-green t_stream_sessions row). With this window, every registry
+# key's external evidence is at most two rounds old.
 #
-# Rule-2 touches this round, all inside this window:
-# - curation_dsir_weight — the r9 round's ONE red row (signed-zero
-#   hash divergence: DuckDB ROUND emitted -0.0 where Spark emitted
-#   +0.0; normalized with '+ 0.0' on both engines, curation.py). It
-#   re-enters per rule 2 AND as the only externally-red key ever,
-#   displacing ONE r6-evidence key: t_session_window, chosen because
-#   it is the maximally sibling-witnessed r6 key — its DuckDB oracle
-#   is the SAME first-principles session SQL the r9-green
-#   t_stream_sessions row hashed (stream ≡ batch ≡ SQL three-way),
-#   so the displaced semantics carry fresh r9 external evidence.
-#   t_session_window re-enters in r11 with the rest of the r9 cohort.
-# - t_stream_rollup / t_stream_dedup / t_stream_signatures /
-#   t_stream_join — the deferred 4→2 shard shave (planned r9, rule-2
-#   -safe now that their slots are up). Values verified unchanged
-#   against oracles at both SFs; SHARDS_SHAVED=2 documented as the
-#   floor.
-# Shared-helper note (the r9 _KM_CELLS_CTES precedent): the
-# _stage_table suffix line changed for ALL streaming keys, but the
-# r9-witnessed keys (mview/lakehouse/ann_index) already passed
-# shards=SHARDS_SHAVED explicitly, so their stamp text and staged
-# bytes are bit-identical; the changed line is witnessed this round
-# by the windowed rollup/join keys. They stay in the r11 cohort.
+# Rule-2 touches this round, ALL already inside this window:
+# - a_moments — signed-zero prophylaxis (+ 0.0 after ROUND on the
+#   sign-capable mean/corr channels, both engines; the staged r10
+#   touch; a_profile_stats audited sign-incapable — BIGINT-only).
+# - ann_ivf_disk_topk / ann_pq_topk / ann_ivfpq_topk — the
+#   _versioned_artifact reap-vs-readopt TOCTOU closure (per-reap
+#   pointer re-read via claim+restore; post-flip existence verify).
+# - t_stream_lakehouse / t_stream_mview / t_stream_ann_index /
+#   t_stream_sessions — scratch+rename stage builds (_build_stage;
+#   the staged r10-audit touch) and, for lakehouse, the manifest
+#   lineage-walk FileNotFoundError-only fix.
+# - t_snapshot_upsert / t_snapshot_incremental / cdc_snapshot_diff /
+#   scan_manifest_pruned — manifest.snapshots() exception narrowing
+#   (shared-module lineage; windowed here).
+# Shared-helper note (the r9/r10 precedent): _build_stage is also in
+# the lineage of the r10-window keys t_stream_rollup/dedup/
+# signatures/join, but their stamp TEXT and staged BYTES are
+# bit-identical before and after the edit (only the install procedure
+# changed — documented at _build_stage) and their values re-verified
+# unchanged at both SFs; the changed lines are externally witnessed
+# THIS round by the windowed streaming keys sharing the helper.
 #
 # HARNESS INSURANCE (VERDICT r8 #4, carried): ordered CHEAPEST FIRST
 # by measured per-key sweep cost at sf0.01 (Spark + DuckDB oracle
-# wall time, scripts/window_cost.py, re-measured on THIS cohort
-# 2026-08-15 after the shave) — a wall-clock-capped prefix run lands
-# the maximum number of rows. Ordering is evidence-neutral (driver
-# checks set membership of the first 50).
-# Cohort tags: [r5] = last external row in CORRECTNESS_r05,
-# [r6] = last external row in CORRECTNESS_r06, [t] = rule-2 touched
-# this round. Trailing number = measured sf0.01 sweep cost; for the
-# shaved streaming keys the figure deliberately includes their
-# ONE-TIME restage at the new 2-shard layout (the driver's stages
-# were built by pre-r10 stamps, so its first run pays the same) —
-# the cold model is the right insurance model. A second warm-stage
-# sweep read 84.1 s / 50 keys, 0 FAIL.
+# wall time, scripts/window_cost.py --complement, re-measured
+# 2026-08-15 at r11 start AFTER the touches landed; 97.2 s total,
+# 50/50 OK) — a wall-clock-capped prefix run lands the maximum number
+# of rows. Ordering is evidence-neutral (driver checks set membership
+# of the first 50). Tags: [t] = rule-2 touched this round.
 WINDOW = [
-    "text_fingerprint",  # [r6]; 0.27s
-    "a2_max_id",  # [r5]; 0.28s
-    "p10_find_first",  # [r5]; 0.36s
-    "a1_distinct_pairs",  # [r5]; 0.37s
-    "a3_filtered_count",  # [r5]; 0.42s
-    "a6_run_summary",  # [r5]; 0.43s
-    "curation_shard_assign",  # [r6]; 0.45s
-    "text_pii_scrub",  # [r6]; 0.48s
-    "w_running_sum",  # [r5]; 0.48s
-    "w_topk_per_group",  # [r5]; 0.48s
-    "eav_pivot",  # [r5]; 0.49s
-    "p9_summary_parse",  # [r6]; 0.50s
-    "a4_count_distinct",  # [r5]; 0.53s
-    "text_quality_score",  # [r6]; 0.57s
-    "text_lang_id",  # [r6]; 0.57s
-    "jn_asof_join",  # [r6]; 0.58s
-    "text_chunk",  # [r6]; 0.61s
-    "text_repetition",  # [r6]; 0.64s
-    "j1_sessionize",  # [r6]; 0.65s
-    "p_json_props",  # [r6]; 0.66s
-    "jn5_sidecar_join",  # [r6]; 0.66s
-    "w_event_gap",  # [r6]; 0.66s
-    "curation_source_cap",  # [r6]; 0.67s
-    "q_top_customers",  # [r5]; 0.67s
-    "a7_id_assignment",  # [r5]; 0.71s
-    "j2_section_routing",  # [r6]; 0.75s
-    "jn_range_join",  # [r6]; 0.75s
-    "rollup_revenue",  # [r5]; 0.85s
-    "set_ops",  # [r5]; 0.93s
-    "p14_continuation_merge",  # [r6]; 1.00s
-    "text_tfidf_topterms",  # [r6]; 1.00s
-    "text_bpe_tokenize",  # [r6]; 1.03s
-    "q10_returned_items",  # [r5]; 1.17s
-    "q3_segment_revenue",  # [r5]; 1.21s
-    "curation_dsir_weight",  # [t] signed-zero fix — the r9 red row; 1.21s
-    "text_repeated_passages",  # [r6]; 1.24s
-    "a_outlier_filter",  # [r6]; 1.25s
-    "q5_region_revenue",  # [r5]; 1.31s
-    "ecj_star",  # [r6]; 2.38s
-    "dedup_simhash",  # [r6]; 2.38s
-    "multimodal_decode_jpeg",  # [r6]; 2.59s
-    "ann_sq_rerank",  # [r5]; 3.30s
-    "ann_lsh_topk",  # [r5]; 3.81s
-    "t_stream_rollup",  # [r6][t] 4→2 shard shave; 3.92s
-    "dedup_minhash_lsh",  # [r6]; 5.23s
-    "text_bpe_train",  # [r6]; 6.02s
-    "t_stream_signatures",  # [r6][t] 4→2 shard shave; 6.40s
-    "t_stream_dedup",  # [r6][t] 4→2 shard shave; 6.77s
-    "ann_ivf_topk",  # [r5]; 8.25s
-    "t_stream_join",  # [r6][t] 4→2 shard shave; 8.33s
+    "dedup_exact",  # 0.36s
+    "curation_weighted_sample",  # 0.37s
+    "multimodal_frame_sample",  # 0.39s
+    "scan_manifest_pruned",  # [t] manifest lineage; 0.43s
+    "w_moving_avg",  # 0.43s
+    "a_hash_sample",  # 0.47s
+    "a_histogram",  # 0.47s
+    "t_sliding_counts",  # 0.50s
+    "a_moments",  # [t] signed-zero prophylaxis; 0.53s
+    "t_snapshot_upsert",  # [t] manifest lineage; 0.57s
+    "text_kmv_vocab",  # 0.58s
+    "t_session_window",  # the one key without an r9/r10 row; 0.59s
+    "q1_pricing_summary",  # 0.59s
+    "text_cms_topk",  # 0.60s
+    "a_hll_distinct",  # 0.62s
+    "a_salted_agg",  # 0.68s
+    "jn1_dim_lookup_join",  # 0.71s
+    "jn_fuzzy_join",  # 0.74s
+    "cdc_snapshot_diff",  # [t] manifest lineage; 0.75s
+    "jn4_anti_join_idempotence",  # 0.78s
+    "text_bpe_pack",  # 0.84s
+    "jn7_fk_validation",  # 0.85s
+    "a_profile_stats",  # [t] audited sign-incapable; 0.86s
+    "text_lm_score",  # 0.92s
+    "a_table_fingerprint",  # 0.93s
+    "text_bm25_topk",  # 0.96s
+    "p_parse_suite",  # 0.98s
+    "text_pack_bins",  # 0.99s
+    "t_snapshot_incremental",  # [t] manifest lineage; 1.00s
+    "t_sliding_hll",  # 1.14s
+    "a_quantile_sketch",  # 1.23s
+    "text_decontaminate",  # 1.31s
+    "dedup_bloom_prefilter",  # 1.64s
+    "multimodal_features",  # 1.79s
+    "ann_bruteforce_topk",  # 1.91s
+    "t_stream_lakehouse",  # [t] stage builds + manifest; 2.05s
+    "jn2_contains_join",  # 2.11s
+    "t_stream_ann_index",  # [t] stage builds; r10 drift watch; 2.62s
+    "ann_ivf_disk_topk",  # [t] artifact TOCTOU closure; 2.87s
+    "ann_pq_topk",  # [t] artifact TOCTOU closure; 3.71s
+    "dedup_embedding_components",  # 3.88s
+    "t_stream_mview",  # [t] stage builds; 4.06s
+    "e2e_cli_ingest",  # 4.43s
+    "g_pagerank",  # 4.86s
+    "g_triangle_count",  # 4.88s
+    "ann_ivfpq_topk",  # [t] artifact TOCTOU closure; 5.94s
+    "t_stream_sessions",  # [t] stage builds (time chunks); 6.19s
+    "dedup_semantic",  # 6.41s
+    "curation_funnel",  # 7.29s
+    "curation_e2e",  # 7.35s
 ]
 
 # WINDOW-OVERFLOW QUEUE (policy, r6): brand-new keys beyond window
@@ -238,88 +230,32 @@ NEXT_UP: list[str] = []
 # not demotion: external evidence is preserved. Net new keys this
 # round: 1 (the suite) against 16 removed.
 #
-# R11 WINDOW PREP: the 50 keys NOT in this window are exactly the r9
-# window (49 green rows in CORRECTNESS_r09, every key evidenced) PLUS
-# t_session_window (displaced this round by the curation_dsir_weight
-# rule-2 re-entry; its session SQL stayed externally witnessed via
-# the r9-green t_stream_sessions row) MINUS curation_dsir_weight
-# (windowed here). If CORRECTNESS_r10 lands non-empty, r11 fronts
-# that cohort — t_session_window included — re-measured by
-# scripts/window_cost.py and ordered cheapest-first. Rule-2 touches
-# of r11 that sit in THIS window displace the youngest-evidence r10
-# keys (the r6-tagged ones, freshly re-evidenced). CONTINGENCY,
-# unchanged: if CORRECTNESS_r10 comes back empty/unreadable,
-# re-front THIS window — never rotate past a window with zero
-# external rows.
+# R12 WINDOW PREP: the 50 keys NOT in this window are exactly the r10
+# window (50/50 green rows in CORRECTNESS_r10 — the cleanest artifact
+# on record). If CORRECTNESS_r11 lands non-empty, r12 fronts that
+# cohort, re-measured by scripts/window_cost.py --complement and
+# ordered cheapest-first. Rule-2 touches of r12 whose keys sit in
+# THIS (r11) window re-enter per rule 2, displacing the
+# youngest-evidence members of the r12 cohort (the ones whose
+# semantics are most sibling-witnessed — document the choice at the
+# displacement site, the curation_dsir_weight/t_session_window
+# precedent). CONTINGENCY, unchanged: if CORRECTNESS_r11 comes back
+# empty/unreadable, re-front THIS window — never rotate past a window
+# with zero external rows.
 #
-# STAGED R11 TOUCHES (deliberately deferred — their keys are in the
-# r11 cohort, so landing them now would displace r10 slots):
-# 1. Signed-zero prophylaxis on the sign-CAPABLE rounded floats among
-#    the r9-window keys: a_profile_stats.min_v (a ROUND(min(value))
-#    that goes -0.0 the day testdata ships a tiny-negative value) and
-#    a_moments' correlation channel. Append `+ 0.0` on both engines,
-#    same as curation_dsir_weight r10. (Measured r10: no -0.0
-#    anywhere at either SF; the sign-aware comparator + sf0.01 scan
-#    test catch any drift loudly in the meantime. Columns that are
-#    nonnegative by construction — ratios, durations — need nothing.)
-# 2. The versioned-artifact sweep's per-reap pointer re-read
-#    (similarity.py, ADVICE r9 #2's code path) — disk-ANN lineages.
-# 3. Scratch+rename stage builds in streamingq.py (r10 audit): the
-#    in-place build (clear + chunks + stamp last) can interleave to a
-#    mixed-generation stage under two sessions racing a layout
-#    transition — same class the artifact protocol closed in r8.
-#    Apply the identical scratch dir + stamp-inside + os.rename
-#    pattern to _stage_table/_stage_time_chunks; contract documented
-#    at _stage_current pending the fix.
-#
-# PROVISIONAL R11 ORDERING (pre-measured at r10 close,
-# `window_cost.py --complement` at sf0.01, idle box, 79.9 s total —
-# RE-MEASURE at r11 start per the prep note; rule-2 touches from the
-# staged list above will displace youngest-evidence keys):
-# t_snapshot_upsert 0.25 / multimodal_frame_sample 0.26 /
-# a_hash_sample 0.26 / dedup_exact 0.27 / scan_manifest_pruned 0.29 /
-# curation_weighted_sample 0.33 / a_salted_agg 0.33 / w_moving_avg
-# 0.34 / jn_fuzzy_join 0.36 / jn4_anti_join_idempotence 0.40 /
-# q1_pricing_summary 0.42 / a_histogram 0.42 / jn1_dim_lookup_join
-# 0.44 / jn7_fk_validation 0.45 / a_moments 0.47 / t_sliding_counts
-# 0.47 / text_cms_topk 0.52 / cdc_snapshot_diff 0.54 /
-# t_snapshot_incremental 0.56 / text_kmv_vocab 0.57 /
-# t_session_window 0.58 / a_hll_distinct 0.60 / text_bpe_pack 0.69 /
-# a_table_fingerprint 0.69 / text_lm_score 0.82 / text_pack_bins
-# 0.84 / a_profile_stats 0.85 / text_bm25_topk 0.86 / p_parse_suite
-# 1.04 / t_sliding_hll 1.17 / a_quantile_sketch 1.20 /
-# text_decontaminate 1.22 / dedup_bloom_prefilter 1.45 /
-# multimodal_features 1.51 / jn2_contains_join 1.51 /
-# ann_bruteforce_topk 1.55 / t_stream_lakehouse 1.61 /
-# t_stream_ann_index 2.31 / t_stream_mview 2.52 / ann_pq_topk 3.06 /
-# ann_ivf_disk_topk 3.10 / g_triangle_count 3.27 /
-# dedup_embedding_components 3.43 / g_pagerank 3.69 / curation_funnel
-# 3.87 / ann_ivfpq_topk 4.29 / e2e_cli_ingest 4.63 /
-# t_stream_sessions 5.09 / dedup_semantic 5.59 / curation_e2e 8.87
-#
-# Landed in-round WITHOUT displacement (r10, post-close): the
-# _versioned_artifact pointer flip's temp file is now writer-unique —
-# a thread-storm test found two concurrent flippers sharing the
-# literal "_CURRENT.tmp" race write→replace, crashing the loser with
-# FileNotFoundError (in-contract: the protocol explicitly supports
-# concurrent builders). Result-NEUTRAL by construction (artifact
-# bytes, pointer contents, and query outputs identical — crash-class
-# only) and verified: the three disk-ANN keys re-checked value-green
-# at sf0.01 post-fix. The touch rule's rationale is evidence
-# staleness; no result can differ, so the r9 external rows for those
-# keys remain bit-valid and no window slot moves. The per-reap
-# re-read (above) is behavior-affecting and stays deferred.
-#
-# Second no-displacement fix (same argument, same round): manifest
-# `snapshots()` raised FileNotFoundError on the first vacuum-reaped
-# ancestor (immutable manifests can't have their parent pointers
-# rewritten), breaking every lineage consumer — including a second
-# vacuum — after the first reaping vacuum. The walk now truncates at
-# the retention horizon; a missing manifest for the CURRENT pointer
-# still raises. Result-neutral for every registry key (none runs
-# vacuum-then-list): the five manifest-lineage keys re-checked
-# value-green at sf0.01 post-fix; regression + reaping-storm tests
-# pin it.
+# STAGED TOUCHES LEDGER: all three r11-staged touches LANDED this
+# round with their keys windowed above — (1) signed-zero prophylaxis
+# (a_moments mean/corr guarded on both engines; a_profile_stats
+# audited sign-incapable: BIGINT-only outputs, documented at the
+# site; a synthetic tiny-negative fixture + mutation check pin the
+# guard); (2) the versioned-artifact reap-vs-readopt TOCTOU closure
+# (claim+restore on the sweeper side, post-flip verify+rebuild on the
+# flipper side, flip-tmp and reap-claim residue swept — ADVICE r9 #2
+# and ADVICE r10 both closed); (3) scratch+rename stage builds
+# (_build_stage: single-generation invariant under thread storms,
+# which also caught and fixed an ENOTEMPTY propagation under
+# opposing-layout contention). Nothing is staged for r12 from this
+# round's audit.
 
 
 def all_queries() -> dict[str, QuerySpec]:
