@@ -81,6 +81,124 @@ def kmv_distinct(
     )
 
 
+def kmv_set_ops(
+    pairs: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-style SET OPERATIONS over per-group KMV samples (the
+    standard theta-sketch estimator — Dasgupta et al., "Theta-Sketch
+    Framework", 2016 — on this package's deterministic md5 hash):
+    distinct-intersection / union / Jaccard estimates for every group
+    pair WITHOUT joining the groups' full value sets.
+
+    Per group: sample = the k smallest hashes of its distinct values,
+    theta = the k-th min (1.0 when the group has < k distinct values —
+    the sample is then exhaustive). Per pair: theta = least(theta_a,
+    theta_b); the union/intersection of the samples RESTRICTED to
+    hashes below theta is a uniform coordinated sample of the union,
+    so count/theta estimates the distinct cardinality. When both
+    groups are small (theta = 1.0) the estimates are EXACT by
+    construction.
+
+    Engine-portable for the same reason as kmv_distinct: the hash is
+    md5-deterministic, so DuckDB replays the whole estimator and a
+    value check compares ESTIMATES exactly, not just error bounds.
+    All divisions are single IEEE ops on exactly-representable inputs
+    (52-bit-mantissa hashes, integer counts) stated identically in
+    both engines; every output is nonnegative by construction, so no
+    signed-zero guard is needed.
+
+    At 100 TB: one shuffle to distinct (group, value) grain builds the
+    samples; everything after is sample-sized (k rows per group) — the
+    pairwise full-outer hash merge moves k·|groups| rows, never data.
+    This is the "how much do these two sources/splits overlap"
+    primitive a dedup/curation pipeline asks constantly, priced at a
+    scan instead of a |A|×|B| join. Exact self-eval channels
+    (inter_exact/union_exact, the ann_recall pattern) ride along for
+    the diagnostics tier; a production deployment drops them."""
+    d = pairs.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
+    ).distinct()
+    h = d.select("grp", "val", kmv_hash("val").alias("h"))
+    w = W.partitionBy("grp").orderBy("h")
+    ranked = h.withColumn("rn", F.row_number().over(w))
+    sample = ranked.filter(F.col("rn") <= k).select("grp", "h")
+    thetas = ranked.groupBy("grp").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k, F.col("h"))), F.lit(1.0)
+        ).alias("theta")
+    )
+    pair_theta = (
+        thetas.select(F.col("grp").alias("grp_a"), F.col("theta").alias("ta"))
+        .join(
+            thetas.select(
+                F.col("grp").alias("grp_b"), F.col("theta").alias("tb")
+            ),
+            F.col("grp_a") < F.col("grp_b"),
+        )
+        .select("grp_a", "grp_b", F.least("ta", "tb").alias("theta"))
+    )
+    a_h = (
+        pair_theta.join(
+            sample.select(F.col("grp").alias("grp_a"), "h"), "grp_a"
+        )
+        .filter(F.col("h") < F.col("theta"))
+        .select("grp_a", "grp_b", "h", F.lit(1).alias("in_a"))
+    )
+    b_h = (
+        pair_theta.join(
+            sample.select(F.col("grp").alias("grp_b"), "h"), "grp_b"
+        )
+        .filter(F.col("h") < F.col("theta"))
+        .select("grp_a", "grp_b", "h", F.lit(1).alias("in_b"))
+    )
+    merged = a_h.join(b_h, ["grp_a", "grp_b", "h"], "full_outer")
+    counts = merged.groupBy("grp_a", "grp_b").agg(
+        F.count("*").alias("n_union_s"),
+        F.sum(
+            F.when(
+                F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_inter_s"),
+    )
+    # exact self-eval channels (test-SF diagnostics; dropped at scale)
+    exact_inter = (
+        d.select(F.col("grp").alias("grp_a"), "val")
+        .join(d.select(F.col("grp").alias("grp_b"), "val"), "val")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count("*").alias("inter_exact"))
+    )
+    sizes = d.groupBy("grp").agg(F.count("*").alias("n"))
+    est = (
+        counts.join(pair_theta, ["grp_a", "grp_b"])
+        .join(exact_inter, ["grp_a", "grp_b"], "left")
+        .join(sizes.select(F.col("grp").alias("grp_a"), F.col("n").alias("na")), "grp_a")
+        .join(sizes.select(F.col("grp").alias("grp_b"), F.col("n").alias("nb")), "grp_b")
+    )
+    inter_exact = F.coalesce(F.col("inter_exact"), F.lit(0))
+    return est.select(
+        F.col("grp_a").alias(f"{group_col}_a"),
+        F.col("grp_b").alias(f"{group_col}_b"),
+        inter_exact.cast("long").alias("inter_exact"),
+        F.round(F.col("n_inter_s") / F.col("theta"))
+        .cast("long")
+        .alias("inter_est"),
+        (F.col("na") + F.col("nb") - inter_exact)
+        .cast("long")
+        .alias("union_exact"),
+        F.round(F.col("n_union_s") / F.col("theta"))
+        .cast("long")
+        .alias("union_est"),
+        F.when(
+            F.col("n_union_s") > 0,
+            F.round(F.col("n_inter_s") / F.col("n_union_s"), 4),
+        ).alias("jaccard_est"),
+    )
+
+
 # ---- Count-Min Sketch (Cormode & Muthukrishnan, 2005) ----
 #
 # The frequency twin of KMV's distinct counting: d independent hash

@@ -349,3 +349,48 @@ def test_quantile_sketch_rank_error_within_envelope(spark):
             # exact channel is the true type-1 quantile of the corpus
             exact = r[f"p{round(q * 100)}_exact"]
             assert exact == vals[max(1, math.ceil(q * n)) - 1]
+
+
+def test_theta_set_ops_exact_and_estimating_regimes(spark):
+    """r11: kmv_set_ops' two regimes. (a) Groups smaller than k have
+    theta = 1.0 and the 'estimates' are EXACT by construction —
+    intersection, union, and Jaccard all equal ground truth. (b) In
+    the genuinely-estimating regime (groups >> k, partial overlap),
+    the coordinated-sample estimates land within the theta-sketch
+    error envelope and respect the structural invariants. The hash is
+    deterministic, so both regimes are fixed values — re-running
+    yields the identical frame (also asserted)."""
+    from db_loader_spark.functions.sketch import kmv_set_ops
+
+    # (a) exact regime: |A|=10, |B|=8, |A∩B|=4, k=64 > both
+    a_vals = [f"u{i}" for i in range(10)]
+    b_vals = [f"u{i}" for i in range(6, 14)]
+    small = spark.createDataFrame(
+        [("A", v) for v in a_vals] + [("B", v) for v in b_vals],
+        "g string, v string",
+    )
+    r = kmv_set_ops(small, "g", "v", k=64).collect()[0]
+    assert (r["inter_exact"], r["inter_est"]) == (4, 4)
+    assert (r["union_exact"], r["union_est"]) == (14, 14)
+    assert abs(r["jaccard_est"] - round(4 / 14, 4)) < 1e-9
+
+    # (b) estimating regime: 5000 vs 4000 with 2000 shared, k=64
+    big = spark.createDataFrame(
+        [("A", f"x{i}") for i in range(5000)]
+        + [("B", f"x{i}") for i in range(3000, 7000)],
+        "g string, v string",
+    )
+    out = kmv_set_ops(big, "g", "v", k=64)
+    r1 = out.collect()[0]
+    assert r1["inter_exact"] == 2000 and r1["union_exact"] == 7000
+    # structural invariants of the estimator
+    assert 0 < r1["inter_est"] <= r1["union_est"]
+    assert 0.0 <= r1["jaccard_est"] <= 1.0
+    # error envelope: union error ~1/sqrt(k); intersection error
+    # ~1/sqrt(k * jaccard) — generous 2x headroom on both
+    assert abs(r1["union_est"] - 7000) / 7000 <= 2.0 / (64**0.5)
+    jacc = 2000 / 7000
+    assert abs(r1["inter_est"] - 2000) / 2000 <= 2.0 / ((64 * jacc) ** 0.5)
+    # determinism: the md5 hash fixes every value
+    r2 = kmv_set_ops(big, "g", "v", k=64).collect()[0]
+    assert r1 == r2
