@@ -134,8 +134,10 @@ N_TIMED = 3
 # shed ROWS (which changes the artifact's shape), the headline loop
 # sheds SAMPLES when the PROJECTED final wall (elapsed + average row
 # wall so far x remaining rows) exceeds the budget minus a tail
-# reserve for the layout micro-benches: over it, new rows take 2
-# timed runs; 20% over, 1. Projection — not elapsed fractions — so a
+# reserve for the layout micro-benches: over that line, new rows take
+# 2 timed runs; past the BUDGET ITSELF, 1 (r11, ADVICE r10 — the old
+# 1-sample boundary at room*1.2 = 864 s sat above the 780 s budget it
+# insures against). Projection — not elapsed fractions — so a
 # healthy-weather run NEVER degrades (r9's measured ~620 s wall, all
 # driver benches rc=0, projects under the 780 s default and keeps
 # full 3-sample comparability), while a doomed run sheds early enough
@@ -145,8 +147,8 @@ N_TIMED = 3
 # how many rows degraded so a cross-round band comparison knows its
 # basis. HEADLINE's expensive streaming rows sit late in the list, so
 # the uniform-average projection under-estimates slightly — the tail
-# reserve and the 1.2x hard tier absorb that, and the budget is soft
-# by design (the harness cap it insures against is not exact either).
+# reserve and the (room, budget] 2-sample band absorb that, and the
+# budget is soft by design (the harness cap is not exact either).
 BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "780"))
 TAIL_RESERVE_S = 60.0  # layout micro-benches + JSON emission after headline
 

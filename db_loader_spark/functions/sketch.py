@@ -48,6 +48,21 @@ def kmv_hash(col: str) -> F.Column:
     )
 
 
+def kmv_nibsum_sql(hex_col: str = "hx") -> str:
+    """DuckDB mirror of kmv_hash's decode: the 13-nibble md5 prefix in
+    ``hex_col`` as an exact 52-bit-mantissa integer (divide by
+    KMV_DENOM to get the [0,1) fraction). THE single source for every
+    oracle that replays the hash (KMV vocab, quantile sketch, theta
+    set ops — r11 review: three verbatim copies had grown); a change
+    to KMV_BITS now breaks loudly in one place instead of silently in
+    a missed copy."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr({hex_col}, {i + 1}, 1)) - 1)"
+        f" * {float(16 ** (12 - i))!r}"
+        for i in range(13)
+    )
+
+
 def kmv_distinct(
     pairs: DataFrame,
     group_col: str,
@@ -61,8 +76,19 @@ def kmv_distinct(
 
     Groups with fewer than k distinct values have no k-th hash; the
     estimator falls back to the exact count (which the sketch holds
-    verbatim in that regime — standard KMV behavior)."""
-    d = pairs.select(F.col(group_col).alias("grp"), F.col(value_col).alias("val")).distinct()
+    verbatim in that regime — standard KMV behavior).
+
+    NULL values are EXCLUDED before hashing (r11 review): a null is
+    not a value — and left in, its null hash would sort FIRST in
+    Spark's row_number window but LAST in DuckDB's, shifting every
+    rank and (if the null lands at rank k) collapsing theta to the
+    small-group fallback: a silent cross-engine estimate divergence.
+    The oracle mirrors the exclusion."""
+    d = (
+        pairs.select(F.col(group_col).alias("grp"), F.col(value_col).alias("val"))
+        .filter(F.col("val").isNotNull())
+        .distinct()
+    )
     h = d.select("grp", kmv_hash("val").alias("h"))
     w = W.partitionBy("grp").orderBy("h")
     ranked = h.withColumn("rn", F.row_number().over(w))
@@ -117,10 +143,19 @@ def kmv_set_ops(
     primitive a dedup/curation pipeline asks constantly, priced at a
     scan instead of a |A|×|B| join. Exact self-eval channels
     (inter_exact/union_exact, the ann_recall pattern) ride along for
-    the diagnostics tier; a production deployment drops them."""
-    d = pairs.select(
-        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
-    ).distinct()
+    the diagnostics tier; a production deployment drops them.
+
+    NULL values are EXCLUDED before hashing (r11 review, same contract
+    as kmv_distinct): left in, the null hash sorts FIRST in Spark's
+    window but LAST in DuckDB's, shifting ranks — and a null at rank k
+    nulls the k-th hash so theta collapses to 1.0, silently wrecking
+    the estimates for a large group. The oracle mirrors the
+    exclusion."""
+    d = (
+        pairs.select(F.col(group_col).alias("grp"), F.col(value_col).alias("val"))
+        .filter(F.col("val").isNotNull())
+        .distinct()
+    )
     h = d.select("grp", "val", kmv_hash("val").alias("h"))
     w = W.partitionBy("grp").orderBy("h")
     ranked = h.withColumn("rn", F.row_number().over(w))

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 from pyspark.sql.types import IntegerType, MapType, StringType
 
+from db_loader_spark.functions.sketch import kmv_nibsum_sql as _kmv_nibsum_sql
 from db_loader_spark.queries import QuerySpec
 from db_loader_spark.tables import load_table
 
@@ -933,10 +934,7 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # 13-nibble md5-prefix decode as an exact double — the textops
 # _KMV_NIBSUM idiom with the 'qsk:' row salt
-_QSK_NIBSUM = " + ".join(
-    f"(instr('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1) * {float(16 ** (12 - i))!r}"
-    for i in range(13)
-)
+_QSK_NIBSUM = _kmv_nibsum_sql()
 
 _QUANTILE_SKETCH_ORACLE = f"""
 WITH c AS (
@@ -1069,18 +1067,15 @@ def a_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_ops(e, "event_type", "uid", k=32)
 
 
-# Mirror of functions.sketch.kmv_hash: 13-nibble md5-prefix decode as
-# an exact 52-bit-mantissa double (the textops._KMV_NIBSUM pattern).
-_THETA_NIBSUM = " + ".join(
-    f"(instr('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1) * {float(16 ** (12 - i))!r}"
-    for i in range(13)
-)
+# Mirror of functions.sketch.kmv_hash (shared generator — r11 review).
+_THETA_NIBSUM = _kmv_nibsum_sql()
 
 _THETA_K = 32
 
 _THETA_SET_OPS_ORACLE = f"""
 WITH d AS MATERIALIZED (
-  SELECT DISTINCT event_type AS grp, CAST(user_id AS VARCHAR) AS val FROM events
+  SELECT DISTINCT event_type AS grp, CAST(user_id AS VARCHAR) AS val
+  FROM events WHERE user_id IS NOT NULL
 ),
 h AS (
   SELECT grp, ({_THETA_NIBSUM}) / 4503599627370496.0 AS h

@@ -373,49 +373,49 @@ def _stage_cli_logs(spark: SparkSession, sf_dir: str) -> str:
     import gzip
     import hashlib
     import os
-    import shutil
     import tempfile
+
+    from db_loader_spark.staging import build_stage
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_cli_e2e_{key}")
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     stamp = f"{st.st_size}:{st.st_mtime_ns}:cap={CLI_USER_CAP}:layout=v1"
-    stamp_path = os.path.join(stage, "_SOURCE_STAMP")
-    try:
-        with open(stamp_path) as fh:
-            if fh.read() == stamp:
-                return stage
-    except OSError:
-        pass
-    rows = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") < CLI_USER_CAP)
-        .select(
-            "user_id",
-            "event_id",
-            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+
+    # scratch+rename install (r11 review — the CLI corpus was the last
+    # in-place stage build; a racing rebuild could leave a stamp-valid
+    # dir with a mixed set of run_*.log.gz from two generations, which
+    # the glob dispatch would happily ingest as one corpus)
+    def build(scratch: str) -> None:
+        rows = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id") < CLI_USER_CAP)
+            .select(
+                "user_id",
+                "event_id",
+                F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    by_user: dict[int, list[tuple[int, int]]] = {}
-    for r in rows:
-        by_user.setdefault(r["user_id"], []).append((r["event_id"], r["cents"]))
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
-    for uid, evs in sorted(by_user.items()):
-        evs.sort()
-        lines = [f"run-uid = {uid}", "problem-name = e2e"]
-        for gen, (_eid, cents) in enumerate(evs):
+        by_user: dict[int, list[tuple[int, int]]] = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append((r["event_id"], r["cents"]))
+        os.makedirs(scratch, exist_ok=True)
+        for uid, evs in sorted(by_user.items()):
+            evs.sort()
+            lines = [f"run-uid = {uid}", "problem-name = e2e"]
+            for gen, (_eid, cents) in enumerate(evs):
+                lines.append(";;;;;;;;;;")
+                lines.append(f";; -*- Report at generation {gen}")
+                lines.append(f"cents: {cents}")
             lines.append(";;;;;;;;;;")
-            lines.append(f";; -*- Report at generation {gen}")
-            lines.append(f"cents: {cents}")
-        lines.append(";;;;;;;;;;")
-        lines.append(f"SUCCESS at generation {len(evs) - 1}")
-        with gzip.open(os.path.join(stage, f"run_{uid:04d}.log.gz"), "wt") as fh:
-            fh.write("\n".join(lines) + "\n")
-    with open(stamp_path, "w") as fh:
-        fh.write(stamp)
-    return stage
+            lines.append(f"SUCCESS at generation {len(evs) - 1}")
+            with gzip.open(
+                os.path.join(scratch, f"run_{uid:04d}.log.gz"), "wt"
+            ) as fh:
+                fh.write("\n".join(lines) + "\n")
+
+    return build_stage(stage, stamp, build)
 
 
 def e2e_cli_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -776,11 +776,11 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DuckDB recomputes the identical delta from the raw table.
     Prices are compared as integer cents — exact, no FP channel."""
     import hashlib
-    import shutil
     import tempfile
 
     from db_loader_spark.operators.cdc import snapshot_diff
     from db_loader_spark.sinks import manifest as M
+    from db_loader_spark.staging import build_stage
 
     o = _t(spark, sf_dir, "orders")
     cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
@@ -795,19 +795,16 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), f"db_loader_cdc_{key}")
     st = os.stat(os.path.join(sf_dir, "orders.parquet"))
     stamp = f"{st.st_size}:{st.st_mtime_ns}"
-    stamp_path = os.path.join(root, "_SOURCE_STAMP")
-    try:
-        with open(stamp_path) as fh:
-            current = fh.read() == stamp
-    except OSError:
-        current = False
-    if not current:
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
-        M.publish(v1, root, snapshot_id="v1")
-        M.publish(v2, root, snapshot_id="v2")  # lineage: v2.parent = v1
-        with open(stamp_path, "w") as fh:
-            fh.write(stamp)
+
+    # scratch+rename install (r11 review: this root was still built
+    # in place — the mixed-generation class build_stage closes;
+    # manifests hold root-relative paths, so a renamed root is intact)
+    def build(scratch: str) -> None:
+        os.makedirs(scratch, exist_ok=True)
+        M.publish(v1, scratch, snapshot_id="v1")
+        M.publish(v2, scratch, snapshot_id="v2")  # lineage: v2.parent = v1
+
+    build_stage(root, stamp, build)
     old = M.read_snapshot(spark, root, "v1")
     new = M.read_snapshot(spark, root, "v2")
     return snapshot_diff(old, new, ["o_orderkey"], ["cents"])
@@ -819,39 +816,33 @@ def _append_lineage_root(spark: SparkSession, sf_dir: str) -> str:
     lineage v1 → v2 → v3 has real per-snapshot file deltas for the
     incremental-scan query."""
     import hashlib
-    import shutil
     import tempfile
 
     from db_loader_spark.sinks import manifest as M
+    from db_loader_spark.staging import build_stage
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), f"db_loader_incr_{key}")
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     stamp = f"{st.st_size}:{st.st_mtime_ns}"
-    stamp_path = os.path.join(root, "_SOURCE_STAMP")
-    try:
-        with open(stamp_path) as fh:
-            if fh.read() == stamp:
-                return root
-    except OSError:
-        pass
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
-    )
-    for i in (0, 1, 2):
-        M.publish(
-            ev.filter(F.col("event_id") % 3 == i).repartition(4),
-            root,
-            snapshot_id=f"v{i + 1}",
-            append=(i > 0),
+
+    # scratch+rename install (r11 review — same class as the cdc root)
+    def build(scratch: str) -> None:
+        os.makedirs(scratch, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
         )
-    with open(stamp_path, "w") as fh:
-        fh.write(stamp)
-    return root
+        for i in (0, 1, 2):
+            M.publish(
+                ev.filter(F.col("event_id") % 3 == i).repartition(4),
+                scratch,
+                snapshot_id=f"v{i + 1}",
+                append=(i > 0),
+            )
+
+    return build_stage(root, stamp, build)
 
 
 def t_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -917,24 +908,19 @@ def t_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     a wrong anti-join, a double-applied update, or a dropped carried
     file all flip the sum."""
     import hashlib
-    import shutil
     import tempfile
 
     from db_loader_spark.sinks import manifest as M
+    from db_loader_spark.staging import build_stage
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), f"db_loader_upsert_{key}")
     st = os.stat(os.path.join(sf_dir, "orders.parquet"))
     stamp = f"{st.st_size}:{st.st_mtime_ns}"
-    stamp_path = os.path.join(root, "_SOURCE_STAMP")
-    try:
-        with open(stamp_path) as fh:
-            current = fh.read() == stamp
-    except OSError:
-        current = False
-    if not current:
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
+
+    # scratch+rename install (r11 review — same class as the cdc root)
+    def build(scratch: str) -> None:
+        os.makedirs(scratch, exist_ok=True)
         base = _t(spark, sf_dir, "orders").select(
             F.col("o_orderkey").alias("k"),
             F.col("o_orderpriority").alias("pr"),
@@ -942,7 +928,7 @@ def t_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         M.publish(
             base.repartitionByRange(16, F.col("k")),
-            root,
+            scratch,
             snapshot_id="base",
             stats_cols=["k"],
         )
@@ -954,9 +940,11 @@ def t_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("INSERTED").alias("pr"),
             F.lit(123).cast("long").alias("cents"),
         )
-        M.merge_upsert(spark, upd.unionByName(ins), root, "k", snapshot_id="merged")
-        with open(stamp_path, "w") as fh:
-            fh.write(stamp)
+        M.merge_upsert(
+            spark, upd.unionByName(ins), scratch, "k", snapshot_id="merged"
+        )
+
+    build_stage(root, stamp, build)
     return (
         M.read_current(spark, root)
         .groupBy("pr")
@@ -996,39 +984,33 @@ def _zonemap_root(spark: SparkSession, sf_dir: str) -> str:
     the scan plan entirely. Shared by the registry query and the
     bench pair."""
     import hashlib
-    import shutil
     import tempfile
 
     from db_loader_spark.sinks import manifest as M
+    from db_loader_spark.staging import build_stage
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), f"db_loader_zonemap_{key}")
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     stamp = f"{st.st_size}:{st.st_mtime_ns}"
-    stamp_path = os.path.join(root, "_SOURCE_STAMP")
-    try:
-        with open(stamp_path) as fh:
-            if fh.read() == stamp:
-                return root
-    except OSError:
-        pass
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        "user_id",
-        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
-    )
-    M.publish(
-        ev.repartitionByRange(16, F.col("cents")),
-        root,
-        snapshot_id="z1",
-        stats_cols=["cents"],
-    )
-    with open(stamp_path, "w") as fh:
-        fh.write(stamp)
-    return root
+
+    # scratch+rename install (r11 review — same class as the cdc root)
+    def build(scratch: str) -> None:
+        os.makedirs(scratch, exist_ok=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+        M.publish(
+            ev.repartitionByRange(16, F.col("cents")),
+            scratch,
+            snapshot_id="z1",
+            stats_cols=["cents"],
+        )
+
+    return build_stage(root, stamp, build)
 
 
 def scan_manifest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:

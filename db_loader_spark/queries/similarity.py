@@ -664,6 +664,18 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
                 os.rename(p, claim)
             except OSError:
                 continue  # another sweeper claimed it, or it vanished
+            # Freshen the claim's mtime IMMEDIATELY (r11 review): rename
+            # preserves the dir mtime, which for a reap-eligible dir is
+            # the >1h-old marker write — a concurrent sweeper's residue
+            # branch would read the live claim as aged crash debris and
+            # rmtree it during our claim→re-read window, re-opening the
+            # stranded-pointer race from a third side. A fresh mtime
+            # keeps live claims inside the 1h no-touch horizon; only
+            # claims whose holder actually crashed age into reapability.
+            try:
+                os.utime(claim)
+            except OSError:
+                pass
             if _pointer() == old:
                 try:
                     os.rename(claim, p)  # restore under the live pointer

@@ -30,6 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from db_loader_spark.queries import QuerySpec
+
+# Scratch+rename stage installation — shared implementation in
+# db_loader_spark/staging.py since the r11 review found the same
+# in-place bug class at five non-streaming sites (CDC/lineage/upsert/
+# zone-map roots, CLI e2e corpus); the private aliases keep the
+# streaming call sites and the storm tests reading naturally.
+from db_loader_spark.staging import build_stage as _build_stage
+from db_loader_spark.staging import stage_current as _stage_current
 from db_loader_spark.tables import load_table
 
 # Staged files → micro-batches (maxFilesPerTrigger=1). Two batches
@@ -78,97 +86,6 @@ def _source_stamp(sf_dir: str, table: str = "events") -> str:
     staged copy — a guaranteed hash mismatch against the fresh oracle."""
     st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
     return f"{st.st_size}:{st.st_mtime_ns}"
-
-
-def _stage_current(stage: str, stamp: str) -> bool:
-    """True if ``stage`` carries exactly ``stamp``. The stamp is the
-    LAST file written into the build scratch, and the scratch is
-    RENAMED into place whole (``_build_stage``), so a dir whose stamp
-    validates is always a complete single-generation build — a crashed
-    or half-done build can never pass."""
-    try:
-        with open(os.path.join(stage, "_SOURCE_STAMP")) as f:
-            return f.read() == stamp
-    except OSError:
-        return False
-
-
-def _build_stage(stage: str, stamp: str, build) -> str:
-    """Scratch+rename stage installation — the r11 staged touch that
-    closes the r10-audit concurrency contract at ``_stage_current``
-    (same class, same pattern as the r8 versioned-artifact fix):
-    ``build(scratch)`` writes the whole stage into a builder-unique
-    scratch dir, the stamp lands INSIDE the scratch as the last write,
-    and one ``os.rename`` publishes data and proof together. The old
-    in-place protocol (clear + write chunks + stamp last) could
-    interleave under two sessions racing a LAYOUT TRANSITION into a
-    mixed-generation dir whose stamp validates while stale chunks from
-    the other generation linger — and the file-source stream reads
-    every parquet in the dir, so the mix silently changes VALUES.
-    After this fix the stage path only ever holds complete
-    single-generation builds:
-
-    - same-stamp racers: one rename wins; the loser sees the winner's
-      stamp validate and discards its identical scratch copy
-      (deterministic bytes ⇒ either copy is correct);
-    - different-stamp racers (the layout transition): the stale dir is
-      moved aside to a doomed name (rename, atomic) before install, so
-      generations never share the live path; last installer wins and
-      every intermediate state is a complete build of one generation;
-    - a reader listing files during the swap can hit FileNotFound —
-      loud crash-class, not silent wrong values; callers in this repo
-      are sequential (driver, bench, pytest each run alone) and the
-      thread-storm test pins the invariant under deliberate races.
-
-    Stamp TEXT and staged BYTES are identical to the r10 protocol —
-    only the installation procedure changed — so warm stages stay
-    valid and no restage is forced (rule-2 note: the r10-window
-    streaming keys' external rows remain bit-valid; the changed lines
-    are in the lineage of the r11-windowed streaming keys)."""
-    import shutil
-    import uuid as _uuid
-
-    if _stage_current(stage, stamp):
-        return stage
-    scratch = f"{stage}.build-{_uuid.uuid4().hex[:8]}"
-    try:
-        build(scratch)
-        with open(os.path.join(scratch, "_SOURCE_STAMP"), "w") as f:
-            f.write(stamp)  # last write: rename publishes data + proof
-        # Install dance, retried under contention: between our
-        # move-aside and our rename another racer can occupy the path
-        # (its install rename is atomic), failing ours with ENOTEMPTY —
-        # found by the opposing-layouts thread storm. Each attempt
-        # either adopts a same-stamp winner, installs, or moves the
-        # other generation aside; the bound only trips under a
-        # pathological persistent storm, never a caller pattern.
-        for _ in range(16):
-            if _stage_current(stage, stamp):
-                # a same-stamp racer finished first: its copy is
-                # identical — keep it live (a reader may already be on
-                # it) and discard ours
-                return stage
-            doomed = None
-            if os.path.isdir(stage):
-                doomed = f"{stage}.doomed-{_uuid.uuid4().hex[:8]}"
-                try:
-                    os.rename(stage, doomed)  # atomic: other gen leaves the path
-                except FileNotFoundError:
-                    doomed = None  # a racing builder already moved it
-            try:
-                os.rename(scratch, stage)  # atomic: complete build lands whole
-                installed = True
-            except OSError:
-                installed = False  # path re-occupied mid-dance: retry
-            if doomed is not None:
-                shutil.rmtree(doomed, ignore_errors=True)
-            if installed:
-                return stage
-        raise RuntimeError(
-            f"stage install contention did not settle after 16 attempts: {stage}"
-        )
-    finally:
-        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _stage_table(

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from db_loader_spark.functions import text as TX
+from db_loader_spark.functions.sketch import kmv_nibsum_sql as _kmv_nibsum_sql
 from db_loader_spark.queries import QuerySpec
 from db_loader_spark.tables import load_table
 
@@ -244,11 +245,9 @@ def text_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 13-nibble decode of the md5 prefix as an EXACT double (52 bits fit
-# the mantissa): mirror of functions.sketch.kmv_hash
-_KMV_NIBSUM = " + ".join(
-    f"(instr('0123456789abcdef', substr(hx, {i + 1}, 1)) - 1) * {float(16 ** (12 - i))!r}"
-    for i in range(13)
-)
+# the mantissa): mirror of functions.sketch.kmv_hash (shared
+# generator — r11 review retired the verbatim copies)
+_KMV_NIBSUM = _kmv_nibsum_sql()
 
 _KMV_ORACLE = f"""
 WITH tok AS (

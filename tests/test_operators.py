@@ -927,3 +927,58 @@ def test_flip_tmp_residue_is_unlinked_and_age_swept(tmp_path, monkeypatch):
     _versioned_artifact(base, "stamp-c", build)
     assert not os.path.isdir(stale_claim)
     assert os.path.isdir(fresh_claim)
+
+
+def test_live_reap_claims_look_fresh_to_concurrent_sweeps(
+    tmp_path, monkeypatch
+):
+    """r11 review: os.rename preserves the claimed dir's mtime, which
+    for a reap-eligible version equals the >1h-old marker write — so a
+    concurrent sweeper's residue branch would read a LIVE claim as
+    aged crash debris and rmtree it during the holder's
+    claim→pointer-recheck window (re-opening the stranded-pointer race
+    from a third side). The claim must be mtime-freshened immediately
+    after the rename: every '.reap-' dir that reaches rmtree — and any
+    a racing residue sweep could observe — is younger than the 1 h
+    horizon."""
+    import os
+    import shutil
+    import time
+
+    from db_loader_spark.queries.similarity import _versioned_artifact
+
+    base = str(tmp_path / "art")
+
+    def build(d):
+        with open(os.path.join(d, "payload"), "w") as fh:
+            fh.write("x")
+
+    v_a = _versioned_artifact(base, "stamp-a", build)
+    _versioned_artifact(base, "stamp-b", build)  # supersedes A, marks it
+    with open(os.path.join(v_a, "_SUPERSEDED_AT"), "w") as fh:
+        fh.write(str(time.time() - 7200))
+    # the dir itself must LOOK old too (the marker write above bumped
+    # the dir mtime; rewind it to the supersession time — the state a
+    # real >1h-old version is in)
+    past = time.time() - 7200
+    os.utime(v_a, (past, past))
+
+    ages_at_rmtree = []
+    real_rmtree = shutil.rmtree
+
+    def spy_rmtree(path, *a, **kw):
+        if ".reap-" in str(path):
+            try:
+                ages_at_rmtree.append(time.time() - os.path.getmtime(path))
+            except OSError:
+                pass
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", spy_rmtree)
+    _versioned_artifact(base, "stamp-c", build)  # sweep reaps stale A
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    assert not os.path.isdir(v_a)  # the stale version was reaped
+    assert ages_at_rmtree, "the reap must go through a claim"
+    # the claim was fresh the whole time — no residue sweep could
+    # have mistaken it for >1h-old crash debris
+    assert all(age < 3600 for age in ages_at_rmtree), ages_at_rmtree

@@ -394,3 +394,30 @@ def test_theta_set_ops_exact_and_estimating_regimes(spark):
     # determinism: the md5 hash fixes every value
     r2 = kmv_set_ops(big, "g", "v", k=64).collect()[0]
     assert r1 == r2
+
+
+def test_kmv_estimators_exclude_nulls(spark):
+    """r11 review: a null value is not a value. Left in, its null hash
+    sorts FIRST in Spark's window but LAST in DuckDB's — shifting
+    every rank — and a null landing at rank k nulls the k-th hash so
+    theta collapses to the small-group fallback: a silent cross-engine
+    estimate divergence. Both estimators must produce results
+    identical to the same input with nulls dropped."""
+    from db_loader_spark.functions.sketch import kmv_distinct, kmv_set_ops
+
+    rows = [("A", f"u{i}") for i in range(40)] + [
+        ("B", f"u{i}") for i in range(20, 60)
+    ]
+    clean = spark.createDataFrame(rows, "g string, v string")
+    dirty = clean.unionAll(
+        spark.createDataFrame(
+            [("A", None), ("B", None), ("B", None)], "g string, v string"
+        )
+    )
+    k = 16  # < 40 distinct per group: the genuinely-estimating regime
+    want_d = sorted(map(tuple, kmv_distinct(clean, "g", "v", k=k).collect()))
+    got_d = sorted(map(tuple, kmv_distinct(dirty, "g", "v", k=k).collect()))
+    assert got_d == want_d
+    want_s = sorted(map(tuple, kmv_set_ops(clean, "g", "v", k=k).collect()))
+    got_s = sorted(map(tuple, kmv_set_ops(dirty, "g", "v", k=k).collect()))
+    assert got_s == want_s
