@@ -380,7 +380,7 @@ def _stage_cli_logs(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     stage = os.path.join(tempfile.gettempdir(), f"db_loader_cli_e2e_{key}")
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    stamp = f"{st.st_size}:{st.st_mtime_ns}:cap={CLI_USER_CAP}:layout=v1"
+    stamp = f"{st.st_size}:{st.st_mtime_ns}:cap={CLI_USER_CAP}:layout=v1:install=v2"
 
     # scratch+rename install (r11 review — the CLI corpus was the last
     # in-place stage build; a racing rebuild could leave a stamp-valid
@@ -400,7 +400,6 @@ def _stage_cli_logs(spark: SparkSession, sf_dir: str) -> str:
         by_user: dict[int, list[tuple[int, int]]] = {}
         for r in rows:
             by_user.setdefault(r["user_id"], []).append((r["event_id"], r["cents"]))
-        os.makedirs(scratch, exist_ok=True)
         for uid, evs in sorted(by_user.items()):
             evs.sort()
             lines = [f"run-uid = {uid}", "problem-name = e2e"]

@@ -794,13 +794,12 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), f"db_loader_cdc_{key}")
     st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v2"
 
     # scratch+rename install (r11 review: this root was still built
     # in place — the mixed-generation class build_stage closes;
     # manifests hold root-relative paths, so a renamed root is intact)
     def build(scratch: str) -> None:
-        os.makedirs(scratch, exist_ok=True)
         M.publish(v1, scratch, snapshot_id="v1")
         M.publish(v2, scratch, snapshot_id="v2")  # lineage: v2.parent = v1
 
@@ -824,11 +823,10 @@ def _append_lineage_root(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), f"db_loader_incr_{key}")
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v2"
 
     # scratch+rename install (r11 review — same class as the cdc root)
     def build(scratch: str) -> None:
-        os.makedirs(scratch, exist_ok=True)
         ev = load_table(spark, sf_dir, "events").select(
             "event_id",
             "event_type",
@@ -916,11 +914,10 @@ def t_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), f"db_loader_upsert_{key}")
     st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v2"
 
     # scratch+rename install (r11 review — same class as the cdc root)
     def build(scratch: str) -> None:
-        os.makedirs(scratch, exist_ok=True)
         base = _t(spark, sf_dir, "orders").select(
             F.col("o_orderkey").alias("k"),
             F.col("o_orderpriority").alias("pr"),
@@ -992,11 +989,10 @@ def _zonemap_root(spark: SparkSession, sf_dir: str) -> str:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), f"db_loader_zonemap_{key}")
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v2"
 
     # scratch+rename install (r11 review — same class as the cdc root)
     def build(scratch: str) -> None:
-        os.makedirs(scratch, exist_ok=True)
         ev = load_table(spark, sf_dir, "events").select(
             "event_id",
             "event_type",

@@ -659,32 +659,39 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
             # but flips after finds the dir missing at its post-flip
             # verify and rebuilds (the loop above) — either way the
             # pointer can never settle on a missing dir.
-            claim = f"{p}.reap-{_uuid.uuid4().hex[:8]}"
+            # CLAIM INTO A FRESH BOX (r11 review, twice-hardened): a
+            # bare rename would present the claimed dir under a PRESERVED
+            # >1h-old mtime — a concurrent sweeper's residue branch
+            # would read the live claim as aged crash debris and rmtree
+            # it during our claim→re-read window (and a post-rename
+            # utime still leaves a syscall-wide stale instant). Instead
+            # the claim is a rename INTO a box directory created fresh
+            # a moment before: sweepers age top-level entries, the box
+            # is born with a now-mtime BEFORE any stale content enters
+            # it, so there is no instant at which a live claim presents
+            # a stale mtime. A crashed holder leaves the box to age
+            # into ordinary '.reap-' residue (swept with its contents).
+            box = os.path.join(vroot, f".reap-{_uuid.uuid4().hex[:8]}")
+            try:
+                os.mkdir(box)
+            except OSError:
+                continue  # defer to a later sweep
+            claim = os.path.join(box, "claimed")
             try:
                 os.rename(p, claim)
             except OSError:
-                continue  # another sweeper claimed it, or it vanished
-            # Freshen the claim's mtime IMMEDIATELY (r11 review): rename
-            # preserves the dir mtime, which for a reap-eligible dir is
-            # the >1h-old marker write — a concurrent sweeper's residue
-            # branch would read the live claim as aged crash debris and
-            # rmtree it during our claim→re-read window, re-opening the
-            # stranded-pointer race from a third side. A fresh mtime
-            # keeps live claims inside the 1h no-touch horizon; only
-            # claims whose holder actually crashed age into reapability.
-            try:
-                os.utime(claim)
-            except OSError:
-                pass
+                os.rmdir(box)  # another sweeper claimed it, or it vanished
+                continue
             if _pointer() == old:
                 try:
                     os.rename(claim, p)  # restore under the live pointer
                 except OSError:
                     # a re-adopter already rebuilt at p: drop our claim
-                    shutil.rmtree(claim, ignore_errors=True)
+                    pass
                 _shed_marker(p)
+                shutil.rmtree(box, ignore_errors=True)
                 continue
-            shutil.rmtree(claim, ignore_errors=True)  # stale version
+            shutil.rmtree(box, ignore_errors=True)  # stale version
         # Crashed-flip tmp residue (ADVICE r10): writer-unique names
         # mean nothing ever reuses them — sweep any older than the
         # same 1 h horizon.

@@ -608,7 +608,6 @@ def _stage_time_chunks(spark: SparkSession, sf_dir: str) -> str:
     stamp = _source_stamp(sf_dir) + ":chunks2"
 
     def build(scratch: str) -> None:
-        os.makedirs(scratch, exist_ok=True)
         e = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
         mid = int(
             e.selectExpr("percentile(unix_micros(ts), 0.5) AS q").first()["q"]

@@ -74,6 +74,10 @@ def build_stage(stage: str, stamp: str, build) -> str:
         return stage
     scratch = f"{stage}.build-{_uuid.uuid4().hex[:8]}"
     try:
+        # pre-create the scratch so builders that only write files
+        # (gzip, manifest publishes) need no makedirs boilerplate;
+        # Spark writers tolerate an existing empty dir in overwrite mode
+        os.makedirs(scratch, exist_ok=True)
         build(scratch)
         with open(os.path.join(scratch, "_SOURCE_STAMP"), "w") as f:
             f.write(stamp)  # last write: rename publishes data + proof

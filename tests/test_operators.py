@@ -937,9 +937,11 @@ def test_live_reap_claims_look_fresh_to_concurrent_sweeps(
     concurrent sweeper's residue branch would read a LIVE claim as
     aged crash debris and rmtree it during the holder's
     claim→pointer-recheck window (re-opening the stranded-pointer race
-    from a third side). The claim must be mtime-freshened immediately
-    after the rename: every '.reap-' dir that reaches rmtree — and any
-    a racing residue sweep could observe — is younger than the 1 h
+    from a third side). Claims therefore live inside a BOX directory
+    created fresh a moment before the rename — born with a now-mtime
+    before any stale content enters it, so there is no instant at
+    which a live claim presents a stale top-level mtime. Pin: every
+    '.reap-' path that reaches rmtree is younger than the 1 h
     horizon."""
     import os
     import shutil
