@@ -435,8 +435,6 @@ def e2e_cli_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``:config`` store. The result aggregate is gennum-count-sized
     (≤ max events/user), collected before the scratch dir is removed
     — the same bounded-collect epilogue t_stream_dedup documents."""
-    import os
-    import shutil
     import tempfile
 
     from db_loader_spark.__main__ import main
