@@ -252,10 +252,36 @@ NEXT_UP: list[str] = []
 # (claim+restore on the sweeper side, post-flip verify+rebuild on the
 # flipper side, flip-tmp and reap-claim residue swept — ADVICE r9 #2
 # and ADVICE r10 both closed); (3) scratch+rename stage builds
-# (_build_stage: single-generation invariant under thread storms,
-# which also caught and fixed an ENOTEMPTY propagation under
-# opposing-layout contention). Nothing is staged for r12 from this
+# (db_loader_spark/staging.py: single-generation invariant under
+# thread AND process storms; the protocol now also covers the five
+# non-streaming roots found by the round-close review, with one-time
+# ':install=v2' stamp bumps). Nothing is staged for r12 from this
 # round's audit.
+#
+# PROVISIONAL R12 ORDERING (pre-measured at r11 close,
+# `window_cost.py --complement` at sf0.01, idle box, 52.9 s total,
+# 50/50 OK — RE-MEASURE at r12 start per the prep note; warm-stage
+# figures, so the driver's one-time ':install=v2' restages of the
+# five migrated roots are NOT in these numbers but are each <1 s
+# builds):
+# a2_max_id 0.15 / text_fingerprint 0.18 / a3_filtered_count 0.20 /
+# a1_distinct_pairs 0.22 / p10_find_first 0.27 / curation_shard_assign
+# 0.29 / a6_run_summary 0.29 / text_pii_scrub 0.29 / text_chunk 0.30 /
+# a4_count_distinct 0.33 / eav_pivot 0.34 / w_topk_per_group 0.35 /
+# text_quality_score 0.35 / text_lang_id 0.35 / w_running_sum 0.36 /
+# w_event_gap 0.36 / p_json_props 0.37 / p9_summary_parse 0.39 /
+# text_repetition 0.41 / curation_source_cap 0.41 / q_top_customers
+# 0.42 / j1_sessionize 0.43 / a7_id_assignment 0.44 / jn_asof_join
+# 0.45 / jn_range_join 0.46 / p14_continuation_merge 0.55 /
+# j2_section_routing 0.56 / jn5_sidecar_join 0.57 / rollup_revenue
+# 0.58 / set_ops 0.60 / q10_returned_items 0.67 / q3_segment_revenue
+# 0.69 / text_tfidf_topterms 0.72 / q5_region_revenue 0.72 /
+# text_bpe_tokenize 0.80 / curation_dsir_weight 0.80 /
+# a_outlier_filter 0.86 / text_repeated_passages 1.03 / ecj_star
+# 1.48 / dedup_simhash 1.69 / multimodal_decode_jpeg 1.84 /
+# ann_sq_rerank 1.96 / ann_lsh_topk 2.16 / t_stream_rollup 2.31 /
+# t_stream_signatures 3.50 / dedup_minhash_lsh 3.57 / t_stream_join
+# 3.64 / t_stream_dedup 3.85 / text_bpe_train 4.25 / ann_ivf_topk 5.07
 
 
 def all_queries() -> dict[str, QuerySpec]:
