@@ -709,9 +709,17 @@ def _versioned_artifact(base: str, stamp: str, build) -> str:
         # a concurrent sweep reaped the just-flipped dir (it read the
         # pointer before our flip): rebuild — marker-free, unreapable
         # inside the horizon — and re-flip
+    # Unreachable under a sane wall clock (a reaped re-adoption rebuilds
+    # marker-free and is unreapable inside the 1h horizon); if it ever
+    # trips, the likely cause is clock skew defeating the horizon — so
+    # the message carries the pointer/dir state a postmortem needs
+    # (r11 ADVICE: make a skew-induced trip diagnosable).
     raise RuntimeError(
         f"versioned artifact {vid} at {base!r} could not settle after 3 "
-        "build+flip attempts — sweeps kept reaping the flipped version"
+        "build+flip attempts — sweeps kept reaping the flipped version "
+        f"(pointer now {_pointer()!r}, wanted {vid!r}; "
+        f"dir exists={os.path.isdir(vdir)}; repeated trips here suggest "
+        "wall-clock skew >1h defeating the reap horizon)"
     )
 
 

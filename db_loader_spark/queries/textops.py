@@ -251,7 +251,16 @@ _KMV_NIBSUM = _kmv_nibsum_sql()
 
 _KMV_ORACLE = f"""
 WITH tok AS (
-  SELECT DISTINCT lang, unnest({{T}}) AS tok FROM documents
+  -- NULL exclusion mirrors kmv_distinct (functions/sketch.py): the
+  -- estimator hashes only non-null values, so the oracle must rank
+  -- over the same value set. Value-neutral for THIS caller (split-
+  -- derived tokens are never NULL — r11 ADVICE) but the oracle's
+  -- contract is to replay the estimator exactly, nullable input or
+  -- not: Spark and DuckDB order null hashes at opposite ends, so an
+  -- unmirrored filter would silently skew n_exact and the k-th rank.
+  SELECT DISTINCT lang, tok FROM (
+    SELECT lang, unnest({{T}}) AS tok FROM documents
+  ) WHERE tok IS NOT NULL
 ),
 h AS (
   SELECT lang, ({_KMV_NIBSUM}) / 4503599627370496.0 AS h
