@@ -32,25 +32,32 @@ Commit protocol details that carry the correctness weight:
 - The manifest (one JSON object per snapshot) is written COMPLETE
   before the pointer moves; a crash between the two leaves the old
   pointer valid.
-- The pointer (``_CURRENT``) is a single small file updated via
-  write-temp + ``os.replace`` — atomic on POSIX; on an object store
-  it maps to a single-key conditional PUT (the one primitive such
-  stores do provide). It contains only the snapshot id.
+- The pointer is a GENERATION LOG (``_CURRENT.gen/<n>``, r12): commit
+  = compare-and-swap via ``os.link`` of a fully-written scratch file
+  onto the next generation number — atomic-exclusive, so exactly one
+  writer wins each generation. On an object store each generation
+  entry maps to a conditional PUT (If-None-Match) of that key — the
+  one mutation primitive such stores provide. A best-effort legacy
+  ``_CURRENT`` mirror file is kept for humans and pre-r12 roots
+  (which the reader falls back to as generation 0).
 - Readers never list ``data/``: ``read_current`` loads the manifest's
   explicit file list, so partial uploads and stale files cannot leak
   into a scan.
-- CONCURRENCY CONTRACT: single writer per table root. The protocol is
-  lock-free (no O_EXCL serialization of pointer flips), so two
-  writers racing commits against one root have read-then-flip windows
-  — in the normal path and, narrowed but not eliminated, in the
-  torn-commit recovery re-check — in which one writer's freshly
-  committed child can be orphaned from the current lineage (its
-  manifest and files persist; it is not torn, just not current).
-  Every caller in this package honors the contract (each stream owns
-  its per-checkpoint root; batch publishes are sequential). A
-  multi-writer deployment must add a commit lock or CAS pointer (the
-  conditional-PUT primitive object stores provide) rather than rely
-  on the re-checks.
+- CONCURRENCY CONTRACT (r12, upgraded from single-writer-per-root):
+  concurrent COMMITS against one root are safe and serialize through
+  the pointer CAS. Concurrent APPEND commits all land — a loser
+  rebuilds its manifest on the fresh parent and re-CASes (its staged
+  files are parent-independent). A losing overwrite (``parent_check``)
+  or merge commit raises the loud concurrent-publish error for the
+  caller to re-derive — its derivation read the superseded parent.
+  No commit is ever clobbered, torn, or silently orphaned. Two
+  residual exclusions, both inherent to the semantics rather than the
+  mechanism: (1) SAME-TOKEN replays are at-least-once-SEQUENTIAL
+  (the Structured Streaming checkpoint contract — two live replays of
+  one epoch corrupt any sink); (2) ``vacuum`` still requires quiesced
+  writers — it reaps unreferenced data prefixes, which is exactly
+  what an in-flight commit's staged files look like (the same
+  retention caveat every table format documents).
 """
 
 from __future__ import annotations
@@ -66,6 +73,138 @@ from pyspark.sql import DataFrame, SparkSession
 _DATA = "data"
 _MANIFESTS = "_manifests"
 _CURRENT = "_CURRENT"
+_GEN = "_CURRENT.gen"
+# How many pointer races one commit absorbs before declaring the root
+# pathologically contended. Each retry rebuilds the manifest against
+# the fresh parent, so 16 lost races means 16 other commits landed
+# during ours — far past any in-contract writer count.
+_COMMIT_RETRIES = 16
+# Generation entries vacuum leaves behind (newest-first). Never below
+# 1 (the max entry IS the pointer); the tail exists only so a reader
+# that listed the directory just before a prune can still resolve.
+_GEN_KEEP = 16
+
+
+def _read_pointer(root: str) -> tuple[int, str | None]:
+    """(generation, snapshot id) of the current pointer.
+
+    The pointer is a GENERATION LOG: ``_CURRENT.gen/<n>`` files, each
+    holding one snapshot id, created exclusively via ``os.link`` — the
+    highest generation wins. A root with no generation entries falls
+    back to the legacy single-file ``_CURRENT`` pointer (pre-r12
+    roots), which reads as generation 0; the first CAS commit against
+    such a root starts the log at generation 1. The retry loop covers
+    the one benign race: vacuum pruning the entry we just listed as
+    max while a newer max exists — re-list and resolve again.
+    """
+    gen_dir = os.path.join(root, _GEN)
+    for _ in range(64):  # bounded: each retry implies a concurrent prune
+        try:
+            entries = [e for e in os.listdir(gen_dir) if e.isdigit()]
+        except FileNotFoundError:
+            entries = []
+        if not entries:
+            try:
+                with open(os.path.join(root, _CURRENT)) as fh:
+                    return 0, fh.read().strip() or None
+            except OSError:
+                return 0, None
+        top = max(entries, key=int)
+        try:
+            with open(os.path.join(gen_dir, top)) as fh:
+                return int(top), fh.read().strip() or None
+        except FileNotFoundError:
+            continue  # max pruned between list and read: re-list
+    raise RuntimeError(
+        f"pointer at {root!r} would not settle after 64 reads — "
+        "generation entries are being pruned faster than they can be "
+        "resolved (a vacuum loop racing readers, out of contract)"
+    )
+
+
+def _advance_pointer(root: str, expect_gen: int, new_sid: str) -> bool:
+    """Compare-and-swap the pointer from generation ``expect_gen`` to
+    ``expect_gen + 1`` naming ``new_sid``. Returns False on a lost race.
+
+    The CAS primitive is ``os.link`` of a fully-written (fsync'd)
+    scratch file onto the next generation name: link is atomic-
+    exclusive (EEXIST if any other writer took that generation) and
+    the name appears with its complete content — no reader can observe
+    a created-but-unwritten pointer, which an O_EXCL ``open`` would
+    expose. On an object store this maps 1:1 to a conditional PUT
+    (If-None-Match) of the generation key — the primitive the module
+    docstring always named as the scale path.
+
+    Defense-in-depth (documented, not load-bearing): generation reuse
+    is impossible while vacuum honors its quiesced-writers contract
+    (entries only ever grow; vacuum prunes only old ones). If a vacuum
+    DID race us — pruning the very generation we are about to take,
+    after ≥``_GEN_KEEP`` newer commits — our link would succeed at a
+    stale generation and the commit would be silently invisible. The
+    post-link check below detects that case when the successor lineage
+    is still walkable and raises loudly instead.
+    """
+    gen_dir = os.path.join(root, _GEN)
+    os.makedirs(gen_dir, exist_ok=True)
+    scratch = os.path.join(gen_dir, f".tmp-{uuid.uuid4().hex[:12]}")
+    with open(scratch, "w") as fh:
+        fh.write(new_sid)
+        fh.flush()
+        os.fsync(fh.fileno())
+    new_gen = expect_gen + 1
+    try:
+        os.link(scratch, os.path.join(gen_dir, f"{new_gen:020d}"))
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(scratch)
+    # best-effort legacy mirror: gen-aware readers ignore it the moment
+    # the log is non-empty, so staleness under concurrency is harmless;
+    # it keeps pre-r12 tools and humans able to read the pointer.
+    mirror_tmp = os.path.join(root, f"{_CURRENT}.tmp-{uuid.uuid4().hex[:12]}")
+    try:
+        with open(mirror_tmp, "w") as fh:
+            fh.write(new_sid)
+        os.replace(mirror_tmp, os.path.join(root, _CURRENT))
+    except OSError:
+        try:
+            os.unlink(mirror_tmp)
+        except OSError:
+            pass
+    # the stale-generation detector described above
+    try:
+        entries = [e for e in os.listdir(gen_dir) if e.isdigit()]
+        top = max(int(e) for e in entries)
+    except (FileNotFoundError, ValueError):
+        return True
+    if top > new_gen:
+        # Newer generations exist. Normal cause: we committed and were
+        # immediately superseded — then the current lineage descends
+        # from us. Pathological cause (vacuum raced an in-flight
+        # commit): we linked a PRUNED generation and the current
+        # lineage does not contain us. Walk the successor's parents;
+        # a truncated walk (vacuumed ancestor manifest) is accepted —
+        # it cannot be distinguished, and vacuum running at all means
+        # the quiesced-writers contract is already broken louder ways.
+        _, cur = _read_pointer(root)
+        sid = cur
+        seen: set[str] = set()
+        while sid is not None and sid not in seen:
+            if sid == new_sid:
+                return True
+            seen.add(sid)
+            try:
+                sid = _manifest(root, sid)["parent"]
+            except FileNotFoundError:
+                return True  # truncated history: cannot adjudicate
+        raise RuntimeError(
+            f"commit {new_sid!r} at {root!r} landed on a stale pointer "
+            f"generation ({new_gen} vs current {top}) and the live "
+            "lineage does not descend from it — a vacuum pruned "
+            "generation entries while this commit was in flight "
+            "(vacuum requires quiesced writers)"
+        )
+    return True
 
 
 def _paths(root: str) -> tuple[str, str, str]:
@@ -125,20 +264,32 @@ def publish(
     append: bool = False,
     _inherit_files: list[str] | None = None,
     _inherit_meta: dict | None = None,
+    _require_parent: str | None = None,
 ) -> str:
     """Write ``df`` as a new snapshot of the table at ``root`` and
     atomically make it current. Returns the snapshot id.
+
+    ``_require_parent`` (internal, r12): commits whose CONTENT was
+    derived from a specific parent snapshot (merge_upsert's survivor
+    rows, compact_snapshot's rewrite) pass the snapshot they read.
+    If the pointer has already moved past it by publish time, the
+    commit raises the concurrent-publish error instead of silently
+    committing stale derivations on top of the interloper — the gap
+    between the caller's derivation read and publish's own parent
+    capture that the pre-CAS single-writer contract papered over.
 
     ``snapshot_id`` doubles as the idempotent retry token (the
     at-least-once foreachBatch contract): a replay of a snapshot that
     fully committed is a pure no-op — restaging would transiently
     delete live files out from under concurrent readers — while a
     replay after a pre-commit crash overwrites its own (unreferenced,
-    reader-invisible) staged files and re-points. With ``parent_check`` (default), the manifest records the
-    snapshot it superseded; a concurrent publish that lost the race
-    fails loudly instead of silently clobbering (single-writer
-    optimistic concurrency — multi-writer needs the store's
-    conditional-PUT on the pointer, same as every table format).
+    reader-invisible) staged files and re-points. The pointer advance
+    is a CAS on the generation log (r12), so concurrent commits
+    SERIALIZE: append losers rebuild on the fresh parent and retry
+    inside ``_commit_staged`` (all appends land); an overwrite that
+    lost the race with ``parent_check`` (default) fails loudly
+    instead of silently clobbering, and the manifest records the
+    snapshot it superseded.
 
     ``stats_cols`` adds per-file ZONE MAPS to the manifest (rows +
     min/max per column, harvested from the parquet footers already
@@ -158,10 +309,21 @@ def publish(
     incremental scan between two snapshots — downstream stages process
     the delta files only, never rescanning the corpus (the Iceberg
     incremental-scan design operators/cdc.py argues from)."""
-    data_dir, man_dir, cur = _paths(root)
+    data_dir, man_dir, _ = _paths(root)
     os.makedirs(man_dir, exist_ok=True)
     sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
-    observed = current_snapshot(root)
+    observed_gen, observed = _read_pointer(root)
+    if (
+        _require_parent is not None
+        and observed != _require_parent
+        and observed != sid  # an already-landed commit is the no-op below
+    ):
+        raise RuntimeError(
+            f"concurrent publish detected at {root!r}: this commit's "
+            f"content was derived from {_require_parent!r} but current "
+            f"is {observed!r}; re-derive on top of the new current "
+            "snapshot"
+        )
     if observed == sid:
         # Idempotent replay of the CURRENT snapshot (same epoch token):
         # the pointer move is the LAST step of the protocol, so the
@@ -205,47 +367,29 @@ def publish(
         # current. (If a rollback/restore op is ever added, it must
         # tombstone rolled-back manifests so this test stays sound.)
         if _manifest(root, sid).get("parent") == observed:
-            # Same re-read the normal path does before ITS flip (r9
-            # review): between reading `observed` and deciding to
-            # recover, a concurrent writer may have committed a child
-            # of `observed` and moved the pointer — blind-flipping to
-            # sid would silently orphan that snapshot from the current
-            # lineage. Two benign outcomes of the re-read: the pointer
-            # is unmoved (finish the commit), or a CONCURRENT REPLAY OF
-            # THIS SAME TOKEN finished the flip first (current == sid —
-            # the commit is done; raising would spuriously crash an
-            # at-least-once restart that cannot mint a fresh token).
-            # Anything else means a different child committed: fall
-            # through to the unretryable error.
-            rechecked = current_snapshot(root)
-            if rechecked == sid:
-                return sid  # a same-token replay completed the commit
-            if rechecked == observed:
-                # RESIDUAL WINDOW (ADVICE r9, acknowledged): between
-                # this re-check and the os.replace below, a concurrent
-                # writer could still commit a child of `observed` and
-                # be orphaned by our flip. The window is NARROWED by
-                # the re-check (one instruction gap vs the whole
-                # recovery path), not eliminated — identical in kind
-                # to the normal path's read-then-flip gap, which is
-                # inherent to this lock-free file protocol. True
-                # mutual exclusion would need an O_EXCL lock file
-                # serializing all flips; no current caller runs
-                # concurrent writers against one table root (streams
-                # own their roots per-checkpoint), so the honest
-                # contract is single-writer-per-root, stated in the
-                # module docstring.
-                with open(cur + ".tmp", "w") as fh:
-                    fh.write(sid)
-                os.replace(cur + ".tmp", cur)  # finish the torn commit
+            # Finish the torn commit via the CAS (r12): the pointer
+            # advance is conditional on the generation we observed, so
+            # the r9-r11 read-then-flip residual window — a concurrent
+            # writer committing a child of `observed` between our
+            # re-check and our flip, silently orphaned by the blind
+            # os.replace — is ELIMINATED, not narrowed: if any other
+            # commit landed first, our link loses and we re-read.
+            # Two benign post-loss outcomes: a CONCURRENT REPLAY OF
+            # THIS SAME TOKEN finished the flip (current == sid — the
+            # commit is done; raising would spuriously crash an
+            # at-least-once restart that cannot mint a fresh token),
+            # or a different child committed: fall through to the
+            # unretryable error.
+            if _advance_pointer(root, observed_gen, sid):
                 return sid
+            if _read_pointer(root)[1] == sid:
+                return sid  # a same-token replay completed the commit
         raise RuntimeError(
             f"snapshot token {sid!r} already has a committed manifest at "
             f"{root!r} but is not the current snapshot "
             f"({observed!r}); replaying a superseded token would tear "
             f"the live lineage — retry with a fresh snapshot_id"
         )
-    parent = observed
     staged = os.path.join(data_dir, sid)
     # stage: snapshot-unique prefix; overwrite = idempotent retry
     df.write.mode("overwrite").parquet(staged)
@@ -253,65 +397,134 @@ def publish(
         f for f in os.listdir(staged) if f.endswith(".parquet")
     )
     new_files = [os.path.join(_DATA, sid, f) for f in files]
-    # carried-by-reference files: append inherits the whole parent;
-    # merge_upsert passes the untouched subset explicitly
-    inherited = list(_inherit_files or [])
-    inherited_meta = dict(_inherit_meta or {})
-    if append and parent is not None:
-        pm = _manifest(root, parent)
-        inherited = pm["files"] + inherited
-        inherited_meta = {**pm.get("files_meta", {}), **inherited_meta}
-    manifest = {
-        "snapshot_id": sid,
-        "parent": parent,
-        "files": inherited + new_files,
-        "row_count": None,  # filled below when stats are requested
-    }
-    # files_meta is written whenever ANY stats exist — harvested for
-    # this commit's files OR inherited from the parent. Gating on
-    # stats_cols alone would let one stats-less append silently strip
-    # the parent's zone maps from the whole lineage, permanently
-    # degrading read_pruned to full scans and merge_upsert to full
-    # rewrites (later stats appends re-inherit from the already-
-    # stripped parent). Inherited-only meta keeps the old files
-    # prunable; the new stats-less files are conservatively kept by
-    # every consumer, and row_count stays None unless every file has
-    # an entry.
-    meta = dict(inherited_meta)
-    if stats_cols:
-        meta.update(
-            {
-                os.path.join(_DATA, sid, f): _file_stats(
-                    os.path.join(staged, f), stats_cols
-                )
-                for f in files
-            }
-        )
-    if meta:
-        manifest["files_meta"] = meta
-        if len(meta) == len(manifest["files"]):
-            manifest["row_count"] = sum(m["rows"] for m in meta.values())
-    man_path = os.path.join(man_dir, f"{sid}.json")
-    with open(man_path + ".tmp", "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(man_path + ".tmp", man_path)
-    if parent_check and current_snapshot(root) != observed:
-        raise RuntimeError(
-            f"concurrent publish detected at {root!r}: current moved from "
-            f"{observed!r}; retry on top of the new current snapshot"
-        )
-    with open(cur + ".tmp", "w") as fh:
-        fh.write(sid)
-    os.replace(cur + ".tmp", cur)  # THE commit point: one atomic pointer
-    return sid
+    new_meta = (
+        {
+            os.path.join(_DATA, sid, f): _file_stats(
+                os.path.join(staged, f), stats_cols
+            )
+            for f in files
+        }
+        if stats_cols
+        else {}
+    )
+    return _commit_staged(
+        root,
+        sid,
+        new_files,
+        new_meta=new_meta,
+        append=append,
+        parent_check=parent_check,
+        inherit_files=_inherit_files,
+        inherit_meta=_inherit_meta,
+        observed_gen=observed_gen,
+        observed=observed,
+    )
+
+
+def _commit_staged(
+    root: str,
+    sid: str,
+    new_files: list[str],
+    *,
+    new_meta: dict,
+    append: bool,
+    parent_check: bool,
+    inherit_files: list[str] | None,
+    inherit_meta: dict | None,
+    observed_gen: int,
+    observed: str | None,
+) -> str:
+    """Commit already-staged data files as snapshot ``sid``: write the
+    manifest, then CAS the pointer. This is the multi-writer half of
+    ``publish`` (r12, upgrading the r9-r11 single-writer contract):
+
+    - The pointer advance is a compare-and-swap on the generation log
+      (``_advance_pointer``), so two concurrent commits SERIALIZE —
+      exactly one wins each generation; nothing is ever clobbered or
+      silently orphaned.
+    - A lost race on an APPEND commit retries on the fresh parent:
+      the staged files are parent-independent, so the manifest is
+      rebuilt to inherit the new current's file list and the CAS is
+      re-attempted — concurrent appends ALL land, serialized, each
+      lineage step containing the union so far.
+    - A lost race on an overwrite with ``parent_check`` (default) or
+      on a merge commit (``inherit_files`` — content DERIVED from the
+      parent, unsafe to re-point blindly) raises the loud concurrent-
+      publish error; the caller re-derives against the new current.
+      ``parent_check=False`` overwrites retry like appends (last-
+      writer-wins, but serialized — both snapshots exist in the
+      lineage, one supersedes).
+
+    SAME-TOKEN concurrency stays at-least-once-SEQUENTIAL (the
+    Structured Streaming checkpoint contract: two live replays of one
+    epoch against one checkpoint corrupt any sink): a benign overlap
+    where a twin finished our commit returns success, but concurrent
+    twins interleaving manifest REWRITES of one token are out of
+    contract — only different-token writers get the CAS guarantee.
+
+    Side effect on a lost+raised race: ``sid``'s manifest file remains
+    on disk (parent = the superseded snapshot). That is the same
+    residue the pre-CAS code left and is inert — unreferenced by any
+    pointer, reaped by vacuum, and a same-token retry hits the
+    superseded-token refusal exactly as before.
+    """
+    man_dir = os.path.join(root, _MANIFESTS)
+    for _ in range(_COMMIT_RETRIES):
+        parent = observed
+        # carried-by-reference files: append inherits the whole parent;
+        # merge_upsert passes the untouched subset explicitly
+        inherited = list(inherit_files or [])
+        inherited_meta = dict(inherit_meta or {})
+        if append and parent is not None:
+            pm = _manifest(root, parent)
+            inherited = pm["files"] + inherited
+            inherited_meta = {**pm.get("files_meta", {}), **inherited_meta}
+        manifest = {
+            "snapshot_id": sid,
+            "parent": parent,
+            "files": inherited + new_files,
+            "row_count": None,  # filled below when stats are requested
+        }
+        # files_meta is written whenever ANY stats exist — harvested
+        # for this commit's files OR inherited from the parent. Gating
+        # on stats_cols alone would let one stats-less append silently
+        # strip the parent's zone maps from the whole lineage,
+        # permanently degrading read_pruned to full scans and
+        # merge_upsert to full rewrites (later stats appends re-inherit
+        # from the already-stripped parent). Inherited-only meta keeps
+        # the old files prunable; the new stats-less files are
+        # conservatively kept by every consumer, and row_count stays
+        # None unless every file has an entry.
+        meta = {**inherited_meta, **new_meta}
+        if meta:
+            manifest["files_meta"] = meta
+            if len(meta) == len(manifest["files"]):
+                manifest["row_count"] = sum(m["rows"] for m in meta.values())
+        man_path = os.path.join(man_dir, f"{sid}.json")
+        tmp = f"{man_path}.tmp-{uuid.uuid4().hex[:12]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, man_path)
+        if _advance_pointer(root, observed_gen, sid):
+            return sid  # THE commit point: one conditional pointer step
+        observed_gen, observed = _read_pointer(root)
+        if observed == sid:
+            return sid  # a same-token twin finished this commit
+        if not append and (parent_check or inherit_files is not None):
+            raise RuntimeError(
+                f"concurrent publish detected at {root!r}: current moved "
+                f"from {parent!r} to {observed!r}; retry on top of the "
+                "new current snapshot"
+            )
+    raise RuntimeError(
+        f"commit of {sid!r} at {root!r} lost {_COMMIT_RETRIES} "
+        "consecutive pointer races — the root is pathologically "
+        "contended (or a writer loop is republishing in a tight cycle)"
+    )
 
 
 def current_snapshot(root: str) -> str | None:
-    try:
-        with open(os.path.join(root, _CURRENT)) as fh:
-            return fh.read().strip() or None
-    except OSError:
-        return None
+    return _read_pointer(root)[1]
 
 
 def _manifest(root: str, sid: str) -> dict:
@@ -504,6 +717,11 @@ def _merge_upsert_pinned(
         stats_cols=stats_cols,
         _inherit_files=carried,
         _inherit_meta={f: meta[f] for f in carried if f in meta},
+        # the survivor rows and carried file list were derived from
+        # pm's snapshot: commit conditionally on it (r12 — a racing
+        # commit between our derivation read and the pointer CAS must
+        # surface, not be clobbered by stale derivations)
+        _require_parent=pm["snapshot_id"],
     )
 
 
@@ -534,7 +752,15 @@ def compact_snapshot(
         {c for m in pm.get("files_meta", {}).values() for c in m.get("stats", {})}
     ) or None
     df = read_snapshot(spark, root, parent).coalesce(target_files)
-    return publish(df, root, snapshot_id=snapshot_id, stats_cols=stats_cols)
+    # the rewrite is parent's content: commit conditionally on it —
+    # an append landing mid-compaction must not vanish from current
+    return publish(
+        df,
+        root,
+        snapshot_id=snapshot_id,
+        stats_cols=stats_cols,
+        _require_parent=parent,
+    )
 
 
 def added_files(root: str, from_sid: str | None, to_sid: str) -> list[str]:
@@ -636,4 +862,27 @@ def vacuum(root: str, keep: int = 1) -> list[str]:
             sid = mf[: -len(".json")] if mf.endswith(".json") else None
             if sid and sid not in keep_ids:
                 os.remove(os.path.join(man_dir, mf))
+            elif ".tmp-" in mf:
+                # crashed commit's manifest scratch (writer-unique name,
+                # never reused) — plain residue
+                os.remove(os.path.join(man_dir, mf))
+    # Generation-log pruning: the pointer log grows one ~40-byte file
+    # per commit (one per micro-batch under streaming), so vacuum trims
+    # it to the newest _GEN_KEEP entries. The max entry IS the pointer
+    # and is always kept; the tail behind it only serves readers that
+    # listed the directory moments before the prune. Like data-prefix
+    # reaping above, this step assumes no writer is mid-commit (the
+    # vacuum contract): an in-flight writer holding a pruned generation
+    # number is what the _advance_pointer stale-generation detector
+    # exists to catch.
+    gen_dir = os.path.join(root, _GEN)
+    if os.path.isdir(gen_dir):
+        live_gens = sorted(
+            (e for e in os.listdir(gen_dir) if e.isdigit()), key=int
+        )
+        for e in live_gens[:-_GEN_KEEP]:
+            os.remove(os.path.join(gen_dir, e))
+        for e in os.listdir(gen_dir):
+            if e.startswith(".tmp-"):
+                os.remove(os.path.join(gen_dir, e))
     return removed

@@ -13,6 +13,37 @@ from pyspark.sql import functions as F
 from db_loader_spark.sinks import manifest as M
 
 
+def _rewind_pointer(root: str, sid: str) -> None:
+    """Simulate a crash BEFORE the pointer advance: drop generation
+    entries (newest first) until the pointer resolves to ``sid`` — the
+    exact on-disk state a writer that died between its manifest write
+    and its CAS leaves behind (manifest + staged data complete, the
+    pointer still naming the parent)."""
+    gen_dir = os.path.join(root, M._GEN)
+    while M.current_snapshot(root) != sid:
+        entries = sorted(
+            (e for e in os.listdir(gen_dir) if e.isdigit()), key=int
+        )
+        assert entries, f"rewound past the log start without reaching {sid!r}"
+        os.remove(os.path.join(gen_dir, entries[-1]))
+
+
+def _stale_once(monkeypatch, stale: tuple[int, str | None]) -> None:
+    """Make the NEXT _read_pointer call return ``stale``, then pass
+    through — the standard simulation of a writer whose parent capture
+    happened just before a concurrent commit moved the pointer."""
+    orig = M._read_pointer
+    state = {"first": True}
+
+    def stale_then_real(root):
+        if state["first"]:
+            state["first"] = False
+            return stale
+        return orig(root)
+
+    monkeypatch.setattr(M, "_read_pointer", stale_then_real)
+
+
 def test_publish_read_roundtrip_and_lineage(spark, tmp_path):
     root = str(tmp_path / "tbl")
     s1 = M.publish(spark.range(100).withColumn("v", F.col("id") * 2), root)
@@ -60,22 +91,16 @@ def test_retry_with_same_snapshot_id_is_idempotent(spark, tmp_path):
 
 def test_concurrent_publish_detected(spark, tmp_path, monkeypatch):
     """Optimistic concurrency through publish's OWN code path: the
-    loser captured its parent before the winner's pointer moved; its
-    pre-point recheck must raise and leave the pointer untouched."""
+    loser captured its parent before the winner's pointer moved, so
+    its CAS fails (the winner holds that generation) and — for an
+    overwrite commit with parent_check — the loss surfaces as the
+    loud error with the pointer untouched."""
     root = str(tmp_path / "tbl")
     s1 = M.publish(spark.range(5), root)
     s2 = M.publish(spark.range(6), root)  # the winner lands
-
-    orig = M.current_snapshot
-    state = {"first": True}
-
-    def stale_then_real(r):
-        if state["first"]:
-            state["first"] = False
-            return s1  # the loser's stale parent capture
-        return orig(r)
-
-    monkeypatch.setattr(M, "current_snapshot", stale_then_real)
+    # the loser's stale parent capture: generation 1 naming s1, read
+    # just before s2's commit took generation 2
+    _stale_once(monkeypatch, (1, s1))
     with pytest.raises(RuntimeError, match="concurrent publish"):
         M.publish(spark.range(7), root)
     monkeypatch.undo()
@@ -488,9 +513,7 @@ def test_replay_after_pre_flip_crash_completes_the_commit(spark, tmp_path):
     M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
     # simulate the pre-flip crash: manifest + staged data for epoch-1
     # are complete but the pointer still names its parent
-    cur = os.path.join(root, M._CURRENT)
-    with open(cur, "w") as fh:
-        fh.write("epoch-0")
+    _rewind_pointer(root, "epoch-0")
     staged = os.path.join(root, "data", "epoch-1")
     before = {
         f: os.stat(os.path.join(staged, f)).st_mtime_ns
@@ -514,51 +537,65 @@ def test_replay_after_pre_flip_crash_completes_the_commit(spark, tmp_path):
     assert M.read_current(spark, root).count() == 15
 
 
-def test_recovery_flip_detects_concurrent_move(spark, tmp_path, monkeypatch):
-    """r9 review: the crash-recovery flip must re-check that `current`
-    still equals the observed snapshot — between the replay's first
-    read and its flip, a concurrent writer may commit a child of
-    `observed` and move the pointer; blind-flipping to the replayed
-    token would silently orphan that snapshot from the live lineage.
-    Simulated by making the second current_snapshot read return a
-    moved pointer: the recovery must fall through to the unretryable
-    refusal instead of flipping."""
-    import pytest
-
+def test_recovery_cas_never_orphans_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """r12, the CAS upgrade's headline guarantee (replacing the r9-r11
+    residual-window tests): a concurrent writer committing a child of
+    `observed` between the torn-commit recovery's entry read and its
+    pointer advance now makes the recovery's CAS LOSE — the old blind
+    flip silently orphaned the concurrent commit from the live
+    lineage; that outcome is now impossible. The replay surfaces the
+    unretryable superseded error, the concurrent commit stays current,
+    and the loser's manifest + files remain whole and time-travel
+    readable (inert residue, reaped by vacuum)."""
     root = str(tmp_path / "tbl")
     M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
     M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
-    cur = os.path.join(root, M._CURRENT)
-    with open(cur, "w") as fh:
-        fh.write("epoch-0")  # the torn pre-flip state
-    reads = iter(["epoch-0", "epoch-X"])  # entry read, pre-flip re-read
-    monkeypatch.setattr(
-        M, "current_snapshot", lambda r: next(reads, "epoch-X")
-    )
+    _rewind_pointer(root, "epoch-0")  # epoch-1's torn pre-flip state
+    stale = M._read_pointer(root)  # the replay's entry capture
+    # the concurrent writer commits a DIFFERENT child of epoch-0 — for
+    # real, on disk — after the replay's capture
+    M.publish(spark.range(100, 103), root, snapshot_id="epoch-2", append=True)
+    assert M.current_snapshot(root) == "epoch-2"
+    _stale_once(monkeypatch, stale)
     with pytest.raises(RuntimeError, match="superseded"):
         M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    monkeypatch.undo()
+    # the concurrent commit was NOT orphaned: still current, lineage
+    # complete, rows intact
+    assert M.current_snapshot(root) == "epoch-2"
+    assert M.snapshots(root) == ["epoch-0", "epoch-2"]
+    assert sorted(
+        r["id"] for r in M.read_current(spark, root).select("id").collect()
+    ) == list(range(10)) + [100, 101, 102]
+    # the losing replay's residue is whole, not torn: manifest present,
+    # every file present, time-travel readable
+    man = M._manifest(root, "epoch-1")
+    assert man["parent"] == "epoch-0"
+    for f in man["files"]:
+        assert os.path.exists(os.path.join(root, f)), f
+    assert M.read_snapshot(spark, root, "epoch-1").count() == 15
 
 
 def test_recovery_flip_tolerates_same_token_race(spark, tmp_path, monkeypatch):
-    """r9 review #2: if a CONCURRENT REPLAY OF THE SAME token finished
-    the torn-commit flip between this replay's entry read and its
-    re-read, the commit is complete — the recovery must return success
+    """r9 review #2, re-pinned on the CAS (r12): if a CONCURRENT REPLAY
+    OF THE SAME token finished the torn-commit flip between this
+    replay's entry read and its own CAS attempt, the CAS loses — but
+    the post-loss re-read finds the pointer naming OUR token, so the
+    commit is complete and the recovery must return success
     (at-least-once restarts cannot mint a fresh token), not raise the
-    unretryable 'superseded' error."""
+    unretryable 'superseded' error. Simulated by handing the replay a
+    stale entry read from epoch-1's pre-flip instant while on disk the
+    twin's flip has already happened (the real generation log)."""
     root = str(tmp_path / "tbl")
     M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
     M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
-    cur = os.path.join(root, M._CURRENT)
-    with open(cur, "w") as fh:
-        fh.write("epoch-0")  # the torn pre-flip state
-    # entry read sees the torn state; by the re-read a twin replay of
-    # epoch-1 has completed the flip
-    reads = iter(["epoch-0", "epoch-1"])
-    monkeypatch.setattr(
-        M, "current_snapshot", lambda r: next(reads, "epoch-1")
-    )
+    _stale_once(monkeypatch, (1, "epoch-0"))
     out = M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    monkeypatch.undo()
     assert out == "epoch-1"
+    assert M.current_snapshot(root) == "epoch-1"
 
 
 def test_never_committed_token_may_restage(spark, tmp_path):
@@ -578,54 +615,13 @@ def test_never_committed_token_may_restage(spark, tmp_path):
     assert M.read_current(spark, root).count() == 15
 
 
-def test_orphaned_concurrent_commit_is_whole_not_torn(spark, tmp_path, monkeypatch):
-    """r10, pinning the documented residual window's blast radius: if a
-    concurrent writer's commit lands inside the recovery re-check's
-    read-then-flip gap, the recovery flip orphans it from the current
-    lineage — but the orphan must be WHOLE (manifest + every data file
-    intact, time-travel readable), never torn, and the recovery's own
-    lineage must be complete. That bounded damage is what makes the
-    lock-free single-writer-per-root contract honest."""
-    root = str(tmp_path / "tbl")
-    M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
-    M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
-    cur = os.path.join(root, M._CURRENT)
-    with open(cur, "w") as fh:
-        fh.write("epoch-0")  # epoch-1's torn pre-flip state
-    # concurrent writer: commits a DIFFERENT child of epoch-0 and flips
-    M.publish(spark.range(100, 103), root, snapshot_id="epoch-2", append=True)
-    assert M.current_snapshot(root) == "epoch-2"
-    # replay of epoch-1 whose entry read AND re-check both happened
-    # before the concurrent flip (the residual gap): it finishes its
-    # own commit, orphaning epoch-2
-    reads = iter(["epoch-0", "epoch-0"])
-    monkeypatch.setattr(M, "current_snapshot", lambda r: next(reads, "epoch-0"))
-    out = M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
-    monkeypatch.undo()
-    assert out == "epoch-1"
-    assert M.current_snapshot(root) == "epoch-1"
-    # current lineage is complete and correct
-    assert sorted(
-        r["id"] for r in M.read_current(spark, root).select("id").collect()
-    ) == list(range(15))
-    # the orphan: not current, absent from the forward lineage walk,
-    # but manifest + files are all present and time-travel readable
-    assert "epoch-2" not in M.snapshots(root)
-    man = M._manifest(root, "epoch-2")
-    assert man["parent"] == "epoch-0"
-    for f in man["files"]:
-        assert os.path.exists(os.path.join(root, f)), f
-    assert sorted(
-        r["id"] for r in M.read_snapshot(spark, root, "epoch-2").select("id").collect()
-    ) == list(range(10)) + [100, 101, 102]
-
-
 def test_concurrent_readers_always_see_a_complete_snapshot(spark, tmp_path):
     """r10 stress witness for the module's core claim — readers
     resolving pointer -> manifest -> file list see "a complete old
     snapshot or a complete new one, never a mix" — under REAL thread
-    concurrency rather than scripted interleavings. One writer (the
-    documented single-writer contract) publishes a rapid sequence of
+    concurrency rather than scripted interleavings. One writer (one,
+    because it interleaves VACUUM, which requires quiesced co-writers)
+    publishes a rapid sequence of
     overwrite commits, vacuuming as it goes; three reader threads
     hammer resolve+read the whole time. Every successful read must
     surface exactly one committed (marker, rowcount) pair, and each
@@ -779,3 +775,151 @@ def test_transient_ancestor_error_propagates_and_aborts_vacuum(
     removed = M.vacuum(root, keep=2)
     assert set(removed) == set(sids[:2])
     assert M.snapshots(root) == sids[2:]
+
+
+def test_concurrent_appends_all_land_serialized(spark, tmp_path):
+    """r12, the CAS contract's positive half: N writers racing APPEND
+    commits (distinct tokens) against one root ALL land — a loser
+    rebuilds its manifest on the fresh parent inside _commit_staged
+    and re-CASes. Afterward: every token is in the lineage, each
+    lineage step is the parent's file set plus one commit's files
+    (serialized, nothing clobbered), and the current snapshot holds
+    the union of every writer's rows. Real thread concurrency over the
+    real publish path; frames are pre-built so workers contend only on
+    the commit protocol."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(0, 10), root, snapshot_id="base", append=True)
+    n_writers, per_writer = 4, 3
+    frames = {
+        (w, i): spark.range(1000 * (w * per_writer + i) + 100,
+                            1000 * (w * per_writer + i) + 105)
+        for w in range(n_writers)
+        for i in range(per_writer)
+    }
+    errors = []
+
+    def writer(w):
+        try:
+            for i in range(per_writer):
+                M.publish(
+                    frames[(w, i)], root,
+                    snapshot_id=f"w{w}-c{i}", append=True,
+                )
+        except Exception as e:  # surfaced below; a raise here = lost commit
+            errors.append((w, repr(e)))
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    chain = M.snapshots(root)
+    expected_tokens = {"base"} | {
+        f"w{w}-c{i}" for w in range(n_writers) for i in range(per_writer)
+    }
+    assert set(chain) == expected_tokens  # every commit landed
+    # serialization: each step adds exactly its own files to the parent
+    prev_files: set[str] = set()
+    for sid in chain:
+        files = set(M._manifest(root, sid)["files"])
+        assert prev_files < files  # strict superset: append-only growth
+        prev_files = files
+    # value-level: the union of all writers' rows plus the base
+    got = sorted(r["id"] for r in M.read_current(spark, root).collect())
+    want = sorted(
+        set(range(10)).union(
+            *(range(1000 * k + 100, 1000 * k + 105)
+              for k in range(n_writers * per_writer))
+        )
+    )
+    assert got == want
+
+
+def test_legacy_pointer_root_bootstraps_generation_log(spark, tmp_path):
+    """Pre-r12 roots have only the single-file _CURRENT pointer. The
+    reader must resolve it (generation 0 fallback) and the first CAS
+    commit must start the generation log from it — lineage unbroken
+    across the format boundary."""
+    import shutil
+
+    root = str(tmp_path / "tbl")
+    s1 = M.publish(spark.range(25), root, snapshot_id="legacy-1")
+    # strip the generation log, leaving the legacy mirror file — the
+    # exact on-disk state a pre-r12 writer left behind
+    shutil.rmtree(os.path.join(root, M._GEN))
+    assert M.current_snapshot(root) == s1  # legacy fallback resolves
+    assert M.read_current(spark, root).count() == 25
+    s2 = M.publish(spark.range(7), root, snapshot_id="post-upgrade")
+    assert M.current_snapshot(root) == s2
+    assert M.snapshots(root) == [s1, s2]
+    gen_dir = os.path.join(root, M._GEN)
+    entries = sorted(e for e in os.listdir(gen_dir) if e.isdigit())
+    assert [int(e) for e in entries] == [1]  # log restarted at gen 1
+
+
+def test_vacuum_prunes_generation_log_keeping_pointer(spark, tmp_path):
+    """The pointer log grows one entry per commit; vacuum must trim it
+    to _GEN_KEEP entries while the max entry (THE pointer) survives
+    and still resolves to the current snapshot."""
+    root = str(tmp_path / "tbl")
+    last = None
+    for i in range(M._GEN_KEEP + 6):
+        last = M.publish(spark.range(i + 1), root, append=True)
+    gen_dir = os.path.join(root, M._GEN)
+    assert len(os.listdir(gen_dir)) == M._GEN_KEEP + 6
+    M.vacuum(root, keep=2)
+    entries = sorted(
+        (e for e in os.listdir(gen_dir) if e.isdigit()), key=int
+    )
+    assert len(entries) == M._GEN_KEEP
+    assert M.current_snapshot(root) == last  # max entry kept + resolves
+    assert M.read_current(spark, root).count() > 0
+
+
+def test_lost_race_merge_commit_raises_for_rederivation(spark, tmp_path, monkeypatch):
+    """A merge commit's content is DERIVED from the parent it read
+    (survivor rows from the touched files), so a lost pointer race
+    must NOT silently re-point — the caller has to re-derive against
+    the new current. Pinned via a stale parent capture around a real
+    interloping commit."""
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root,
+        stats_cols=["id"],
+    )
+    stale = M._read_pointer(root)
+    # interloper: another writer overwrites while our merge derives
+    M.publish(
+        spark.range(50).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        root,
+        stats_cols=["id"],
+    )
+    _stale_once(monkeypatch, stale)
+    upd = spark.range(5).select(F.col("id"), F.lit(-1).cast("long").alias("v"))
+    with pytest.raises(RuntimeError, match="concurrent publish"):
+        M.merge_upsert(spark, upd, root, "id")
+    monkeypatch.undo()
+
+
+def test_lost_race_compaction_raises_not_clobbers(spark, tmp_path, monkeypatch):
+    """compact_snapshot rewrites the parent's content; an append that
+    lands between the compaction's read and its commit must surface as
+    the concurrent-publish error — committing the stale rewrite would
+    silently drop the appended rows from current."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(100), root)
+    stale = M._read_pointer(root)
+    # interloper appends while the compaction derives
+    M.publish(spark.range(100, 120), root, append=True)
+    _stale_once(monkeypatch, stale)
+    with pytest.raises(RuntimeError, match="concurrent publish"):
+        M.compact_snapshot(spark, root, target_files=1)
+    monkeypatch.undo()
+    # nothing clobbered: the append's rows are all still current
+    assert M.read_current(spark, root).count() == 120

@@ -178,3 +178,100 @@ def test_versioned_artifact_cross_process_storm(tmp_path):
         assert os.path.exists(
             os.path.join(vroot, entry, "_COMPLETE")
         ), f"incomplete version dir {entry} left published"
+
+
+_MANIFEST_WORKER = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from db_loader_spark.sinks.manifest import _commit_staged, _read_pointer, snapshots
+
+root, start_marker, wid, rounds = (
+    sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+)
+while not os.path.exists(start_marker):
+    time.sleep(0.001)
+for i in range(rounds):
+    sid = f"w{{wid}}-c{{i}}"
+    staged = os.path.join(root, "data", sid)
+    os.makedirs(staged, exist_ok=True)
+    with open(os.path.join(staged, "part-0.parquet"), "w") as f:
+        f.write(sid)
+    out = None
+    og, ob = _read_pointer(root)
+    out = _commit_staged(
+        root, sid, [os.path.join("data", sid, "part-0.parquet")],
+        new_meta={{}}, append=True, parent_check=True,
+        inherit_files=None, inherit_meta=None,
+        observed_gen=og, observed=ob,
+    )
+    if out != sid:
+        print("BAD-RETURN:", sid, out, file=sys.stderr)
+        sys.exit(7)
+    chain = snapshots(root)
+    if sid not in chain:
+        print("LOST:", sid, chain, file=sys.stderr)
+        sys.exit(7)
+print("ok")
+"""
+
+
+def test_manifest_commit_cross_process_storm(tmp_path):
+    """r12 (VERDICT r11 #3): N processes race APPEND commits against
+    one manifest root through the REAL commit protocol —
+    ``_commit_staged`` with its manifest rebuild-and-retry loop over
+    the ``os.link`` generation CAS (``publish`` minus only Spark's
+    parquet staging, which is parent-independent and uncontended).
+    Invariants: every process exits 0; every commit is in the final
+    lineage (NO lost snapshot — the upgrade's headline guarantee);
+    each lineage step strictly grows the file set (appends serialized,
+    nothing clobbered); the final snapshot lists every staged file
+    exactly once; and the generation log is contiguous with exactly
+    one entry per commit.
+
+    Sizing note: 4 workers x 5 commits keeps the worst-case
+    interference for one commit (3 x 5 = 15 rival commits landing
+    while it retries) strictly under _COMMIT_RETRIES=16, so even an
+    adversarial scheduler cannot produce a spurious retry-exhaustion
+    failure."""
+    from db_loader_spark.sinks import manifest as M
+
+    root = str(tmp_path / "tbl")
+    # bootstrap commit so every worker contends on a non-empty root
+    os.makedirs(os.path.join(root, "_manifests"))
+    staged = os.path.join(root, "data", "base")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-0.parquet"), "w") as f:
+        f.write("base")
+    M._commit_staged(
+        root, "base", [os.path.join("data", "base", "part-0.parquet")],
+        new_meta={}, append=True, parent_check=True,
+        inherit_files=None, inherit_meta=None,
+        observed_gen=0, observed=None,
+    )
+    marker = str(tmp_path / "go")
+    n_procs, rounds = 4, 5
+    script = _MANIFEST_WORKER.format(repo=REPO)
+    _run_storm(
+        script,
+        [[root, marker, str(w), str(rounds)] for w in range(n_procs)],
+        marker,
+    )
+    chain = M.snapshots(root)
+    want = {"base"} | {
+        f"w{w}-c{i}" for w in range(n_procs) for i in range(rounds)
+    }
+    assert set(chain) == want  # every process's every commit landed
+    prev: set[str] = set()
+    for sid in chain:
+        listed = M._manifest(root, sid)["files"]
+        files = set(listed)
+        assert len(files) == len(listed), f"{sid} double-lists a file"
+        assert prev < files, f"{sid} dropped an ancestor's files"
+        prev = files
+    assert len(prev) == len(want)  # final snapshot: each staged file once
+    gens = sorted(
+        int(e)
+        for e in os.listdir(os.path.join(root, M._GEN))
+        if e.isdigit()
+    )
+    assert gens == list(range(1, len(want) + 1))
