@@ -11,6 +11,18 @@ it finds there; the full line outgrew that in r6-r8):
 Headline set = the scan/join/agg/window/dedup/ANN paths a 100 TB
 deployment exercises, excluding the deliberately quadratic verifiers
 (all-pairs jaccard/cosine) which are oracle-only at small SF.
+
+HISTORY PROTOCOL (r12, VERDICT r11 #2): bench_full.json is scratch
+(gitignored, overwritten by every run), so full per-query history was
+unauditable from artifacts — only the top-10 compact rows survived in
+BENCH_rNN.json. Now each round ARCHIVES into bench_history/ (tracked):
+at round START, the on-disk bench_full.json is the PREVIOUS round's
+driver run (the driver benches after the builder's last commit) —
+copy it to bench_history/bench_full_r{N-1}.json with a _provenance
+note; at round CLOSE, archive the builder's final run as
+bench_full_r{N}_builder.json. Driver-run vs builder-run provenance
+matters: compare in-suite to in-suite and same-provenance to
+same-provenance (builder and driver runs see different box weather).
 """
 
 from __future__ import annotations
