@@ -209,3 +209,101 @@ def test_within_watermark_straggler_is_kept(spark, tmp_path):
     got = sorted((r["window_start"], r["event_type"], r["n"]) for r in out)
     assert ("2024-01-01 10:00", "straggler", 1) in got
     assert ("2024-01-01 10:00", "on_time", 2) in got
+
+
+def test_state_rows_bounded_under_long_drain(spark, tmp_path):
+    """The EVICTION half of the watermark contract, size-witnessed
+    (VERDICT r11 #7): across a LONG ordered drain, the streaming
+    aggregation's state store holds only the windows still inside the
+    watermark horizon — old windows are freed, so state is O(open
+    windows x keys), not O(all windows ever seen). This is the claim
+    100 TB streaming rests on: without eviction a day-long drain would
+    accumulate every window it ever opened and the state store would
+    grow linearly with stream lifetime.
+
+    Witness shape: 24 hourly files (one per micro-batch, mtime-ordered)
+    x 3 keys, 1-hour tumbling windows, 2-hour watermark. Unbounded
+    state would end at 24 windows x 3 keys = 72 rows; the bound
+    asserted is 8 windows x 3 keys = 24 (2h allowance + window width +
+    the engine's N-2 watermark propagation lag, with slack), read from
+    the engine's own per-batch stateOperators metrics — not inferred
+    from output."""
+    n_hours, keys = 24, ["a", "b", "c"]
+    parts = [
+        [
+            (T0 + dt.timedelta(hours=h, minutes=m), k)
+            for k in keys
+            for m in (0, 30)
+        ]
+        for h in range(n_hours)
+    ]
+    stage = str(tmp_path / "stage")
+    _write_ordered_files(spark, stage, parts)
+
+    static = spark.read.parquet(stage)
+    windowed = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    emitted: list = []
+
+    def publish(batch_df, epoch_id: int) -> None:
+        emitted.extend(batch_df.collect())
+
+    q = (
+        windowed.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(publish)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    # genuinely long drain: one batch per hourly file
+    assert len(state_rows) >= n_hours
+    unbounded = n_hours * len(keys)  # what no-eviction would end at (72)
+    bound = 8 * len(keys)  # open-horizon windows x keys, with slack (24)
+    assert max(state_rows) <= bound, (max(state_rows), state_rows)
+    assert bound < unbounded  # the bound itself is a real claim
+    # eviction observably fired: state SHRANK at least once mid-drain
+    assert any(b < a for a, b in zip(state_rows, state_rows[1:])), state_rows
+    # and the plateau is flat, not slow growth: the max over the last
+    # third of the drain is no higher than the max over the middle third
+    third = len(state_rows) // 3
+    assert max(state_rows[-third:]) <= max(state_rows[third:-third])
+    # value-level: append mode emitted every CLOSED window exactly once,
+    # with the right count (6 rows per window-key pair -> n=2 per key)
+    per_wk: dict = {}
+    for r in emitted:
+        per_wk[(r["window_start"], r["event_type"])] = (
+            per_wk.get((r["window_start"], r["event_type"]), 0) + 1
+        )
+    assert all(v == 1 for v in per_wk.values())  # exactly-once per window
+    assert all(r["n"] == 2 for r in emitted)
+    # every window old enough to have closed under the 2h watermark
+    # (plus propagation lag) emitted; the open tail never does
+    emitted_hours = {
+        int(
+            (
+                dt.datetime.strptime(ws, "%Y-%m-%d %H:%M") - T0
+            ).total_seconds()
+            // 3600
+        )
+        for ws, _ in per_wk
+    }
+    assert set(range(n_hours - 6)) <= emitted_hours
+    assert n_hours - 1 not in emitted_hours  # the final window stays open
