@@ -113,95 +113,109 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
 # so a miscounted edit can't silently shift which keys get witnessed.
 DRIVER_WINDOW_SIZE = 50
 
-# ROUND-11 WINDOW: the staged rotation runs exactly as the r10 prep
-# note committed. CORRECTNESS_r10 landed non-empty and 50/50 GREEN, so
-# this window fronts the complement cohort: the 49 r9-evidence keys
-# plus t_session_window — the ONE registry key without an r9/r10
-# external row (displaced in r10 by the curation_dsir_weight rule-2
-# re-entry; its session SQL stayed externally witnessed via the
-# r9-green t_stream_sessions row). With this window, every registry
-# key's external evidence is at most two rounds old.
+# ROUND-12 WINDOW: the staged rotation runs exactly as the r11 prep
+# note committed. CORRECTNESS_r11 landed non-empty and 50/50 GREEN
+# (with r10+r11 jointly covering all 100 registry keys), so this
+# window fronts the complement cohort — the 50 r10-evidence keys —
+# MINUS three displacements paying for three rule-2 re-entries, so
+# the every-key-within-2-rounds invariant holds everywhere except the
+# three documented displacement slots (each sibling-witnessed, the
+# curation_dsir_weight/t_session_window precedent; all three front
+# the r13 window by construction).
 #
-# Rule-2 touches this round, ALL already inside this window:
-# - a_moments — signed-zero prophylaxis (+ 0.0 after ROUND on the
-#   sign-capable mean/corr channels, both engines; the staged r10
-#   touch; a_profile_stats audited sign-incapable — BIGINT-only).
-# - ann_ivf_disk_topk / ann_pq_topk / ann_ivfpq_topk — the
-#   _versioned_artifact reap-vs-readopt TOCTOU closure (per-reap
-#   pointer re-read via claim+restore; post-flip existence verify).
-# - t_stream_lakehouse / t_stream_mview / t_stream_ann_index /
-#   t_stream_sessions — scratch+rename stage builds (_build_stage;
-#   the staged r10-audit touch) and, for lakehouse, the manifest
-#   lineage-walk FileNotFoundError-only fix.
-# - t_snapshot_upsert / t_snapshot_incremental / cdc_snapshot_diff /
-#   scan_manifest_pruned — manifest.snapshots() exception narrowing
-#   (shared-module lineage; windowed here).
-# Shared-helper note (the r9/r10 precedent): _build_stage is also in
-# the lineage of the r10-window keys t_stream_rollup/dedup/
-# signatures/join, but their stamp TEXT and staged BYTES are
-# bit-identical before and after the edit (only the install procedure
-# changed — documented at _build_stage) and their values re-verified
-# unchanged at both SFs; the changed lines are externally witnessed
-# THIS round by the windowed streaming keys sharing the helper.
+# Rule-2 re-entries (r11-window keys whose code/oracle changed THIS
+# round — changed lines need external witness now, not in r13):
+# - text_kmv_vocab — its DuckDB oracle gained the NULL-token
+#   exclusion mirroring kmv_distinct (r11 ADVICE #1); value-neutral
+#   for split-derived tokens, but the oracle TEXT the driver executes
+#   changed.
+# - t_snapshot_upsert — sinks/manifest.py pointer protocol rewrite
+#   (generation-log CAS, r12): exercises publish + merge_upsert with
+#   the new _require_parent derivation pin.
+# - t_stream_lakehouse — same manifest lineage from the streaming
+#   side: per-epoch append commits through _commit_staged's
+#   rebuild-and-retry loop, snapshots() walk, compact_snapshot with
+#   its derivation pin.
+# Shared-lineage note (the r10/r11 precedent): the manifest rewrite is
+# also in the lineage of scan_manifest_pruned / t_snapshot_incremental
+# / cdc_snapshot_diff (all r11-green). Their values are re-verified
+# bit-identical at both SFs this round (round notes), and every
+# changed manifest line they traverse — publish entry, _read_pointer,
+# _advance_pointer, _commit_staged, compact/merge pins — is externally
+# witnessed THIS round by the two re-entered keys sharing the module;
+# vacuum's generation-log pruning has no registry surface and is
+# pytest-witnessed (test_vacuum_prunes_generation_log_keeping_pointer).
+#
+# Displacements (3 slots, youngest-evidence / most-sibling-witnessed
+# members of the r10 cohort; all three front r13):
+# - q5_region_revenue — IS entry(): the driver smoke-checks it every
+#   round including this one, so its external evidence never lapses.
+# - text_bpe_tokenize — shares _bpe_trained with text_bpe_train
+#   (windowed below, externally witnessing the trained-vocab path
+#   this round); its remainder is a broadcast dim join + sum-agg,
+#   machinery a dozen windowed keys exercise.
+# - w_running_sum — window-frame machinery externally witnessed this
+#   round by the windowed w_topk_per_group / w_event_gap (and r11's
+#   green w_moving_avg); its own row was green in r10.
 #
 # HARNESS INSURANCE (VERDICT r8 #4, carried): ordered CHEAPEST FIRST
 # by measured per-key sweep cost at sf0.01 (Spark + DuckDB oracle
-# wall time, scripts/window_cost.py --complement, re-measured
-# 2026-08-15 at r11 start AFTER the touches landed; 97.2 s total,
-# 50/50 OK) — a wall-clock-capped prefix run lands the maximum number
-# of rows. Ordering is evidence-neutral (driver checks set membership
-# of the first 50). Tags: [t] = rule-2 touched this round.
+# wall time, scripts/window_cost.py, re-measured 2026-08-15 at r12
+# start AFTER the touches landed) — a wall-clock-capped prefix run
+# lands the maximum number of rows. Ordering is evidence-neutral
+# (driver checks set membership of the first 50). Tags: [t] = rule-2
+# re-entry this round.
 WINDOW = [
-    "dedup_exact",  # 0.36s
-    "curation_weighted_sample",  # 0.37s
-    "multimodal_frame_sample",  # 0.39s
-    "scan_manifest_pruned",  # [t] manifest lineage; 0.43s
-    "w_moving_avg",  # 0.43s
-    "a_hash_sample",  # 0.47s
-    "a_histogram",  # 0.47s
-    "t_sliding_counts",  # 0.50s
-    "a_moments",  # [t] signed-zero prophylaxis; 0.53s
-    "t_snapshot_upsert",  # [t] manifest lineage; 0.57s
-    "text_kmv_vocab",  # 0.58s
-    "t_session_window",  # the one key without an r9/r10 row; 0.59s
-    "q1_pricing_summary",  # 0.59s
-    "text_cms_topk",  # 0.60s
-    "a_hll_distinct",  # 0.62s
-    "a_salted_agg",  # 0.68s
-    "jn1_dim_lookup_join",  # 0.71s
-    "jn_fuzzy_join",  # 0.74s
-    "cdc_snapshot_diff",  # [t] manifest lineage; 0.75s
-    "jn4_anti_join_idempotence",  # 0.78s
-    "text_bpe_pack",  # 0.84s
-    "jn7_fk_validation",  # 0.85s
-    "a_profile_stats",  # [t] audited sign-incapable; 0.86s
-    "text_lm_score",  # 0.92s
-    "a_table_fingerprint",  # 0.93s
-    "text_bm25_topk",  # 0.96s
-    "p_parse_suite",  # 0.98s
-    "text_pack_bins",  # 0.99s
-    "t_snapshot_incremental",  # [t] manifest lineage; 1.00s
-    "t_sliding_hll",  # 1.14s
-    "a_quantile_sketch",  # 1.23s
-    "text_decontaminate",  # 1.31s
-    "dedup_bloom_prefilter",  # 1.64s
-    "multimodal_features",  # 1.79s
-    "ann_bruteforce_topk",  # 1.91s
-    "t_stream_lakehouse",  # [t] stage builds + manifest; 2.05s
-    "jn2_contains_join",  # 2.11s
-    "t_stream_ann_index",  # [t] stage builds; r10 drift watch; 2.62s
-    "ann_ivf_disk_topk",  # [t] artifact TOCTOU closure; 2.87s
-    "ann_pq_topk",  # [t] artifact TOCTOU closure; 3.71s
-    "dedup_embedding_components",  # 3.88s
-    "t_stream_mview",  # [t] stage builds; 4.06s
-    "e2e_cli_ingest",  # 4.43s
-    "g_pagerank",  # 4.86s
-    "g_triangle_count",  # 4.88s
-    "ann_ivfpq_topk",  # [t] artifact TOCTOU closure; 5.94s
-    "t_stream_sessions",  # [t] stage builds (time chunks); 6.19s
-    "dedup_semantic",  # 6.41s
-    "curation_funnel",  # 7.29s
-    "curation_e2e",  # 7.35s
+    "t_snapshot_upsert",  # [t] manifest CAS (merge/publish pins); 0.42s
+    "text_pii_scrub",  # 0.43s
+    "p9_summary_parse",  # 0.48s
+    "eav_pivot",  # 0.50s
+    "text_quality_score",  # 0.52s
+    "a3_filtered_count",  # 0.53s
+    "text_lang_id",  # 0.53s
+    "j1_sessionize",  # 0.56s
+    "a6_run_summary",  # 0.56s
+    "q_top_customers",  # 0.60s
+    "curation_source_cap",  # 0.61s
+    "text_chunk",  # 0.62s
+    "a7_id_assignment",  # 0.63s
+    "jn_asof_join",  # 0.64s
+    "jn5_sidecar_join",  # 0.65s
+    "p_json_props",  # 0.65s
+    "a4_count_distinct",  # 0.65s
+    "j2_section_routing",  # 0.67s
+    "w_event_gap",  # 0.68s
+    "text_repetition",  # 0.69s
+    "set_ops",  # 0.70s
+    "w_topk_per_group",  # 0.71s
+    "p14_continuation_merge",  # 0.72s
+    "rollup_revenue",  # 0.74s
+    "text_kmv_vocab",  # [t] oracle null-mirror; 0.76s
+    "a1_distinct_pairs",  # 0.78s
+    "jn_range_join",  # 0.79s
+    "q3_segment_revenue",  # 0.82s
+    "p10_find_first",  # 0.88s
+    "text_tfidf_topterms",  # 0.94s
+    "a2_max_id",  # 0.95s
+    "q10_returned_items",  # 0.97s
+    "curation_shard_assign",  # 1.00s
+    "a_outlier_filter",  # 1.00s
+    "curation_dsir_weight",  # 1.05s
+    "dedup_minhash_lsh",  # 1.28s
+    "text_repeated_passages",  # 1.36s
+    "ecj_star",  # 1.84s
+    "ann_lsh_topk",  # 1.93s
+    "text_fingerprint",  # 1.95s
+    "multimodal_decode_jpeg",  # 2.08s
+    "t_stream_rollup",  # 2.13s
+    "ann_sq_rerank",  # 2.41s
+    "dedup_simhash",  # 2.68s
+    "t_stream_dedup",  # 2.69s
+    "t_stream_signatures",  # 3.72s
+    "t_stream_join",  # 4.00s
+    "t_stream_lakehouse",  # [t] manifest CAS, streaming side; 4.29s
+    "ann_ivf_topk",  # 4.86s
+    "text_bpe_train",  # 4.98s
 ]
 
 # WINDOW-OVERFLOW QUEUE (policy, r6): brand-new keys beyond window
@@ -230,58 +244,36 @@ NEXT_UP: list[str] = []
 # not demotion: external evidence is preserved. Net new keys this
 # round: 1 (the suite) against 16 removed.
 #
-# R12 WINDOW PREP: the 50 keys NOT in this window are exactly the r10
-# window (50/50 green rows in CORRECTNESS_r10 — the cleanest artifact
-# on record). If CORRECTNESS_r11 lands non-empty, r12 fronts that
-# cohort, re-measured by scripts/window_cost.py --complement and
-# ordered cheapest-first. Rule-2 touches of r12 whose keys sit in
-# THIS (r11) window re-enter per rule 2, displacing the
-# youngest-evidence members of the r12 cohort (the ones whose
-# semantics are most sibling-witnessed — document the choice at the
-# displacement site, the curation_dsir_weight/t_session_window
-# precedent). CONTINGENCY, unchanged: if CORRECTNESS_r11 comes back
-# empty/unreadable, re-front THIS window — never rotate past a window
-# with zero external rows.
+# R12 ROTATION EXECUTED (this window): CORRECTNESS_r11 landed 50/50
+# green, so the r11 prep note ran verbatim — the r10 cohort fronted,
+# re-measured at r12 start, three rule-2 re-entries against three
+# sibling-witnessed displacements (documented at the window header).
 #
-# STAGED TOUCHES LEDGER: all three r11-staged touches LANDED this
-# round with their keys windowed above — (1) signed-zero prophylaxis
-# (a_moments mean/corr guarded on both engines; a_profile_stats
-# audited sign-incapable: BIGINT-only outputs, documented at the
-# site; a synthetic tiny-negative fixture + mutation check pin the
-# guard); (2) the versioned-artifact reap-vs-readopt TOCTOU closure
-# (claim+restore on the sweeper side, post-flip verify+rebuild on the
-# flipper side, flip-tmp and reap-claim residue swept — ADVICE r9 #2
-# and ADVICE r10 both closed); (3) scratch+rename stage builds
-# (db_loader_spark/staging.py: single-generation invariant under
-# thread AND process storms; the protocol now also covers the five
-# non-streaming roots found by the round-close review, with one-time
-# ':install=v2' stamp bumps). Nothing is staged for r12 from this
-# round's audit.
+# STAGED TOUCHES LEDGER (r12): the round's engine changes and their
+# witnesses — (1) manifest pointer protocol rewritten to a
+# generation-log CAS (os.link conditional create = local conditional
+# PUT; VERDICT r11 #3): multi-writer commits now in-contract,
+# appends retry on fresh parents, merge/compact pin the parent their
+# content derived from; witnessed by the re-entered t_snapshot_upsert
+# + t_stream_lakehouse, a cross-process commit storm, and reworked
+# recovery tests. (2) text_kmv_vocab oracle NULL-token mirror
+# (ADVICE r11 #1) — re-entered. (3) _versioned_artifact settle error
+# made diagnosable (ADVICE r11 #3) — message-only, on a path no
+# registry value traverses; pytest-witnessed. (4) streaming
+# state-bound witness (VERDICT r11 #7) — test-only, no slot.
 #
-# PROVISIONAL R12 ORDERING (pre-measured at r11 close,
-# `window_cost.py --complement` at sf0.01, idle box, 52.9 s total,
-# 50/50 OK — RE-MEASURE at r12 start per the prep note; warm-stage
-# figures, so the driver's one-time ':install=v2' restages of the
-# five migrated roots are NOT in these numbers but are each <1 s
-# builds):
-# a2_max_id 0.15 / text_fingerprint 0.18 / a3_filtered_count 0.20 /
-# a1_distinct_pairs 0.22 / p10_find_first 0.27 / curation_shard_assign
-# 0.29 / a6_run_summary 0.29 / text_pii_scrub 0.29 / text_chunk 0.30 /
-# a4_count_distinct 0.33 / eav_pivot 0.34 / w_topk_per_group 0.35 /
-# text_quality_score 0.35 / text_lang_id 0.35 / w_running_sum 0.36 /
-# w_event_gap 0.36 / p_json_props 0.37 / p9_summary_parse 0.39 /
-# text_repetition 0.41 / curation_source_cap 0.41 / q_top_customers
-# 0.42 / j1_sessionize 0.43 / a7_id_assignment 0.44 / jn_asof_join
-# 0.45 / jn_range_join 0.46 / p14_continuation_merge 0.55 /
-# j2_section_routing 0.56 / jn5_sidecar_join 0.57 / rollup_revenue
-# 0.58 / set_ops 0.60 / q10_returned_items 0.67 / q3_segment_revenue
-# 0.69 / text_tfidf_topterms 0.72 / q5_region_revenue 0.72 /
-# text_bpe_tokenize 0.80 / curation_dsir_weight 0.80 /
-# a_outlier_filter 0.86 / text_repeated_passages 1.03 / ecj_star
-# 1.48 / dedup_simhash 1.69 / multimodal_decode_jpeg 1.84 /
-# ann_sq_rerank 1.96 / ann_lsh_topk 2.16 / t_stream_rollup 2.31 /
-# t_stream_signatures 3.50 / dedup_minhash_lsh 3.57 / t_stream_join
-# 3.64 / t_stream_dedup 3.85 / text_bpe_train 4.25 / ann_ivf_topk 5.07
+# R13 WINDOW PREP: the 50 keys NOT in this window are the r11 window
+# minus the three re-entered keys plus the three displaced ones
+# (q5_region_revenue / text_bpe_tokenize / w_running_sum — r10
+# evidence, so they are the rule-1-oldest members and MUST front
+# r13). If CORRECTNESS_r12 lands non-empty, r13 fronts that
+# complement, re-measured by scripts/window_cost.py --complement and
+# ordered cheapest-first with the three displaced keys FIRST among
+# equals. Rule-2 touches of r13 whose keys sit in THIS window
+# re-enter, displacing the most sibling-witnessed members of the r13
+# cohort (document at the site). CONTINGENCY, unchanged: if
+# CORRECTNESS_r12 comes back empty/unreadable, re-front THIS window —
+# never rotate past a window with zero external rows.
 
 
 def all_queries() -> dict[str, QuerySpec]:
