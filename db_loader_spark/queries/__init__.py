@@ -136,6 +136,11 @@ DRIVER_WINDOW_SIZE = 50
 #   side: per-epoch append commits through _commit_staged's
 #   rebuild-and-retry loop, snapshots() walk, compact_snapshot with
 #   its derivation pin.
+#   (r12b, same round: the OCC rebase loops — merge_upsert /
+#   compact_snapshot retry-on-ConcurrentPublishError with residue
+#   scrub, and publish's lineage-walk residue adoption — live on
+#   exactly these two keys' lineage, so the SAME re-entries witness
+#   them; sequential callers traverse the loops' zero-retry path.)
 # Shared-lineage note (the r10/r11 precedent): the manifest rewrite is
 # also in the lineage of scan_manifest_pruned / t_snapshot_incremental
 # / cdc_snapshot_diff (all r11-green). Their values are re-verified

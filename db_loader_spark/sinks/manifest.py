@@ -47,9 +47,19 @@ Commit protocol details that carry the correctness weight:
   concurrent COMMITS against one root are safe and serialize through
   the pointer CAS. Concurrent APPEND commits all land — a loser
   rebuilds its manifest on the fresh parent and re-CASes (its staged
-  files are parent-independent). A losing overwrite (``parent_check``)
-  or merge commit raises the loud concurrent-publish error for the
-  caller to re-derive — its derivation read the superseded parent.
+  files are parent-independent). A losing MERGE or COMPACTION — whose
+  content was DERIVED from the superseded parent — auto-REBASES
+  (r12b, the Delta/Iceberg OCC retry loop): ``merge_upsert`` /
+  ``compact_snapshot`` catch the typed ``ConcurrentPublishError``,
+  re-read the fresh current, RE-DERIVE their content against it, and
+  re-commit, up to ``rebase_retries`` times. Re-derivation IS the
+  conflict resolution: the retry literally re-executes the operation
+  on the winner's result, so the final lineage equals some serial
+  order of the racing commits (merge-after-append sees the appended
+  rows; two merges land last-writer-wins per key — the serial
+  outcome). ``rebase_retries=0`` restores raise-to-the-caller. A
+  losing plain overwrite (``parent_check``) still raises — its
+  content is caller-derived, so only the caller can re-derive.
   No commit is ever clobbered, torn, or silently orphaned. Two
   residual exclusions, both inherent to the semantics rather than the
   mechanism: (1) SAME-TOKEN replays are at-least-once-SEQUENTIAL
@@ -83,6 +93,27 @@ _COMMIT_RETRIES = 16
 # 1 (the max entry IS the pointer); the tail exists only so a reader
 # that listed the directory just before a prune can still resolve.
 _GEN_KEEP = 16
+# Lost derivation races a merge/compaction re-derives through before
+# giving up. Each retry re-reads the fresh parent and re-runs the
+# Spark derivation, so 3 lost races means 3 full interloping commits
+# landed DURING our derive+commit — already pathological contention
+# for content-sized operations (contrast _COMMIT_RETRIES=16 for
+# appends, whose retry is metadata-only).
+_REBASE_RETRIES = 3
+
+
+class ConcurrentPublishError(RuntimeError):
+    """A commit whose content was derived from a parent snapshot lost
+    the pointer race: another writer committed between the derivation
+    read and this commit's CAS. The derivation is stale — re-derive on
+    the NEW current and retry (``merge_upsert``/``compact_snapshot``
+    do this automatically via their ``rebase_retries`` loop).
+
+    Typed (vs the bare RuntimeError it subclasses, for compatibility
+    with pre-r12b callers matching the message) so the OCC retry loop
+    can catch exactly the re-derivable failure and let every other
+    error — superseded-token refusal, pathological-contention
+    exhaustion, IO faults — propagate untouched."""
 
 
 def _read_pointer(root: str) -> tuple[int, str | None]:
@@ -318,7 +349,7 @@ def publish(
         and observed != _require_parent
         and observed != sid  # an already-landed commit is the no-op below
     ):
-        raise RuntimeError(
+        raise ConcurrentPublishError(
             f"concurrent publish detected at {root!r}: this commit's "
             f"content was derived from {_require_parent!r} but current "
             f"is {observed!r}; re-derive on top of the new current "
@@ -361,11 +392,12 @@ def publish(
         # persistent-checkpoint stream permanently wedged — foreachBatch
         # derives sid from the epoch id and cannot mint a fresh token,
         # so the restart re-raised forever until manual cleanup.
-        # Any other parent means the token committed earlier and was
-        # since superseded — replaying it would tear the live lineage,
-        # so the caller must retry with a FRESH token on the new
-        # current. (If a rollback/restore op is ever added, it must
-        # tombstone rolled-back manifests so this test stays sound.)
+        # Any other parent splits two ways, adjudicated below by a
+        # lineage walk (r12b): committed-then-superseded (refuse — a
+        # replay would tear the live lineage) vs the crash residue of
+        # a LOST commit attempt (adopt — delete and commit fresh).
+        # (If a rollback/restore op is ever added, it must tombstone
+        # rolled-back manifests so the lineage test stays sound.)
         if _manifest(root, sid).get("parent") == observed:
             # Finish the torn commit via the CAS (r12): the pointer
             # advance is conditional on the generation we observed, so
@@ -384,12 +416,30 @@ def publish(
                 return sid
             if _read_pointer(root)[1] == sid:
                 return sid  # a same-token replay completed the commit
-        raise RuntimeError(
-            f"snapshot token {sid!r} already has a committed manifest at "
-            f"{root!r} but is not the current snapshot "
-            f"({observed!r}); replaying a superseded token would tear "
-            f"the live lineage — retry with a fresh snapshot_id"
-        )
+            observed_gen, observed = _read_pointer(root)
+        # Residue vs superseded (r12b): the manifest's parent is not
+        # the current snapshot, so either the token COMMITTED earlier
+        # and was superseded (replaying would tear the live lineage —
+        # refuse), or it is the residue of a commit attempt that LOST
+        # its pointer race and crashed before the OCC scrub (never
+        # visible to any reader — safe to adopt: delete the residue
+        # and commit this replay fresh on the current lineage). The
+        # two are distinguishable because committed snapshots form the
+        # EXACT linear history of the pointer (each commit's parent is
+        # the generation value it replaced), so a COMPLETE parent walk
+        # from current that never meets ``sid`` proves it never
+        # committed. A walk truncated by the vacuum horizon
+        # (FileNotFoundError only, the r11 rule) proves nothing —
+        # refuse conservatively.
+        if _committed_in_lineage(root, sid, observed) is False:
+            os.unlink(os.path.join(man_dir, f"{sid}.json"))
+        else:
+            raise RuntimeError(
+                f"snapshot token {sid!r} already has a committed manifest "
+                f"at {root!r} but is not the current snapshot "
+                f"({observed!r}); replaying a superseded token would tear "
+                f"the live lineage — retry with a fresh snapshot_id"
+            )
     staged = os.path.join(data_dir, sid)
     # stage: snapshot-unique prefix; overwrite = idempotent retry
     df.write.mode("overwrite").parquet(staged)
@@ -463,10 +513,12 @@ def _commit_staged(
     contract — only different-token writers get the CAS guarantee.
 
     Side effect on a lost+raised race: ``sid``'s manifest file remains
-    on disk (parent = the superseded snapshot). That is the same
-    residue the pre-CAS code left and is inert — unreferenced by any
-    pointer, reaped by vacuum, and a same-token retry hits the
-    superseded-token refusal exactly as before.
+    on disk (parent = the superseded snapshot) — inert residue,
+    unreferenced by any pointer, reaped by vacuum. A same-token retry
+    no longer wedges on it (r12b): the OCC rebase loop scrubs it
+    before re-deriving, and publish itself adjudicates residue vs
+    committed-then-superseded by lineage walk, adopting provable
+    residue instead of refusing it.
     """
     man_dir = os.path.join(root, _MANIFESTS)
     for _ in range(_COMMIT_RETRIES):
@@ -511,7 +563,7 @@ def _commit_staged(
         if observed == sid:
             return sid  # a same-token twin finished this commit
         if not append and (parent_check or inherit_files is not None):
-            raise RuntimeError(
+            raise ConcurrentPublishError(
                 f"concurrent publish detected at {root!r}: current moved "
                 f"from {parent!r} to {observed!r}; retry on top of the "
                 "new current snapshot"
@@ -521,6 +573,30 @@ def _commit_staged(
         "consecutive pointer races — the root is pathologically "
         "contended (or a writer loop is republishing in a tight cycle)"
     )
+
+
+def _committed_in_lineage(root: str, sid: str, cur: str | None) -> bool | None:
+    """Whether ``sid`` is an ancestor-or-self of ``cur``.
+
+    True — found: the token committed (and was later superseded).
+    False — the walk COMPLETED to the lineage root without meeting it:
+    provably never committed, because committed snapshots are exactly
+    the pointer's linear history (each commit's parent is the
+    generation value its CAS replaced, and nothing moves the pointer
+    backward). None — the walk was truncated at the vacuum retention
+    horizon: ONLY ``FileNotFoundError`` on an ancestor manifest means
+    truncation (the r11 rule); any other error is transient IO and
+    propagates rather than masquerading as an adjudication."""
+    seen: set[str] = set()
+    while cur is not None and cur not in seen:
+        if cur == sid:
+            return True
+        seen.add(cur)
+        try:
+            cur = _manifest(root, cur)["parent"]
+        except FileNotFoundError:
+            return None
+    return False
 
 
 def current_snapshot(root: str) -> str | None:
@@ -593,12 +669,38 @@ def read_pruned(
     return spark.read.parquet(*kept).filter(residual)
 
 
+def _scrub_lost_attempt(
+    root: str, sid: str | None, derived_parent: str | None
+) -> None:
+    """Remove the manifest residue a LOST same-token commit attempt
+    left behind, so an OCC rebase retry of that token isn't refused by
+    publish's superseded-token check. Only scrubs a manifest provably
+    written by the lost attempt: its recorded parent must equal the
+    parent the attempt derived against. A manifest from an earlier
+    COMMITTED life of the token can never satisfy that — its parent is
+    a strict ANCESTOR of the current we just derived from (the pointer
+    never moves backward), so live-lineage manifests are untouchable
+    here. No-op for auto-minted tokens (each attempt gets a fresh sid;
+    residue is inert and vacuum-reaped) and when the lost attempt
+    failed publish's pre-check before writing any manifest."""
+    if sid is None:
+        return
+    if _read_pointer(root)[1] == sid:
+        return  # a same-token twin finished the commit: manifest is live
+    try:
+        if _manifest(root, sid).get("parent") == derived_parent:
+            os.unlink(os.path.join(root, _MANIFESTS, f"{sid}.json"))
+    except OSError:
+        pass  # no residue (pre-check loss) or already scrubbed
+
+
 def merge_upsert(
     spark: SparkSession,
     df: DataFrame,
     root: str,
     key_col: str,
     snapshot_id: str | None = None,
+    rebase_retries: int | None = None,
 ) -> str:
     """Row-level upsert as a COPY-ON-WRITE commit (Delta's MERGE in
     miniature): rows in ``df`` replace current rows with the same
@@ -629,26 +731,53 @@ def merge_upsert(
     and without pinning, a non-deterministic source could pass the
     duplicate check yet stage different rows. The persist makes every
     consumer read the SAME materialization; sources should still be
-    deterministic (every table format demands it of MERGE batches)."""
+    deterministic (every table format demands it of MERGE batches).
+
+    CONCURRENCY (r12b — the Delta/Iceberg OCC retry loop): a merge
+    that loses the pointer race to an interloping commit auto-REBASES
+    up to ``rebase_retries`` times (default ``_REBASE_RETRIES``):
+    re-read the fresh current, RE-DERIVE survivors against it, and
+    re-commit. Re-derivation IS the conflict resolution — the retry
+    re-executes the merge on the winner's result, so the outcome
+    equals the serial order "winner, then this merge": a concurrent
+    append's rows are seen (and updated if their keys match the
+    batch); a concurrent merge's result is merged into last-writer-
+    wins per key. ``rebase_retries=0`` restores raise-to-caller
+    (``ConcurrentPublishError``). Exhaustion re-raises."""
     from pyspark.sql import functions as F
 
     import bisect
 
-    parent = current_snapshot(root)
-    if snapshot_id is not None and parent == snapshot_id:
-        # Exactly-once replay guard (the foreachBatch epoch contract):
-        # this merge already committed. Re-deriving it would merge the
-        # batch into ITS OWN RESULT — updates are idempotent but
-        # inserts would anti-join against themselves and survive as
-        # duplicates-in-time; the guard makes retry a no-op instead.
-        return snapshot_id
-    if parent is None:
-        return publish(df, root, snapshot_id=snapshot_id)
-    pm = _manifest(root, parent)
-    meta = pm.get("files_meta", {})
+    retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
     df = df.persist()
     try:
-        return _merge_upsert_pinned(spark, df, root, key_col, snapshot_id, pm, meta)
+        for attempt in range(retries + 1):
+            parent = current_snapshot(root)
+            if snapshot_id is not None and parent == snapshot_id:
+                # Exactly-once replay guard (the foreachBatch epoch
+                # contract): this merge already committed — possibly by
+                # a twin that finished our token mid-rebase. Re-deriving
+                # would merge the batch into ITS OWN RESULT — updates
+                # are idempotent but inserts would anti-join against
+                # themselves and survive as duplicates-in-time; the
+                # guard makes retry a no-op instead.
+                return snapshot_id
+            try:
+                if parent is None:
+                    # Empty table: a plain publish, but parent_check
+                    # still races — a concurrent first-writer landing
+                    # before our CAS raises, and the rebase loop re-
+                    # enters through the real merge path against it.
+                    return publish(df, root, snapshot_id=snapshot_id)
+                pm = _manifest(root, parent)
+                return _merge_upsert_pinned(
+                    spark, df, root, key_col, snapshot_id, pm,
+                    pm.get("files_meta", {}),
+                )
+            except ConcurrentPublishError:
+                if attempt == retries:
+                    raise
+                _scrub_lost_attempt(root, snapshot_id, parent)
     finally:
         df.unpersist()
 
@@ -730,6 +859,7 @@ def compact_snapshot(
     root: str,
     target_files: int,
     snapshot_id: str | None = None,
+    rebase_retries: int | None = None,
 ) -> str:
     """OPTIMIZE: rewrite the current snapshot's data into
     ``target_files`` right-sized files and commit the result as a new
@@ -741,26 +871,43 @@ def compact_snapshot(
     This is what absorbs the per-micro-batch file debris a
     foreachBatch append pipeline accumulates (one tiny file per
     epoch). Zone-map columns recorded by the parent are re-harvested
-    for the compacted files."""
-    parent = current_snapshot(root)
-    if parent is None:
-        raise FileNotFoundError(f"no current snapshot at {root!r}")
-    if snapshot_id is not None and parent == snapshot_id:
-        return snapshot_id  # replayed compaction: already committed
-    pm = _manifest(root, parent)
-    stats_cols = sorted(
-        {c for m in pm.get("files_meta", {}).values() for c in m.get("stats", {})}
-    ) or None
-    df = read_snapshot(spark, root, parent).coalesce(target_files)
-    # the rewrite is parent's content: commit conditionally on it —
-    # an append landing mid-compaction must not vanish from current
-    return publish(
-        df,
-        root,
-        snapshot_id=snapshot_id,
-        stats_cols=stats_cols,
-        _require_parent=parent,
-    )
+    for the compacted files.
+
+    CONCURRENCY (r12b): a commit landing between the compaction's
+    parent read and its own commit loses the CAS and auto-REBASES —
+    re-read the fresh current, re-run the rewrite on IT, re-commit
+    (up to ``rebase_retries``, default ``_REBASE_RETRIES``; 0 restores
+    raise-to-caller). Unlike a merge there is no cross-commit
+    semantics question: a compaction is content-neutral, so rebasing
+    simply compacts the winner's table — the appended rows an r11-era
+    lost race would have required the CALLER to re-absorb now survive
+    into the compacted snapshot automatically."""
+    retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
+    for attempt in range(retries + 1):
+        parent = current_snapshot(root)
+        if parent is None:
+            raise FileNotFoundError(f"no current snapshot at {root!r}")
+        if snapshot_id is not None and parent == snapshot_id:
+            return snapshot_id  # replayed compaction: already committed
+        pm = _manifest(root, parent)
+        stats_cols = sorted(
+            {c for m in pm.get("files_meta", {}).values() for c in m.get("stats", {})}
+        ) or None
+        df = read_snapshot(spark, root, parent).coalesce(target_files)
+        # the rewrite is parent's content: commit conditionally on it —
+        # an append landing mid-compaction must not vanish from current
+        try:
+            return publish(
+                df,
+                root,
+                snapshot_id=snapshot_id,
+                stats_cols=stats_cols,
+                _require_parent=parent,
+            )
+        except ConcurrentPublishError:
+            if attempt == retries:
+                raise
+            _scrub_lost_attempt(root, snapshot_id, parent)
 
 
 def added_files(root: str, from_sid: str | None, to_sid: str) -> list[str]:

@@ -5,6 +5,7 @@ travel, concurrent-publish detection, and vacuum — the object-store
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -545,10 +546,11 @@ def test_recovery_cas_never_orphans_concurrent_commit(
     `observed` between the torn-commit recovery's entry read and its
     pointer advance now makes the recovery's CAS LOSE — the old blind
     flip silently orphaned the concurrent commit from the live
-    lineage; that outcome is now impossible. The replay surfaces the
-    unretryable superseded error, the concurrent commit stays current,
-    and the loser's manifest + files remain whole and time-travel
-    readable (inert residue, reaped by vacuum)."""
+    lineage; that outcome is now impossible. r12b extends the recovery
+    past the lost CAS: the lineage walk proves epoch-1 never committed
+    (pure residue), so the replay is ADOPTED — restaged and committed
+    as a child of the concurrent winner. Both commits land, serialized,
+    every row exactly once, and the stream un-wedges."""
     root = str(tmp_path / "tbl")
     M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
     M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
@@ -559,23 +561,18 @@ def test_recovery_cas_never_orphans_concurrent_commit(
     M.publish(spark.range(100, 103), root, snapshot_id="epoch-2", append=True)
     assert M.current_snapshot(root) == "epoch-2"
     _stale_once(monkeypatch, stale)
-    with pytest.raises(RuntimeError, match="superseded"):
-        M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    out = M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
     monkeypatch.undo()
-    # the concurrent commit was NOT orphaned: still current, lineage
-    # complete, rows intact
-    assert M.current_snapshot(root) == "epoch-2"
-    assert M.snapshots(root) == ["epoch-0", "epoch-2"]
+    assert out == "epoch-1"
+    # the concurrent commit was NOT orphaned: epoch-2 is in the live
+    # lineage and every one of its rows is current
+    assert M.current_snapshot(root) == "epoch-1"
+    assert M.snapshots(root) == ["epoch-0", "epoch-2", "epoch-1"]
+    # the adopted replay landed as a child of the winner, exactly once
+    assert M._manifest(root, "epoch-1")["parent"] == "epoch-2"
     assert sorted(
         r["id"] for r in M.read_current(spark, root).select("id").collect()
-    ) == list(range(10)) + [100, 101, 102]
-    # the losing replay's residue is whole, not torn: manifest present,
-    # every file present, time-travel readable
-    man = M._manifest(root, "epoch-1")
-    assert man["parent"] == "epoch-0"
-    for f in man["files"]:
-        assert os.path.exists(os.path.join(root, f)), f
-    assert M.read_snapshot(spark, root, "epoch-1").count() == 15
+    ) == list(range(15)) + [100, 101, 102]
 
 
 def test_recovery_flip_tolerates_same_token_race(spark, tmp_path, monkeypatch):
@@ -881,12 +878,15 @@ def test_vacuum_prunes_generation_log_keeping_pointer(spark, tmp_path):
     assert M.read_current(spark, root).count() > 0
 
 
-def test_lost_race_merge_commit_raises_for_rederivation(spark, tmp_path, monkeypatch):
+def test_lost_race_merge_raises_typed_with_rebase_disabled(
+    spark, tmp_path, monkeypatch
+):
     """A merge commit's content is DERIVED from the parent it read
     (survivor rows from the touched files), so a lost pointer race
-    must NOT silently re-point — the caller has to re-derive against
-    the new current. Pinned via a stale parent capture around a real
-    interloping commit."""
+    must NOT silently re-point. With ``rebase_retries=0`` (the pre-
+    r12b contract) the typed ConcurrentPublishError surfaces for the
+    caller to re-derive. Pinned via a stale parent capture around a
+    real interloping commit."""
     root = str(tmp_path / "tbl")
     M.publish(
         spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v")),
@@ -902,24 +902,227 @@ def test_lost_race_merge_commit_raises_for_rederivation(spark, tmp_path, monkeyp
     )
     _stale_once(monkeypatch, stale)
     upd = spark.range(5).select(F.col("id"), F.lit(-1).cast("long").alias("v"))
-    with pytest.raises(RuntimeError, match="concurrent publish"):
-        M.merge_upsert(spark, upd, root, "id")
+    with pytest.raises(M.ConcurrentPublishError, match="concurrent publish"):
+        M.merge_upsert(spark, upd, root, "id", rebase_retries=0)
     monkeypatch.undo()
+    # nothing clobbered: the interloper's overwrite is still current
+    assert M.read_current(spark, root).count() == 50
 
 
-def test_lost_race_compaction_raises_not_clobbers(spark, tmp_path, monkeypatch):
+def test_lost_race_merge_rebases_to_the_serial_outcome(
+    spark, tmp_path, monkeypatch
+):
+    """r12b OCC: by default a merge that lost the race RE-DERIVES on
+    the interloper's result and lands — the outcome must equal the
+    serial order (interloper, then merge). The interloper overwrote
+    the table down to ids 0..49 (v = id*3); the merge updates ids 0..4
+    to v=-1 and must see the INTERLOPER's table, not its stale parent:
+    50 rows, five of them -1, the rest id*3."""
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root,
+        stats_cols=["id"],
+    )
+    stale = M._read_pointer(root)
+    M.publish(
+        spark.range(50).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        root,
+        stats_cols=["id"],
+    )
+    _stale_once(monkeypatch, stale)
+    upd = spark.range(5).select(F.col("id"), F.lit(-1).cast("long").alias("v"))
+    sid = M.merge_upsert(spark, upd, root, "id")
+    monkeypatch.undo()
+    assert M.current_snapshot(root) == sid
+    rows = {r["id"]: r["v"] for r in M.read_current(spark, root).collect()}
+    assert len(rows) == 50
+    assert all(rows[i] == -1 for i in range(5))
+    assert all(rows[i] == i * 3 for i in range(5, 50))
+
+
+def test_lost_race_compaction_rebases_absorbing_the_append(
+    spark, tmp_path, monkeypatch
+):
     """compact_snapshot rewrites the parent's content; an append that
-    lands between the compaction's read and its commit must surface as
-    the concurrent-publish error — committing the stale rewrite would
-    silently drop the appended rows from current."""
+    lands between the compaction's read and its commit must never be
+    dropped. r12b: the compaction auto-rebases and compacts the
+    WINNER's table, so the appended rows survive into the compacted
+    current; with rebase_retries=0 the typed error surfaces instead
+    (the pre-r12b contract), leaving the append current."""
     root = str(tmp_path / "tbl")
     M.publish(spark.range(100), root)
     stale = M._read_pointer(root)
-    # interloper appends while the compaction derives
     M.publish(spark.range(100, 120), root, append=True)
     _stale_once(monkeypatch, stale)
-    with pytest.raises(RuntimeError, match="concurrent publish"):
-        M.compact_snapshot(spark, root, target_files=1)
+    with pytest.raises(M.ConcurrentPublishError, match="concurrent publish"):
+        M.compact_snapshot(spark, root, target_files=1, rebase_retries=0)
     monkeypatch.undo()
-    # nothing clobbered: the append's rows are all still current
     assert M.read_current(spark, root).count() == 120
+    # same race, default retries: the rebase compacts the post-append
+    # table — 120 rows, one file, appended ids present
+    stale = M._read_pointer(root)
+    M.publish(spark.range(120, 130), root, append=True)
+    _stale_once(monkeypatch, stale)
+    sid = M.compact_snapshot(spark, root, target_files=1)
+    monkeypatch.undo()
+    assert M.current_snapshot(root) == sid
+    assert len(M._manifest(root, sid)["files"]) == 1
+    got = sorted(r["id"] for r in M.read_current(spark, root).collect())
+    assert got == list(range(130))
+
+
+def test_merge_rebase_same_token_scrubs_its_lost_residue(
+    spark, tmp_path, monkeypatch
+):
+    """The hard same-token case: the first attempt writes sid's
+    manifest, then loses the CAS to an interloper landing between the
+    derivation and the pointer advance. Without the scrub, the retry
+    would be refused as a superseded-token replay (the residue's
+    parent is stale). The rebase must remove exactly its own residue,
+    re-derive on the interloper, and land the epoch token once —
+    committed manifest's parent IS the interloper."""
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root,
+        stats_cols=["id"],
+        snapshot_id="base",
+    )
+    orig_adv = M._advance_pointer
+    state = {"fired": False}
+
+    def adv_with_interloper(r, expect_gen, new_sid):
+        # the worst instruction: an interloper append commits AFTER the
+        # merge wrote its manifest, IMMEDIATELY before its CAS
+        if not state["fired"] and new_sid == "epoch-7":
+            state["fired"] = True
+            M.publish(
+                spark.range(100, 103).select(
+                    F.col("id"), (F.col("id") * 2).alias("v")
+                ),
+                root,
+                append=True,
+                snapshot_id="interloper",
+            )
+        return orig_adv(r, expect_gen, new_sid)
+
+    monkeypatch.setattr(M, "_advance_pointer", adv_with_interloper)
+    upd = spark.range(3).select(F.col("id"), F.lit(-1).cast("long").alias("v"))
+    out = M.merge_upsert(spark, upd, root, "id", snapshot_id="epoch-7")
+    monkeypatch.undo()
+    assert out == "epoch-7"
+    assert M.current_snapshot(root) == "epoch-7"
+    # exactly one committed life of the token, rebased onto the winner
+    assert M._manifest(root, "epoch-7")["parent"] == "interloper"
+    rows = {r["id"]: r["v"] for r in M.read_current(spark, root).collect()}
+    assert len(rows) == 13  # 10 base + 3 interloper rows, merged once
+    assert all(rows[i] == -1 for i in range(3))
+    assert all(rows[i] == i * 2 for i in list(range(3, 10)) + [100, 101, 102])
+    # replay of the committed epoch stays a no-op (exactly-once guard)
+    assert M.merge_upsert(spark, upd, root, "id", snapshot_id="epoch-7") == "epoch-7"
+    assert M.read_current(spark, root).count() == 13
+
+
+def test_publish_adopts_provable_crash_residue_token(spark, tmp_path):
+    """Crash between a lost CAS and the rebase scrub leaves a manifest
+    whose token never committed. The r12b lineage adjudication in
+    publish must ADOPT such a replay (delete the residue, commit fresh
+    on the live lineage) instead of wedging the stream on the
+    superseded-token refusal — the walk from current completes without
+    meeting the token, which PROVES it never committed."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
+    M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
+    # handcraft the crash residue: epoch-2 staged + manifest written
+    # against epoch-0 (a parent the pointer has moved past), CAS lost,
+    # process died before any scrub
+    staged = os.path.join(root, "data", "epoch-2")
+    os.makedirs(staged)
+    with open(os.path.join(root, "_manifests", "epoch-2.json"), "w") as fh:
+        json.dump(
+            {"snapshot_id": "epoch-2", "parent": "epoch-0",
+             "files": [], "row_count": None},
+            fh,
+        )
+    out = M.publish(spark.range(20, 23), root, snapshot_id="epoch-2", append=True)
+    assert out == "epoch-2"
+    assert M.current_snapshot(root) == "epoch-2"
+    assert M._manifest(root, "epoch-2")["parent"] == "epoch-1"  # adopted fresh
+    got = sorted(r["id"] for r in M.read_current(spark, root).collect())
+    assert got == list(range(15)) + [20, 21, 22]  # exactly once
+
+
+def test_publish_refuses_residue_when_lineage_walk_truncates(spark, tmp_path):
+    """The adoption proof requires a COMPLETE lineage walk; when vacuum
+    has reaped ancestor manifests (FileNotFoundError — the retention
+    horizon), residue and committed-then-superseded are
+    indistinguishable and the replay must stay refused."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(5), root, snapshot_id="e0", append=True)
+    M.publish(spark.range(5, 10), root, snapshot_id="e1", append=True)
+    M.publish(spark.range(10, 15), root, snapshot_id="e2", append=True)
+    M.vacuum(root, keep=1)  # e0/e1 manifests reaped: walk now truncates
+    with open(os.path.join(root, "_manifests", "ghost.json"), "w") as fh:
+        json.dump(
+            {"snapshot_id": "ghost", "parent": "e1",
+             "files": [], "row_count": None},
+            fh,
+        )
+    with pytest.raises(RuntimeError, match="superseded"):
+        M.publish(spark.range(99), root, snapshot_id="ghost", append=True)
+    assert M.current_snapshot(root) == "e2"  # untouched
+
+
+def test_concurrent_merges_all_land_serialized(spark, tmp_path):
+    """r12b, the OCC loop under REAL thread concurrency: N writers
+    race full merge_upsert commits (distinct tokens, disjoint insert
+    keys, plus one contended key they all update) against one root.
+    Every merge must land — losers re-derive on the winner's result —
+    and the final table must equal SOME serial application: every
+    writer's inserts present exactly once, the contended key holding
+    exactly one writer's value, and every token in the lineage. Worst
+    case one merge loses 3 rival commits, exactly _REBASE_RETRIES, so
+    the DEFAULT retry budget must absorb an N=4 storm."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(10).select(F.col("id"), F.lit(0).cast("long").alias("v"))
+    M.publish(base, root, snapshot_id="base", stats_cols=["id"])
+    n_writers = 4
+    frames = {
+        w: spark.createDataFrame(
+            [(0, w + 1)] + [(100 * (w + 1) + j, w + 1) for j in range(3)],
+            "id long, v long",
+        )
+        for w in range(n_writers)
+    }
+    errors = []
+
+    def writer(w):
+        try:
+            M.merge_upsert(
+                spark, frames[w], root, "id", snapshot_id=f"m{w}"
+            )
+        except Exception as e:  # surfaced below; a raise = lost merge
+            errors.append((w, repr(e)))
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    chain = M.snapshots(root)
+    assert set(chain) == {"base"} | {f"m{w}" for w in range(n_writers)}
+    rows = {r["id"]: r["v"] for r in M.read_current(spark, root).collect()}
+    # base rows 1..9 untouched; id 0 = exactly one writer's update;
+    # every writer's three inserts present with its own value
+    assert all(rows[i] == 0 for i in range(1, 10))
+    assert rows[0] in {w + 1 for w in range(n_writers)}
+    for w in range(n_writers):
+        for j in range(3):
+            assert rows[100 * (w + 1) + j] == w + 1
+    assert len(rows) == 10 + 3 * n_writers
