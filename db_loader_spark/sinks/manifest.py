@@ -396,8 +396,10 @@ def publish(
         # lineage walk (r12b): committed-then-superseded (refuse — a
         # replay would tear the live lineage) vs the crash residue of
         # a LOST commit attempt (adopt — delete and commit fresh).
-        # (If a rollback/restore op is ever added, it must tombstone
-        # rolled-back manifests so the lineage test stays sound.)
+        # (restore_snapshot keeps these adjudications sound by never
+        # moving the pointer backward: a rollback is a NEW child
+        # commit inheriting the target's files, so history stays
+        # linear and no tombstoning is needed.)
         if _manifest(root, sid).get("parent") == observed:
             # Finish the torn commit via the CAS (r12): the pointer
             # advance is conditional on the generation we observed, so
@@ -908,6 +910,100 @@ def compact_snapshot(
             if attempt == retries:
                 raise
             _scrub_lost_attempt(root, snapshot_id, parent)
+
+
+def restore_snapshot(
+    root: str, sid: str, snapshot_id: str | None = None
+) -> str:
+    """RESTORE (Delta ``RESTORE TABLE ... TO VERSION``, Iceberg
+    rollback): make the table's current state equal snapshot ``sid``
+    again, as a NEW commit — metadata only, zero data movement. The
+    new manifest inherits the target's file list by reference (files
+    are immutable and, within the vacuum retention window, still on
+    disk), so a 100 TB rollback is one JSON write + one pointer CAS.
+
+    CRITICALLY, the pointer never moves BACKWARD: restore mints a
+    fresh snapshot that is a CHILD of the current one. That keeps the
+    lineage linear and every adjudication in this module sound — the
+    torn-commit test (``manifest.parent == observed`` ⇔ never
+    flipped), the residue-vs-superseded lineage walk, and the
+    ``snapshots()`` cycle guard all rely on monotonic history. A
+    restore that re-pointed at the OLD sid would need manifest
+    tombstones; a restore that REUSED a committed token would write a
+    cycle into the parent chain — both are refused here.
+
+    Rules:
+    - The target must be a COMMITTED snapshot in the current lineage
+      (walk-proven). A residue manifest, or a target past the vacuum
+      horizon (manifest reaped — FileNotFoundError — or any listed
+      data file already vacuumed), is refused: committing a manifest
+      over missing files would tear every future read.
+    - Restoring to the current snapshot is a documented no-op
+      returning ``sid`` (nothing to change; Delta's behavior).
+    - A lost pointer race retries on the fresh parent: the inherited
+      content is derived from the immutable TARGET, not from the
+      parent, so the rebuild is pure metadata (the same reason append
+      losers retry inside ``_commit_staged`` — restore loops here
+      because that guard conservatively pins every ``inherit_files``
+      commit, whose usual source is merge derivation).
+    """
+    man_dir = os.path.join(root, _MANIFESTS)
+    tm = _manifest(root, sid)  # FileNotFoundError: reaped target
+    missing = [
+        f for f in tm["files"]
+        if not os.path.exists(os.path.join(root, f))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {root!r} to {sid!r}: {len(missing)} of its "
+            f"data files were vacuumed (first: {missing[0]!r})"
+        )
+    new_sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+    for _ in range(_COMMIT_RETRIES):
+        observed_gen, observed = _read_pointer(root)
+        if observed == new_sid:
+            return new_sid  # replayed restore: already committed
+        if observed == sid:
+            return sid  # already AT the target state: no-op
+        if _committed_in_lineage(root, sid, observed) is not True:
+            raise RuntimeError(
+                f"cannot restore {root!r} to {sid!r}: not a committed "
+                "snapshot of the live lineage (a lost-commit residue "
+                "manifest, or the walk truncated at the vacuum horizon)"
+            )
+        if os.path.exists(os.path.join(man_dir, f"{new_sid}.json")):
+            # same adjudication as publish: a committed-then-superseded
+            # token must never recommit (its manifest is load-bearing
+            # history — overwriting writes a CYCLE into the chain);
+            # provable crash residue of a lost restore is adopted.
+            if _committed_in_lineage(root, new_sid, observed) is False:
+                os.unlink(os.path.join(man_dir, f"{new_sid}.json"))
+            else:
+                raise RuntimeError(
+                    f"snapshot token {new_sid!r} already has a committed "
+                    f"manifest at {root!r}; restoring over it would "
+                    "corrupt the lineage — use a fresh snapshot_id"
+                )
+        try:
+            return _commit_staged(
+                root,
+                new_sid,
+                [],
+                new_meta={},
+                append=False,
+                parent_check=True,
+                inherit_files=list(tm["files"]),
+                inherit_meta=dict(tm.get("files_meta", {})),
+                observed_gen=observed_gen,
+                observed=observed,
+            )
+        except ConcurrentPublishError:
+            continue  # metadata-only rebuild: re-read, re-commit
+    raise ConcurrentPublishError(
+        f"restore of {root!r} to {sid!r} lost {_COMMIT_RETRIES} "
+        "consecutive pointer races — the root is pathologically "
+        "contended"
+    )
 
 
 def added_files(root: str, from_sid: str | None, to_sid: str) -> list[str]:

@@ -1126,3 +1126,113 @@ def test_concurrent_merges_all_land_serialized(spark, tmp_path):
         for j in range(3):
             assert rows[100 * (w + 1) + j] == w + 1
     assert len(rows) == 10 + 3 * n_writers
+
+
+def test_restore_snapshot_rolls_back_as_a_new_commit(spark, tmp_path):
+    """RESTORE semantics (Delta RESTORE TO VERSION, metadata-only):
+    current state equals the target snapshot again, committed as a NEW
+    child — the pointer never moves backward, the lineage stays
+    linear, and no data is rewritten (the restored manifest lists the
+    target's files by reference, zone maps included)."""
+    root = str(tmp_path / "tbl")
+    s1 = M.publish(
+        spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root,
+        stats_cols=["id"],
+    )
+    s2 = M.merge_upsert(
+        spark,
+        spark.range(5).select(F.col("id"), F.lit(-1).cast("long").alias("v")),
+        root,
+        "id",
+    )
+    assert M.read_current(spark, root).where("v = -1").count() == 5
+    r = M.restore_snapshot(root, s1)
+    assert M.current_snapshot(root) == r and r not in (s1, s2)
+    assert M.snapshots(root) == [s1, s2, r]  # forward-only lineage
+    # value-level: exactly the pre-merge table again
+    rows = {x["id"]: x["v"] for x in M.read_current(spark, root).collect()}
+    assert rows == {i: i * 2 for i in range(100)}
+    # metadata-only: the restored manifest references s1's files and
+    # re-derives its row_count + zone maps from them
+    rm, m1 = M._manifest(root, r), M._manifest(root, s1)
+    assert rm["files"] == m1["files"]
+    assert rm["row_count"] == 100
+    assert rm.get("files_meta") == m1.get("files_meta")
+    # the undone merge stays time-travel readable (it is history)
+    assert M.read_snapshot(spark, root, s2).where("v = -1").count() == 5
+    # vacuum keeps the restored files (they are current-referenced)
+    M.vacuum(root, keep=1)
+    assert M.read_current(spark, root).count() == 100
+    # restoring to the current state is a documented no-op
+    assert M.restore_snapshot(root, r) == r
+    assert M.snapshots(root)[-1] == r
+
+
+def test_restore_refuses_unprovable_or_vacuumed_targets(spark, tmp_path):
+    """A restore target must be a walk-proven committed snapshot with
+    every data file still on disk: residue manifests, reaped
+    manifests, and vacuumed file lists are all refused loudly (a
+    manifest over missing files would tear every future read)."""
+    root = str(tmp_path / "tbl")
+    s1 = M.publish(spark.range(10), root)
+    s2 = M.publish(spark.range(20), root)
+    # residue manifest (never committed): refused
+    with open(os.path.join(root, "_manifests", "ghost.json"), "w") as fh:
+        json.dump(
+            {"snapshot_id": "ghost", "parent": s1, "files": [],
+             "row_count": None},
+            fh,
+        )
+    with pytest.raises(RuntimeError, match="not a committed snapshot"):
+        M.restore_snapshot(root, "ghost")
+    # vacuumed target: manifest reaped -> FileNotFoundError
+    s3 = M.publish(spark.range(30), root)
+    M.vacuum(root, keep=1)
+    with pytest.raises(FileNotFoundError):
+        M.restore_snapshot(root, s1)
+    # manifest present but a data file missing: refused before commit
+    s4 = M.publish(spark.range(40), root)
+    victim = M._manifest(root, s3)["files"][0]
+    os.remove(os.path.join(root, victim))
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        M.restore_snapshot(root, s3)
+    assert M.current_snapshot(root) == s4  # refusals never pointed
+
+
+def test_restore_token_reuse_refused_but_replay_is_idempotent(
+    spark, tmp_path
+):
+    """A restore epoch token replays idempotently while it is current,
+    but a token that committed and was superseded must be refused —
+    recommitting it would write a cycle into the parent chain."""
+    root = str(tmp_path / "tbl")
+    s1 = M.publish(spark.range(10), root)
+    M.publish(spark.range(20), root)
+    out = M.restore_snapshot(root, s1, snapshot_id="restore-1")
+    assert out == "restore-1"
+    # replay while current: no-op
+    assert M.restore_snapshot(root, s1, snapshot_id="restore-1") == "restore-1"
+    assert M.snapshots(root).count("restore-1") == 1
+    # superseded, then replayed: refused
+    M.publish(spark.range(5), root)
+    with pytest.raises(RuntimeError, match="corrupt the lineage"):
+        M.restore_snapshot(root, s1, snapshot_id="restore-1")
+
+
+def test_restore_lost_race_retries_and_lands(spark, tmp_path, monkeypatch):
+    """A restore whose CAS loses to an interloping commit re-reads and
+    re-commits (its content derives from the immutable TARGET, not the
+    parent, so the rebuild is pure metadata). The landed restore is a
+    child of the interloper and still reproduces the target's rows."""
+    root = str(tmp_path / "tbl")
+    s1 = M.publish(spark.range(10), root)
+    s2 = M.publish(spark.range(20), root)
+    stale = M._read_pointer(root)
+    s3 = M.publish(spark.range(5), root)  # interloper
+    _stale_once(monkeypatch, stale)
+    r = M.restore_snapshot(root, s1)
+    monkeypatch.undo()
+    assert M.current_snapshot(root) == r
+    assert M.snapshots(root) == [s1, s2, s3, r]  # interloper in lineage
+    assert M.read_current(spark, root).count() == 10
