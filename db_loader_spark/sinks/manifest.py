@@ -238,6 +238,73 @@ def _advance_pointer(root: str, expect_gen: int, new_sid: str) -> bool:
     return True
 
 
+def _schema_json(df: DataFrame) -> dict:
+    """The snapshot schema a commit records in its manifest, as Spark
+    StructType JSON with every field forced NULLABLE. Nullable is the
+    only honest nullability for a manifest-recorded schema: schema
+    evolution means old files can lack a later column entirely (read
+    as NULL), and parquet read-back surfaces nullable fields anyway —
+    recording a non-nullable field would promise more than an evolved
+    lineage can keep."""
+    return {
+        "type": "struct",
+        "fields": [
+            {**f, "nullable": True} for f in df.schema.jsonValue()["fields"]
+        ],
+    }
+
+
+def _merge_schemas(
+    parent: dict | None, new: dict | None, allow_new: bool, root: str
+) -> dict | None:
+    """The schema an APPEND commit records: the parent's columns, in
+    the parent's order, plus any columns the appended frame adds (at
+    the end — the Delta mergeSchema shape). Shared column names must
+    have IDENTICAL types — no implicit casts, ever; a type conflict is
+    a loud error, not a coerced read. New columns require the caller
+    to opt in (``merge_schema=True``): silently widening a table's
+    contract is how downstream readers break at 3am. Appending a
+    SUBSET of the parent's columns is always fine — the missing
+    columns read as NULL through the recorded schema. A legacy parent
+    (no recorded schema — pre-evolution lineage) stays legacy: the old
+    files' columns are unknown, so inventing a contract that might not
+    cover them would hide data."""
+    if parent is None or new is None:
+        return None
+    ptypes = {f["name"]: f["type"] for f in parent["fields"]}
+    out = [dict(f) for f in parent["fields"]]
+    for f in new["fields"]:
+        if f["name"] in ptypes:
+            if ptypes[f["name"]] != f["type"]:
+                raise ValueError(
+                    f"schema conflict appending to {root!r}: column "
+                    f"{f['name']!r} is {ptypes[f['name']]!r} in the table "
+                    f"but {f['type']!r} in the appended frame — no "
+                    "implicit casts; align the types explicitly"
+                )
+        else:
+            if not allow_new:
+                raise ValueError(
+                    f"append to {root!r} adds column {f['name']!r} not in "
+                    "the table schema; pass merge_schema=True to evolve "
+                    "the schema (old files will read it as NULL)"
+                )
+            out.append(dict(f))
+    return {"type": "struct", "fields": out}
+
+
+def _manifest_reader(spark: SparkSession, man: dict):
+    """A DataFrameReader for ``man``'s files: the manifest-recorded
+    schema when present (NO footer reads — the point of recording it;
+    files missing an evolved column surface it as NULL), else the
+    plain parquet reader (legacy lineages)."""
+    from pyspark.sql.types import StructType
+
+    if man.get("schema"):
+        return spark.read.schema(StructType.fromJson(man["schema"]))
+    return spark.read
+
+
 def _paths(root: str) -> tuple[str, str, str]:
     return (
         os.path.join(root, _DATA),
@@ -293,6 +360,7 @@ def publish(
     parent_check: bool = True,
     stats_cols: list[str] | None = None,
     append: bool = False,
+    merge_schema: bool = False,
     _inherit_files: list[str] | None = None,
     _inherit_meta: dict | None = None,
     _require_parent: str | None = None,
@@ -339,7 +407,17 @@ def publish(
     add-only commit). ``added_files``/``read_added`` then give the
     incremental scan between two snapshots — downstream stages process
     the delta files only, never rescanning the corpus (the Iceberg
-    incremental-scan design operators/cdc.py argues from)."""
+    incremental-scan design operators/cdc.py argues from).
+
+    SCHEMA-ON-MANIFEST (r12b — the production extension read_snapshot
+    always named): every commit records its snapshot schema, so reads
+    bind to the manifest's contract with ZERO footer reads (at
+    millions of files the metadata win the manifest exists for).
+    Appends validate against the parent's recorded schema: identical
+    types on shared names (no implicit casts), new columns only with
+    ``merge_schema=True`` (Delta's opt-in; old files read the evolved
+    column as NULL), appended column subsets always fine. A legacy
+    lineage (no recorded schema) stays legacy until overwritten."""
     data_dir, man_dir, _ = _paths(root)
     os.makedirs(man_dir, exist_ok=True)
     sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
@@ -470,6 +548,8 @@ def publish(
         inherit_meta=_inherit_meta,
         observed_gen=observed_gen,
         observed=observed,
+        schema=_schema_json(df),
+        merge_schema=merge_schema,
     )
 
 
@@ -485,6 +565,8 @@ def _commit_staged(
     inherit_meta: dict | None,
     observed_gen: int,
     observed: str | None,
+    schema: dict | None = None,
+    merge_schema: bool = False,
 ) -> str:
     """Commit already-staged data files as snapshot ``sid``: write the
     manifest, then CAS the pointer. This is the multi-writer half of
@@ -529,16 +611,25 @@ def _commit_staged(
         # merge_upsert passes the untouched subset explicitly
         inherited = list(inherit_files or [])
         inherited_meta = dict(inherit_meta or {})
+        recorded_schema = schema
         if append and parent is not None:
             pm = _manifest(root, parent)
             inherited = pm["files"] + inherited
             inherited_meta = {**pm.get("files_meta", {}), **inherited_meta}
+            # schema validation + merge happens INSIDE the retry loop:
+            # each retry lands on a fresh parent whose schema may have
+            # evolved since the lost attempt
+            recorded_schema = _merge_schemas(
+                pm.get("schema"), schema, merge_schema, root
+            )
         manifest = {
             "snapshot_id": sid,
             "parent": parent,
             "files": inherited + new_files,
             "row_count": None,  # filled below when stats are requested
         }
+        if recorded_schema is not None:
+            manifest["schema"] = recorded_schema
         # files_meta is written whenever ANY stats exist — harvested
         # for this commit's files OR inherited from the parent. Gating
         # on stats_cols alone would let one stats-less append silently
@@ -616,19 +707,18 @@ def read_snapshot(
     """Read an explicit snapshot (time travel). The scan is built from
     the manifest's file list — never a directory listing.
 
-    ``merge_schema=True`` unions the file schemas (schema EVOLUTION:
-    an append commit may add columns; old files surface the new
-    columns as NULL). Off by default — schema union reads every
-    footer up front, which at millions of files is the metadata cost
-    the manifest exists to avoid; evolved tables should record their
-    schema in the manifest at commit time (the Delta design) — a
-    production extension noted, not needed while publishes are
-    single-schema per lineage."""
-    files = [os.path.join(root, f) for f in _manifest(root, sid)["files"]]
+    Snapshots committed since r12b RECORD their schema in the manifest
+    (the Delta design), and the scan binds to it with zero footer
+    reads — evolved lineages surface columns a file predates as NULL.
+    ``merge_schema=True`` is the legacy fallback for pre-schema
+    manifests only: it unions the file schemas by reading every footer
+    up front, the metadata cost the recorded schema eliminates."""
+    man = _manifest(root, sid)
+    files = [os.path.join(root, f) for f in man["files"]]
     if not files:
         raise ValueError(f"snapshot {sid!r} has no files")
-    reader = spark.read
-    if merge_schema:
+    reader = _manifest_reader(spark, man)
+    if merge_schema and not man.get("schema"):
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*files)
 
@@ -668,7 +758,7 @@ def read_pruned(
         # zone maps exclude every file: the empty result, with the
         # snapshot's real schema (from the full file list, zero rows)
         return read_snapshot(spark, root, sid).filter(F.lit(False))
-    return spark.read.parquet(*kept).filter(residual)
+    return _manifest_reader(spark, m).parquet(*kept).filter(residual)
 
 
 def _scrub_lost_attempt(
@@ -797,6 +887,18 @@ def _merge_upsert_pinned(
 
     import bisect
 
+    pschema = pm.get("schema")
+    if pschema is not None:
+        want = sorted(f["name"] for f in pschema["fields"])
+        if sorted(df.columns) != want:
+            # MERGE requires the batch to match the table contract
+            # exactly (every format's rule): a narrower batch would
+            # otherwise record a narrower schema on the no-touched-file
+            # path and silently hide carried files' columns.
+            raise ValueError(
+                f"merge_upsert batch columns {sorted(df.columns)} != "
+                f"table schema columns {want} at the manifest root"
+            )
     counts = df.agg(
         F.count("*").alias("n"), F.countDistinct(key_col).alias("d")
     ).first()
@@ -833,7 +935,13 @@ def _merge_upsert_pinned(
     touched_rel = [f for f in pm["files"] if touched(f)]
     carried = [f for f in pm["files"] if f not in set(touched_rel)]
     if touched_rel:
-        old_rows = spark.read.parquet(*[os.path.join(root, f) for f in touched_rel])
+        # bind to the parent's recorded schema (when present) so a
+        # merge against an EVOLVED lineage reads every survivor column
+        # — including ones the touched files predate (as NULL) — and
+        # the unionByName with the batch stays total
+        old_rows = _manifest_reader(spark, pm).parquet(
+            *[os.path.join(root, f) for f in touched_rel]
+        )
         survivors = old_rows.join(keys, key_col, "left_anti")
         staged_df = survivors.unionByName(df)
     else:
@@ -996,6 +1104,7 @@ def restore_snapshot(
                 inherit_meta=dict(tm.get("files_meta", {})),
                 observed_gen=observed_gen,
                 observed=observed,
+                schema=tm.get("schema"),  # the restored contract
             )
         except ConcurrentPublishError:
             continue  # metadata-only rebuild: re-read, re-commit
@@ -1030,7 +1139,9 @@ def read_added(
     delta = added_files(root, from_sid, to_sid)
     if not delta:
         return read_snapshot(spark, root, to_sid).filter(F.lit(False))
-    return spark.read.parquet(*[os.path.join(root, f) for f in delta])
+    return _manifest_reader(spark, _manifest(root, to_sid)).parquet(
+        *[os.path.join(root, f) for f in delta]
+    )
 
 
 def read_current(

@@ -300,18 +300,33 @@ def test_merge_upsert_replay_is_exactly_once(spark, tmp_path):
 
 
 def test_schema_evolution_merge_schema_read(spark, tmp_path):
-    """An append commit with an added column: merged-schema reads
-    surface it (NULL for old files); plain reads keep the manifest
-    cheap and see the first file's schema."""
+    """An append commit with an added column (merge_schema=True, the
+    r12b opt-in): EVERY read surfaces it — NULL for old files — via
+    the manifest-recorded schema, no footer union needed. A LEGACY
+    lineage (manifest predating schema recording) still gets the
+    footer-union fallback through merge_schema=True at read time."""
     root = str(tmp_path / "tbl")
     M.publish(spark.range(5).select("id"), root, snapshot_id="v1")
     M.publish(
         spark.range(5, 8).select("id", F.lit("x").alias("tag")),
-        root, snapshot_id="v2", append=True,
+        root, snapshot_id="v2", append=True, merge_schema=True,
     )
-    evolved = M.read_current(spark, root, merge_schema=True)
-    assert set(evolved.columns) == {"id", "tag"}
+    evolved = M.read_current(spark, root)
+    assert list(evolved.columns) == ["id", "tag"]
     got = {r.id: r.tag for r in evolved.collect()}
+    assert got[2] is None and got[6] == "x" and len(got) == 8
+    # legacy fallback: strip the recorded schemas from the manifests
+    # (simulating a pre-r12b lineage) and read with merge_schema=True
+    for sid in ("v1", "v2"):
+        mp = os.path.join(root, "_manifests", f"{sid}.json")
+        with open(mp) as fh:
+            man = json.load(fh)
+        man.pop("schema", None)
+        with open(mp, "w") as fh:
+            json.dump(man, fh)
+    legacy = M.read_current(spark, root, merge_schema=True)
+    assert set(legacy.columns) == {"id", "tag"}
+    got = {r.id: r.tag for r in legacy.collect()}
     assert got[2] is None and got[6] == "x" and len(got) == 8
 
 
@@ -1236,3 +1251,108 @@ def test_restore_lost_race_retries_and_lands(spark, tmp_path, monkeypatch):
     assert M.current_snapshot(root) == r
     assert M.snapshots(root) == [s1, s2, s3, r]  # interloper in lineage
     assert M.read_current(spark, root).count() == 10
+
+
+def test_schema_recorded_and_reads_bind_without_footers(spark, tmp_path):
+    """Every commit records its snapshot schema; reads bind to it
+    (names + types) instead of unioning parquet footers."""
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root,
+    )
+    man = M._manifest(root, M.current_snapshot(root))
+    assert [f["name"] for f in man["schema"]["fields"]] == ["id", "v"]
+    assert all(f["nullable"] for f in man["schema"]["fields"])
+    got = M.read_current(spark, root)
+    assert got.columns == ["id", "v"]
+    assert dict(got.dtypes) == {"id": "bigint", "v": "bigint"}
+
+
+def test_append_schema_evolution_requires_opt_in(spark, tmp_path):
+    """Delta's mergeSchema contract: an append adding a column is
+    refused by default, lands with merge_schema=True, and old files
+    read the evolved column as NULL; a shared-name TYPE conflict is
+    always refused (no implicit casts). Appending a column subset is
+    fine — missing columns read as NULL."""
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(3).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root,
+        snapshot_id="s1",
+    )
+    wide = spark.range(3, 6).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("en").alias("lang")
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        M.publish(wide, root, append=True)
+    M.publish(wide, root, append=True, merge_schema=True, snapshot_id="s2")
+    cur = M.read_current(spark, root)
+    assert cur.columns == ["id", "v", "lang"]  # parent order, new at end
+    rows = {r["id"]: r["lang"] for r in cur.collect()}
+    assert all(rows[i] is None for i in range(3))  # old files: NULL
+    assert all(rows[i] == "en" for i in range(3, 6))
+    # time travel before the evolution keeps the narrow schema
+    assert M.read_snapshot(spark, root, "s1").columns == ["id", "v"]
+    # subset append: lang missing -> NULL, no opt-in needed
+    M.publish(
+        spark.range(6, 8).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root,
+        append=True,
+        snapshot_id="s3",
+    )
+    rows = {r["id"]: r["lang"] for r in M.read_current(spark, root).collect()}
+    assert rows[6] is None and rows[7] is None and len(rows) == 8
+    # type conflict: always refused, even with the opt-in
+    clash = spark.range(8, 9).select(
+        F.col("id"), F.lit("oops").alias("v")
+    )
+    with pytest.raises(ValueError, match="no.*implicit casts|implicit casts"):
+        M.publish(clash, root, append=True, merge_schema=True)
+    assert M.read_current(spark, root).count() == 8  # refusal never landed
+
+
+def test_merge_and_restore_respect_evolved_schema(spark, tmp_path):
+    """After an evolution, merge_upsert must read survivors through
+    the RECORDED schema (touched files may predate the new column) and
+    refuse a batch whose columns don't match the table contract;
+    restore must carry the restored snapshot's own schema back."""
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(4).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        root,
+        stats_cols=["id"],
+        snapshot_id="narrow",
+    )
+    M.publish(
+        spark.range(4, 6).select(
+            F.col("id"), (F.col("id") * 2).alias("v"), F.lit("en").alias("lang")
+        ),
+        root,
+        append=True,
+        merge_schema=True,
+        snapshot_id="wide",
+    )
+    # batch narrower than the evolved contract: refused loudly
+    with pytest.raises(ValueError, match="batch columns"):
+        M.merge_upsert(
+            spark,
+            spark.range(1).select(F.col("id"), F.lit(-1).cast("long").alias("v")),
+            root,
+            "id",
+        )
+    # full-contract batch: updates rows in pre-evolution files, whose
+    # surviving rows carry lang=NULL through the recorded schema
+    batch = spark.createDataFrame([(0, -1, "fr"), (9, -9, "de")],
+                                  "id long, v long, lang string")
+    M.merge_upsert(spark, batch, root, "id")
+    rows = {r["id"]: (r["v"], r["lang"]) for r in M.read_current(spark, root).collect()}
+    assert rows[0] == (-1, "fr") and rows[9] == (-9, "de")
+    assert rows[1] == (2, None)  # pre-evolution survivor, NULL lang
+    assert rows[4] == (8, "en")
+    assert len(rows) == 7
+    # restore to the pre-evolution snapshot: narrow schema comes back
+    M.restore_snapshot(root, "narrow")
+    cur = M.read_current(spark, root)
+    assert cur.columns == ["id", "v"]
+    assert cur.count() == 4
