@@ -964,6 +964,107 @@ def _merge_upsert_pinned(
     )
 
 
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    snapshot_id: str | None = None,
+    rebase_retries: int | None = None,
+) -> str:
+    """Row-level DELETE as a COPY-ON-WRITE commit — the third leg of
+    the DML triad next to ``merge_upsert`` (MERGE) and
+    ``compact_snapshot`` (OPTIMIZE). Rows where ``predicate`` (a Spark
+    SQL boolean expression) evaluates TRUE are removed; rows where it
+    is NULL are KEPT (SQL DELETE semantics — a null predicate does not
+    match).
+
+    Touched-file targeting is exact, not stats-approximate: one
+    filtered scan of the snapshot collects the DISTINCT file names
+    containing matching rows (``input_file_name()`` — driver-bounded
+    by files-per-snapshot, and the scan itself rides parquet
+    row-group pushdown plus whatever clustering the layout gives).
+    Only those files are rewritten (their surviving rows restaged);
+    every other file carries over by reference, so the write is sized
+    to the matched slice, not the table. A predicate matching nothing
+    commits NOTHING — the parent snapshot stays current (documented
+    no-op, returns the parent id).
+
+    At 100 TB: cluster on the delete column (repartitionByRange at
+    publish) and the touched set is the few files whose range covers
+    the predicate — the same layout decision that makes read_pruned
+    selective. GDPR-style scattered deletes (id IN ...) touch many
+    files by nature; that cost is the physics of copy-on-write, and
+    compact_snapshot absorbs the resulting fragmentation.
+
+    CONCURRENCY: same OCC rebase loop as merge_upsert — a lost pointer
+    race re-derives the touched set and survivors against the fresh
+    current, up to ``rebase_retries`` (0 restores raise-to-caller);
+    ``snapshot_id`` is the exactly-once replay token. The no-match
+    no-op is returned WITHOUT a CAS, which is still linearizable: a
+    concurrent commit adding matching rows after our read serializes
+    AFTER this (empty) delete — exactly the outcome the parent-id
+    return describes."""
+    from pyspark.sql import functions as F
+
+    retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
+    for attempt in range(retries + 1):
+        parent = current_snapshot(root)
+        if parent is None:
+            raise FileNotFoundError(f"no current snapshot at {root!r}")
+        if snapshot_id is not None and parent == snapshot_id:
+            return snapshot_id  # replayed delete: already committed
+        pm = _manifest(root, parent)
+        meta = pm.get("files_meta", {})
+        reader = _manifest_reader(spark, pm)
+        abs_paths = [os.path.join(root, f) for f in pm["files"]]
+        hit_uris = {
+            r["f"]
+            for r in reader.parquet(*abs_paths)
+            .where(predicate)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        # input_file_name returns URIs (file://...): match by the
+        # path SUFFIX data/<sid>/<part> — snapshot prefixes make the
+        # relative name unique within the table root
+        touched_rel = [
+            f for f, a in zip(pm["files"], abs_paths)
+            if any(u.endswith(a) or u.endswith(f) for u in hit_uris)
+        ]
+        if len(touched_rel) != len(hit_uris):
+            raise RuntimeError(
+                f"delete_where at {root!r}: {len(hit_uris)} hit files "
+                f"resolved to {len(touched_rel)} manifest entries — "
+                "file-name mapping is out of contract"
+            )
+        if not touched_rel:
+            return parent  # nothing matched: the table is unchanged
+        carried = [f for f in pm["files"] if f not in set(touched_rel)]
+        survivors = (
+            _manifest_reader(spark, pm)
+            .parquet(*[os.path.join(root, f) for f in touched_rel])
+            .where(~F.coalesce(F.expr(predicate), F.lit(False)))
+        )
+        stats_cols = sorted(
+            {c for m in meta.values() for c in m.get("stats", {})}
+        ) or None
+        try:
+            return publish(
+                survivors,
+                root,
+                snapshot_id=snapshot_id,
+                stats_cols=stats_cols,
+                _inherit_files=carried,
+                _inherit_meta={f: meta[f] for f in carried if f in meta},
+                _require_parent=parent,
+            )
+        except ConcurrentPublishError:
+            if attempt == retries:
+                raise
+            _scrub_lost_attempt(root, snapshot_id, parent)
+
+
 def compact_snapshot(
     spark: SparkSession,
     root: str,

@@ -1356,3 +1356,91 @@ def test_merge_and_restore_respect_evolved_schema(spark, tmp_path):
     cur = M.read_current(spark, root)
     assert cur.columns == ["id", "v"]
     assert cur.count() == 4
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    """COPY-ON-WRITE DELETE: rows matching the predicate vanish, files
+    with no matches carry over BY REFERENCE (same path, not rewritten),
+    and NULL-predicate rows are kept (SQL DELETE semantics)."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 == 0, None).otherwise(F.col("id") % 7).alias("v"),
+    )
+    M.publish(df.repartitionByRange(8, "id"), root, stats_cols=["id"])
+    parent = M.current_snapshot(root)
+    pfiles = M._manifest(root, parent)["files"]
+    sid = M.delete_where(spark, root, "id >= 100 AND id < 200 AND v = 3")
+    assert M.current_snapshot(root) == sid
+    man = M._manifest(root, sid)
+    # untouched files carried by reference: most of the 8 range files
+    carried = set(man["files"]) & set(pfiles)
+    assert len(carried) >= 6
+    rows = {r["id"]: r["v"] for r in M.read_current(spark, root).collect()}
+    deleted = {i for i in range(100, 200) if i % 100 != 0 and i % 7 == 3}
+    assert deleted and all(i not in rows for i in deleted)
+    assert len(rows) == 1000 - len(deleted)
+    # NULL predicate rows (v IS NULL at 100): kept
+    assert 100 in rows and rows[100] is None
+    # zone maps re-harvested for the rewritten files
+    assert len(man["files_meta"]) == len(man["files"])
+    # the pre-delete snapshot is time-travel intact
+    assert M.read_snapshot(spark, root, parent).count() == 1000
+
+
+def test_delete_where_noop_and_replay(spark, tmp_path):
+    """A predicate matching nothing commits nothing (parent stays
+    current); a replayed epoch token is exactly-once."""
+    root = str(tmp_path / "tbl")
+    s1 = M.publish(spark.range(50), root, stats_cols=["id"])
+    assert M.delete_where(spark, root, "id > 1000") == s1
+    assert M.current_snapshot(root) == s1
+    out = M.delete_where(spark, root, "id < 10", snapshot_id="del-1")
+    assert out == "del-1"
+    assert M.delete_where(spark, root, "id < 10", snapshot_id="del-1") == "del-1"
+    assert M.snapshots(root) == [s1, "del-1"]
+    assert M.read_current(spark, root).count() == 40
+
+
+def test_delete_where_lost_race_rebases(spark, tmp_path, monkeypatch):
+    """A delete losing the pointer race to a concurrent append
+    re-derives on the winner: appended rows matching the predicate are
+    deleted too (the serial order append-then-delete)."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(100), root, stats_cols=["id"])
+    stale = M._read_pointer(root)
+    M.publish(spark.range(100, 120), root, append=True)  # interloper
+    _stale_once(monkeypatch, stale)
+    sid = M.delete_where(spark, root, "id % 2 = 1")
+    monkeypatch.undo()
+    assert M.current_snapshot(root) == sid
+    got = sorted(r["id"] for r in M.read_current(spark, root).collect())
+    assert got == [i for i in range(120) if i % 2 == 0]
+    # and rebase_retries=0 keeps the raise-to-caller contract (the
+    # predicate must match STALE rows so the commit path engages — a
+    # stale no-match returns without committing, which is the valid
+    # delete-before-append serialization)
+    stale = M._read_pointer(root)
+    M.publish(spark.range(200, 210), root, append=True)
+    _stale_once(monkeypatch, stale)
+    with pytest.raises(M.ConcurrentPublishError):
+        M.delete_where(spark, root, "id >= 100", rebase_retries=0)
+    monkeypatch.undo()
+
+
+def test_delete_where_respects_evolved_schema(spark, tmp_path):
+    """DELETE on an evolved lineage: survivor rows from pre-evolution
+    files keep their NULL evolved column, and the delete predicate may
+    reference the evolved column (NULL never matches)."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(4).select(F.col("id"), (F.col("id") * 2).alias("v")), root)
+    M.publish(
+        spark.range(4, 8).select(
+            F.col("id"), (F.col("id") * 2).alias("v"), F.lit("en").alias("lang")
+        ),
+        root, append=True, merge_schema=True,
+    )
+    M.delete_where(spark, root, "lang = 'en' AND id >= 6")
+    rows = {r["id"]: r["lang"] for r in M.read_current(spark, root).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5]
+    assert rows[0] is None and rows[4] == "en"  # old files: NULL kept
