@@ -109,6 +109,23 @@ def sweep(spark, scale: int) -> None:
         f"read_added {scale}x (delta-only scan)",
         lambda: M.read_added(spark, root, "merged", "appended").count(),
     )
+    # r12b DML: a fixed key-localized DELETE should stay ~flat (the
+    # touched-file scan rides zone-map/row-group pushdown; the rewrite
+    # is sized to the matched slice), and RESTORE must be ~flat at
+    # metadata cost (one manifest write + one pointer CAS, zero data).
+    timed(
+        f"delete_where {scale}x (fixed key-range predicate)",
+        lambda: M.delete_where(
+            spark,
+            root,
+            f"k >= {PRUNE_LO} AND k < {PRUNE_HI}",
+            snapshot_id="deleted",
+        ),
+    )
+    timed(
+        f"restore {scale}x (metadata-only rollback)",
+        lambda: M.restore_snapshot(root, "appended", snapshot_id="restored"),
+    )
     timed(
         f"snapshot_diff {scale}x (full-outer over n)",
         lambda: __import__(
