@@ -1444,3 +1444,82 @@ def test_delete_where_respects_evolved_schema(spark, tmp_path):
     rows = {r["id"]: r["lang"] for r in M.read_current(spark, root).collect()}
     assert sorted(rows) == [0, 1, 2, 3, 4, 5]
     assert rows[0] is None and rows[4] == "en"  # old files: NULL kept
+
+
+def test_mixed_dml_storm_is_serializable(spark, tmp_path):
+    """The OCC end-to-end theorem: appends, merges, and deletes racing
+    from real threads must produce a lineage whose SEQUENTIAL REPLAY
+    reproduces the racing table exactly. Each worker runs one DML op
+    with a distinct token; afterwards the observed lineage order is
+    re-applied one-by-one to a fresh root and the two tables must be
+    row-for-row identical — if any commit had derived against a stale
+    state (lost update, clobbered append, vanished delete), the replay
+    would diverge."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(40).select(
+        F.col("id"), F.lit(0).cast("long").alias("v")
+    )
+    M.publish(base.repartitionByRange(4, "id"), root,
+              snapshot_id="base", stats_cols=["id"])
+    ops = {
+        "app-0": ("append", spark.range(100, 105).select(
+            F.col("id"), F.lit(100).cast("long").alias("v"))),
+        "app-1": ("append", spark.range(200, 205).select(
+            F.col("id"), F.lit(200).cast("long").alias("v"))),
+        "mrg-0": ("merge", spark.createDataFrame(
+            [(1, -1), (300, -1)], "id long, v long")),
+        "mrg-1": ("merge", spark.createDataFrame(
+            [(2, -2), (301, -2)], "id long, v long")),
+        "del-0": ("delete", "id >= 10 AND id < 20"),
+        "del-1": ("delete", "id >= 30 AND id < 35"),
+    }
+
+    def apply_op(r, token, kind, payload):
+        # rebase_retries=8: six racing writers can cost one loser up
+        # to five lost races — past the default budget, which is sized
+        # for <=4 concurrent writers (its docstring's contention bar)
+        if kind == "append":
+            M.publish(payload, r, snapshot_id=token, append=True,
+                      stats_cols=["id"])
+        elif kind == "merge":
+            M.merge_upsert(spark, payload, r, "id", snapshot_id=token,
+                           rebase_retries=8)
+        else:
+            M.delete_where(spark, r, payload, snapshot_id=token,
+                           rebase_retries=8)
+
+    errors = []
+
+    def worker(token):
+        kind, payload = ops[token]
+        try:
+            apply_op(root, token, kind, payload)
+        except Exception as e:
+            errors.append((token, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in ops]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    chain = M.snapshots(root)
+    # every token committed exactly once (deletes always match here,
+    # so the no-op path cannot hide one), lineage is linear and whole
+    assert chain[0] == "base" and sorted(chain[1:]) == sorted(ops)
+    # sequential replay of the OBSERVED order onto a fresh root
+    replay = str(tmp_path / "replay")
+    M.publish(base.repartitionByRange(4, "id"), replay,
+              snapshot_id="base", stats_cols=["id"])
+    for token in chain[1:]:
+        kind, payload = ops[token]
+        apply_op(replay, token, kind, payload)
+    got = sorted(
+        (r["id"], r["v"]) for r in M.read_current(spark, root).collect()
+    )
+    want = sorted(
+        (r["id"], r["v"]) for r in M.read_current(spark, replay).collect()
+    )
+    assert got == want
