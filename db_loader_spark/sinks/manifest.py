@@ -1071,6 +1071,7 @@ def compact_snapshot(
     target_files: int,
     snapshot_id: str | None = None,
     rebase_retries: int | None = None,
+    zorder_cols: tuple[str, str] | None = None,
 ) -> str:
     """OPTIMIZE: rewrite the current snapshot's data into
     ``target_files`` right-sized files and commit the result as a new
@@ -1083,6 +1084,16 @@ def compact_snapshot(
     foreachBatch append pipeline accumulates (one tiny file per
     epoch). Zone-map columns recorded by the parent are re-harvested
     for the compacted files.
+
+    ``zorder_cols=(a, b)`` makes this OPTIMIZE ZORDER BY (Delta's
+    two-dimensional clustering): the rewrite range-partitions and
+    sorts on the bit-interleaved Z key (ddl.zorder_key), so each
+    compacted file covers a small rectangle of (a, b) space and the
+    re-harvested zone maps prune ``read_pruned`` scans on EITHER
+    column — the layout decision that turns a two-predicate 100 TB
+    scan into a few-file read. Both columns are force-added to the
+    harvested stats. Costs one shuffle (the clustering itself) where
+    plain compaction is a coalesce.
 
     CONCURRENCY (r12b): a commit landing between the compaction's
     parent read and its own commit loses the CAS and auto-REBASES —
@@ -1101,10 +1112,25 @@ def compact_snapshot(
         if snapshot_id is not None and parent == snapshot_id:
             return snapshot_id  # replayed compaction: already committed
         pm = _manifest(root, parent)
-        stats_cols = sorted(
-            {c for m in pm.get("files_meta", {}).values() for c in m.get("stats", {})}
-        ) or None
-        df = read_snapshot(spark, root, parent).coalesce(target_files)
+        stats_set = {
+            c for m in pm.get("files_meta", {}).values() for c in m.get("stats", {})
+        }
+        df = read_snapshot(spark, root, parent)
+        if zorder_cols is not None:
+            from db_loader_spark.sinks.ddl import zorder_key
+            from pyspark.sql import functions as F
+
+            a, b = zorder_cols
+            df = (
+                df.withColumn("_zkey", zorder_key(df, a, b))
+                .repartitionByRange(target_files, "_zkey")
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+            stats_set |= {a, b}
+        else:
+            df = df.coalesce(target_files)
+        stats_cols = sorted(stats_set) or None
         # the rewrite is parent's content: commit conditionally on it —
         # an append landing mid-compaction must not vanish from current
         try:

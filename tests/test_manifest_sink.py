@@ -1523,3 +1523,37 @@ def test_mixed_dml_storm_is_serializable(spark, tmp_path):
         (r["id"], r["v"]) for r in M.read_current(spark, replay).collect()
     )
     assert got == want
+
+
+def test_compact_zorder_makes_both_columns_prunable(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: after a Z-ordered compaction, read_pruned
+    scans strictly fewer files on EITHER clustered column (each file
+    covers a small rectangle of (a, b) space), with the row set and
+    every filter result unchanged."""
+    root = str(tmp_path / "tbl")
+    # deterministic scatter: a and b are independent hash-derived dims,
+    # written id-clustered so b starts completely unprunable
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.expr("pmod(hash(concat('a:', id)), 1000)").alias("a"),
+        F.expr("pmod(hash(concat('b:', id)), 1000)").alias("b"),
+    )
+    M.publish(df.repartitionByRange(8, "id"), root, stats_cols=["a", "b"])
+    before_a = len(M.read_pruned(spark, root, "a", 0, 49).inputFiles())
+    before_b = len(M.read_pruned(spark, root, "b", 0, 49).inputFiles())
+    assert before_a == 8 and before_b == 8  # scattered: nothing prunes
+    sid = M.compact_snapshot(spark, root, target_files=8, zorder_cols=("a", "b"))
+    man = M._manifest(root, sid)
+    assert len(man["files"]) == 8
+    assert all(
+        {"a", "b"} <= set(m["stats"]) for m in man["files_meta"].values()
+    )
+    after_a = M.read_pruned(spark, root, "a", 0, 49)
+    after_b = M.read_pruned(spark, root, "b", 0, 49)
+    assert len(after_a.inputFiles()) < 8  # both dimensions now prune
+    assert len(after_b.inputFiles()) < 8
+    # values identical to the pre-compaction truth
+    want_a = df.where("a between 0 and 49").count()
+    want_b = df.where("b between 0 and 49").count()
+    assert after_a.count() == want_a and after_b.count() == want_b
+    assert M.read_current(spark, root).count() == 20_000
