@@ -1557,3 +1557,23 @@ def test_compact_zorder_makes_both_columns_prunable(spark, tmp_path):
     want_b = df.where("b between 0 and 49").count()
     assert after_a.count() == want_a and after_b.count() == want_b
     assert M.read_current(spark, root).count() == 20_000
+
+
+def test_cdc_diff_surfaces_delete_where_rows(spark, tmp_path):
+    """Cross-feature pin: a DELETE commit is consumable downstream as
+    CDC — snapshot_diff between the pre- and post-delete snapshots
+    emits exactly the deleted keys as 'delete' ops and nothing else."""
+    from db_loader_spark.operators.cdc import snapshot_diff
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 9).alias("v"))
+    before = M.publish(df.repartitionByRange(4, "id"), root, stats_cols=["id"])
+    after = M.delete_where(spark, root, "id >= 40 AND id < 55")
+    diff = snapshot_diff(
+        M.read_snapshot(spark, root, before),
+        M.read_snapshot(spark, root, after),
+        ["id"],
+        ["v"],
+    )
+    rows = [(r["id"], r["change_op"]) for r in diff.collect()]
+    assert sorted(rows) == [(i, "delete") for i in range(40, 55)]
