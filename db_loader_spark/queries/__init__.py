@@ -279,6 +279,33 @@ NEXT_UP: list[str] = []
 # cohort (document at the site). CONTINGENCY, unchanged: if
 # CORRECTNESS_r12 comes back empty/unreadable, re-front THIS window —
 # never rotate past a window with zero external rows.
+#
+# PROVISIONAL R13 ORDERING (pre-measured at r12 close,
+# `window_cost.py --complement` at sf0.01, idle box, 99.1 s total,
+# 50/50 OK — RE-MEASURE at r13 start per the prep note; warm-stage
+# figures. The three displaced keys — q5_region_revenue,
+# text_bpe_tokenize, w_running_sum — must front AMONG EQUALS, i.e.
+# keep cost order but break ties toward them):
+# a_hash_sample 0.33 / scan_manifest_pruned 0.35 / dedup_exact 0.35 /
+# w_moving_avg 0.36 / curation_weighted_sample 0.36 /
+# multimodal_frame_sample 0.41 / a_salted_agg 0.46 / a_histogram 0.46
+# / w_running_sum 0.47 / t_sliding_counts 0.50 / a_moments 0.52 /
+# t_session_window 0.57 / jn_fuzzy_join 0.57 / q1_pricing_summary
+# 0.59 / cdc_snapshot_diff 0.60 / jn1_dim_lookup_join 0.62 /
+# a_hll_distinct 0.64 / jn7_fk_validation 0.67 /
+# jn4_anti_join_idempotence 0.67 / t_snapshot_incremental 0.77 /
+# text_cms_topk 0.78 / a_profile_stats 0.84 / q5_region_revenue 0.89
+# / a_table_fingerprint 0.96 / text_bpe_pack 0.98 / text_lm_score
+# 1.05 / t_sliding_hll 1.06 / text_pack_bins 1.08 / text_bm25_topk
+# 1.10 / p_parse_suite 1.27 / a_quantile_sketch 1.33 /
+# dedup_bloom_prefilter 1.44 / text_decontaminate 1.47 /
+# ann_bruteforce_topk 2.01 / jn2_contains_join 2.03 /
+# multimodal_features 2.06 / t_stream_ann_index 2.85 / t_stream_mview
+# 3.12 / ann_ivf_disk_topk 3.29 / ann_pq_topk 3.63 / g_triangle_count
+# 4.13 / dedup_embedding_components 4.28 / text_bpe_tokenize 4.69 /
+# g_pagerank 4.73 / curation_funnel 4.85 / e2e_cli_ingest 4.95 /
+# ann_ivfpq_topk 5.36 / dedup_semantic 6.66 / curation_e2e 7.61 /
+# t_stream_sessions 8.39
 
 
 def all_queries() -> dict[str, QuerySpec]:
