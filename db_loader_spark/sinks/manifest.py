@@ -336,21 +336,50 @@ def _file_stats(path: str, cols: list[str]) -> dict:
         return None
 
     stats: dict[str, list] = {}
+    nulls: dict[str, int] = {}
     for c in cols:
         if c not in idx:
+            # the file PREDATES this column (schema evolution) or the
+            # frame staged without it (subset append): every read
+            # surfaces NULL, which IS a complete null-count stat —
+            # range predicates can prune the whole file on it
+            nulls[c] = md.num_rows
             continue
         lo = hi = None
+        nc = 0
+        minmax_ok = True  # a poisoned bound must not leak partial ranges
         for rg in range(md.num_row_groups):
-            s = md.row_group(rg).column(idx[c]).statistics
-            if s is None or not s.has_min_max:
-                lo = hi = None
-                break  # any stats-less group poisons the file's entry
-            lo = s.min if lo is None else min(lo, s.min)
-            hi = s.max if hi is None else max(hi, s.max)
+            rgmd = md.row_group(rg)
+            s = rgmd.column(idx[c]).statistics
+            if s is None or s.null_count is None:
+                nc = None  # any countless group poisons the null stat
+            elif nc is not None:
+                nc += s.null_count
+            if minmax_ok:
+                if s is None:
+                    minmax_ok = False
+                elif not s.has_min_max:
+                    # legal when the group is PROVABLY all-null (no
+                    # values to bound — contributes nothing); any other
+                    # min/max-less group (stats disabled, unorderable)
+                    # poisons the file's bounds
+                    if not (s.null_count is not None
+                            and s.null_count == rgmd.num_rows):
+                        minmax_ok = False
+                else:
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if not minmax_ok:
+            lo = hi = None
         lo, hi = jsonable(lo), jsonable(hi)
         if lo is not None and hi is not None:
             stats[c] = [lo, hi]
-    return {"rows": md.num_rows, "stats": stats}
+        if nc is not None:
+            nulls[c] = nc
+    out = {"rows": md.num_rows, "stats": stats}
+    if nulls:
+        out["nulls"] = nulls
+    return out
 
 
 def publish(
@@ -734,12 +763,15 @@ def read_pruned(
     """Scan of the snapshot restricted to ``lower <= col <= upper``,
     with FILE-LEVEL pruning from the manifest's zone maps: a file
     whose [min, max] for ``col`` cannot intersect the range is dropped
-    from the read plan entirely (never listed, never a task). Files
-    with no recorded stats are kept — pruning is conservative, so a
-    stats-less manifest degrades to a full scan, never to wrongness.
-    The residual row-level predicate is ALWAYS applied (file
-    granularity over-approximates), so the result is exactly the
-    filtered snapshot."""
+    from the read plan entirely (never listed, never a task), as is a
+    file whose recorded NULL COUNT equals its row count — every value
+    NULL, including files that simply PREDATE the column under schema
+    evolution (a range predicate can never match NULL). Files with no
+    recorded stats are kept — pruning is conservative, so a stats-less
+    manifest degrades to a full scan, never to wrongness. The residual
+    row-level predicate is ALWAYS applied (file granularity
+    over-approximates), so the result is exactly the filtered
+    snapshot."""
     from pyspark.sql import functions as F
 
     sid = sid or current_snapshot(root)
@@ -749,7 +781,11 @@ def read_pruned(
     meta = m.get("files_meta", {})
 
     def may_match(rel: str) -> bool:
-        st = meta.get(rel, {}).get("stats", {}).get(col)
+        fm = meta.get(rel, {})
+        nc = fm.get("nulls", {}).get(col)
+        if nc is not None and nc == fm.get("rows"):
+            return False  # provably all-NULL in col: no range matches
+        st = fm.get("stats", {}).get(col)
         return st is None or (st[1] >= lower and st[0] <= upper)
 
     kept = [os.path.join(root, f) for f in m["files"] if may_match(f)]
@@ -924,7 +960,11 @@ def _merge_upsert_pinned(
         lo, hi = b["lo"], b["hi"]
 
     def touched(rel: str) -> bool:
-        st = meta.get(rel, {}).get("stats", {}).get(key_col)
+        fm = meta.get(rel, {})
+        nc = fm.get("nulls", {}).get(key_col)
+        if nc is not None and nc == fm.get("rows"):
+            return False  # key provably all-NULL: no batch key matches
+        st = fm.get("stats", {}).get(key_col)
         if st is None:
             return True  # no stats -> must assume it can match
         if key_sorted is not None:

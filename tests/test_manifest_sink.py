@@ -1577,3 +1577,61 @@ def test_cdc_diff_surfaces_delete_where_rows(spark, tmp_path):
     )
     rows = [(r["id"], r["change_op"]) for r in diff.collect()]
     assert sorted(rows) == [(i, "delete") for i in range(40, 55)]
+
+
+def test_null_count_zone_maps_prune_allnull_and_absent_columns(spark, tmp_path):
+    """r12c: zone maps record per-file NULL COUNTS, and read_pruned
+    skips files that are provably all-NULL in the filter column —
+    including files staged WITHOUT the column (subset appends / files
+    predating a schema evolution), which parquet min/max alone can
+    never prune. Results stay exact."""
+    root = str(tmp_path / "tbl")
+    # file layout by id-range; v is NULL for the low half of ids, so
+    # low-range files are ALL-null in v (min/max absent, nulls==rows)
+    df = spark.range(8_000).select(
+        F.col("id"),
+        F.when(F.col("id") >= 4_000, F.col("id") % 100).alias("v"),
+    )
+    M.publish(df.repartitionByRange(8, "id"), root, stats_cols=["id", "v"])
+    man = M._manifest(root, M.current_snapshot(root))
+    allnull = [
+        f for f, m in man["files_meta"].items()
+        if m.get("nulls", {}).get("v") == m["rows"]
+    ]
+    assert len(allnull) >= 3  # the low-id files
+    pruned = M.read_pruned(spark, root, "v", 10, 20)
+    kept = set(pruned.inputFiles())
+    assert all(not any(k.endswith(f) for k in kept) for f in allnull)
+    assert pruned.count() == df.where("v between 10 and 20").count()
+    # subset append: the staged files LACK column v entirely, yet ask
+    # for v stats — recorded as nulls==rows, so a v-range scan skips
+    # them; an id-range scan still sees their rows
+    M.publish(
+        spark.range(50_000, 50_100).select("id"),
+        root, append=True, stats_cols=["id", "v"],
+    )
+    man2 = M._manifest(root, M.current_snapshot(root))
+    new_files = [f for f in man2["files"] if f not in set(man["files"])]
+    assert new_files
+    assert all(
+        man2["files_meta"][f]["nulls"]["v"] == man2["files_meta"][f]["rows"]
+        for f in new_files
+    )
+    pruned2 = M.read_pruned(spark, root, "v", 10, 20)
+    assert all(
+        not any(k.endswith(f) for k in pruned2.inputFiles())
+        for f in new_files
+    )
+    assert pruned2.count() == df.where("v between 10 and 20").count()
+    assert M.read_pruned(spark, root, "id", 50_000, 50_050).count() == 51
+    # merge targeting skips all-null-key files the same way: an update
+    # batch on v must not rewrite the files that provably hold no keys
+    before_files = set(man2["files"])
+    batch = spark.createDataFrame([(10, 777)], "v long, id long").select(
+        "id", "v"
+    )
+    # (merge on v: batch columns must match the table contract)
+    M.merge_upsert(spark, batch.select("id", "v"), root, "v")
+    man3 = M._manifest(root, M.current_snapshot(root))
+    carried_allnull = [f for f in allnull if f in set(man3["files"])]
+    assert carried_allnull == allnull  # all-null-v files never rewritten
