@@ -1359,16 +1359,34 @@ def snapshots(root: str) -> list[str]:
     return list(reversed(chain))
 
 
-def vacuum(root: str, keep: int = 1) -> list[str]:
+def vacuum(
+    root: str, keep: int = 1, keep_hours: float | None = None
+) -> list[str]:
     """Delete data files and manifests of all but the ``keep`` most
     recent snapshots IN THE CURRENT LINEAGE, plus any unreferenced
     data prefixes (crashed writers). Returns removed snapshot prefixes.
     Safe order: old pointers are unreachable the moment ``_CURRENT``
     moved, so deletion can't race a reader that resolved the pointer
     recently unless it held the manifest across the vacuum — the usual
-    retention-window caveat every table format documents."""
+    retention-window caveat every table format documents.
+
+    ``keep_hours`` widens the keep set by TIME (the Delta
+    ``RETAIN n HOURS`` knob): every lineage snapshot whose manifest
+    was committed within the window survives, in addition to the
+    ``keep`` newest. Commit time is the manifest file's mtime — the
+    filesystem's own stamp, the local analog of an object store's
+    commit-object timestamp (snapshot ids are caller-chosen tokens, so
+    they cannot carry trusted time). Errors reading an mtime propagate
+    and abort the vacuum (the r11 rule: a transient fault must never
+    shrink the keep set and reap snapshots inside the window)."""
     data_dir, man_dir, _ = _paths(root)
-    keep_ids = set(snapshots(root)[-keep:]) if keep > 0 else set()
+    lineage = snapshots(root)
+    keep_ids = set(lineage[-keep:]) if keep > 0 else set()
+    if keep_hours is not None:
+        cutoff = time.time() - keep_hours * 3600.0
+        for sid in lineage:
+            if os.path.getmtime(os.path.join(man_dir, f"{sid}.json")) >= cutoff:
+                keep_ids.add(sid)
     removed = []
     live = set()
     for sid in keep_ids:

@@ -1635,3 +1635,27 @@ def test_null_count_zone_maps_prune_allnull_and_absent_columns(spark, tmp_path):
     man3 = M._manifest(root, M.current_snapshot(root))
     carried_allnull = [f for f in allnull if f in set(man3["files"])]
     assert carried_allnull == allnull  # all-null-v files never rewritten
+
+
+def test_vacuum_time_retention_widens_the_keep_set(spark, tmp_path):
+    """vacuum(keep_hours=...): lineage snapshots committed inside the
+    time window survive beyond keep=N; aging a manifest's mtime past
+    the window lets the same call reap it (commit time = manifest
+    mtime, the filesystem's own stamp)."""
+    root = str(tmp_path / "tbl")
+    sids = [M.publish(spark.range(i + 1), root) for i in range(4)]
+    # all four commits are seconds old: a 1-hour window keeps everything
+    assert M.vacuum(root, keep=1, keep_hours=1.0) == []
+    assert all(M.read_snapshot(spark, root, s).count() == i + 1
+               for i, s in enumerate(sids))
+    # age the two oldest manifests past the window; they reap, the
+    # recent two survive (keep=1 alone would have reaped three)
+    old = __import__("time").time() - 7200
+    for s in sids[:2]:
+        os.utime(os.path.join(root, "_manifests", f"{s}.json"), (old, old))
+    removed = M.vacuum(root, keep=1, keep_hours=1.0)
+    assert set(removed) == set(sids[:2])
+    assert M.read_snapshot(spark, root, sids[2]).count() == 3
+    assert M.read_current(spark, root).count() == 4
+    with pytest.raises(Exception):
+        M.read_snapshot(spark, root, sids[0])
