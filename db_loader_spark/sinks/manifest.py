@@ -1057,8 +1057,12 @@ def delete_where(
         meta = pm.get("files_meta", {})
         reader = _manifest_reader(spark, pm)
         abs_paths = [os.path.join(root, f) for f in pm["files"]]
+        from urllib.parse import unquote
+
         hit_uris = {
-            r["f"]
+            # input_file_name returns URL-encoded URIs (a space is
+            # %20): decode before suffix-matching against raw paths
+            unquote(r["f"])
             for r in reader.parquet(*abs_paths)
             .where(predicate)
             .select(F.input_file_name().alias("f"))
