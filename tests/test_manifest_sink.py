@@ -1659,3 +1659,16 @@ def test_vacuum_time_retention_widens_the_keep_set(spark, tmp_path):
     assert M.read_current(spark, root).count() == 4
     with pytest.raises(Exception):
         M.read_snapshot(spark, root, sids[0])
+
+
+def test_delete_where_handles_encoded_paths(spark, tmp_path):
+    """A table root containing characters that URL-encode (space) must
+    not break delete's hit-file mapping — input_file_name returns
+    encoded URIs, which are decoded before the suffix match (the
+    mapping-count guard would otherwise trip)."""
+    root = str(tmp_path / "tbl with space")
+    M.publish(spark.range(100).repartitionByRange(4, "id"), root,
+              stats_cols=["id"])
+    sid = M.delete_where(spark, root, "id < 10")
+    assert M.current_snapshot(root) == sid
+    assert M.read_current(spark, root).count() == 90
