@@ -293,15 +293,21 @@ def _merge_schemas(
     return {"type": "struct", "fields": out}
 
 
-def _manifest_reader(spark: SparkSession, man: dict):
+def _manifest_reader(spark: SparkSession, man: dict, legacy_union: bool = False):
     """A DataFrameReader for ``man``'s files: the manifest-recorded
     schema when present (NO footer reads — the point of recording it;
     files missing an evolved column surface it as NULL), else the
-    plain parquet reader (legacy lineages)."""
+    plain parquet reader (legacy lineages). ``legacy_union=True``
+    makes the legacy fallback a FOOTER-UNION read (mergeSchema) — the
+    survivor-rewriting operations (merge, delete) must see every
+    column of a heterogeneous pre-r12b lineage or they would silently
+    drop the ones the inferring footer lacks."""
     from pyspark.sql.types import StructType
 
     if man.get("schema"):
         return spark.read.schema(StructType.fromJson(man["schema"]))
+    if legacy_union:
+        return spark.read.option("mergeSchema", "true")
     return spark.read
 
 
@@ -393,6 +399,7 @@ def publish(
     _inherit_files: list[str] | None = None,
     _inherit_meta: dict | None = None,
     _require_parent: str | None = None,
+    _record_schema: bool = True,
 ) -> str:
     """Write ``df`` as a new snapshot of the table at ``root`` and
     atomically make it current. Returns the snapshot id.
@@ -528,26 +535,35 @@ def publish(
             observed_gen, observed = _read_pointer(root)
         # Residue vs superseded (r12b): the manifest's parent is not
         # the current snapshot, so either the token COMMITTED earlier
-        # and was superseded (replaying would tear the live lineage —
-        # refuse), or it is the residue of a commit attempt that LOST
-        # its pointer race and crashed before the OCC scrub (never
-        # visible to any reader — safe to adopt: delete the residue
-        # and commit this replay fresh on the current lineage). The
-        # two are distinguishable because committed snapshots form the
-        # EXACT linear history of the pointer (each commit's parent is
-        # the generation value it replaced), so a COMPLETE parent walk
-        # from current that never meets ``sid`` proves it never
-        # committed. A walk truncated by the vacuum horizon
+        # and was since superseded, or it is the residue of a commit
+        # attempt that LOST its pointer race and crashed before the
+        # OCC scrub. The two are distinguishable because committed
+        # snapshots form the EXACT linear history of the pointer (each
+        # commit's parent is the generation value it replaced): a
+        # COMPLETE parent walk from current that meets ``sid`` proves
+        # it committed — the replay already HAPPENED, so the
+        # at-least-once answer is an idempotent no-op success (raising
+        # here permanently wedged a multi-writer stream whose epoch
+        # landed and was then superseded by another in-contract
+        # writer; foreachBatch cannot mint a fresh token — the r12
+        # close review). A walk that completes WITHOUT meeting it
+        # proves pure residue — never reader-visible, safe to adopt:
+        # delete it and commit this replay fresh on the current
+        # lineage. A walk truncated at the vacuum horizon
         # (FileNotFoundError only, the r11 rule) proves nothing —
         # refuse conservatively.
-        if _committed_in_lineage(root, sid, observed) is False:
+        landed = _committed_in_lineage(root, sid, observed)
+        if landed is True:
+            return sid  # this epoch's commit is already in history
+        if landed is False:
             os.unlink(os.path.join(man_dir, f"{sid}.json"))
         else:
             raise RuntimeError(
-                f"snapshot token {sid!r} already has a committed manifest "
-                f"at {root!r} but is not the current snapshot "
-                f"({observed!r}); replaying a superseded token would tear "
-                f"the live lineage — retry with a fresh snapshot_id"
+                f"snapshot token {sid!r} has a manifest at {root!r} but "
+                f"is not the current snapshot ({observed!r}) and the "
+                "lineage walk truncated at the vacuum horizon — cannot "
+                "prove it superseded vs lost-race residue; retry with a "
+                "fresh snapshot_id"
             )
     staged = os.path.join(data_dir, sid)
     # stage: snapshot-unique prefix; overwrite = idempotent retry
@@ -577,7 +593,12 @@ def publish(
         inherit_meta=_inherit_meta,
         observed_gen=observed_gen,
         observed=observed,
-        schema=_schema_json(df),
+        # _record_schema=False: merge/delete rewriting a LEGACY
+        # (pre-schema) lineage must not record the survivors' frame as
+        # the table contract — carried files may hold columns it lacks
+        # (the legacy-stays-legacy rule _merge_schemas applies to
+        # appends; r12 close review)
+        schema=_schema_json(df) if _record_schema else None,
         merge_schema=merge_schema,
     )
 
@@ -822,6 +843,30 @@ def _scrub_lost_attempt(
         pass  # no residue (pre-check loss) or already scrubbed
 
 
+def _occ_loop(root: str, snapshot_id: str | None, retries: int, attempt):
+    """The shared OCC retry protocol merge_upsert / delete_where /
+    compact_snapshot all speak (one definition, three users — finding
+    of the r12 close review): read the current snapshot, honor the
+    exactly-once replay guard (``parent == snapshot_id`` — the token
+    already committed, possibly finished by a twin mid-rebase;
+    re-deriving would apply the batch to ITS OWN RESULT), run
+    ``attempt(parent)`` (the op-specific derive + publish), and on a
+    lost pointer race scrub the same-token residue and re-derive on
+    the fresh current, up to ``retries`` times. Exhaustion re-raises
+    the final ``ConcurrentPublishError``."""
+    for i in range(retries + 1):
+        parent = current_snapshot(root)
+        if snapshot_id is not None and parent == snapshot_id:
+            return snapshot_id
+        try:
+            return attempt(parent)
+        except ConcurrentPublishError:
+            if i == retries:
+                raise
+            _scrub_lost_attempt(root, snapshot_id, parent)
+    raise AssertionError("unreachable: every attempt returns or raises")
+
+
 def merge_upsert(
     spark: SparkSession,
     df: DataFrame,
@@ -872,40 +917,24 @@ def merge_upsert(
     batch); a concurrent merge's result is merged into last-writer-
     wins per key. ``rebase_retries=0`` restores raise-to-caller
     (``ConcurrentPublishError``). Exhaustion re-raises."""
-    from pyspark.sql import functions as F
-
-    import bisect
-
     retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
+
+    def attempt(parent):
+        if parent is None:
+            # Empty table: a plain publish, but parent_check still
+            # races — a concurrent first-writer landing before our CAS
+            # raises, and the rebase loop re-enters through the real
+            # merge path against it.
+            return publish(df, root, snapshot_id=snapshot_id)
+        pm = _manifest(root, parent)
+        return _merge_upsert_pinned(
+            spark, df, root, key_col, snapshot_id, pm,
+            pm.get("files_meta", {}),
+        )
+
     df = df.persist()
     try:
-        for attempt in range(retries + 1):
-            parent = current_snapshot(root)
-            if snapshot_id is not None and parent == snapshot_id:
-                # Exactly-once replay guard (the foreachBatch epoch
-                # contract): this merge already committed — possibly by
-                # a twin that finished our token mid-rebase. Re-deriving
-                # would merge the batch into ITS OWN RESULT — updates
-                # are idempotent but inserts would anti-join against
-                # themselves and survive as duplicates-in-time; the
-                # guard makes retry a no-op instead.
-                return snapshot_id
-            try:
-                if parent is None:
-                    # Empty table: a plain publish, but parent_check
-                    # still races — a concurrent first-writer landing
-                    # before our CAS raises, and the rebase loop re-
-                    # enters through the real merge path against it.
-                    return publish(df, root, snapshot_id=snapshot_id)
-                pm = _manifest(root, parent)
-                return _merge_upsert_pinned(
-                    spark, df, root, key_col, snapshot_id, pm,
-                    pm.get("files_meta", {}),
-                )
-            except ConcurrentPublishError:
-                if attempt == retries:
-                    raise
-                _scrub_lost_attempt(root, snapshot_id, parent)
+        return _occ_loop(root, snapshot_id, retries, attempt)
     finally:
         df.unpersist()
 
@@ -925,15 +954,30 @@ def _merge_upsert_pinned(
 
     pschema = pm.get("schema")
     if pschema is not None:
-        want = sorted(f["name"] for f in pschema["fields"])
-        if sorted(df.columns) != want:
+        want = {f["name"]: f["type"] for f in pschema["fields"]}
+        got = {
+            f["name"]: f["type"] for f in df.schema.jsonValue()["fields"]
+        }
+        if sorted(got) != sorted(want):
             # MERGE requires the batch to match the table contract
             # exactly (every format's rule): a narrower batch would
             # otherwise record a narrower schema on the no-touched-file
             # path and silently hide carried files' columns.
             raise ValueError(
-                f"merge_upsert batch columns {sorted(df.columns)} != "
-                f"table schema columns {want} at the manifest root"
+                f"merge_upsert batch columns {sorted(got)} != "
+                f"table schema columns {sorted(want)} at the manifest root"
+            )
+        clash = [c for c in want if got[c] != want[c]]
+        if clash:
+            # Types too, not just names (r12 close review): a widened
+            # batch type would survive unionByName, be RECORDED as the
+            # table schema, and bind the carried files' unchanged
+            # parquet to the wrong type — breaking every future read.
+            raise ValueError(
+                f"merge_upsert batch type mismatch on {clash} (batch "
+                f"{[got[c] for c in clash]} vs table "
+                f"{[want[c] for c in clash]}) — no implicit casts; "
+                "align the types explicitly"
             )
     counts = df.agg(
         F.count("*").alias("n"), F.countDistinct(key_col).alias("d")
@@ -978,8 +1022,10 @@ def _merge_upsert_pinned(
         # bind to the parent's recorded schema (when present) so a
         # merge against an EVOLVED lineage reads every survivor column
         # — including ones the touched files predate (as NULL) — and
-        # the unionByName with the batch stays total
-        old_rows = _manifest_reader(spark, pm).parquet(
+        # the unionByName with the batch stays total; a LEGACY lineage
+        # gets the footer-union read so heterogeneous survivors keep
+        # every column they physically hold
+        old_rows = _manifest_reader(spark, pm, legacy_union=True).parquet(
             *[os.path.join(root, f) for f in touched_rel]
         )
         survivors = old_rows.join(keys, key_col, "left_anti")
@@ -1001,6 +1047,7 @@ def _merge_upsert_pinned(
         # commit between our derivation read and the pointer CAS must
         # surface, not be clobbered by stale derivations)
         _require_parent=pm["snapshot_id"],
+        _record_schema=pschema is not None,
     )
 
 
@@ -1047,31 +1094,28 @@ def delete_where(
     from pyspark.sql import functions as F
 
     retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
-    for attempt in range(retries + 1):
-        parent = current_snapshot(root)
-        if parent is None:
-            raise FileNotFoundError(f"no current snapshot at {root!r}")
-        if snapshot_id is not None and parent == snapshot_id:
-            return snapshot_id  # replayed delete: already committed
-        pm = _manifest(root, parent)
-        meta = pm.get("files_meta", {})
-        reader = _manifest_reader(spark, pm)
-        abs_paths = [os.path.join(root, f) for f in pm["files"]]
+
+    def attempt(parent):
         from urllib.parse import unquote
 
+        if parent is None:
+            raise FileNotFoundError(f"no current snapshot at {root!r}")
+        pm = _manifest(root, parent)
+        meta = pm.get("files_meta", {})
+        abs_paths = [os.path.join(root, f) for f in pm["files"]]
         hit_uris = {
             # input_file_name returns URL-encoded URIs (a space is
             # %20): decode before suffix-matching against raw paths
             unquote(r["f"])
-            for r in reader.parquet(*abs_paths)
+            for r in _manifest_reader(spark, pm, legacy_union=True)
+            .parquet(*abs_paths)
             .where(predicate)
             .select(F.input_file_name().alias("f"))
             .distinct()
             .collect()
         }
-        # input_file_name returns URIs (file://...): match by the
-        # path SUFFIX data/<sid>/<part> — snapshot prefixes make the
-        # relative name unique within the table root
+        # match by path SUFFIX data/<sid>/<part> — snapshot prefixes
+        # make the relative name unique within the table root
         touched_rel = [
             f for f, a in zip(pm["files"], abs_paths)
             if any(u.endswith(a) or u.endswith(f) for u in hit_uris)
@@ -1086,27 +1130,25 @@ def delete_where(
             return parent  # nothing matched: the table is unchanged
         carried = [f for f in pm["files"] if f not in set(touched_rel)]
         survivors = (
-            _manifest_reader(spark, pm)
+            _manifest_reader(spark, pm, legacy_union=True)
             .parquet(*[os.path.join(root, f) for f in touched_rel])
             .where(~F.coalesce(F.expr(predicate), F.lit(False)))
         )
         stats_cols = sorted(
             {c for m in meta.values() for c in m.get("stats", {})}
         ) or None
-        try:
-            return publish(
-                survivors,
-                root,
-                snapshot_id=snapshot_id,
-                stats_cols=stats_cols,
-                _inherit_files=carried,
-                _inherit_meta={f: meta[f] for f in carried if f in meta},
-                _require_parent=parent,
-            )
-        except ConcurrentPublishError:
-            if attempt == retries:
-                raise
-            _scrub_lost_attempt(root, snapshot_id, parent)
+        return publish(
+            survivors,
+            root,
+            snapshot_id=snapshot_id,
+            stats_cols=stats_cols,
+            _inherit_files=carried,
+            _inherit_meta={f: meta[f] for f in carried if f in meta},
+            _require_parent=parent,
+            _record_schema=pm.get("schema") is not None,
+        )
+
+    return _occ_loop(root, snapshot_id, retries, attempt)
 
 
 def compact_snapshot(
@@ -1149,46 +1191,47 @@ def compact_snapshot(
     lost race would have required the CALLER to re-absorb now survive
     into the compacted snapshot automatically."""
     retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
-    for attempt in range(retries + 1):
-        parent = current_snapshot(root)
+
+    def attempt(parent):
         if parent is None:
             raise FileNotFoundError(f"no current snapshot at {root!r}")
-        if snapshot_id is not None and parent == snapshot_id:
-            return snapshot_id  # replayed compaction: already committed
         pm = _manifest(root, parent)
         stats_set = {
             c for m in pm.get("files_meta", {}).values() for c in m.get("stats", {})
         }
-        df = read_snapshot(spark, root, parent)
+        # merge_schema: ignored on recorded lineages (schema wins); on
+        # a LEGACY lineage the rewrite must see every column of every
+        # file — a plain inferring read would drop whole columns from
+        # the compacted table
+        df = read_snapshot(spark, root, parent, merge_schema=True)
         if zorder_cols is not None:
             from db_loader_spark.sinks.ddl import zorder_key
-            from pyspark.sql import functions as F
 
             a, b = zorder_cols
+            # collision-proof scratch column: a fixed "_zkey" would
+            # silently overwrite-and-drop a real column of that name
+            zc = f"_zkey_{uuid.uuid4().hex[:8]}"
             df = (
-                df.withColumn("_zkey", zorder_key(df, a, b))
-                .repartitionByRange(target_files, "_zkey")
-                .sortWithinPartitions("_zkey")
-                .drop("_zkey")
+                df.withColumn(zc, zorder_key(df, a, b))
+                .repartitionByRange(target_files, zc)
+                .sortWithinPartitions(zc)
+                .drop(zc)
             )
             stats_set |= {a, b}
         else:
             df = df.coalesce(target_files)
-        stats_cols = sorted(stats_set) or None
         # the rewrite is parent's content: commit conditionally on it —
         # an append landing mid-compaction must not vanish from current
-        try:
-            return publish(
-                df,
-                root,
-                snapshot_id=snapshot_id,
-                stats_cols=stats_cols,
-                _require_parent=parent,
-            )
-        except ConcurrentPublishError:
-            if attempt == retries:
-                raise
-            _scrub_lost_attempt(root, snapshot_id, parent)
+        return publish(
+            df,
+            root,
+            snapshot_id=snapshot_id,
+            stats_cols=sorted(stats_set) or None,
+            _require_parent=parent,
+            _record_schema=pm.get("schema") is not None,
+        )
+
+    return _occ_loop(root, snapshot_id, retries, attempt)
 
 
 def restore_snapshot(
@@ -1227,6 +1270,22 @@ def restore_snapshot(
       commit, whose usual source is merge derivation).
     """
     man_dir = os.path.join(root, _MANIFESTS)
+    new_sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+    # Replay guards BEFORE target validation (r12 close review): an
+    # at-least-once replay of a restore that already committed must
+    # no-op even if the TARGET has since been vacuumed — the committed
+    # restore carries the files under its own manifest.
+    _, observed = _read_pointer(root)
+    if observed == new_sid:
+        return new_sid  # replayed restore: already committed
+    if observed == sid:
+        return sid  # already AT the target state: no-op
+    if (
+        snapshot_id is not None
+        and os.path.exists(os.path.join(man_dir, f"{new_sid}.json"))
+        and _committed_in_lineage(root, new_sid, observed) is True
+    ):
+        return new_sid  # committed then superseded: idempotent no-op
     tm = _manifest(root, sid)  # FileNotFoundError: reaped target
     missing = [
         f for f in tm["files"]
@@ -1237,7 +1296,6 @@ def restore_snapshot(
             f"cannot restore {root!r} to {sid!r}: {len(missing)} of its "
             f"data files were vacuumed (first: {missing[0]!r})"
         )
-    new_sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
     for _ in range(_COMMIT_RETRIES):
         observed_gen, observed = _read_pointer(root)
         if observed == new_sid:
@@ -1252,16 +1310,22 @@ def restore_snapshot(
             )
         if os.path.exists(os.path.join(man_dir, f"{new_sid}.json")):
             # same adjudication as publish: a committed-then-superseded
-            # token must never recommit (its manifest is load-bearing
-            # history — overwriting writes a CYCLE into the chain);
-            # provable crash residue of a lost restore is adopted.
-            if _committed_in_lineage(root, new_sid, observed) is False:
+            # token already DID its restore — idempotent no-op (it must
+            # never recommit: its manifest is load-bearing history, and
+            # overwriting writes a CYCLE into the chain); provable
+            # crash residue of a lost restore is adopted; an
+            # unprovable (horizon-truncated) case refuses.
+            landed = _committed_in_lineage(root, new_sid, observed)
+            if landed is True:
+                return new_sid
+            if landed is False:
                 os.unlink(os.path.join(man_dir, f"{new_sid}.json"))
             else:
                 raise RuntimeError(
-                    f"snapshot token {new_sid!r} already has a committed "
-                    f"manifest at {root!r}; restoring over it would "
-                    "corrupt the lineage — use a fresh snapshot_id"
+                    f"snapshot token {new_sid!r} already has a manifest "
+                    f"at {root!r} and the lineage walk truncated at the "
+                    "vacuum horizon; restoring over it could corrupt "
+                    "the lineage — use a fresh snapshot_id"
                 )
         try:
             return _commit_staged(

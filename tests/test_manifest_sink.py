@@ -273,7 +273,7 @@ def test_merge_upsert_without_stats_degrades_to_full_rewrite(spark, tmp_path):
     """No zone maps -> every file is conservatively touched; the result
     is still the exact merge (correct-but-unpruned contract)."""
     root = str(tmp_path / "tbl")
-    M.publish(spark.range(100).select("id", F.lit(0).alias("v")).repartition(4), root, snapshot_id="v1")
+    M.publish(spark.range(100).select("id", F.lit(0).cast("long").alias("v")).repartition(4), root, snapshot_id="v1")
     M.merge_upsert(
         spark,
         spark.createDataFrame([(7, 1)], "id long, v long"),
@@ -290,7 +290,7 @@ def test_merge_upsert_replay_is_exactly_once(spark, tmp_path):
     be a no-op: without the guard, inserts would anti-join against
     their own result and duplicate."""
     root = str(tmp_path / "tbl")
-    M.publish(spark.range(10).select("id", F.lit(0).alias("v")), root, snapshot_id="v1")
+    M.publish(spark.range(10).select("id", F.lit(0).cast("long").alias("v")), root, snapshot_id="v1")
     batch = spark.createDataFrame([(3, 1), (50, 1)], "id long, v long")
     M.merge_upsert(spark, batch, root, "id", snapshot_id="epoch-1")
     M.merge_upsert(spark, batch, root, "id", snapshot_id="epoch-1")  # retry
@@ -488,15 +488,18 @@ def test_append_commit_replay_is_exactly_once(spark, tmp_path):
     assert M.read_current(spark, root).count() == 15
 
 
-def test_replay_of_superseded_snapshot_is_refused(spark, tmp_path):
+def test_replay_of_superseded_snapshot_is_idempotent_noop(spark, tmp_path):
     """A token that committed EARLIER but was since superseded (e.g. a
     foreachBatch restarted with a fresh checkpoint against an existing
     table root, re-issuing epoch-0) must NOT restage: the live lineage
     inherits data/epoch-0 files by reference, so an overwrite would
     tear concurrent reads and an append would list the files twice,
-    double-counting rows in read_current (ADVICE r7). Pin: the publish
-    raises, the data files are untouched, and the table still reads
-    exactly once."""
+    double-counting rows in read_current (ADVICE r7). r12 close
+    review: since the lineage walk PROVES the epoch committed, the
+    replay returns success as a pure no-op (raising wedged multi-
+    writer streams whose epoch landed then was superseded — the token
+    cannot be re-minted). Pin: no-op return, data files untouched,
+    lineage unchanged, rows exactly once."""
     root = str(tmp_path / "tbl")
     M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
     M.publish(spark.range(10, 15), root, snapshot_id="epoch-1", append=True)
@@ -505,14 +508,15 @@ def test_replay_of_superseded_snapshot_is_refused(spark, tmp_path):
         f: os.stat(os.path.join(staged, f)).st_mtime_ns
         for f in os.listdir(staged)
     }
-    with pytest.raises(RuntimeError, match="superseded"):
-        M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
+    out = M.publish(spark.range(10), root, snapshot_id="epoch-0", append=True)
+    assert out == "epoch-0"  # idempotent success, not a new commit
     after = {
         f: os.stat(os.path.join(staged, f)).st_mtime_ns
         for f in os.listdir(staged)
     }
-    assert after == before  # live files untouched by the refused replay
-    assert M.snapshots(root) == ["epoch-0", "epoch-1"]
+    assert after == before  # live files untouched by the no-op replay
+    assert M.snapshots(root) == ["epoch-0", "epoch-1"]  # pointer unmoved
+    assert M.current_snapshot(root) == "epoch-1"
     assert M.read_current(spark, root).count() == 15
 
 
@@ -1215,12 +1219,15 @@ def test_restore_refuses_unprovable_or_vacuumed_targets(spark, tmp_path):
     assert M.current_snapshot(root) == s4  # refusals never pointed
 
 
-def test_restore_token_reuse_refused_but_replay_is_idempotent(
+def test_restore_token_replay_is_idempotent_even_after_supersede(
     spark, tmp_path
 ):
-    """A restore epoch token replays idempotently while it is current,
-    but a token that committed and was superseded must be refused —
-    recommitting it would write a cycle into the parent chain."""
+    """A restore epoch token replays idempotently while current AND
+    after it was superseded (the lineage walk proves it committed, so
+    the replay no-ops rather than recommitting — which would write a
+    cycle into the parent chain). The replay also survives the TARGET
+    being vacuumed away, since the committed restore carries the files
+    under its own manifest (r12 close review)."""
     root = str(tmp_path / "tbl")
     s1 = M.publish(spark.range(10), root)
     M.publish(spark.range(20), root)
@@ -1229,10 +1236,19 @@ def test_restore_token_reuse_refused_but_replay_is_idempotent(
     # replay while current: no-op
     assert M.restore_snapshot(root, s1, snapshot_id="restore-1") == "restore-1"
     assert M.snapshots(root).count("restore-1") == 1
-    # superseded, then replayed: refused
-    M.publish(spark.range(5), root)
-    with pytest.raises(RuntimeError, match="corrupt the lineage"):
-        M.restore_snapshot(root, s1, snapshot_id="restore-1")
+    # superseded, then replayed: idempotent no-op, nothing recommitted
+    top = M.publish(spark.range(5), root)
+    assert M.restore_snapshot(root, s1, snapshot_id="restore-1") == "restore-1"
+    assert M.current_snapshot(root) == top
+    assert M.snapshots(root).count("restore-1") == 1
+    # vacuum the TARGET out of existence (keep=3 spares the committed
+    # restore's own manifest but reaps s1): the replay still no-ops —
+    # the old ordering validated the target first and crashed here
+    M.vacuum(root, keep=3)
+    with pytest.raises(Exception):
+        M.read_snapshot(spark, root, s1)  # target truly gone
+    assert M.restore_snapshot(root, s1, snapshot_id="restore-1") == "restore-1"
+    assert M.current_snapshot(root) == top
 
 
 def test_restore_lost_race_retries_and_lands(spark, tmp_path, monkeypatch):
@@ -1672,3 +1688,75 @@ def test_delete_where_handles_encoded_paths(spark, tmp_path):
     sid = M.delete_where(spark, root, "id < 10")
     assert M.current_snapshot(root) == sid
     assert M.read_current(spark, root).count() == 90
+
+
+def test_merge_refuses_type_mismatched_batch(spark, tmp_path):
+    """r12 close review #1: a batch matching the contract by NAME but
+    not TYPE must be refused — unionByName would silently widen the
+    survivors, the widened schema would be recorded, and the carried
+    files' unchanged parquet would bind to the wrong type, breaking
+    every future read."""
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(10).select("id", F.lit(0).cast("long").alias("v")),
+        root, stats_cols=["id"],
+    )
+    bad = spark.createDataFrame([(1, 2.5)], "id long, v double")
+    with pytest.raises(ValueError, match="type mismatch"):
+        M.merge_upsert(spark, bad, root, "id")
+    assert M.read_current(spark, root).where("v = 0").count() == 10
+
+
+def test_legacy_heterogeneous_lineage_dml_preserves_columns(spark, tmp_path):
+    """r12 close review #3: merge/delete/compact on a LEGACY lineage
+    (pre-schema manifests) whose files are heterogeneous must read
+    survivors with the footer UNION (a plain inferring read can drop
+    whole columns) and must NOT record a schema (legacy stays legacy,
+    so merge_schema=True reads keep surfacing every column)."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(4).select("id"), root, snapshot_id="v1",
+              stats_cols=["id"])
+    M.publish(
+        spark.range(4, 8).select("id", F.lit("x").alias("tag")),
+        root, snapshot_id="v2", append=True, merge_schema=True,
+        stats_cols=["id"],
+    )
+    # strip recorded schemas: simulate a pre-r12b heterogeneous lineage
+    for sid in ("v1", "v2"):
+        mp = os.path.join(root, "_manifests", f"{sid}.json")
+        with open(mp) as fh:
+            man = json.load(fh)
+        man.pop("schema", None)
+        with open(mp, "w") as fh:
+            json.dump(man, fh)
+    # delete touches BOTH files; survivors keep tag (NULL for v1 rows)
+    M.delete_where(spark, root, "id in (0, 5)")
+    assert M._manifest(root, M.current_snapshot(root)).get("schema") is None
+    got = {r.id: r.tag for r in
+           M.read_current(spark, root, merge_schema=True).collect()}
+    assert got == {1: None, 2: None, 3: None, 4: "x", 6: "x", 7: "x"}
+    # compaction of the legacy lineage keeps every column too
+    M.compact_snapshot(spark, root, target_files=1)
+    assert M._manifest(root, M.current_snapshot(root)).get("schema") is None
+    got = {r.id: r.tag for r in
+           M.read_current(spark, root, merge_schema=True).collect()}
+    assert got == {1: None, 2: None, 3: None, 4: "x", 6: "x", 7: "x"}
+
+
+def test_compact_zorder_spares_a_real_zkey_column(spark, tmp_path):
+    """r12 close review #5: the Z-order scratch column name is
+    collision-proof — a real column named _zkey survives the clustered
+    rewrite with its values intact."""
+    root = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 11).alias("b"),
+        (F.col("id") * 3).alias("_zkey"),
+    )
+    M.publish(df.repartition(4), root, stats_cols=["a", "b"])
+    M.compact_snapshot(spark, root, target_files=2, zorder_cols=("a", "b"))
+    out = M.read_current(spark, root)
+    assert "_zkey" in out.columns
+    rows = {r["id"]: r["_zkey"] for r in out.collect()}
+    assert rows == {i: i * 3 for i in range(1000)}
