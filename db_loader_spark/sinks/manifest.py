@@ -112,8 +112,8 @@ class ConcurrentPublishError(RuntimeError):
     Typed (vs the bare RuntimeError it subclasses, for compatibility
     with pre-r12b callers matching the message) so the OCC retry loop
     can catch exactly the re-derivable failure and let every other
-    error — superseded-token refusal, pathological-contention
-    exhaustion, IO faults — propagate untouched."""
+    error — the horizon-truncated token refusal, pathological-
+    contention exhaustion, IO faults — propagate untouched."""
 
 
 def _read_pointer(root: str) -> tuple[int, str | None]:
@@ -254,6 +254,38 @@ def _schema_json(df: DataFrame) -> dict:
     }
 
 
+def _type_fingerprint(t):
+    """A Spark type-JSON value with every NULLABILITY and METADATA
+    annotation stripped, recursively — the comparison key for "same
+    type, no cast needed". Nested nullable/containsNull/
+    valueContainsNull and field metadata differ freely between a
+    createDataFrame DDL schema and a written-then-recorded one;
+    treating them as type conflicts would refuse batches whose types
+    genuinely align (r12 close review, pass 2)."""
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return (
+                "struct",
+                tuple(
+                    (f["name"], _type_fingerprint(f["type"]))
+                    for f in t["fields"]
+                ),
+            )
+        if kind == "array":
+            return ("array", _type_fingerprint(t["elementType"]))
+        if kind == "map":
+            return (
+                "map",
+                _type_fingerprint(t["keyType"]),
+                _type_fingerprint(t["valueType"]),
+            )
+        if kind == "udt":
+            return ("udt", t.get("class"))
+        return ("other", json.dumps(t, sort_keys=True))
+    return t
+
+
 def _merge_schemas(
     parent: dict | None, new: dict | None, allow_new: bool, root: str
 ) -> dict | None:
@@ -275,7 +307,9 @@ def _merge_schemas(
     out = [dict(f) for f in parent["fields"]]
     for f in new["fields"]:
         if f["name"] in ptypes:
-            if ptypes[f["name"]] != f["type"]:
+            if _type_fingerprint(ptypes[f["name"]]) != _type_fingerprint(
+                f["type"]
+            ):
                 raise ValueError(
                     f"schema conflict appending to {root!r}: column "
                     f"{f['name']!r} is {ptypes[f['name']]!r} in the table "
@@ -506,10 +540,11 @@ def publish(
         # persistent-checkpoint stream permanently wedged — foreachBatch
         # derives sid from the epoch id and cannot mint a fresh token,
         # so the restart re-raised forever until manual cleanup.
-        # Any other parent splits two ways, adjudicated below by a
-        # lineage walk (r12b): committed-then-superseded (refuse — a
-        # replay would tear the live lineage) vs the crash residue of
-        # a LOST commit attempt (adopt — delete and commit fresh).
+        # Any other parent splits three ways, adjudicated below by a
+        # lineage walk (r12b): committed-then-superseded (idempotent
+        # no-op — the commit already landed), the crash residue of a
+        # LOST commit attempt (adopt — delete and commit fresh), or
+        # unprovable at the vacuum horizon (refuse).
         # (restore_snapshot keeps these adjudications sound by never
         # moving the pointer backward: a rollback is a NEW child
         # commit inheriting the target's files, so history stays
@@ -858,6 +893,19 @@ def _occ_loop(root: str, snapshot_id: str | None, retries: int, attempt):
         parent = current_snapshot(root)
         if snapshot_id is not None and parent == snapshot_id:
             return snapshot_id
+        if (
+            snapshot_id is not None
+            and os.path.exists(
+                os.path.join(root, _MANIFESTS, f"{snapshot_id}.json")
+            )
+            and _committed_in_lineage(root, snapshot_id, parent) is True
+        ):
+            # committed then SUPERSEDED by another writer: publish
+            # would no-op this anyway (lineage-walk adjudication), but
+            # only after attempt() re-ran the full derivation — catch
+            # it here and skip the wasted Spark work (r12 close
+            # review, pass 2)
+            return snapshot_id
         try:
             return attempt(parent)
         except ConcurrentPublishError:
@@ -955,19 +1003,25 @@ def _merge_upsert_pinned(
     pschema = pm.get("schema")
     if pschema is not None:
         want = {f["name"]: f["type"] for f in pschema["fields"]}
-        got = {
-            f["name"]: f["type"] for f in df.schema.jsonValue()["fields"]
-        }
-        if sorted(got) != sorted(want):
+        # raw df.columns, not a dict: a dict would collapse DUPLICATE
+        # batch column names and let them through to a confusing
+        # AnalysisException downstream (r12 close review, pass 2)
+        if sorted(df.columns) != sorted(want):
             # MERGE requires the batch to match the table contract
             # exactly (every format's rule): a narrower batch would
             # otherwise record a narrower schema on the no-touched-file
             # path and silently hide carried files' columns.
             raise ValueError(
-                f"merge_upsert batch columns {sorted(got)} != "
+                f"merge_upsert batch columns {sorted(df.columns)} != "
                 f"table schema columns {sorted(want)} at the manifest root"
             )
-        clash = [c for c in want if got[c] != want[c]]
+        got = {
+            f["name"]: f["type"] for f in df.schema.jsonValue()["fields"]
+        }
+        clash = [
+            c for c in want
+            if _type_fingerprint(got[c]) != _type_fingerprint(want[c])
+        ]
         if clash:
             # Types too, not just names (r12 close review): a widened
             # batch type would survive unionByName, be RECORDED as the
@@ -1029,7 +1083,16 @@ def _merge_upsert_pinned(
             *[os.path.join(root, f) for f in touched_rel]
         )
         survivors = old_rows.join(keys, key_col, "left_anti")
-        staged_df = survivors.unionByName(df)
+        # On a RECORDED lineage the contract check above guarantees
+        # the column sets match and this is a plain union. On a LEGACY
+        # lineage there is no contract, so the footer-union survivors
+        # may carry columns the batch lacks (and vice versa) —
+        # allowMissingColumns fills either side with NULL, which is
+        # the merge semantics a schema-less table can honestly offer
+        # (r12 close review, pass 2: the strict union crashed here).
+        staged_df = survivors.unionByName(
+            df, allowMissingColumns=pschema is None
+        )
     else:
         staged_df = df
     stats_cols = sorted(

@@ -1741,6 +1741,18 @@ def test_legacy_heterogeneous_lineage_dml_preserves_columns(spark, tmp_path):
     got = {r.id: r.tag for r in
            M.read_current(spark, root, merge_schema=True).collect()}
     assert got == {1: None, 2: None, 3: None, 4: "x", 6: "x", 7: "x"}
+    # merge with a NARROWER batch than the heterogeneous union: no
+    # contract exists, so the batch's missing column fills NULL
+    # (allowMissingColumns on the legacy path — review pass 2: the
+    # strict union crashed here) and survivors keep their tag
+    M.merge_upsert(
+        spark, spark.createDataFrame([(4, ), (9, )], "id long"), root, "id"
+    )
+    assert M._manifest(root, M.current_snapshot(root)).get("schema") is None
+    got = {r.id: r.tag for r in
+           M.read_current(spark, root, merge_schema=True).collect()}
+    assert got == {1: None, 2: None, 3: None, 4: None, 6: "x", 7: "x",
+                   9: None}
 
 
 def test_compact_zorder_spares_a_real_zkey_column(spark, tmp_path):
@@ -1760,3 +1772,43 @@ def test_compact_zorder_spares_a_real_zkey_column(spark, tmp_path):
     assert "_zkey" in out.columns
     rows = {r["id"]: r["_zkey"] for r in out.collect()}
     assert rows == {i: i * 3 for i in range(1000)}
+
+
+def test_merge_accepts_nested_nullability_variants_refuses_dup_columns(
+    spark, tmp_path
+):
+    """Review pass 2: (a) a batch whose struct column differs only in
+    NESTED nullability/metadata is the same type — not a cast — and
+    must merge; (b) duplicate batch column names must hit the loud
+    contract error, not a downstream AnalysisException."""
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(0, (1,)), (1, (2,))], "id long, s struct<x: bigint>"
+    )
+    M.publish(base, root, stats_cols=["id"])
+    batch = spark.createDataFrame([(0, (9,))], "id long, s struct<x: bigint>")
+    M.merge_upsert(spark, batch, root, "id")
+    rows = {r["id"]: r["s"]["x"] for r in M.read_current(spark, root).collect()}
+    assert rows == {0: 9, 1: 2}
+    dup = spark.range(1).select(
+        "id",
+        F.struct(F.lit(3).cast("bigint").alias("x")).alias("s"),
+        F.struct(F.lit(4).cast("bigint").alias("x")).alias("s"),
+    )
+    with pytest.raises(ValueError, match="batch columns"):
+        M.merge_upsert(spark, dup, root, "id")
+
+
+def test_superseded_dml_token_replay_skips_rederivation(spark, tmp_path):
+    """Review pass 2: replaying a delete/merge token that committed
+    and was then superseded must no-op WITHOUT re-running the
+    derivation (the _occ_loop guard adjudicates the token before
+    attempt()); the table is untouched."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(100), root, stats_cols=["id"])
+    M.delete_where(spark, root, "id < 10", snapshot_id="epoch-3")
+    top = M.publish(spark.range(200, 205), root, append=True)
+    out = M.delete_where(spark, root, "id < 10", snapshot_id="epoch-3")
+    assert out == "epoch-3"  # idempotent no-op
+    assert M.current_snapshot(root) == top  # nothing recommitted
+    assert M.read_current(spark, root).count() == 95
