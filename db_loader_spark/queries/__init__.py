@@ -113,114 +113,102 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
 # so a miscounted edit can't silently shift which keys get witnessed.
 DRIVER_WINDOW_SIZE = 50
 
-# ROUND-12 WINDOW: the staged rotation runs exactly as the r11 prep
-# note committed. CORRECTNESS_r11 landed non-empty and 50/50 GREEN
-# (with r10+r11 jointly covering all 100 registry keys), so this
-# window fronts the complement cohort — the 50 r10-evidence keys —
-# MINUS three displacements paying for three rule-2 re-entries, so
-# the every-key-within-2-rounds invariant holds everywhere except the
-# three documented displacement slots (each sibling-witnessed, the
-# curation_dsir_weight/t_session_window precedent; all three front
-# the r13 window by construction).
+# ROUND-13 WINDOW: the staged rotation runs exactly as the r12 prep
+# note committed. CORRECTNESS_r12 landed non-empty and 50/50 GREEN,
+# so this window fronts the complement cohort — the r11 window minus
+# the three r12 re-entries plus the three r12-displaced keys
+# (q5_region_revenue / text_bpe_tokenize / w_running_sum — r10
+# evidence, rule-1-oldest, fronting here by contract) — MINUS two
+# displacements paying for two rule-2 re-entries, so the
+# every-key-within-2-rounds invariant holds everywhere except the two
+# documented displacement slots (each sibling-witnessed; both front
+# r14 by construction).
 #
-# Rule-2 re-entries (r11-window keys whose code/oracle changed THIS
-# round — changed lines need external witness now, not in r13):
-# - text_kmv_vocab — its DuckDB oracle gained the NULL-token
-#   exclusion mirroring kmv_distinct (r11 ADVICE #1); value-neutral
-#   for split-derived tokens, but the oracle TEXT the driver executes
-#   changed.
-# - t_snapshot_upsert — sinks/manifest.py pointer protocol rewrite
-#   (generation-log CAS, r12): exercises publish + merge_upsert with
-#   the new _require_parent derivation pin.
+# Rule-2 re-entries (r12-window keys whose code changed THIS round —
+# changed lines need external witness now, not in r14):
+# - t_snapshot_upsert — merge_upsert's empty-table path gained the
+#   _NO_PARENT derivation pin (ADVICE r12 #1, lost-update window),
+#   its no-touched-file path now records the parent's column order
+#   (ADVICE r12 #3), and every commit's recorded schema relaxes
+#   nested nullability (ADVICE r12 #2, _relax_type_json).
 # - t_stream_lakehouse — same manifest lineage from the streaming
-#   side: per-epoch append commits through _commit_staged's
-#   rebuild-and-retry loop, snapshots() walk, compact_snapshot with
-#   its derivation pin.
-#   (r12b, same round: the OCC rebase loops — merge_upsert /
-#   compact_snapshot retry-on-ConcurrentPublishError with residue
-#   scrub, and publish's lineage-walk residue adoption — live on
-#   exactly these two keys' lineage, so the SAME re-entries witness
-#   them; sequential callers traverse the loops' zero-retry path.)
-# Shared-lineage note (the r10/r11 precedent): the manifest rewrite is
-# also in the lineage of scan_manifest_pruned / t_snapshot_incremental
-# / cdc_snapshot_diff (all r11-green). Their values are re-verified
-# bit-identical at both SFs this round (round notes), and every
-# changed manifest line they traverse — publish entry, _read_pointer,
-# _advance_pointer, _commit_staged, compact/merge pins — is externally
-# witnessed THIS round by the two re-entered keys sharing the module;
-# vacuum's generation-log pruning has no registry surface and is
-# pytest-witnessed (test_vacuum_prunes_generation_log_keeping_pointer).
+#   side (publish/_commit_staged record schemas through the new
+#   _relax_type_json; compact/vacuum walk unchanged).
+# Shared-lineage note: the manifest touches are also in the lineage
+# of scan_manifest_pruned / t_snapshot_incremental / cdc_snapshot_diff
+# — all three are IN this window by rotation anyway, so every
+# registry-reachable manifest path is externally witnessed this round.
 #
-# Displacements (3 slots, youngest-evidence / most-sibling-witnessed
-# members of the r10 cohort; all three front r13):
-# - q5_region_revenue — IS entry(): the driver smoke-checks it every
-#   round including this one, so its external evidence never lapses.
-# - text_bpe_tokenize — shares _bpe_trained with text_bpe_train
-#   (windowed below, externally witnessing the trained-vocab path
-#   this round); its remainder is a broadcast dim join + sum-agg,
-#   machinery a dozen windowed keys exercise.
-# - w_running_sum — window-frame machinery externally witnessed this
-#   round by the windowed w_topk_per_group / w_event_gap (and r11's
-#   green w_moving_avg); its own row was green in r10.
+# Displacements (2 slots, most-sibling-witnessed members of the r13
+# cohort; both front r14):
+# - w_moving_avg — window-frame machinery externally witnessed this
+#   round by the windowed w_running_sum (and r12's green
+#   w_topk_per_group / w_event_gap); its own row was green in r11.
+# - q1_pricing_summary — plain groupBy/agg pricing machinery
+#   externally witnessed this round by the windowed q5_region_revenue
+#   (and r12's green a6_run_summary / rollup_revenue /
+#   a3_filtered_count); its own row was green in r11.
 #
 # HARNESS INSURANCE (VERDICT r8 #4, carried): ordered CHEAPEST FIRST
 # by measured per-key sweep cost at sf0.01 (Spark + DuckDB oracle
-# wall time, scripts/window_cost.py, re-measured 2026-08-15 at r12
-# start AFTER the touches landed) — a wall-clock-capped prefix run
-# lands the maximum number of rows. Ordering is evidence-neutral
-# (driver checks set membership of the first 50). Tags: [t] = rule-2
-# re-entry this round.
+# wall time, scripts/window_cost.py --complement, re-measured
+# 2026-08-16 at r13 start: 75.7s/50 keys, 50/50 OK) — a
+# wall-clock-capped prefix run lands the maximum number of rows.
+# Ordering is evidence-neutral (driver checks set membership of the
+# first 50); the three r12-displaced keys front among cost-equals.
+# Tags: [t] = rule-2 re-entry this round, [d] = r12-displaced key
+# fronting by contract.
 WINDOW = [
-    "t_snapshot_upsert",  # [t] manifest CAS (merge/publish pins); 0.42s
-    "text_pii_scrub",  # 0.43s
-    "p9_summary_parse",  # 0.48s
-    "eav_pivot",  # 0.50s
-    "text_quality_score",  # 0.52s
-    "a3_filtered_count",  # 0.53s
-    "text_lang_id",  # 0.53s
-    "j1_sessionize",  # 0.56s
-    "a6_run_summary",  # 0.56s
-    "q_top_customers",  # 0.60s
-    "curation_source_cap",  # 0.61s
-    "text_chunk",  # 0.62s
-    "a7_id_assignment",  # 0.63s
-    "jn_asof_join",  # 0.64s
-    "jn5_sidecar_join",  # 0.65s
-    "p_json_props",  # 0.65s
-    "a4_count_distinct",  # 0.65s
-    "j2_section_routing",  # 0.67s
-    "w_event_gap",  # 0.68s
-    "text_repetition",  # 0.69s
-    "set_ops",  # 0.70s
-    "w_topk_per_group",  # 0.71s
-    "p14_continuation_merge",  # 0.72s
-    "rollup_revenue",  # 0.74s
-    "text_kmv_vocab",  # [t] oracle null-mirror; 0.76s
-    "a1_distinct_pairs",  # 0.78s
-    "jn_range_join",  # 0.79s
-    "q3_segment_revenue",  # 0.82s
-    "p10_find_first",  # 0.88s
-    "text_tfidf_topterms",  # 0.94s
-    "a2_max_id",  # 0.95s
-    "q10_returned_items",  # 0.97s
-    "curation_shard_assign",  # 1.00s
-    "a_outlier_filter",  # 1.00s
-    "curation_dsir_weight",  # 1.05s
-    "dedup_minhash_lsh",  # 1.28s
-    "text_repeated_passages",  # 1.36s
-    "ecj_star",  # 1.84s
-    "ann_lsh_topk",  # 1.93s
-    "text_fingerprint",  # 1.95s
-    "multimodal_decode_jpeg",  # 2.08s
-    "t_stream_rollup",  # 2.13s
-    "ann_sq_rerank",  # 2.41s
-    "dedup_simhash",  # 2.68s
-    "t_stream_dedup",  # 2.69s
-    "t_stream_signatures",  # 3.72s
-    "t_stream_join",  # 4.00s
-    "t_stream_lakehouse",  # [t] manifest CAS, streaming side; 4.29s
-    "ann_ivf_topk",  # 4.86s
-    "text_bpe_train",  # 4.98s
+    "multimodal_frame_sample",  # 0.25s
+    "scan_manifest_pruned",  # 0.26s
+    "a_hash_sample",  # 0.26s
+    "dedup_exact",  # 0.27s
+    "curation_weighted_sample",  # 0.27s
+    "w_running_sum",  # [d] r10 evidence, fronts; 0.28s
+    "jn_fuzzy_join",  # 0.34s
+    "a_histogram",  # 0.35s
+    "t_sliding_counts",  # 0.37s
+    "a_moments",  # 0.38s
+    "t_snapshot_incremental",  # 0.40s
+    "a_salted_agg",  # 0.42s
+    "t_snapshot_upsert",  # [t] manifest ADVICE-r12 fixes; 0.42s (r12 cost)
+    "jn1_dim_lookup_join",  # 0.43s
+    "jn4_anti_join_idempotence",  # 0.43s
+    "cdc_snapshot_diff",  # 0.43s
+    "jn7_fk_validation",  # 0.43s
+    "a_hll_distinct",  # 0.47s
+    "t_session_window",  # 0.48s
+    "text_cms_topk",  # 0.53s
+    "q5_region_revenue",  # [d] r10 evidence, fronts; 0.61s
+    "text_lm_score",  # 0.66s
+    "a_profile_stats",  # 0.67s
+    "text_bpe_pack",  # 0.68s
+    "a_table_fingerprint",  # 0.69s
+    "text_pack_bins",  # 0.72s
+    "text_bm25_topk",  # 0.80s
+    "p_parse_suite",  # 0.83s
+    "t_sliding_hll",  # 0.90s
+    "a_quantile_sketch",  # 0.94s
+    "dedup_bloom_prefilter",  # 0.98s
+    "text_decontaminate",  # 1.20s
+    "ann_bruteforce_topk",  # 1.51s
+    "jn2_contains_join",  # 1.63s
+    "multimodal_features",  # 1.67s
+    "t_stream_ann_index",  # 2.29s
+    "ann_ivf_disk_topk",  # 2.51s
+    "t_stream_mview",  # 2.57s
+    "ann_pq_topk",  # 2.80s
+    "dedup_embedding_components",  # 3.18s
+    "g_pagerank",  # 3.33s
+    "text_bpe_tokenize",  # [d] r10 evidence, fronts; 3.68s
+    "e2e_cli_ingest",  # 3.75s
+    "g_triangle_count",  # 3.77s
+    "ann_ivfpq_topk",  # 4.31s
+    "t_stream_lakehouse",  # [t] manifest lineage, streaming side; 4.29s (r12 cost)
+    "t_stream_sessions",  # 4.92s
+    "curation_funnel",  # 5.11s
+    "dedup_semantic",  # 5.18s
+    "curation_e2e",  # 6.03s
 ]
 
 # WINDOW-OVERFLOW QUEUE (policy, r6): brand-new keys beyond window

@@ -101,6 +101,20 @@ _GEN_KEEP = 16
 # appends, whose retry is metadata-only).
 _REBASE_RETRIES = 3
 
+# Sentinel for publish's ``_require_parent``: "this commit's content
+# was derived from NO parent" (an empty table at derivation time).
+# ``None`` can't express that — it means "no pin at all" — so before
+# this sentinel the empty-table merge path committed unpinned: a
+# concurrent first-writer landing between the OCC loop's
+# current_snapshot() read (None) and publish's own pointer read was
+# observed as current, passed the disabled pre-check, and had its
+# rows silently dropped by the batch-only child (ADVICE r12 #1, a
+# lost update the module's serializability contract forbids). With
+# the sentinel, publish requires the observed current to STILL be
+# None and raises ConcurrentPublishError otherwise, so the OCC loop
+# rebases into the real merge path against the interloper.
+_NO_PARENT = "<derived-from-empty-table>"
+
 
 class ConcurrentPublishError(RuntimeError):
     """A commit whose content was derived from a parent snapshot lost
@@ -238,20 +252,57 @@ def _advance_pointer(root: str, expect_gen: int, new_sid: str) -> bool:
     return True
 
 
+def _relax_type_json(t):
+    """A Spark type-JSON value with nullable/containsNull/
+    valueContainsNull forced True at EVERY level — the relaxed dual of
+    ``_type_fingerprint``'s strip. Top-level-only relaxation (the r12
+    shape) recorded the FIRST writer's nested nullability verbatim;
+    because ``_type_fingerprint`` ignores nested nullability, a later
+    append with legal NULLs in a nested field validated fine yet all
+    reads bound to the parent's non-nullable declaration — Spark may
+    skip null checks for data the lineage legally holds (ADVICE r12
+    #2)."""
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return {
+                **t,
+                "fields": [
+                    {
+                        **f,
+                        "nullable": True,
+                        "type": _relax_type_json(f["type"]),
+                    }
+                    for f in t["fields"]
+                ],
+            }
+        if kind == "array":
+            return {
+                **t,
+                "containsNull": True,
+                "elementType": _relax_type_json(t["elementType"]),
+            }
+        if kind == "map":
+            return {
+                **t,
+                "valueContainsNull": True,
+                "keyType": _relax_type_json(t["keyType"]),
+                "valueType": _relax_type_json(t["valueType"]),
+            }
+        return t
+    return t
+
+
 def _schema_json(df: DataFrame) -> dict:
     """The snapshot schema a commit records in its manifest, as Spark
-    StructType JSON with every field forced NULLABLE. Nullable is the
-    only honest nullability for a manifest-recorded schema: schema
-    evolution means old files can lack a later column entirely (read
-    as NULL), and parquet read-back surfaces nullable fields anyway —
-    recording a non-nullable field would promise more than an evolved
-    lineage can keep."""
-    return {
-        "type": "struct",
-        "fields": [
-            {**f, "nullable": True} for f in df.schema.jsonValue()["fields"]
-        ],
-    }
+    StructType JSON with every field — at every nesting level — forced
+    NULLABLE. Nullable is the only honest nullability for a
+    manifest-recorded schema: schema evolution means old files can
+    lack a later column entirely (read as NULL), and parquet read-back
+    surfaces nullable fields anyway — recording a non-nullable field
+    (top-level OR nested) would promise more than an evolved lineage
+    can keep."""
+    return _relax_type_json(df.schema.jsonValue())
 
 
 def _type_fingerprint(t):
@@ -492,17 +543,20 @@ def publish(
     os.makedirs(man_dir, exist_ok=True)
     sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
     observed_gen, observed = _read_pointer(root)
-    if (
-        _require_parent is not None
-        and observed != _require_parent
-        and observed != sid  # an already-landed commit is the no-op below
-    ):
-        raise ConcurrentPublishError(
-            f"concurrent publish detected at {root!r}: this commit's "
-            f"content was derived from {_require_parent!r} but current "
-            f"is {observed!r}; re-derive on top of the new current "
-            "snapshot"
-        )
+    if _require_parent is not None:
+        # _NO_PARENT pins "derived from an empty table": the observed
+        # current must still be None, else a first-writer interloper
+        # landed since the derivation and an unpinned commit here
+        # would drop its rows (ADVICE r12 #1).
+        expected = None if _require_parent == _NO_PARENT else _require_parent
+        if observed != expected and observed != sid:
+            raise ConcurrentPublishError(
+                f"concurrent publish detected at {root!r}: this commit's "
+                f"content was derived from "
+                f"{'an empty table' if expected is None else repr(expected)}"
+                f" but current is {observed!r}; re-derive on top of the "
+                "new current snapshot"
+            )
     if observed == sid:
         # Idempotent replay of the CURRENT snapshot (same epoch token):
         # the pointer move is the LAST step of the protocol, so the
@@ -969,11 +1023,18 @@ def merge_upsert(
 
     def attempt(parent):
         if parent is None:
-            # Empty table: a plain publish, but parent_check still
-            # races — a concurrent first-writer landing before our CAS
-            # raises, and the rebase loop re-enters through the real
-            # merge path against it.
-            return publish(df, root, snapshot_id=snapshot_id)
+            # Empty table: a plain publish, PINNED to "derived from no
+            # parent" (_NO_PARENT) — a concurrent first-writer landing
+            # between our current_snapshot() read and publish's own
+            # pointer read raises ConcurrentPublishError at the
+            # pre-check, and the rebase loop re-enters through the
+            # real merge path against it. (parent_check alone only
+            # fires when the CAS itself loses, i.e. commits landing
+            # AFTER publish's pointer read — ADVICE r12 #1.)
+            return publish(
+                df, root, snapshot_id=snapshot_id,
+                _require_parent=_NO_PARENT,
+            )
         pm = _manifest(root, parent)
         return _merge_upsert_pinned(
             spark, df, root, key_col, snapshot_id, pm,
@@ -1094,7 +1155,18 @@ def _merge_upsert_pinned(
             df, allowMissingColumns=pschema is None
         )
     else:
-        staged_df = df
+        # No file touched: the batch alone is staged. Bind its COLUMN
+        # ORDER to the parent's recorded schema — the contract check
+        # above is order-insensitive (sorted()), and the touched-file
+        # path records the parent's order (unionByName keeps the
+        # survivor side) — so without this select the table's recorded
+        # field order would churn nondeterministically across merges
+        # depending on whether any file was touched (ADVICE r12 #3).
+        staged_df = (
+            df.select([f["name"] for f in pschema["fields"]])
+            if pschema is not None
+            else df
+        )
     stats_cols = sorted(
         {c for m in meta.values() for c in m.get("stats", {})}
     ) or None

@@ -1812,3 +1812,138 @@ def test_superseded_dml_token_replay_skips_rederivation(spark, tmp_path):
     assert out == "epoch-3"  # idempotent no-op
     assert M.current_snapshot(root) == top  # nothing recommitted
     assert M.read_current(spark, root).count() == 95
+
+
+def test_empty_table_merge_race_keeps_interloper_rows(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 #1 (the lost-update window): a merge that derived
+    against an EMPTY table must not clobber a first-writer that
+    commits between the OCC loop's current_snapshot() read (None) and
+    publish's own pointer read. The empty-path publish is pinned to
+    "derived from no parent" (_NO_PARENT), so the interloper surfaces
+    as ConcurrentPublishError and the rebase re-enters the REAL merge
+    path — the serial order "append, then merge" keeps the appended
+    rows."""
+    root = str(tmp_path / "tbl")
+    # the interloper's commit is already on disk...
+    M.publish(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        root, snapshot_id="interloper",
+    )
+    # ...but the merge's first derivation read still observes None
+    orig = M.current_snapshot
+    state = {"first": True}
+
+    def stale_none_then_real(r):
+        if state["first"]:
+            state["first"] = False
+            return None
+        return orig(r)
+
+    monkeypatch.setattr(M, "current_snapshot", stale_none_then_real)
+    batch = spark.createDataFrame([(2, -1), (3, 30)], "id long, v long")
+    M.merge_upsert(spark, batch, root, "id", snapshot_id="merge-1")
+    monkeypatch.undo()
+    got = {r.id: r.v for r in M.read_current(spark, root).collect()}
+    # interloper's unmatched row SURVIVES; matched key updated; insert lands
+    assert got == {1: 10, 2: -1, 3: 30}
+    assert M.snapshots(root) == ["interloper", "merge-1"]
+
+
+def test_publish_no_parent_pin_raises_on_nonempty_table(spark, tmp_path):
+    """The _NO_PARENT sentinel's unit contract: a commit pinned to
+    "derived from an empty table" must refuse to land when ANY current
+    snapshot exists."""
+    root = str(tmp_path / "tbl")
+    M.publish(spark.range(3), root)
+    with pytest.raises(M.ConcurrentPublishError, match="empty table"):
+        M.publish(spark.range(2), root, _require_parent=M._NO_PARENT)
+
+
+def test_recorded_schema_relaxes_nested_nullability(spark, tmp_path):
+    """ADVICE r12 #2: the manifest-recorded schema must force
+    nullable=True at EVERY nesting level (struct fields, array
+    containsNull, map valueContainsNull), not just top-level — an
+    evolved lineage can legally hold NULLs the first writer's frame
+    didn't, and a non-nullable declaration would let Spark skip null
+    checks on data the lineage holds."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField(
+            "s",
+            T.StructType([
+                T.StructField("x", T.LongType(), False),
+                T.StructField(
+                    "inner",
+                    T.StructType([T.StructField("y", T.LongType(), False)]),
+                    False,
+                ),
+            ]),
+            False,
+        ),
+        T.StructField("arr", T.ArrayType(T.LongType(), False), False),
+        T.StructField(
+            "m", T.MapType(T.StringType(), T.LongType(), False), False
+        ),
+    ])
+    df = spark.createDataFrame(
+        [(1, (2, (3,)), [4], {"k": 5})], schema
+    )
+    root = str(tmp_path / "tbl")
+    sid = M.publish(df, root)
+    rec = M._manifest(root, sid)["schema"]
+
+    def assert_relaxed(t, path):
+        if not isinstance(t, dict):
+            return
+        if t.get("type") == "struct":
+            for f in t["fields"]:
+                assert f["nullable"] is True, f"{path}.{f['name']}"
+                assert_relaxed(f["type"], f"{path}.{f['name']}")
+        elif t.get("type") == "array":
+            assert t["containsNull"] is True, path
+            assert_relaxed(t["elementType"], path + "[]")
+        elif t.get("type") == "map":
+            assert t["valueContainsNull"] is True, path
+            assert_relaxed(t["valueType"], path + "{}")
+
+    assert_relaxed(rec, "$")
+    # functional: a later batch carrying NULLs at every nested level —
+    # legal under the relaxed contract — appends and reads back
+    # through the recorded schema without a type conflict
+    df2 = spark.createDataFrame(
+        [(2, (7, None), None, None)], T.StructType.fromJson(rec)
+    )
+    M.publish(df2, root, append=True)
+    rows = {r.id: r for r in M.read_current(spark, root).collect()}
+    assert rows[2]["s"]["inner"] is None and rows[2]["arr"] is None
+
+
+def test_merge_records_parent_column_order_on_untouched_path(
+    spark, tmp_path
+):
+    """ADVICE r12 #3: a merge touching NO files (zone maps exclude
+    every parent file) must still record the PARENT's column order,
+    not the batch's — otherwise the table's recorded field order
+    churns across merges depending on whether a file was touched."""
+    root = str(tmp_path / "tbl")
+    base = spark.range(100).select(
+        "id", (F.col("id") * 2).alias("v"), F.lit("x").alias("tag")
+    )
+    M.publish(
+        base.repartitionByRange(4, "id"), root,
+        snapshot_id="v1", stats_cols=["id"],
+    )
+    # batch columns deliberately REORDERED; keys beyond every file range
+    batch = spark.createDataFrame(
+        [("y", 9_000, 1), ("z", 9_001, 2)], "tag string, id long, v long"
+    )
+    M.merge_upsert(spark, batch, root, "id", snapshot_id="v2")
+    rec1 = [f["name"] for f in M._manifest(root, "v1")["schema"]["fields"]]
+    rec2 = [f["name"] for f in M._manifest(root, "v2")["schema"]["fields"]]
+    assert rec2 == rec1 == ["id", "v", "tag"]
+    got = {r.id: (r.v, r.tag) for r in M.read_current(spark, root).collect()}
+    assert got[9_000] == (1, "y") and len(got) == 102
