@@ -404,6 +404,77 @@ def _paths(root: str) -> tuple[str, str, str]:
     )
 
 
+def _rel_file_expr():
+    """Column expression: the manifest-relative path
+    ``data/<sid>/<part>`` of the file each row was read from, derived
+    from the hidden parquet ``_metadata`` column (OSS Spark 3.5+).
+    Relative — never the absolute URI — so deletion vectors stay valid
+    if the table root moves."""
+    from pyspark.sql import functions as F
+
+    return F.concat_ws(
+        "/", F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3)
+    )
+
+
+def _apply_deletes(
+    spark: SparkSession,
+    root: str,
+    man: dict,
+    df: DataFrame,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """Mask merge-on-read deleted rows out of a scan of ``man``'s
+    files: anti-join on (file, row position) against the snapshot's
+    deletion vectors (``man["deletes"]``). Row positions come from the
+    parquet reader's own ``_metadata.row_index`` — stable per file by
+    construction, the same identity Iceberg positional deletes and
+    Delta deletion vectors key on. No deletes → the scan is returned
+    UNTOUCHED (zero plan overhead for tables that never used MOR).
+
+    ``files`` (optional) names the manifest-relative data files ``df``
+    actually scans (a pruned subset); DV files containing positions
+    only for other data files are then skipped entirely — the
+    manifest's per-file association is what keeps a pruned read's DV
+    fetch proportional to the slice, not the table's delete history.
+
+    At 100 TB: the DV side is matched-rows-sized (the whole point of
+    MOR); Spark/AQE broadcasts it when small, shuffles both sides on
+    the (file, pos) key otherwise — either way the data side is
+    scanned once with no driver materialization."""
+    from pyspark.sql import functions as F
+
+    dels = man.get("deletes") or {}
+    if files is not None:
+        scanned = set(files)
+        dels = {f: e for f, e in dels.items() if f in scanned}
+    if not dels:
+        return df
+    dv_files = sorted({p for e in dels.values() for p in e["dv"]})
+    dv = spark.read.schema("f string, pos long").parquet(
+        *[os.path.join(root, p) for p in dv_files]
+    )
+    if files is not None:
+        # a DV file from a commit whose delete touched OTHER data
+        # files too: drop the irrelevant positions before the join
+        # (DV rows store the path as _metadata renders it: URL-encoded)
+        dv = dv.where(F.col("f").isin([_uri_rel(f) for f in scanned]))
+    # collision-proof scratch names (the compact_snapshot zkey rule)
+    tag = uuid.uuid4().hex[:8]
+    rc, pc = f"_dv_rel_{tag}", f"_dv_pos_{tag}"
+    out = (
+        df.withColumn(rc, _rel_file_expr())
+        .withColumn(pc, F.col("_metadata.row_index"))
+        .join(
+            dv,
+            (F.col(rc) == dv["f"]) & (F.col(pc) == dv["pos"]),
+            "left_anti",
+        )
+        .drop(rc, pc)
+    )
+    return out
+
+
 def _file_stats(path: str, cols: list[str]) -> dict:
     """Per-file zone-map entry from the parquet FOOTER (no data read):
     row count + min/max per requested column, aggregated across row
@@ -483,6 +554,7 @@ def publish(
     merge_schema: bool = False,
     _inherit_files: list[str] | None = None,
     _inherit_meta: dict | None = None,
+    _inherit_deletes: dict | None = None,
     _require_parent: str | None = None,
     _record_schema: bool = True,
 ) -> str:
@@ -680,6 +752,7 @@ def publish(
         parent_check=parent_check,
         inherit_files=_inherit_files,
         inherit_meta=_inherit_meta,
+        deletes=_inherit_deletes,
         observed_gen=observed_gen,
         observed=observed,
         # _record_schema=False: merge/delete rewriting a LEGACY
@@ -706,6 +779,7 @@ def _commit_staged(
     observed: str | None,
     schema: dict | None = None,
     merge_schema: bool = False,
+    deletes: dict | None = None,
 ) -> str:
     """Commit already-staged data files as snapshot ``sid``: write the
     manifest, then CAS the pointer. This is the multi-writer half of
@@ -751,6 +825,7 @@ def _commit_staged(
         inherited = list(inherit_files or [])
         inherited_meta = dict(inherit_meta or {})
         recorded_schema = schema
+        recorded_deletes = dict(deletes or {})
         if append and parent is not None:
             pm = _manifest(root, parent)
             inherited = pm["files"] + inherited
@@ -761,6 +836,13 @@ def _commit_staged(
             recorded_schema = _merge_schemas(
                 pm.get("schema"), schema, merge_schema, root
             )
+            # deletion vectors ride with the files they mask: an append
+            # carries the parent's files unchanged, so their DV entries
+            # carry too — dropping them would RESURRECT merge-on-read
+            # deleted rows on the very next append
+            recorded_deletes = {
+                **pm.get("deletes", {}), **recorded_deletes
+            }
         manifest = {
             "snapshot_id": sid,
             "parent": parent,
@@ -769,6 +851,8 @@ def _commit_staged(
         }
         if recorded_schema is not None:
             manifest["schema"] = recorded_schema
+        if recorded_deletes:
+            manifest["deletes"] = recorded_deletes
         # files_meta is written whenever ANY stats exist — harvested
         # for this commit's files OR inherited from the parent. Gating
         # on stats_cols alone would let one stats-less append silently
@@ -859,7 +943,10 @@ def read_snapshot(
     reader = _manifest_reader(spark, man)
     if merge_schema and not man.get("schema"):
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    # merge-on-read deletes (r13): mask DV positions before the frame
+    # leaves the module — every consumer (CDC diff, compaction, the
+    # registry keys) sees the LOGICAL table
+    return _apply_deletes(spark, root, man, reader.parquet(*files))
 
 
 def read_pruned(
@@ -898,13 +985,18 @@ def read_pruned(
         st = fm.get("stats", {}).get(col)
         return st is None or (st[1] >= lower and st[0] <= upper)
 
-    kept = [os.path.join(root, f) for f in m["files"] if may_match(f)]
+    kept_rel = [f for f in m["files"] if may_match(f)]
+    kept = [os.path.join(root, f) for f in kept_rel]
     residual = (F.col(col) >= F.lit(lower)) & (F.col(col) <= F.lit(upper))
     if not kept:
         # zone maps exclude every file: the empty result, with the
         # snapshot's real schema (from the full file list, zero rows)
         return read_snapshot(spark, root, sid).filter(F.lit(False))
-    return _manifest_reader(spark, m).parquet(*kept).filter(residual)
+    scan = _apply_deletes(
+        spark, root, m, _manifest_reader(spark, m).parquet(*kept),
+        files=kept_rel,
+    )
+    return scan.filter(residual)
 
 
 def _scrub_lost_attempt(
@@ -1140,8 +1232,12 @@ def _merge_upsert_pinned(
         # the unionByName with the batch stays total; a LEGACY lineage
         # gets the footer-union read so heterogeneous survivors keep
         # every column they physically hold
-        old_rows = _manifest_reader(spark, pm, legacy_union=True).parquet(
-            *[os.path.join(root, f) for f in touched_rel]
+        old_rows = _apply_deletes(
+            spark, root, pm,
+            _manifest_reader(spark, pm, legacy_union=True).parquet(
+                *[os.path.join(root, f) for f in touched_rel]
+            ),
+            files=touched_rel,
         )
         survivors = old_rows.join(keys, key_col, "left_anti")
         # On a RECORDED lineage the contract check above guarantees
@@ -1170,6 +1266,7 @@ def _merge_upsert_pinned(
     stats_cols = sorted(
         {c for m in meta.values() for c in m.get("stats", {})}
     ) or None
+    dels = pm.get("deletes") or {}
     return publish(
         staged_df,
         root,
@@ -1177,6 +1274,9 @@ def _merge_upsert_pinned(
         stats_cols=stats_cols,
         _inherit_files=carried,
         _inherit_meta={f: meta[f] for f in carried if f in meta},
+        # carried files keep their deletion vectors (the rewritten
+        # touched files materialized theirs via the masked read above)
+        _inherit_deletes={f: dels[f] for f in carried if f in dels},
         # the survivor rows and carried file list were derived from
         # pm's snapshot: commit conditionally on it (r12 — a racing
         # commit between our derivation read and the pointer CAS must
@@ -1186,46 +1286,320 @@ def _merge_upsert_pinned(
     )
 
 
+def _annotated_scan(
+    spark: SparkSession,
+    root: str,
+    pm: dict,
+    rel_files: list[str],
+    rc: str,
+    pc: str,
+) -> DataFrame:
+    """The DML derivation scan: ``pm``'s listed ``rel_files`` with two
+    scratch columns — ``rc`` (manifest-relative file path) and ``pc``
+    (parquet row position) — projected AT SCAN TIME, then the
+    snapshot's deletion vectors anti-joined away. Projecting the
+    ``_metadata`` fields before any join matters: the hidden column
+    resolves only against the file-source relation, so every DML
+    operation derives (file, position) identity here, first, and then
+    composes joins/filters freely."""
+    from pyspark.sql import functions as F
+
+    ann = (
+        _manifest_reader(spark, pm, legacy_union=True)
+        .parquet(*[os.path.join(root, f) for f in rel_files])
+        .withColumn(rc, _rel_file_expr())
+        .withColumn(pc, F.col("_metadata.row_index"))
+    )
+    dels = pm.get("deletes") or {}
+    scanned = set(rel_files)
+    dels = {f: e for f, e in dels.items() if f in scanned}
+    if dels:
+        dv_files = sorted({p for e in dels.values() for p in e["dv"]})
+        dv = spark.read.schema("f string, pos long").parquet(
+            *[os.path.join(root, p) for p in dv_files]
+        )
+        ann = ann.join(
+            dv,
+            (F.col(rc) == dv["f"]) & (F.col(pc) == dv["pos"]),
+            "left_anti",
+        )
+    return ann
+
+
+# Data files a MOR delete's position shuffle lands in — per-commit
+# deletion-vector file count. Positions hash-cluster by DATA FILE, so
+# each data file's positions live in exactly ONE DV file and the
+# manifest records that exact association (a pruned read fetches only
+# the DV files covering its slice). Commit cost stays matched-rows-
+# sized; raise for commits deleting billions of positions.
+_DV_FILES = 4
+
+
 def delete_where(
     spark: SparkSession,
     root: str,
     predicate: str,
     snapshot_id: str | None = None,
     rebase_retries: int | None = None,
+    mode: str = "cow",
 ) -> str:
-    """Row-level DELETE as a COPY-ON-WRITE commit — the third leg of
-    the DML triad next to ``merge_upsert`` (MERGE) and
-    ``compact_snapshot`` (OPTIMIZE). Rows where ``predicate`` (a Spark
-    SQL boolean expression) evaluates TRUE are removed; rows where it
-    is NULL are KEPT (SQL DELETE semantics — a null predicate does not
-    match).
+    """Row-level DELETE — the third leg of the DML triad next to
+    ``merge_upsert`` (MERGE) and ``compact_snapshot`` (OPTIMIZE). Rows
+    where ``predicate`` (a Spark SQL boolean expression) evaluates
+    TRUE are removed; rows where it is NULL are KEPT (SQL DELETE
+    semantics — a null predicate does not match). A predicate matching
+    nothing commits NOTHING — the parent snapshot stays current
+    (documented no-op, returns the parent id).
 
-    Touched-file targeting is exact, not stats-approximate: one
-    filtered scan of the snapshot collects the DISTINCT file names
-    containing matching rows (``input_file_name()`` — driver-bounded
-    by files-per-snapshot, and the scan itself rides parquet
-    row-group pushdown plus whatever clustering the layout gives).
-    Only those files are rewritten (their surviving rows restaged);
-    every other file carries over by reference, so the write is sized
-    to the matched slice, not the table. A predicate matching nothing
-    commits NOTHING — the parent snapshot stays current (documented
-    no-op, returns the parent id).
+    ``mode="cow"`` (copy-on-write, the default): touched-file
+    targeting is exact, not stats-approximate — one scan of the
+    snapshot (deletion-vector-masked, so already-deleted rows never
+    count) collects the DISTINCT files containing matching rows,
+    driver-bounded by files-per-snapshot. Only those files are
+    rewritten (surviving rows restaged); every other file carries over
+    by reference — WITH its deletion-vector entries, while the
+    rewritten files' entries drop (their rewrite materializes the
+    mask). The write is sized to the TOUCHED FILES.
 
-    At 100 TB: cluster on the delete column (repartitionByRange at
-    publish) and the touched set is the few files whose range covers
-    the predicate — the same layout decision that makes read_pruned
-    selective. GDPR-style scattered deletes (id IN ...) touch many
-    files by nature; that cost is the physics of copy-on-write, and
-    compact_snapshot absorbs the resulting fragmentation.
+    ``mode="mor"`` (merge-on-read, r13 — Delta deletion vectors /
+    Iceberg positional deletes): no data file is rewritten at all. The
+    matched rows' (file, position) pairs are staged as parquet
+    deletion-vector sidecars under the new snapshot's prefix and the
+    commit records, per touched data file, WHICH DV file masks it plus
+    the masked row count. Readers anti-join the positions away
+    (``_apply_deletes``); ``compact_snapshot`` absorbs the vectors
+    back into clean files. The write is sized to the MATCHED ROWS —
+    the scattered-delete case (GDPR ``id IN …`` touching thousands of
+    files for a few thousand rows) commits in seconds where COW
+    rewrites terabytes. That asymmetry is measured in
+    ``scripts/manifest_scale.py``.
+
+    At 100 TB: cluster on the delete column and COW's touched set is
+    the few files whose range covers the predicate — the right mode
+    for range deletes (retention drops). For scattered deletes, MOR's
+    commit cost is matched-rows-sized by construction; its read-side
+    cost is one matched-rows-sized anti-join until the next OPTIMIZE.
+    Pick per workload; both compose (a COW delete after MOR deletes
+    carries the untouched files' vectors).
 
     CONCURRENCY: same OCC rebase loop as merge_upsert — a lost pointer
-    race re-derives the touched set and survivors against the fresh
-    current, up to ``rebase_retries`` (0 restores raise-to-caller);
-    ``snapshot_id`` is the exactly-once replay token. The no-match
-    no-op is returned WITHOUT a CAS, which is still linearizable: a
-    concurrent commit adding matching rows after our read serializes
-    AFTER this (empty) delete — exactly the outcome the parent-id
-    return describes."""
+    race re-derives against the fresh current, up to
+    ``rebase_retries`` (0 restores raise-to-caller); ``snapshot_id``
+    is the exactly-once replay token. The no-match no-op is returned
+    WITHOUT a CAS, which is still linearizable: a concurrent commit
+    adding matching rows after our read serializes AFTER this (empty)
+    delete — exactly the outcome the parent-id return describes."""
+    from pyspark.sql import functions as F
+
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"delete_where mode must be 'cow' or 'mor', got {mode!r}")
+    retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
+
+    def attempt(parent):
+        if parent is None:
+            raise FileNotFoundError(f"no current snapshot at {root!r}")
+        pm = _manifest(root, parent)
+        tag = uuid.uuid4().hex[:8]
+        rc, pc = f"_dml_rel_{tag}", f"_dml_pos_{tag}"
+        ann = _annotated_scan(spark, root, pm, pm["files"], rc, pc)
+        if mode == "mor":
+            return _delete_mor_pinned(
+                spark, ann, root, predicate, snapshot_id, pm, rc, pc
+            )
+        return _delete_cow_pinned(
+            spark, ann, root, predicate, snapshot_id, pm, rc
+        )
+
+    return _occ_loop(root, snapshot_id, retries, attempt)
+
+
+def _delete_cow_pinned(
+    spark: SparkSession,
+    ann: DataFrame,
+    root: str,
+    predicate: str,
+    snapshot_id: str | None,
+    pm: dict,
+    rc: str,
+) -> str:
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    meta = pm.get("files_meta", {})
+    dels = pm.get("deletes") or {}
+    # _metadata.file_path is URL-encoded (a space is %20): decode
+    # before matching against the manifest's raw relative paths
+    hit_rel = {
+        unquote(r["f"])
+        for r in ann.where(predicate)
+        .select(F.col(rc).alias("f"))
+        .distinct()
+        .collect()
+    }
+    touched_rel = [f for f in pm["files"] if f in hit_rel]
+    if len(touched_rel) != len(hit_rel):
+        raise RuntimeError(
+            f"delete_where at {root!r}: {len(hit_rel)} hit files "
+            f"resolved to {len(touched_rel)} manifest entries — "
+            "file-name mapping is out of contract"
+        )
+    if not touched_rel:
+        return pm["snapshot_id"]  # nothing matched: table unchanged
+    touched = set(touched_rel)
+    carried = [f for f in pm["files"] if f not in touched]
+    # second scan over ONLY the touched files (file-list pruning in
+    # the plan itself, not a post-scan filter on the derived path
+    # column), deletion-vector-masked so previously MOR-deleted rows
+    # are never resurrected into the rewrite
+    tag2 = uuid.uuid4().hex[:8]
+    rc2, pc2 = f"_dml_rel_{tag2}", f"_dml_pos_{tag2}"
+    survivors = (
+        _annotated_scan(spark, root, pm, touched_rel, rc2, pc2)
+        .where(~F.coalesce(F.expr(predicate), F.lit(False)))
+        .drop(rc2, pc2)
+    )
+    stats_cols = sorted(
+        {c for m in meta.values() for c in m.get("stats", {})}
+    ) or None
+    return publish(
+        survivors,
+        root,
+        snapshot_id=snapshot_id,
+        stats_cols=stats_cols,
+        _inherit_files=carried,
+        _inherit_meta={f: meta[f] for f in carried if f in meta},
+        # carried files keep their deletion vectors; the rewritten
+        # files materialized theirs
+        _inherit_deletes={f: dels[f] for f in carried if f in dels},
+        _require_parent=pm["snapshot_id"],
+        _record_schema=pm.get("schema") is not None,
+    )
+
+
+def _uri_rel(rel: str) -> str:
+    """The URL-encoded form of a manifest-relative path, as
+    ``_metadata.file_path``'s last components will render it."""
+    from urllib.parse import quote
+
+    return quote(rel, safe="/")
+
+
+def _delete_mor_pinned(
+    spark: SparkSession,
+    ann: DataFrame,
+    root: str,
+    predicate: str,
+    snapshot_id: str | None,
+    pm: dict,
+    rc: str,
+    pc: str,
+) -> str:
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    parent = pm["snapshot_id"]
+    sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+    data_dir, man_dir, _ = _paths(root)
+    os.makedirs(man_dir, exist_ok=True)
+    staged = os.path.join(data_dir, sid)
+    # one shuffle sized to the MATCHED ROWS: positions hash-cluster by
+    # data file so each file's mask lives in exactly one DV sidecar
+    hits = (
+        ann.where(predicate)
+        .select(F.col(rc).alias("f"), F.col(pc).alias("pos"))
+        .repartition(_DV_FILES, "f")
+    )
+    hits.write.mode("overwrite").parquet(staged)
+    back = spark.read.schema("f string, pos long").parquet(staged)
+    assoc = (
+        back.groupBy("f")
+        .agg(
+            F.count("*").alias("n"),
+            # each f lands in one part file by the repartition above;
+            # collect_set is the honest guard if that ever changes
+            F.sort_array(
+                F.collect_set(
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+                )
+            ).alias("parts"),
+        )
+        .collect()
+    )  # driver-bounded by touched files (metadata scale)
+    if not assoc:
+        shutil.rmtree(staged, ignore_errors=True)
+        return parent  # nothing matched: table unchanged, no commit
+    known = set(pm["files"])
+    merged = {f: dict(e) for f, e in (pm.get("deletes") or {}).items()}
+    for r in assoc:
+        f = unquote(r["f"])
+        if f not in known:
+            raise RuntimeError(
+                f"delete_where(mor) at {root!r}: matched file {f!r} is "
+                "not in the parent manifest — file-name mapping is out "
+                "of contract"
+            )
+        entry = merged.setdefault(f, {"dv": [], "rows": 0})
+        entry["dv"] = list(entry["dv"]) + [
+            os.path.join(_DATA, sid, p) for p in r["parts"]
+        ]
+        entry["rows"] = entry["rows"] + r["n"]
+    observed_gen, observed = _read_pointer(root)
+    if observed == sid:
+        return sid  # a same-token twin finished this commit
+    if observed != parent:
+        raise ConcurrentPublishError(
+            f"concurrent publish detected at {root!r}: this delete's "
+            f"positions were derived from {parent!r} but current is "
+            f"{observed!r}; re-derive on top of the new current snapshot"
+        )
+    return _commit_staged(
+        root,
+        sid,
+        [],  # NO data files added: the commit is vectors + metadata
+        new_meta={},
+        append=False,
+        parent_check=True,
+        inherit_files=list(pm["files"]),
+        inherit_meta=dict(pm.get("files_meta", {})),
+        observed_gen=observed_gen,
+        observed=observed,
+        schema=pm.get("schema"),
+        deletes=merged,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    snapshot_id: str | None = None,
+    rebase_retries: int | None = None,
+) -> str:
+    """Row-level ``UPDATE … SET … WHERE …`` as a COPY-ON-WRITE commit
+    — the named surface the r12 verdict called the cheap completeness
+    item: it IS ``delete_where``'s touched-file machinery with a
+    column rewrite instead of a row drop. Rows where ``predicate``
+    evaluates TRUE get each ``set_exprs`` column replaced by its Spark
+    SQL expression (evaluated against the PRE-update row, standard SQL
+    UPDATE semantics — ``{"a": "b", "b": "a"}`` swaps); rows where it
+    is NULL or FALSE are rewritten byte-identical. Only files
+    containing matching rows are rewritten; every other file carries
+    over by reference with its deletion-vector entries intact. A
+    predicate matching nothing is the documented no-op (parent id
+    returned, no commit).
+
+    ``set_exprs`` may only name EXISTING columns and each expression
+    must preserve the column's exact type — no implicit casts, ever
+    (the module-wide rule): a widened type would be recorded as the
+    table contract and bind every carried file's parquet to the wrong
+    type. Cast explicitly in the expression if you mean it.
+
+    CONCURRENCY: the same OCC rebase loop and exactly-once
+    ``snapshot_id`` token as the other DML verbs; a lost pointer race
+    re-derives the touched set and rewrite against the fresh current."""
     from pyspark.sql import functions as F
 
     retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
@@ -1237,48 +1611,75 @@ def delete_where(
             raise FileNotFoundError(f"no current snapshot at {root!r}")
         pm = _manifest(root, parent)
         meta = pm.get("files_meta", {})
-        abs_paths = [os.path.join(root, f) for f in pm["files"]]
-        hit_uris = {
-            # input_file_name returns URL-encoded URIs (a space is
-            # %20): decode before suffix-matching against raw paths
+        dels = pm.get("deletes") or {}
+        tag = uuid.uuid4().hex[:8]
+        rc, pc = f"_dml_rel_{tag}", f"_dml_pos_{tag}"
+        ann = _annotated_scan(spark, root, pm, pm["files"], rc, pc)
+        data_cols = [c for c in ann.columns if c not in (rc, pc)]
+        unknown = sorted(set(set_exprs) - set(data_cols))
+        if unknown:
+            raise ValueError(
+                f"update_where SET names columns {unknown} not in the "
+                f"table (columns: {data_cols}) — UPDATE cannot add "
+                "columns; use merge_schema on an append for evolution"
+            )
+        hit_rel = {
             unquote(r["f"])
-            for r in _manifest_reader(spark, pm, legacy_union=True)
-            .parquet(*abs_paths)
-            .where(predicate)
-            .select(F.input_file_name().alias("f"))
+            for r in ann.where(predicate)
+            .select(F.col(rc).alias("f"))
             .distinct()
             .collect()
         }
-        # match by path SUFFIX data/<sid>/<part> — snapshot prefixes
-        # make the relative name unique within the table root
-        touched_rel = [
-            f for f, a in zip(pm["files"], abs_paths)
-            if any(u.endswith(a) or u.endswith(f) for u in hit_uris)
-        ]
-        if len(touched_rel) != len(hit_uris):
+        touched_rel = [f for f in pm["files"] if f in hit_rel]
+        if len(touched_rel) != len(hit_rel):
             raise RuntimeError(
-                f"delete_where at {root!r}: {len(hit_uris)} hit files "
+                f"update_where at {root!r}: {len(hit_rel)} hit files "
                 f"resolved to {len(touched_rel)} manifest entries — "
                 "file-name mapping is out of contract"
             )
         if not touched_rel:
             return parent  # nothing matched: the table is unchanged
         carried = [f for f in pm["files"] if f not in set(touched_rel)]
-        survivors = (
-            _manifest_reader(spark, pm, legacy_union=True)
-            .parquet(*[os.path.join(root, f) for f in touched_rel])
-            .where(~F.coalesce(F.expr(predicate), F.lit(False)))
+        rewrite = _annotated_scan(spark, root, pm, touched_rel, rc, pc)
+        cond = F.coalesce(F.expr(predicate), F.lit(False))
+        updated = rewrite.select(
+            *[
+                (
+                    F.when(cond, F.expr(set_exprs[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in data_cols
+            ]
         )
+        before = {
+            f.name: f.dataType for f in rewrite.schema.fields
+            if f.name in set_exprs
+        }
+        clash = [
+            c for c, t in before.items()
+            if updated.schema[c].dataType != t
+        ]
+        if clash:
+            raise ValueError(
+                f"update_where SET changes column types on {clash} "
+                f"({[str(updated.schema[c].dataType) for c in clash]} vs "
+                f"table {[str(before[c]) for c in clash]}) — no implicit "
+                "casts; cast explicitly in the expression"
+            )
         stats_cols = sorted(
             {c for m in meta.values() for c in m.get("stats", {})}
         ) or None
         return publish(
-            survivors,
+            updated,
             root,
             snapshot_id=snapshot_id,
             stats_cols=stats_cols,
             _inherit_files=carried,
             _inherit_meta={f: meta[f] for f in carried if f in meta},
+            _inherit_deletes={f: dels[f] for f in carried if f in dels},
             _require_parent=parent,
             _record_schema=pm.get("schema") is not None,
         )
@@ -1422,14 +1823,20 @@ def restore_snapshot(
     ):
         return new_sid  # committed then superseded: idempotent no-op
     tm = _manifest(root, sid)  # FileNotFoundError: reaped target
+    needed = list(tm["files"]) + sorted(
+        # the target's deletion vectors are part of its state: a
+        # restore that lost them would RESURRECT the deleted rows
+        {p for e in tm.get("deletes", {}).values() for p in e["dv"]}
+    )
     missing = [
-        f for f in tm["files"]
+        f for f in needed
         if not os.path.exists(os.path.join(root, f))
     ]
     if missing:
         raise FileNotFoundError(
             f"cannot restore {root!r} to {sid!r}: {len(missing)} of its "
-            f"data files were vacuumed (first: {missing[0]!r})"
+            f"data/deletion-vector files were vacuumed "
+            f"(first: {missing[0]!r})"
         )
     for _ in range(_COMMIT_RETRIES):
         observed_gen, observed = _read_pointer(root)
@@ -1475,6 +1882,7 @@ def restore_snapshot(
                 observed_gen=observed_gen,
                 observed=observed,
                 schema=tm.get("schema"),  # the restored contract
+                deletes=dict(tm.get("deletes", {})),  # restored mask
             )
         except ConcurrentPublishError:
             continue  # metadata-only rebuild: re-read, re-commit
@@ -1593,7 +2001,16 @@ def vacuum(
     removed = []
     live = set()
     for sid in keep_ids:
-        live.update(os.path.basename(os.path.dirname(f)) for f in _manifest(root, sid)["files"])
+        man = _manifest(root, sid)
+        live.update(os.path.basename(os.path.dirname(f)) for f in man["files"])
+        # deletion-vector sidecars live under their own commit's
+        # data/<sid> prefix: referenced vectors must survive any
+        # vacuum that keeps a snapshot masking rows with them
+        live.update(
+            os.path.basename(os.path.dirname(p))
+            for e in man.get("deletes", {}).values()
+            for p in e["dv"]
+        )
     if os.path.isdir(data_dir):
         for prefix in os.listdir(data_dir):
             if prefix not in live and prefix not in keep_ids:

@@ -1,0 +1,320 @@
+"""Merge-on-read DELETE (deletion vectors), UPDATE, and their
+interplay with every other manifest operation (r13, VERDICT r12 #3/#7).
+
+The MOR contract under test:
+- a MOR delete commits NO data files — only deletion-vector sidecars
+  sized to the MATCHED ROWS — and every reader of the snapshot sees
+  the logical (masked) table;
+- the vectors ride correctly through append / merge / COW delete /
+  compact / restore / vacuum, none of which may resurrect a deleted
+  row or lose a live one;
+- read ≡ the COW delete of the same predicate (the oracle the verdict
+  asked for).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_loader_spark.sinks import manifest as M
+
+
+def _table(spark, tmp_path, n=1_000, files=8, name="tbl"):
+    root = str(tmp_path / name)
+    base = spark.range(n).select("id", (F.col("id") * 2).alias("v"))
+    M.publish(
+        base.repartitionByRange(files, "id"), root,
+        snapshot_id="v1", stats_cols=["id"],
+    )
+    return root
+
+
+def _ids(spark, root):
+    return sorted(r.id for r in M.read_current(spark, root).collect())
+
+
+def test_mor_delete_read_equals_cow_delete(spark, tmp_path):
+    """THE oracle: for the same predicate on identical tables, the
+    merge-on-read result is row-for-row the copy-on-write result."""
+    pred = "id % 97 = 13 or id between 400 and 420"
+    r_mor = _table(spark, tmp_path, name="mor")
+    r_cow = _table(spark, tmp_path, name="cow")
+    M.delete_where(spark, r_mor, pred, mode="mor", snapshot_id="d1")
+    M.delete_where(spark, r_cow, pred, mode="cow", snapshot_id="d1")
+    a = sorted((r.id, r.v) for r in M.read_current(spark, r_mor).collect())
+    b = sorted((r.id, r.v) for r in M.read_current(spark, r_cow).collect())
+    assert a == b and len(a) < 1_000
+
+
+def test_mor_commit_is_vectors_plus_metadata_only(spark, tmp_path):
+    """Scale contract: the commit adds ZERO data files (the parent's
+    file list carries verbatim) and the deletion-vector rows equal the
+    matched rows exactly."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id % 100 = 7", mode="mor", snapshot_id="d1")
+    v1, d1 = M._manifest(root, "v1"), M._manifest(root, "d1")
+    assert d1["files"] == v1["files"]  # no rewrite, no reorder
+    assert sum(e["rows"] for e in d1["deletes"].values()) == 10
+    # the vectors really are matched-rows-sized parquet
+    dv_files = {p for e in d1["deletes"].values() for p in e["dv"]}
+    dv = spark.read.schema("f string, pos long").parquet(
+        *[os.path.join(root, p) for p in dv_files]
+    )
+    assert dv.count() == 10
+    # per-file association is exact: each entry's dv files contain
+    # exactly entry["rows"] positions for that file
+    for f, e in d1["deletes"].items():
+        got = (
+            spark.read.schema("f string, pos long")
+            .parquet(*[os.path.join(root, p) for p in e["dv"]])
+            .where(F.col("f") == M._uri_rel(f))
+            .count()
+        )
+        assert got == e["rows"], f
+
+
+def test_mor_delete_on_delete_composes(spark, tmp_path):
+    """A second MOR delete must mask against the FIRST's vectors
+    (already-deleted rows never re-match) and the union of both masks
+    applies."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id < 100", mode="mor", snapshot_id="d1")
+    M.delete_where(spark, root, "id < 200", mode="mor", snapshot_id="d2")
+    d2 = M._manifest(root, "d2")["deletes"]
+    assert sum(e["rows"] for e in d2.values()) == 200  # disjoint union
+    assert _ids(spark, root) == list(range(200, 1_000))
+
+
+def test_mor_noop_commits_nothing(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    out = M.delete_where(spark, root, "id = -1", mode="mor", snapshot_id="dx")
+    assert out == "v1"  # parent returned, nothing committed
+    assert M.snapshots(root) == ["v1"]
+    assert not os.path.exists(os.path.join(root, "data", "dx"))  # staged scrubbed
+
+
+def test_mor_replay_is_exactly_once(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id < 10", mode="mor", snapshot_id="epoch-1")
+    M.delete_where(spark, root, "id < 10", mode="mor", snapshot_id="epoch-1")
+    assert M.snapshots(root) == ["v1", "epoch-1"]
+    assert len(_ids(spark, root)) == 990
+
+
+def test_append_after_mor_keeps_the_mask(spark, tmp_path):
+    """An append carries the parent's files AND their vectors: deleted
+    rows stay deleted, appended rows all land."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id < 50", mode="mor", snapshot_id="d1")
+    M.publish(
+        spark.range(2_000, 2_010).select("id", (F.col("id") * 2).alias("v")),
+        root, append=True, snapshot_id="a1", stats_cols=["id"],
+    )
+    ids = _ids(spark, root)
+    assert ids == list(range(50, 1_000)) + list(range(2_000, 2_010))
+    assert M._manifest(root, "a1")["deletes"] == M._manifest(root, "d1")["deletes"]
+
+
+def test_merge_after_mor_no_resurrection(spark, tmp_path):
+    """merge_upsert against a MOR-masked table: a deleted key's
+    re-insert lands exactly once; survivors of touched files never
+    resurrect masked rows; carried files keep their vectors."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id between 100 and 199", mode="mor", snapshot_id="d1")
+    batch = spark.createDataFrame(
+        [(150, -1), (500, -2)], "id long, v long"
+    )
+    M.merge_upsert(spark, batch, root, "id", snapshot_id="m1")
+    got = {r.id: r.v for r in M.read_current(spark, root).collect()}
+    assert got[150] == -1 and got[500] == -2
+    assert 100 not in got and 199 not in got
+    assert len(got) == 901  # 1000 - 100 deleted + 1 reinserted
+    m1 = M._manifest(root, "m1")
+    # untouched files carried with their DV entries; touched files'
+    # entries dropped (the rewrite materialized the mask)
+    assert all(f in m1["files"] for f in m1.get("deletes", {}))
+    assert all(
+        f in set(M._manifest(root, "d1")["files"]) for f in m1.get("deletes", {})
+    )
+
+
+def test_cow_delete_after_mor_no_resurrection(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id between 300 and 399", mode="mor", snapshot_id="d1")
+    M.delete_where(spark, root, "id between 350 and 449", mode="cow", snapshot_id="d2")
+    ids = _ids(spark, root)
+    assert ids == list(range(0, 300)) + list(range(450, 1_000))
+
+
+def test_compact_absorbs_vectors(spark, tmp_path):
+    """OPTIMIZE after MOR deletes: the compacted snapshot has clean
+    files, NO deletes map, identical logical rows, and re-harvested
+    zone maps that reflect the mask."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id >= 900", mode="mor", snapshot_id="d1")
+    before = _ids(spark, root)
+    M.compact_snapshot(spark, root, 2, snapshot_id="c1")
+    cm = M._manifest(root, "c1")
+    assert "deletes" not in cm
+    assert _ids(spark, root) == before == list(range(900))
+    # zone maps re-harvested from the MASKED data: pruning above the
+    # deleted range returns nothing without scanning
+    assert M.read_pruned(spark, root, "id", 900, 999).count() == 0
+
+
+def test_restore_round_trips_the_mask(spark, tmp_path):
+    """RESTORE to a pre-delete snapshot resurrects (that's the point);
+    restore forward to the MOR snapshot re-applies its vectors."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id < 500", mode="mor", snapshot_id="d1")
+    M.restore_snapshot(root, "v1", snapshot_id="r1")
+    assert len(_ids(spark, root)) == 1_000
+    M.restore_snapshot(root, "d1", snapshot_id="r2")
+    assert _ids(spark, root) == list(range(500, 1_000))
+    assert M._manifest(root, "r2")["deletes"] == M._manifest(root, "d1")["deletes"]
+
+
+def test_vacuum_keeps_live_vectors_reaps_dead_ones(spark, tmp_path):
+    """Vectors referenced by kept snapshots survive vacuum; a reaped
+    MOR snapshot's vector prefix goes with it."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id < 100", mode="mor", snapshot_id="d1")
+    M.publish(
+        spark.range(5_000, 5_010).select("id", (F.col("id") * 2).alias("v")),
+        root, append=True, snapshot_id="a1",
+    )
+    M.vacuum(root, keep=1)  # keep only a1, which references d1's vectors
+    assert _ids(spark, root) == list(range(100, 1_000)) + list(range(5_000, 5_010))
+    # now mask gone from history: compact to clean files, vacuum again
+    M.compact_snapshot(spark, root, 2, snapshot_id="c1")
+    M.vacuum(root, keep=1)
+    assert not os.path.isdir(os.path.join(root, "data", "d1"))  # vectors reaped
+    assert _ids(spark, root) == list(range(100, 1_000)) + list(range(5_000, 5_010))
+
+
+def test_read_pruned_applies_vectors_on_the_kept_slice(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id between 120 and 130", mode="mor", snapshot_id="d1")
+    got = sorted(r.id for r in M.read_pruned(spark, root, "id", 100, 150).collect())
+    assert got == list(range(100, 120)) + list(range(131, 151))
+
+
+def test_mor_lost_race_rebases_on_fresh_current(spark, tmp_path, monkeypatch):
+    """An append landing between the MOR derivation read and its
+    pointer check surfaces as ConcurrentPublishError and the OCC loop
+    re-derives against the interloper — its rows are then visible to
+    the predicate."""
+    root = _table(spark, tmp_path)
+    orig = M.current_snapshot
+    state = {"first": True}
+
+    def stale_then_real(r):
+        if state["first"]:
+            state["first"] = False
+            out = orig(r)
+            # interloper commits AFTER our derivation read
+            M.publish(
+                spark.createDataFrame([(9_999, 1)], "id long, v long"),
+                r, append=True, snapshot_id="interloper",
+            )
+            return out
+        return orig(r)
+
+    monkeypatch.setattr(M, "current_snapshot", stale_then_real)
+    M.delete_where(spark, root, "id >= 900", mode="mor", snapshot_id="d1")
+    monkeypatch.undo()
+    # serial order: append, then delete — 9_999 matched and is gone
+    assert _ids(spark, root) == list(range(900))
+    assert M.snapshots(root) == ["v1", "interloper", "d1"]
+
+
+def test_mor_on_empty_table_raises(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        M.delete_where(spark, root, "id = 1", mode="mor")
+
+
+def test_delete_mode_validated(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="mode"):
+        M.delete_where(spark, root, "id = 1", mode="upsert")
+
+
+def test_update_where_basic_and_guards(spark, tmp_path):
+    """UPDATE: matched rows transformed (SET sees the PRE-update row),
+    unmatched byte-identical, partial rewrite, no-op on no match,
+    unknown-column and implicit-cast SETs refused."""
+    root = str(tmp_path / "tbl")
+    base = spark.range(1_000).select(
+        "id", (F.col("id") * 2).alias("v"), F.lit("x").alias("tag")
+    )
+    M.publish(base.repartitionByRange(8, "id"), root, snapshot_id="v1", stats_cols=["id"])
+    M.update_where(
+        spark, root, "id between 100 and 110",
+        {"v": "v + 1000", "tag": "upper(tag)"}, snapshot_id="u1",
+    )
+    got = {r.id: (r.v, r.tag) for r in M.read_current(spark, root).collect()}
+    assert len(got) == 1_000
+    assert got[105] == (1_210, "X") and got[500] == (1_000, "x")
+    f1, f2 = (set(M._manifest(root, s)["files"]) for s in ("v1", "u1"))
+    assert (f1 & f2) and (f1 - f2)  # partial rewrite
+    assert M.update_where(spark, root, "id = -5", {"v": "0"}) == "u1"  # no-op
+    with pytest.raises(ValueError, match="not in the table"):
+        M.update_where(spark, root, "id = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="changes column types"):
+        M.update_where(spark, root, "id = 1", {"v": "v + 0.5"})
+
+
+def test_update_set_swap_uses_pre_update_row(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.createDataFrame([(1, 10, 20)], "id long, a long, b long"),
+        root, stats_cols=["id"],
+    )
+    M.update_where(spark, root, "id = 1", {"a": "b", "b": "a"})
+    r = M.read_current(spark, root).first()
+    assert (r.a, r.b) == (20, 10)
+
+
+def test_update_after_mor_no_resurrection(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id between 0 and 99", mode="mor", snapshot_id="d1")
+    M.update_where(spark, root, "id between 50 and 149", {"v": "-v"}, snapshot_id="u1")
+    got = {r.id: r.v for r in M.read_current(spark, root).collect()}
+    assert len(got) == 900
+    assert 50 not in got and got[149] == -298 and got[150] == 300
+
+
+def test_update_replay_is_exactly_once(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    M.update_where(spark, root, "id = 5", {"v": "v + 1"}, snapshot_id="e1")
+    M.update_where(spark, root, "id = 5", {"v": "v + 1"}, snapshot_id="e1")
+    assert {r.v for r in M.read_current(spark, root).where("id = 5").collect()} == {11}
+    assert M.snapshots(root) == ["v1", "e1"]
+
+
+def test_update_lost_race_rebases(spark, tmp_path, monkeypatch):
+    root = _table(spark, tmp_path, n=100, files=2)
+    orig = M.current_snapshot
+    state = {"first": True}
+
+    def stale_then_real(r):
+        if state["first"]:
+            state["first"] = False
+            out = orig(r)
+            M.publish(
+                spark.createDataFrame([(7_000, 1)], "id long, v long"),
+                r, append=True, snapshot_id="interloper",
+            )
+            return out
+        return orig(r)
+
+    monkeypatch.setattr(M, "current_snapshot", stale_then_real)
+    M.update_where(spark, root, "id >= 50", {"v": "0"}, snapshot_id="u1")
+    monkeypatch.undo()
+    got = {r.id: r.v for r in M.read_current(spark, root).collect()}
+    # serial order: append, then update — the interloper's row matched
+    assert got[7_000] == 0 and got[99] == 0 and got[10] == 20
