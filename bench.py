@@ -264,12 +264,54 @@ def _write_stamp(out_dir: str, stamp: str) -> None:
         f.write(stamp)
 
 
+# Scale-invariant witnesses for the layout A/B pairs (VERDICT r12 #6):
+# at sf0.1 several pairs sit inside the wall-clock noise band, so the
+# sidecar records what each layout actually SCANS — file counts/bytes
+# for file-level pruning, matching row groups for footer-stat skipping.
+# These are deterministic properties of the layout, not weather.
+SCAN_UNITS: dict[str, dict] = {}
+
+
+def _file_units(df) -> dict:
+    """{files, mb} of the static scan set (file-level pruning pairs)."""
+    from urllib.parse import unquote, urlparse
+
+    paths = [unquote(urlparse(u).path) for u in df.inputFiles()]
+    return {
+        "files": len(paths),
+        "mb": round(sum(os.path.getsize(p) for p in paths) / 1e6, 2),
+    }
+
+
+def _rowgroup_units(path: str, col: str, lo, hi) -> dict:
+    """{rg_match, rg_total}: row groups whose footer [min, max] for
+    ``col`` can intersect [lo, hi] — the groups a pushed predicate
+    must read; the rest skip. hi=None means unbounded above."""
+    import pyarrow.parquet as pq
+
+    match = total = 0
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            total += 1
+            s = md.row_group(rg).column(idx[col]).statistics
+            if s is None or not s.has_min_max:
+                match += 1  # no stats: the group must be read
+            elif (hi is None or s.min <= hi) and s.max >= lo:
+                match += 1
+    return {"rg_match": match, "rg_total": total}
+
+
 def _time_agg_variants(spark, variants, timings, spreads) -> None:
     """Median-of-N timing of the same slice aggregate over layout
     variants (the shared methodology: warm, GC, N timed runs)."""
     from pyspark.sql import functions as F
 
     for name, df in variants.items():
+        SCAN_UNITS[name] = _file_units(df)
         agg = df.groupBy("event_type").agg(F.round(F.sum("value"), 2).alias("v"))
         agg.count()  # warm
         spark._jvm.System.gc()
@@ -511,6 +553,12 @@ def _bench_sorted(spark, sf_dir: str, timings, spreads) -> None:
         timings,
         spreads,
     )
+    # footer-stat pairs scan the SAME files; the honest unit is row
+    # groups a pushed predicate must read (VERDICT r12 #6)
+    SCAN_UNITS["ev_value_sorted"] = _rowgroup_units(srt, "user_id", 10, 15)
+    SCAN_UNITS["ev_value_unsorted"] = _rowgroup_units(uns, "user_id", 10, 15)
+    SCAN_UNITS["ev_value2_sorted1d"] = _rowgroup_units(srt, "value", 400, None)
+    SCAN_UNITS["ev_value2_zorder"] = _rowgroup_units(zrd, "value", 400, None)
 
 
 def _bench_runtime_filters(spark, sf_dir: str, timings, spreads) -> None:
@@ -645,6 +693,7 @@ def _bench_manifest_zonemap(spark, sf_dir: str, timings, spreads) -> None:
         "ev_manifest_pruned": M.read_pruned(spark, root, "cents", 3000, 3500),
     }
     for name, df in variants.items():
+        SCAN_UNITS[name] = _file_units(df)
         agg = df.groupBy("event_type").agg(F.sum("cents").alias("s"))
         agg.count()  # warm
         spark._jvm.System.gc()
@@ -766,6 +815,12 @@ def main() -> None:
         # rows that the soft deadline timed with <N_TIMED samples (and
         # excluded from the band); 0 on a healthy-weather run
         "degraded_rows": degraded_rows,
+        # scale-invariant layout witnesses (VERDICT r12 #6): what each
+        # A/B variant actually scans — files/MB for file-level pruning,
+        # matching row groups for footer-stat skipping. Deterministic
+        # layout properties; compare THESE across rounds, not the
+        # sub-noise wall-clock of the cheap pairs.
+        "scan_units": SCAN_UNITS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The external driver captures only the LAST ~2000 chars of stdout

@@ -1,5 +1,19 @@
 """Structured Streaming incremental ingest (T1-T5)."""
 
+from db_loader_spark.streaming.commit_log import (
+    CommitEvent,
+    CommitLogConsumer,
+    CommitLogTruncated,
+    read_event_appended,
+    read_event_mor_deleted,
+)
 from db_loader_spark.streaming.file_ingest import stream_log_tables
 
-__all__ = ["stream_log_tables"]
+__all__ = [
+    "CommitEvent",
+    "CommitLogConsumer",
+    "CommitLogTruncated",
+    "read_event_appended",
+    "read_event_mor_deleted",
+    "stream_log_tables",
+]

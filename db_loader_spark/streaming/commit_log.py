@@ -1,0 +1,248 @@
+"""Incremental consumer of a manifest table's commit log — the
+read-side dual of the lakehouse ingest path (VERDICT r12 #4).
+
+A manifest table's generation log (``sinks/manifest.py`` —
+``_CURRENT.gen/<n>`` entries advanced by one conditional create per
+commit) IS a changelog: every commit is one pointer step and every
+snapshot's manifest records its parent, so the linear history between
+any two observed pointer states is walkable with zero data I/O. This
+module productizes that walk the way ``readStream`` productizes file
+listing: a cursor, a ``poll()`` that returns the commits landed since,
+and per-commit FILE-level change sets (added / removed data files,
+newly masked deletion-vector rows) a downstream pipeline folds into
+its own state instead of re-scanning snapshots.
+
+Why file-level: data files are immutable and write-once, so the
+file-set delta is the exact physical change of a commit — the same
+contract Iceberg's incremental scan and Delta's CDF file actions
+expose. Row-level semantics compose on top: appended ROWS are a scan
+of the added files (``read_event_appended``); MOR-deleted rows are the
+new vector positions (``read_event_mor_deleted``); a full row diff
+between arbitrary snapshots stays ``operators/cdc.snapshot_diff``.
+
+At 100 TB: ``poll()`` does metadata-only work — one pointer read plus
+one manifest JSON per NEW commit (each parent-linked, no directory
+listing of data). A consumer that falls behind a ``vacuum`` horizon
+gets a typed ``CommitLogTruncated`` telling it to re-bootstrap from a
+snapshot — the same contract as Kafka's earliest-offset reset or
+Delta's ``startingVersion`` past the retention window; silently
+skipping commits is never on the table.
+
+Reference parity: the reference's closest behavior is the
+already-loaded guard (scripts/load_csv_to_cloud.sh:107-141) — "act
+only on what is new" at file granularity; this is that idea made a
+durable, resumable protocol.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_loader_spark.sinks import manifest as M
+
+
+class CommitLogTruncated(RuntimeError):
+    """The consumer's cursor points behind the vacuum horizon: the
+    parent chain from the current snapshot no longer reaches it, so
+    the commits in between are unrecoverable as a log. Re-bootstrap:
+    process a full snapshot (``read_current``) and resume the tail
+    from its id."""
+
+
+@dataclass(frozen=True)
+class CommitEvent:
+    """One commit's physical change set, derived from its manifest vs
+    its parent's. ``dv_added`` maps data file → row positions NEWLY
+    masked by this commit (a merge-on-read delete); ``added_files``
+    list data files new in this commit (an append's delta, a
+    merge/update/COW-delete's rewrites, a compaction's output);
+    ``removed_files`` left the live set (superseded rewrites,
+    compacted inputs, files dropped by a restore)."""
+
+    snapshot_id: str
+    parent: str | None
+    added_files: list[str] = field(default_factory=list)
+    removed_files: list[str] = field(default_factory=list)
+    dv_added: dict[str, int] = field(default_factory=dict)
+
+
+def _diff(root: str, man: dict) -> CommitEvent:
+    parent = man.get("parent")
+    pfiles: set[str] = set()
+    pdels: dict = {}
+    if parent is not None:
+        pm = M._manifest(root, parent)
+        pfiles = set(pm["files"])
+        pdels = pm.get("deletes", {}) or {}
+    files = man["files"]
+    dels = man.get("deletes", {}) or {}
+    dv_added = {}
+    for f, e in dels.items():
+        before = pdels.get(f, {}).get("rows", 0)
+        if e["rows"] > before:
+            dv_added[f] = e["rows"] - before
+    return CommitEvent(
+        snapshot_id=man["snapshot_id"],
+        parent=parent,
+        added_files=[f for f in files if f not in pfiles],
+        removed_files=sorted(pfiles - set(files)),
+        dv_added=dv_added,
+    )
+
+
+class CommitLogConsumer:
+    """Resumable tail of one manifest table's commit history.
+
+    ``start_after`` is the cursor: the snapshot id whose commits are
+    already consumed (``None`` = from the beginning of walkable
+    history). ``poll()`` returns every commit landed since, OLDEST
+    FIRST, and advances the cursor; an empty list means the pointer
+    has not moved. The cursor is a plain string — persist it wherever
+    the consumer keeps state (a checkpoint file, a database row) and
+    pass it back to resume; polling is stateless beyond it, so crash
+    /restart replays at-least-once from the persisted cursor, the
+    Structured Streaming offset contract."""
+
+    def __init__(self, root: str, start_after: str | None = None):
+        self.root = root
+        self.cursor = start_after
+
+    def poll(self) -> list[CommitEvent]:
+        _, head = M._read_pointer(self.root)
+        if head is None or head == self.cursor:
+            return []
+        # walk head -> cursor via parent links (the authoritative
+        # linear history; generation entries are prune-bounded, parent
+        # links live as long as their manifests)
+        chain: list[dict] = []
+        sid = head
+        seen: set[str] = set()
+        while sid is not None and sid != self.cursor:
+            if sid in seen:
+                raise RuntimeError(
+                    f"snapshot lineage cycle at {sid!r} in {self.root!r}"
+                )
+            seen.add(sid)
+            try:
+                man = M._manifest(self.root, sid)
+            except FileNotFoundError:
+                if self.cursor is None:
+                    # from-genesis consumer meeting the vacuum horizon:
+                    # the history below is gone, which is only sound to
+                    # skip if the caller never claimed to have seen it —
+                    # refuse; bootstrap from a snapshot instead
+                    raise CommitLogTruncated(
+                        f"history of {self.root!r} is vacuum-truncated "
+                        f"below {sid!r}; bootstrap from read_current() "
+                        "and resume from its snapshot id"
+                    ) from None
+                raise CommitLogTruncated(
+                    f"cursor {self.cursor!r} at {self.root!r} is behind "
+                    f"the vacuum horizon (walk broke at {sid!r}); "
+                    "bootstrap from read_current() and resume from its "
+                    "snapshot id"
+                ) from None
+            chain.append(man)
+            sid = man.get("parent")
+        if sid != self.cursor and self.cursor is not None:
+            # walked to genesis without meeting the cursor: it is not
+            # an ancestor of the head — a foreign or restored-over id
+            raise CommitLogTruncated(
+                f"cursor {self.cursor!r} is not in the live lineage of "
+                f"{self.root!r}; bootstrap from read_current()"
+            )
+        events = [_diff(self.root, man) for man in reversed(chain)]
+        self.cursor = head
+        return events
+
+    def tail(self, poll_interval_s: float = 1.0, max_polls: int | None = None):
+        """Generator form: yield events as they land, sleeping
+        ``poll_interval_s`` between empty polls. ``max_polls`` bounds
+        the loop for tests/drain use; ``None`` tails forever (the
+        readStream shape)."""
+        polls = 0
+        while max_polls is None or polls < max_polls:
+            batch = self.poll()
+            polls += 1
+            if batch:
+                yield from batch
+            elif max_polls is None or polls < max_polls:
+                time.sleep(poll_interval_s)
+
+
+def read_event_appended(
+    spark: SparkSession, root: str, event: CommitEvent
+) -> DataFrame:
+    """The rows physically added by ``event``: a scan of exactly its
+    added files, bound to the commit's recorded schema. For an APPEND
+    commit these are precisely the new rows (the incremental-
+    processing contract ``read_added`` gives batch-side); for a
+    rewrite commit (merge/update/COW delete/compact) they include the
+    rewritten survivors — file-level CDC semantics, stated plainly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    man = M._manifest(root, event.snapshot_id)
+    if not event.added_files:
+        return M.read_snapshot(spark, root, event.snapshot_id).filter(
+            F.lit(False)
+        )
+    return M._apply_deletes(
+        spark, root, man,
+        M._manifest_reader(spark, man).parquet(
+            *[os.path.join(root, f) for f in event.added_files]
+        ),
+        files=event.added_files,
+    )
+
+
+def read_event_mor_deleted(
+    spark: SparkSession, root: str, event: CommitEvent
+) -> DataFrame:
+    """The rows a merge-on-read delete commit masked: the PARENT
+    snapshot's rows at the newly added vector positions — the
+    row-level "D" side of the changelog, produced without any data
+    having been rewritten. Empty frame (parent schema) when the event
+    added no vectors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    man = M._manifest(root, event.snapshot_id)
+    pfiles = list(event.dv_added)
+    if not pfiles or event.parent is None:
+        return M.read_snapshot(spark, root, event.snapshot_id).filter(
+            F.lit(False)
+        )
+    pm = M._manifest(root, event.parent)
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    rc, pc = f"_dml_rel_{tag}", f"_dml_pos_{tag}"
+    # parent-state scan of the files the vectors touch (older vectors
+    # already masked), inner-joined TO the new positions = the deleted rows
+    ann = M._annotated_scan(spark, root, pm, pfiles, rc, pc)
+    new_dels = man.get("deletes", {})
+    old_dels = pm.get("deletes", {}) or {}
+    dv_files = sorted(
+        {
+            p
+            for f in pfiles
+            for p in new_dels[f]["dv"]
+            if p not in set(old_dels.get(f, {}).get("dv", []))
+        }
+    )
+    dv = spark.read.schema("f string, pos long").parquet(
+        *[os.path.join(root, p) for p in dv_files]
+    )
+    return (
+        ann.join(
+            dv, (F.col(rc) == dv["f"]) & (F.col(pc) == dv["pos"]), "inner"
+        )
+        .drop("f", "pos")
+        .drop(rc, pc)
+    )

@@ -126,6 +126,45 @@ def sweep(spark, scale: int) -> None:
         f"restore {scale}x (metadata-only rollback)",
         lambda: M.restore_snapshot(root, "appended", snapshot_id="restored"),
     )
+    # r13 MOR vs COW on a SCATTERED delete: the same fixed number of
+    # matched rows spread uniformly across the keyspace touches ~every
+    # file. COW's commit cost tracks the TOUCHED FILES (≈ the table:
+    # its slope should track n — the honest physics the r12 docstring
+    # conceded); MOR's tracks the MATCHED ROWS (fixed here, so ~flat
+    # apart from the predicate scan). The read-back after MOR prices
+    # the anti-join readers pay until OPTIMIZE absorbs the vectors.
+    scattered = f"pmod(hash(concat('s:', k)), {n}) < 2000"  # ~2000 rows, all files
+
+    def staged_bytes(sid: str) -> str:
+        # the SCALE-INVARIANT witness (VERDICT r12 #6's point): bytes
+        # this commit physically wrote, from its own data/<sid> prefix
+        d = os.path.join(root, "data", sid)
+        total = sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        return f"[committed {total / 1e6:.2f} MB]"
+
+    timed(
+        f"delete_where COW {scale}x (scattered ~2000 rows)",
+        lambda: M.delete_where(
+            spark, root, scattered, snapshot_id="cow-scat", mode="cow"
+        )
+        + " " + staged_bytes("cow-scat"),
+    )
+    M.restore_snapshot(root, "restored", snapshot_id="unscat")
+    timed(
+        f"delete_where MOR {scale}x (same scattered rows)",
+        lambda: M.delete_where(
+            spark, root, scattered, snapshot_id="mor-scat", mode="mor"
+        )
+        + " " + staged_bytes("mor-scat"),
+    )
+    timed(
+        f"read after MOR {scale}x (vector anti-join)",
+        lambda: M.read_current(spark, root).count(),
+    )
     timed(
         f"snapshot_diff {scale}x (full-outer over n)",
         lambda: __import__(

@@ -1,0 +1,160 @@
+"""Commit-log consumer: stream-consumed commits must equal the batch
+snapshot diffs across every DML verb (VERDICT r12 #4's done-bar:
+>=2 commits including a DELETE and a RESTORE)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_loader_spark.sinks import manifest as M
+from db_loader_spark.streaming.commit_log import (
+    CommitLogConsumer,
+    CommitLogTruncated,
+    read_event_appended,
+    read_event_mor_deleted,
+)
+
+
+def _base(spark, tmp_path, name="tbl"):
+    root = str(tmp_path / name)
+    M.publish(
+        spark.range(500)
+        .select("id", (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "id"),
+        root, snapshot_id="v1", stats_cols=["id"],
+    )
+    return root
+
+
+def test_tail_equals_batch_diff_across_full_dml_sequence(spark, tmp_path):
+    """One consumer follows append → MOR delete → merge → COW delete →
+    compact → restore; every event's file sets must equal the batch
+    diff of the two manifests, replaying the events over a file-set +
+    mask state must reproduce every snapshot's manifest, and the final
+    state must equal read_current."""
+    root = _base(spark, tmp_path)
+    consumer = CommitLogConsumer(root)
+    (first,) = consumer.poll()
+    assert first.snapshot_id == "v1" and first.parent is None
+    assert first.added_files == M._manifest(root, "v1")["files"]
+    assert consumer.poll() == []  # pointer unmoved
+
+    M.publish(
+        spark.range(9_000, 9_050).select("id", (F.col("id") * 2).alias("v")),
+        root, append=True, snapshot_id="a1", stats_cols=["id"],
+    )
+    M.delete_where(spark, root, "id % 50 = 3", mode="mor", snapshot_id="d1")
+    M.merge_upsert(
+        spark,
+        spark.createDataFrame([(10, -1), (7_777, -2)], "id long, v long"),
+        root, "id", snapshot_id="m1",
+    )
+    M.delete_where(spark, root, "id >= 9000", mode="cow", snapshot_id="d2")
+    M.compact_snapshot(spark, root, 2, snapshot_id="c1")
+    M.restore_snapshot(root, "d1", snapshot_id="r1")
+
+    events = consumer.poll()
+    assert [e.snapshot_id for e in events] == ["a1", "d1", "m1", "d2", "c1", "r1"]
+
+    # every event == the batch manifest diff, and replaying the events
+    # over (files, masked-rows) state reproduces each manifest exactly
+    state_files: set = set(M._manifest(root, "v1")["files"])
+    masked: dict = {}
+    for e in events:
+        man = M._manifest(root, e.snapshot_id)
+        pm = M._manifest(root, e.parent)
+        assert sorted(e.added_files) == sorted(
+            set(man["files"]) - set(pm["files"])
+        )
+        assert e.removed_files == sorted(set(pm["files"]) - set(man["files"]))
+        state_files = (state_files - set(e.removed_files)) | set(e.added_files)
+        assert state_files == set(man["files"])
+        masked = {
+            f: n for f, n in masked.items() if f in state_files
+        }
+        for f, n in e.dv_added.items():
+            masked[f] = masked.get(f, 0) + n
+        assert masked == {
+            f: entry["rows"]
+            for f, entry in man.get("deletes", {}).items()
+        }
+
+    # MOR delete event: vectors only, zero file movement
+    d1 = events[1]
+    assert d1.added_files == [] and d1.removed_files == []
+    assert sum(d1.dv_added.values()) == 11  # ids 3,53,...,503... within live set
+    # restore event: pure metadata, file sets revert
+    r1 = events[5]
+    assert set(M._manifest(root, "r1")["files"]) == set(
+        M._manifest(root, "d1")["files"]
+    )
+
+    # row-level reads: appended rows of a1, deleted rows of d1
+    a1_rows = read_event_appended(spark, root, events[0])
+    assert sorted(r.id for r in a1_rows.collect()) == list(range(9_000, 9_050))
+    d1_rows = read_event_mor_deleted(spark, root, d1)
+    assert sorted(r.id for r in d1_rows.collect()) == [
+        i for i in list(range(500)) + list(range(9_000, 9_050)) if i % 50 == 3
+    ]
+    assert consumer.poll() == []
+
+
+def test_resume_from_persisted_cursor(spark, tmp_path):
+    root = _base(spark, tmp_path)
+    c1 = CommitLogConsumer(root)
+    c1.poll()
+    cursor = c1.cursor  # persist...
+    M.publish(spark.range(5).select("id", F.lit(0).cast("long").alias("v")),
+              root, append=True, snapshot_id="a1")
+    c2 = CommitLogConsumer(root, start_after=cursor)  # ...restart
+    events = c2.poll()
+    assert [e.snapshot_id for e in events] == ["a1"]
+
+
+def test_vacuum_horizon_is_a_typed_refusal(spark, tmp_path):
+    """A consumer behind the vacuum horizon must get
+    CommitLogTruncated — never silently skipped commits."""
+    root = _base(spark, tmp_path)
+    stale = CommitLogConsumer(root)
+    stale.poll()
+    for i in range(3):
+        M.publish(
+            spark.range(i * 10, i * 10 + 5).select(
+                "id", F.lit(0).cast("long").alias("v")
+            ),
+            root, append=True, snapshot_id=f"a{i}",
+        )
+    M.vacuum(root, keep=1)
+    with pytest.raises(CommitLogTruncated, match="bootstrap"):
+        stale.poll()
+    # fresh consumer from genesis also refuses (history below horizon)
+    with pytest.raises(CommitLogTruncated):
+        CommitLogConsumer(root).poll()
+    # the documented recovery: bootstrap from current, resume after it
+    sid = M.current_snapshot(root)
+    c = CommitLogConsumer(root, start_after=sid)
+    assert c.poll() == []
+    M.publish(spark.range(2).select("id", F.lit(0).cast("long").alias("v")),
+              root, append=True, snapshot_id="post")
+    assert [e.snapshot_id for e in c.poll()] == ["post"]
+
+
+def test_foreign_cursor_refused(spark, tmp_path):
+    root = _base(spark, tmp_path)
+    c = CommitLogConsumer(root, start_after="never-existed")
+    with pytest.raises(CommitLogTruncated, match="not in the live lineage"):
+        c.poll()
+
+
+def test_tail_generator_drains(spark, tmp_path):
+    root = _base(spark, tmp_path)
+    M.publish(spark.range(3).select("id", F.lit(0).cast("long").alias("v")),
+              root, append=True, snapshot_id="a1")
+    got = [e.snapshot_id for e in CommitLogConsumer(root).tail(
+        poll_interval_s=0.01, max_polls=2)]
+    assert got == ["v1", "a1"]
+
+
+def test_empty_root_polls_empty(spark, tmp_path):
+    assert CommitLogConsumer(str(tmp_path / "none")).poll() == []
