@@ -255,7 +255,39 @@ NEXT_UP: list[str] = []
 # registry value traverses; pytest-witnessed. (4) streaming
 # state-bound witness (VERDICT r11 #7) — test-only, no slot.
 #
-# R13 WINDOW PREP: the 50 keys NOT in this window are the r11 window
+# R13 ROTATION EXECUTED (this window): CORRECTNESS_r12 landed 50/50
+# green, so the r12 prep note ran verbatim — the complement fronted
+# (incl. the three r12-displaced keys), re-measured at r13 start
+# (window_cost.py --complement, 75.7s/50, 50/50 OK), two rule-2
+# re-entries against two sibling-witnessed displacements (window
+# header).
+#
+# STAGED TOUCHES LEDGER (r13): the round's engine changes and their
+# witnesses — (1) ADVICE r12 all closed: _NO_PARENT empty-table merge
+# derivation pin (lost-update window), _relax_type_json recursive
+# nullability on recorded schemas, parent-order column recording on
+# the no-touched-file merge path; witnessed by the re-entered
+# t_snapshot_upsert + t_stream_lakehouse plus the in-window
+# scan_manifest_pruned / t_snapshot_incremental / cdc_snapshot_diff
+# (every registry-reachable manifest path is inside this window).
+# (2) merge-on-read DELETE (deletion vectors, VERDICT r12 #3):
+# delete_where(mode="mor") + _apply_deletes in the read paths; the
+# read path is in the SAME five in-window keys' lineage (their tables
+# carry no vectors, so values are unchanged — verified by the full
+# sweeps); the MOR semantics themselves are pytest-tier per the
+# verdict's explicit no-slot alternative (tests/test_mor_delete.py:
+# MOR read == COW read oracle, 21 tests + 8-writer storm).
+# (3) update_where — new surface, no registry key; pytest-tier
+# (race/replay/no-op suite mirroring DELETE, per VERDICT r12 #7).
+# (4) commit-log consumer (VERDICT r12 #4) — new module
+# streaming/commit_log.py, no registry key (pytest-tier per the
+# verdict's "or pytest-tier if no slot frees"): stream-consumed
+# commits == batch manifest diffs across append/MOR/merge/COW/
+# OPTIMIZE/RESTORE in tests/test_commit_log.py.
+# (5) bench scan_units sidecar field (VERDICT r12 #6) — bench-only.
+#
+# R13 WINDOW PREP (historical, executed above): the 50 keys NOT in
+# the r12 window are the r11 window
 # minus the three re-entered keys plus the three displaced ones
 # (q5_region_revenue / text_bpe_tokenize / w_running_sum — r10
 # evidence, so they are the rule-1-oldest members and MUST front
@@ -294,6 +326,19 @@ NEXT_UP: list[str] = []
 # g_pagerank 4.73 / curation_funnel 4.85 / e2e_cli_ingest 4.95 /
 # ann_ivfpq_topk 5.36 / dedup_semantic 6.66 / curation_e2e 7.61 /
 # t_stream_sessions 8.39
+#
+# R14 WINDOW PREP: the 50 keys NOT in this window are the r12 window
+# minus the two re-entered keys (t_snapshot_upsert /
+# t_stream_lakehouse) plus the two displaced ones (w_moving_avg /
+# q1_pricing_summary — r11 evidence, rule-1-oldest, MUST front r14).
+# If CORRECTNESS_r13 lands non-empty, r14 fronts that complement,
+# re-measured by scripts/window_cost.py --complement at round start
+# and ordered cheapest-first with the two displaced keys first among
+# equals. Rule-2 touches of r14 whose keys sit in THIS window
+# re-enter, displacing the most sibling-witnessed members of the r14
+# cohort (document at the site). CONTINGENCY, unchanged: if
+# CORRECTNESS_r13 comes back empty/unreadable, re-front THIS window —
+# never rotate past a window with zero external rows.
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -243,6 +243,9 @@ def read_event_mor_deleted(
         ann.join(
             dv, (F.col(rc) == dv["f"]) & (F.col(pc) == dv["pos"]), "inner"
         )
-        .drop("f", "pos")
+        # drop the DV side by frame-qualified reference — a bare
+        # .drop("f") would also eat a DATA column named f
+        .drop(dv["f"])
+        .drop(dv["pos"])
         .drop(rc, pc)
     )

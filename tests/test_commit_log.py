@@ -158,3 +158,24 @@ def test_tail_generator_drains(spark, tmp_path):
 
 def test_empty_root_polls_empty(spark, tmp_path):
     assert CommitLogConsumer(str(tmp_path / "none")).poll() == []
+
+
+def test_mor_deleted_rows_readable_when_columns_shadow_dv_names(spark, tmp_path):
+    """A data table with columns literally named f/pos must not lose
+    them to the DV-side drop in read_event_mor_deleted."""
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(100).select(
+            "id", F.col("id").alias("f"), (F.col("id") * 3).alias("pos")
+        ),
+        root, snapshot_id="v1", stats_cols=["id"],
+    )
+    c = CommitLogConsumer(root)
+    c.poll()
+    M.delete_where(spark, root, "id < 5", mode="mor", snapshot_id="d1")
+    (ev,) = c.poll()
+    rows = read_event_mor_deleted(spark, root, ev)
+    assert sorted(rows.columns) == ["f", "id", "pos"]
+    assert sorted((r.id, r.f, r.pos) for r in rows.collect()) == [
+        (i, i, 3 * i) for i in range(5)
+    ]
