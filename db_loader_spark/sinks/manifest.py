@@ -1570,6 +1570,80 @@ def _delete_mor_pinned(
     )
 
 
+def purge_deletes(
+    spark: SparkSession,
+    root: str,
+    min_masked_fraction: float = 0.0,
+    snapshot_id: str | None = None,
+    rebase_retries: int | None = None,
+) -> str:
+    """REORG: materialize deletion vectors back into clean data files
+    by rewriting ONLY the masked files (Delta's ``REORG TABLE … APPLY
+    (PURGE)``) — the targeted middle ground between leaving vectors to
+    accumulate read-side anti-join cost and ``compact_snapshot``'s
+    whole-table rewrite. Files whose masked fraction (vector rows /
+    file rows, from the manifest's own metadata — zero footer I/O) is
+    at least ``min_masked_fraction`` are rewritten with their masks
+    applied; every other file — unmasked, or masked below the
+    threshold — carries by reference, keeping its vectors. The default
+    0.0 purges every masked file; 0.3 is the "mostly-dead files only"
+    sweep a retention pipeline runs nightly. A table with no vectors
+    (or none over threshold) is the documented no-op (parent id, no
+    commit). A masked file with NO recorded row count purges
+    conservatively (fraction treated as 1.0 — correctness never
+    depends on optional stats).
+
+    At 100 TB: write cost is sized to the files you CHOOSE to clean,
+    and the choice is made from manifest metadata alone. Same OCC
+    rebase loop and exactly-once ``snapshot_id`` token as every other
+    DML verb."""
+    retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
+
+    def attempt(parent):
+        if parent is None:
+            raise FileNotFoundError(f"no current snapshot at {root!r}")
+        pm = _manifest(root, parent)
+        dels = pm.get("deletes") or {}
+        if not dels:
+            return parent  # nothing masked: the table is already clean
+        meta = pm.get("files_meta", {})
+
+        def masked_fraction(f: str) -> float:
+            rows = meta.get(f, {}).get("rows")
+            if not rows:
+                return 1.0  # no row count recorded: purge conservatively
+            return dels[f]["rows"] / rows
+
+        touched_rel = [
+            f for f in pm["files"]
+            if f in dels and masked_fraction(f) >= min_masked_fraction
+        ]
+        if not touched_rel:
+            return parent  # every mask is below the threshold
+        carried = [f for f in pm["files"] if f not in set(touched_rel)]
+        tag = uuid.uuid4().hex[:8]
+        rc, pc = f"_dml_rel_{tag}", f"_dml_pos_{tag}"
+        survivors = _annotated_scan(
+            spark, root, pm, touched_rel, rc, pc
+        ).drop(rc, pc)
+        stats_cols = sorted(
+            {c for m in meta.values() for c in m.get("stats", {})}
+        ) or None
+        return publish(
+            survivors,
+            root,
+            snapshot_id=snapshot_id,
+            stats_cols=stats_cols,
+            _inherit_files=carried,
+            _inherit_meta={f: meta[f] for f in carried if f in meta},
+            _inherit_deletes={f: dels[f] for f in carried if f in dels},
+            _require_parent=parent,
+            _record_schema=pm.get("schema") is not None,
+        )
+
+    return _occ_loop(root, snapshot_id, retries, attempt)
+
+
 def update_where(
     spark: SparkSession,
     root: str,

@@ -408,3 +408,53 @@ def test_mixed_dml_storm_with_mor_and_update_is_serializable(spark, tmp_path):
         )
 
     assert total_masked(root) == total_masked(replay)
+
+
+def test_purge_deletes_rewrites_only_masked_files(spark, tmp_path):
+    """REORG PURGE: after a localized MOR delete, purging rewrites
+    exactly the masked files (mask materialized, vectors gone), keeps
+    every clean file by reference, and the logical table is unchanged."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id between 0 and 60", mode="mor", snapshot_id="d1")
+    before = _ids(spark, root)
+    d1 = M._manifest(root, "d1")
+    masked = set(d1["deletes"])
+    M.purge_deletes(spark, root, snapshot_id="p1")
+    p1 = M._manifest(root, "p1")
+    assert "deletes" not in p1
+    assert _ids(spark, root) == before
+    # clean parent files carried verbatim; masked ones replaced
+    assert set(d1["files"]) - masked <= set(p1["files"])
+    assert masked.isdisjoint(set(p1["files"]))
+    # zone maps re-harvested: pruning below the deleted range is empty
+    assert M.read_pruned(spark, root, "id", 0, 60).count() == 0
+
+
+def test_purge_threshold_keeps_lightly_masked_files(spark, tmp_path):
+    """min_masked_fraction: a file masked below threshold keeps its
+    vectors and is NOT rewritten; one above is purged."""
+    root = _table(spark, tmp_path)  # 8 files of 125 rows each
+    # heavy mask on the first file (100/125), light on the last (1/125)
+    M.delete_where(spark, root, "id < 100 or id = 999", mode="mor", snapshot_id="d1")
+    before = _ids(spark, root)
+    M.purge_deletes(spark, root, min_masked_fraction=0.5, snapshot_id="p1")
+    p1 = M._manifest(root, "p1")
+    assert _ids(spark, root) == before
+    rem = p1.get("deletes", {})
+    assert sum(e["rows"] for e in rem.values()) == 1  # light mask kept
+    d1_files = M._manifest(root, "d1")["files"]
+    assert len(set(d1_files) - set(p1["files"])) == 1  # one file rewritten
+    # second pass at 0.0 cleans the rest
+    M.purge_deletes(spark, root, snapshot_id="p2")
+    assert "deletes" not in M._manifest(root, "p2")
+    assert _ids(spark, root) == before
+
+
+def test_purge_noops_on_clean_table_and_replays_once(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    assert M.purge_deletes(spark, root) == "v1"  # clean: no commit
+    M.delete_where(spark, root, "id < 10", mode="mor", snapshot_id="d1")
+    M.purge_deletes(spark, root, snapshot_id="e1")
+    M.purge_deletes(spark, root, snapshot_id="e1")  # replay
+    assert M.snapshots(root) == ["v1", "d1", "e1"]
+    assert len(_ids(spark, root)) == 990
