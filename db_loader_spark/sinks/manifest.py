@@ -375,7 +375,12 @@ def _merge_schemas(
                     "the schema (old files will read it as NULL)"
                 )
             out.append(dict(f))
-    return {"type": "struct", "fields": out}
+    # relax the WHOLE result, parent fields included: a lineage whose
+    # schema was recorded before the recursive relaxation (top-level-
+    # only, pre-r13) would otherwise perpetuate nested non-nullable
+    # declarations through every append forever — the exact skipped-
+    # null-check hazard _relax_type_json closes (r13 review)
+    return _relax_type_json({"type": "struct", "fields": out})
 
 
 def _manifest_reader(spark: SparkSession, man: dict, legacy_union: bool = False):
@@ -450,29 +455,40 @@ def _apply_deletes(
         dels = {f: e for f, e in dels.items() if f in scanned}
     if not dels:
         return df
+    # collision-proof scratch names (the compact_snapshot zkey rule)
+    tag = uuid.uuid4().hex[:8]
+    rc, pc = f"_dv_rel_{tag}", f"_dv_pos_{tag}"
+    ann = df.withColumn(rc, _rel_file_expr()).withColumn(
+        pc, F.col("_metadata.row_index")
+    )
+    return _dv_anti_join(spark, root, dels, ann, rc, pc).drop(rc, pc)
+
+
+def _dv_anti_join(
+    spark: SparkSession, root: str, dels: dict, ann: DataFrame,
+    rc: str, pc: str,
+) -> DataFrame:
+    """THE deletion-vector join (one definition — r13 review: the
+    read path and the DML derivation path must never diverge on how
+    vectors are loaded or matched): anti-join ``ann`` — a scan already
+    annotated with ``rc`` (relative path, as ``_metadata`` renders it:
+    URL-encoded) and ``pc`` (row position) — against the vectors in
+    ``dels``, which the caller has restricted to the scanned files.
+    The dv-file list is the per-file association recorded at commit
+    time, so a pruned scan reads only the sidecars covering its slice;
+    positions for other data files fail the join condition by
+    construction. Empty ``dels`` → ``ann`` untouched."""
+    from pyspark.sql import functions as F
+
+    if not dels:
+        return ann
     dv_files = sorted({p for e in dels.values() for p in e["dv"]})
     dv = spark.read.schema("f string, pos long").parquet(
         *[os.path.join(root, p) for p in dv_files]
     )
-    if files is not None:
-        # a DV file from a commit whose delete touched OTHER data
-        # files too: drop the irrelevant positions before the join
-        # (DV rows store the path as _metadata renders it: URL-encoded)
-        dv = dv.where(F.col("f").isin([_uri_rel(f) for f in scanned]))
-    # collision-proof scratch names (the compact_snapshot zkey rule)
-    tag = uuid.uuid4().hex[:8]
-    rc, pc = f"_dv_rel_{tag}", f"_dv_pos_{tag}"
-    out = (
-        df.withColumn(rc, _rel_file_expr())
-        .withColumn(pc, F.col("_metadata.row_index"))
-        .join(
-            dv,
-            (F.col(rc) == dv["f"]) & (F.col(pc) == dv["pos"]),
-            "left_anti",
-        )
-        .drop(rc, pc)
+    return ann.join(
+        dv, (F.col(rc) == dv["f"]) & (F.col(pc) == dv["pos"]), "left_anti"
     )
-    return out
 
 
 def _file_stats(path: str, cols: list[str]) -> dict:
@@ -727,6 +743,14 @@ def publish(
                 "fresh snapshot_id"
             )
     staged = os.path.join(data_dir, sid)
+    if os.path.isdir(staged) and _prefix_live(root, sid):
+        # No manifest for this token (the adjudications above all
+        # passed), yet its staged prefix is REFERENCED by the live
+        # lineage: the token committed, was superseded, and vacuum
+        # reaped its manifest while keeping its inherited files.
+        # Restaging would overwrite live data (and an append would
+        # land the batch a second time). Idempotent no-op (r13 review).
+        return sid
     # stage: snapshot-unique prefix; overwrite = idempotent retry
     df.write.mode("overwrite").parquet(staged)
     files = sorted(
@@ -867,7 +891,14 @@ def _commit_staged(
         if meta:
             manifest["files_meta"] = meta
             if len(meta) == len(manifest["files"]):
-                manifest["row_count"] = sum(m["rows"] for m in meta.values())
+                # LOGICAL rows (r13 review): files_meta records physical
+                # per-file counts, but the snapshot's row count is what
+                # a reader gets — masked deletion-vector positions
+                # subtract, or metadata tooling disagrees with
+                # read_snapshot by the full masked amount
+                manifest["row_count"] = sum(
+                    m["rows"] for m in meta.values()
+                ) - sum(e["rows"] for e in recorded_deletes.values())
         man_path = os.path.join(man_dir, f"{sid}.json")
         tmp = f"{man_path}.tmp-{uuid.uuid4().hex[:12]}"
         with open(tmp, "w") as fh:
@@ -997,6 +1028,39 @@ def read_pruned(
         files=kept_rel,
     )
     return scan.filter(residual)
+
+
+def _prefix_live(root: str, sid: str) -> bool:
+    """True iff any manifest in the live lineage references a file
+    under ``data/<sid>/`` — data files inherited forward by appends/
+    merges, or deletion-vector sidecars still masking live files.
+
+    This is the local adjudicator for the one replay case the
+    manifest-exists walks cannot see (r13 review): a token whose
+    manifest was VACUUM-REAPED but whose staged files live on because
+    newer manifests reference them. Staging ``data/<sid>`` again
+    (mode=overwrite) would destroy files concurrent readers resolve —
+    the reference proves the token COMMITTED (only a committed
+    snapshot's files are ever inherited), so the at-least-once answer
+    is an idempotent no-op. A committed-reaped-AND-unreferenced token
+    is locally indistinguishable from a never-committed one; replaying
+    a checkpoint from beyond the vacuum retention window is the
+    documented out-of-contract case every table format shares."""
+    prefix = f"{_DATA}/{sid}/"
+    for s in reversed(snapshots(root)):  # newest first: likeliest hit
+        try:
+            man = _manifest(root, s)
+        except FileNotFoundError:
+            continue
+        if any(f.startswith(prefix) for f in man["files"]):
+            return True
+        if any(
+            p.startswith(prefix)
+            for e in man.get("deletes", {}).values()
+            for p in e["dv"]
+        ):
+            return True
+    return False
 
 
 def _scrub_lost_attempt(
@@ -1313,17 +1377,7 @@ def _annotated_scan(
     dels = pm.get("deletes") or {}
     scanned = set(rel_files)
     dels = {f: e for f, e in dels.items() if f in scanned}
-    if dels:
-        dv_files = sorted({p for e in dels.values() for p in e["dv"]})
-        dv = spark.read.schema("f string, pos long").parquet(
-            *[os.path.join(root, p) for p in dv_files]
-        )
-        ann = ann.join(
-            dv,
-            (F.col(rc) == dv["f"]) & (F.col(pc) == dv["pos"]),
-            "left_anti",
-        )
-    return ann
+    return _dv_anti_join(spark, root, dels, ann, rc, pc)
 
 
 # Data files a MOR delete's position shuffle lands in — per-commit
@@ -1504,6 +1558,13 @@ def _delete_mor_pinned(
     data_dir, man_dir, _ = _paths(root)
     os.makedirs(man_dir, exist_ok=True)
     staged = os.path.join(data_dir, sid)
+    if os.path.isdir(staged) and _prefix_live(root, sid):
+        # replay of a committed token whose manifest vacuum reaped but
+        # whose deletion vectors still mask live files: rewriting (or,
+        # on a now-empty match, rmtree'ing) data/<sid> would destroy
+        # vectors the CURRENT manifest resolves — the reference proves
+        # the commit landed; no-op (r13 review)
+        return sid
     # one shuffle sized to the MATCHED ROWS: positions hash-cluster by
     # data file so each file's mask lives in exactly one DV sidecar
     hits = (
@@ -1991,8 +2052,18 @@ def read_added(
     delta = added_files(root, from_sid, to_sid)
     if not delta:
         return read_snapshot(spark, root, to_sid).filter(F.lit(False))
-    return _manifest_reader(spark, _manifest(root, to_sid)).parquet(
-        *[os.path.join(root, f) for f in delta]
+    man = _manifest(root, to_sid)
+    # deletion vectors apply here too (r13 review): with from_sid=None
+    # (or any from_sid predating a later-masked file) the delta
+    # includes files whose rows ``to_sid`` has MOR-deleted — an
+    # incremental consumer must see the logical table's delta, never
+    # resurrected rows
+    return _apply_deletes(
+        spark, root, man,
+        _manifest_reader(spark, man).parquet(
+            *[os.path.join(root, f) for f in delta]
+        ),
+        files=delta,
     )
 
 

@@ -56,40 +56,56 @@ class CommitLogTruncated(RuntimeError):
 class CommitEvent:
     """One commit's physical change set, derived from its manifest vs
     its parent's. ``dv_added`` maps data file → row positions NEWLY
-    masked by this commit (a merge-on-read delete); ``added_files``
-    list data files new in this commit (an append's delta, a
-    merge/update/COW-delete's rewrites, a compaction's output);
-    ``removed_files`` left the live set (superseded rewrites,
-    compacted inputs, files dropped by a restore)."""
+    masked by this commit (a merge-on-read delete); ``dv_removed``
+    maps data file → positions UN-masked while the file stays live —
+    produced only by a RESTORE to a less-masked snapshot, whose rows
+    resurrect (r13 review: without this an event-folding consumer's
+    mask state silently diverges after such a restore).
+    ``added_files`` list data files new in this commit (an append's
+    delta, a merge/update/COW-delete's rewrites, a compaction's
+    output); ``removed_files`` left the live set (superseded
+    rewrites, compacted inputs, files dropped by a restore)."""
 
     snapshot_id: str
     parent: str | None
     added_files: list[str] = field(default_factory=list)
     removed_files: list[str] = field(default_factory=list)
     dv_added: dict[str, int] = field(default_factory=dict)
+    dv_removed: dict[str, int] = field(default_factory=dict)
 
 
-def _diff(root: str, man: dict) -> CommitEvent:
+def _diff(root: str, man: dict, parent_man: dict | None) -> CommitEvent:
+    """``parent_man`` is passed in (r13 review: poll already holds
+    every chain manifest — re-reading each parent doubled the
+    metadata I/O the module advertises as one JSON per new commit)."""
     parent = man.get("parent")
     pfiles: set[str] = set()
     pdels: dict = {}
-    if parent is not None:
-        pm = M._manifest(root, parent)
-        pfiles = set(pm["files"])
-        pdels = pm.get("deletes", {}) or {}
+    if parent_man is not None:
+        pfiles = set(parent_man["files"])
+        pdels = parent_man.get("deletes", {}) or {}
     files = man["files"]
     dels = man.get("deletes", {}) or {}
     dv_added = {}
+    dv_removed = {}
+    live = set(files)
     for f, e in dels.items():
         before = pdels.get(f, {}).get("rows", 0)
         if e["rows"] > before:
             dv_added[f] = e["rows"] - before
+        elif e["rows"] < before:
+            dv_removed[f] = before - e["rows"]
+    for f, pe in pdels.items():
+        # entry vanished while the file stayed live: fully un-masked
+        if f not in dels and f in live:
+            dv_removed[f] = pe["rows"]
     return CommitEvent(
         snapshot_id=man["snapshot_id"],
         parent=parent,
         added_files=[f for f in files if f not in pfiles],
         removed_files=sorted(pfiles - set(files)),
         dv_added=dv_added,
+        dv_removed=dv_removed,
     )
 
 
@@ -154,7 +170,29 @@ class CommitLogConsumer:
                 f"cursor {self.cursor!r} is not in the live lineage of "
                 f"{self.root!r}; bootstrap from read_current()"
             )
-        events = [_diff(self.root, man) for man in reversed(chain)]
+        ordered = list(reversed(chain))  # oldest first
+        # the oldest event diffs against the cursor's own manifest —
+        # the ONE extra read per poll; a cursor whose manifest was
+        # vacuum-reaped (but whose child still names it) cannot be
+        # diffed against, the same horizon contract as above
+        parents: list[dict | None] = []
+        if ordered and ordered[0].get("parent") is not None:
+            try:
+                parents.append(M._manifest(self.root, ordered[0]["parent"]))
+            except FileNotFoundError:
+                raise CommitLogTruncated(
+                    f"cursor {self.cursor!r} at {self.root!r} has a "
+                    "vacuum-reaped manifest — its commits cannot be "
+                    "diffed against; bootstrap from read_current() and "
+                    "resume from its snapshot id"
+                ) from None
+        else:
+            parents.append(None)
+        parents.extend(ordered[:-1])
+        events = [
+            _diff(self.root, man, pman)
+            for man, pman in zip(ordered, parents)
+        ]
         self.cursor = head
         return events
 

@@ -179,3 +179,34 @@ def test_mor_deleted_rows_readable_when_columns_shadow_dv_names(spark, tmp_path)
     assert sorted((r.id, r.f, r.pos) for r in rows.collect()) == [
         (i, i, 3 * i) for i in range(5)
     ]
+
+
+def test_restore_that_unmasks_emits_dv_removed(spark, tmp_path):
+    """r13 review #3: a RESTORE to a less-masked snapshot resurrects
+    rows with IDENTICAL file sets — the event must carry dv_removed so
+    a folding consumer's mask state tracks the manifest exactly."""
+    root = _base(spark, tmp_path)
+    c = CommitLogConsumer(root)
+    c.poll()
+    M.delete_where(spark, root, "id < 50", mode="mor", snapshot_id="d1")
+    M.delete_where(spark, root, "id < 80", mode="mor", snapshot_id="d2")
+    M.restore_snapshot(root, "d1", snapshot_id="r1")  # un-masks 50..79
+    M.restore_snapshot(root, "v1", snapshot_id="r2")  # un-masks the rest
+    events = c.poll()
+    assert [e.snapshot_id for e in events] == ["d1", "d2", "r1", "r2"]
+    masked: dict = {}
+    for e in events:
+        assert e.added_files == [] and e.removed_files == []
+        for f, n in e.dv_added.items():
+            masked[f] = masked.get(f, 0) + n
+        for f, n in e.dv_removed.items():
+            masked[f] = masked[f] - n
+            if masked[f] == 0:
+                del masked[f]
+        man = M._manifest(root, e.snapshot_id)
+        assert masked == {
+            f: entry["rows"]
+            for f, entry in man.get("deletes", {}).items()
+        }
+    assert masked == {}  # back to fully unmasked
+    assert sum(n for e in events for n in e.dv_removed.values()) == 80

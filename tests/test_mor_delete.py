@@ -458,3 +458,97 @@ def test_purge_noops_on_clean_table_and_replays_once(spark, tmp_path):
     M.purge_deletes(spark, root, snapshot_id="e1")  # replay
     assert M.snapshots(root) == ["v1", "d1", "e1"]
     assert len(_ids(spark, root)) == 990
+
+
+def test_read_added_applies_vectors(spark, tmp_path):
+    """r13 review #1: the incremental-scan primitive must see the
+    LOGICAL delta — a from_sid predating a later MOR delete must not
+    resurrect the masked rows of the delta files."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id % 100 = 7", mode="mor", snapshot_id="d1")
+    got = sorted(
+        r.id for r in M.read_added(spark, root, None, "d1").collect()
+    )
+    assert got == [i for i in range(1_000) if i % 100 != 7]
+    # delta between v1 and d1 is empty (MOR adds no files)
+    assert M.read_added(spark, root, "v1", "d1").count() == 0
+
+
+def test_append_to_pre_relaxation_lineage_relaxes_nested_nullability(
+    spark, tmp_path
+):
+    """r13 review #2: a lineage whose recorded schema predates the
+    recursive relaxation (nested nullable=false on disk) must have the
+    relaxation applied by the next APPEND's schema merge, not
+    perpetuated forever."""
+    import json
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, (2,))], "id long, s struct<x: bigint>"
+    )
+    M.publish(df, root, snapshot_id="v1")
+    # simulate the pre-r13 on-disk state: nested nullable forced false
+    mp = os.path.join(root, "_manifests", "v1.json")
+    man = json.load(open(mp))
+    man["schema"]["fields"][1]["type"]["fields"][0]["nullable"] = False
+    json.dump(man, open(mp, "w"))
+    M.publish(df, root, snapshot_id="a1", append=True)
+    rec = M._manifest(root, "a1")["schema"]
+    assert rec["fields"][1]["type"]["fields"][0]["nullable"] is True
+
+
+def test_mor_replay_of_reaped_token_never_touches_live_vectors(
+    spark, tmp_path
+):
+    """r13 review #4: an at-least-once replay of a MOR delete whose
+    manifest vacuum reaped — but whose vectors still mask live files —
+    must no-op, never restage (or rmtree) the live vector prefix."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id < 100", mode="mor", snapshot_id="epoch-7")
+    M.publish(
+        spark.range(5_000, 5_005).select("id", (F.col("id") * 2).alias("v")),
+        root, append=True, snapshot_id="a1",
+    )
+    M.vacuum(root, keep=1)  # reaps epoch-7's manifest, keeps its vectors
+    assert not os.path.exists(
+        os.path.join(root, "_manifests", "epoch-7.json")
+    )
+    before = _ids(spark, root)
+    out = M.delete_where(
+        spark, root, "id < 100", mode="mor", snapshot_id="epoch-7"
+    )
+    assert out == "epoch-7"
+    assert M.current_snapshot(root) == "a1"  # nothing recommitted
+    assert _ids(spark, root) == before  # vectors intact, reads whole
+
+
+def test_append_replay_of_reaped_token_is_noop(spark, tmp_path):
+    """Same class on the publish path (pre-existing, r13 review #4):
+    replaying an append epoch whose manifest was reaped but whose data
+    files the current manifest inherits must not duplicate the batch
+    or overwrite the live files."""
+    root = _table(spark, tmp_path, n=100, files=2)
+    batch = spark.range(2_000, 2_010).select(
+        "id", (F.col("id") * 2).alias("v")
+    )
+    M.publish(batch, root, append=True, snapshot_id="epoch-3")
+    M.publish(
+        spark.range(3_000, 3_005).select("id", (F.col("id") * 2).alias("v")),
+        root, append=True, snapshot_id="a1",
+    )
+    M.vacuum(root, keep=1)
+    before = _ids(spark, root)
+    out = M.publish(batch, root, append=True, snapshot_id="epoch-3")
+    assert out == "epoch-3"
+    assert M.current_snapshot(root) == "a1"
+    assert _ids(spark, root) == before  # no duplicate rows, no torn files
+
+
+def test_manifest_row_count_is_logical_after_mor(spark, tmp_path):
+    """r13 review #5: a MOR commit's recorded row_count must agree
+    with what read_snapshot returns, not the physical file sum."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id < 250", mode="mor", snapshot_id="d1")
+    man = M._manifest(root, "d1")
+    assert man["row_count"] == 750 == M.read_current(spark, root).count()
