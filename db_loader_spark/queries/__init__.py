@@ -276,9 +276,13 @@ NEXT_UP: list[str] = []
 # carry no vectors, so values are unchanged — verified by the full
 # sweeps); the MOR semantics themselves are pytest-tier per the
 # verdict's explicit no-slot alternative (tests/test_mor_delete.py:
-# MOR read == COW read oracle, 21 tests + 8-writer storm).
+# MOR read == COW read oracle, 24 tests + 8-writer storm) PLUS a
+# DuckDB-oracle diagnostic (t_mor_delete_update — MOR delete + COW
+# update read with live vectors, value-checked in
+# tests/test_oracle_queries.py, diagnostics tier now 26 specs).
 # (3) update_where — new surface, no registry key; pytest-tier
-# (race/replay/no-op suite mirroring DELETE, per VERDICT r12 #7).
+# (race/replay/no-op suite mirroring DELETE, per VERDICT r12 #7) plus
+# the same oracle diagnostic.
 # (4) commit-log consumer (VERDICT r12 #4) — new module
 # streaming/commit_log.py, no registry key (pytest-tier per the
 # verdict's "or pytest-tier if no slot frees"): stream-consumed

@@ -1469,8 +1469,81 @@ QUERIES: dict[str, QuerySpec] = {
 # quantiles alongside its sampled estimates in the same scan — so
 # this key's slot bought no new external evidence. Value check
 # retained by tests/test_oracle_queries.py.
+def t_mor_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE + row-level UPDATE, oracle-graded (r13):
+    an orderkey-clustered orders snapshot gets a scattered MOR delete
+    (``k % 131 = 0`` — vectors only, zero data files rewritten) and
+    then an UPDATE (``k % 113 = 0`` → cents + 101) whose COW rewrite
+    must carry the untouched files' vectors. The aggregate is read
+    with the vectors still LIVE (no purge), so the driver-grade value
+    check covers the `_apply_deletes` anti-join read path itself —
+    a resurrected row, a lost vector through the update's carry, or a
+    double-applied update all flip the sum against DuckDB recomputing
+    the same DML from the raw table."""
+    import hashlib
+    import tempfile
+
+    from db_loader_spark.sinks import manifest as M
+    from db_loader_spark.staging import build_stage
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"db_loader_mor_{key}")
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v1"
+
+    def build(scratch: str) -> None:
+        base = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pr"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        M.publish(
+            base.repartitionByRange(16, F.col("k")),
+            scratch,
+            snapshot_id="base",
+            stats_cols=["k"],
+        )
+        M.delete_where(
+            spark, scratch, "k % 131 = 0", mode="mor", snapshot_id="mordel"
+        )
+        M.update_where(
+            spark, scratch, "k % 113 = 0", {"cents": "cents + 101"},
+            snapshot_id="upd",
+        )
+
+    build_stage(root, stamp, build)
+    return (
+        M.read_current(spark, root)
+        .groupBy("pr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+_MOR_DELETE_UPDATE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS pr,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), live AS (
+  SELECT k, pr,
+         CASE WHEN k % 113 = 0 THEN cents + 101 ELSE cents END AS cents
+  FROM base WHERE k % 131 <> 0
+)
+SELECT pr, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM live GROUP BY pr
+"""
+
+
 DIAGNOSTICS: dict[str, QuerySpec] = {
     "a_quantiles": QuerySpec(
         a_quantiles, _QUANTILES_ORACLE, "exact grouped quantiles (diagnostic)"
+    ),
+    "t_mor_delete_update": QuerySpec(
+        t_mor_delete_update,
+        _MOR_DELETE_UPDATE_ORACLE,
+        "merge-on-read DELETE vectors + COW UPDATE, read with live vectors",
     ),
 }
