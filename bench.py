@@ -433,6 +433,26 @@ def _bench_partitioned(spark, sf_dir: str, timings, spreads) -> None:
         "ev_slice_pruned": part,
     }
     _time_agg_variants(spark, variants, timings, spreads)
+    # inputFiles() lists the relation's WHOLE file index — partition
+    # filters prune at planning, not listing — so the pruned variant's
+    # honest static witness is the matching partition DIRECTORIES
+    # (event_date ∈ [start, end)), computed from the layout itself
+    n_files, n_bytes, n_dirs, total_dirs = 0, 0, 0, 0
+    for d in os.listdir(path):
+        if not d.startswith("event_date="):
+            continue
+        total_dirs += 1
+        if start <= d.split("=", 1)[1] < end:
+            n_dirs += 1
+            for f in os.listdir(os.path.join(path, d)):
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(path, d, f))
+    SCAN_UNITS["ev_slice_pruned"] = {
+        "files": n_files,
+        "mb": round(n_bytes / 1e6, 2),
+        "dirs": f"{n_dirs}/{total_dirs}",
+    }
 
 
 def _bench_compaction(spark, sf_dir: str, timings, spreads) -> None:

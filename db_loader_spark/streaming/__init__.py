@@ -8,6 +8,10 @@ from db_loader_spark.streaming.commit_log import (
     read_event_mor_deleted,
 )
 from db_loader_spark.streaming.file_ingest import stream_log_tables
+from db_loader_spark.streaming.manifest_source import (
+    manifest_cdc_source,
+    register_manifest_cdc,
+)
 
 __all__ = [
     "CommitEvent",
@@ -15,5 +19,7 @@ __all__ = [
     "CommitLogTruncated",
     "read_event_appended",
     "read_event_mor_deleted",
+    "manifest_cdc_source",
+    "register_manifest_cdc",
     "stream_log_tables",
 ]
