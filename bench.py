@@ -442,7 +442,11 @@ def _bench_partitioned(spark, sf_dir: str, timings, spreads) -> None:
         if not d.startswith("event_date="):
             continue
         total_dirs += 1
-        if start <= d.split("=", 1)[1] < end:
+        # pruned_time_filter's partition bound is INCLUSIVE both ends
+        # (a ts just under end can live in date(end)'s partition) —
+        # the witness must count the same dirs the query scans
+        # (second r13 review: the half-open bound under-reported)
+        if start <= d.split("=", 1)[1] <= end:
             n_dirs += 1
             for f in os.listdir(os.path.join(path, d)):
                 if f.endswith(".parquet"):

@@ -486,6 +486,13 @@ def _dv_anti_join(
     dv = spark.read.schema("f string, pos long").parquet(
         *[os.path.join(root, p) for p in dv_files]
     )
+    # prefilter the vector rows to the scanned files (second r13
+    # review: dropped in the unification, and it is free — a commit's
+    # positions hash-cluster into _DV_FILES shared sidecars, so a
+    # pruned one-file read would otherwise feed the sidecar's WHOLE
+    # position set into the join build side; rows for other files
+    # store the path as _metadata renders it, URL-encoded)
+    dv = dv.where(F.col("f").isin([_uri_rel(f) for f in dels]))
     return ann.join(
         dv, (F.col(rc) == dv["f"]) & (F.col(pc) == dv["pos"]), "left_anti"
     )
@@ -1047,11 +1054,18 @@ def _prefix_live(root: str, sid: str) -> bool:
     a checkpoint from beyond the vacuum retention window is the
     documented out-of-contract case every table format shares."""
     prefix = f"{_DATA}/{sid}/"
-    for s in reversed(snapshots(root)):  # newest first: likeliest hit
+    # one inline parent walk, newest first — snapshots() + per-sid
+    # re-reads would parse every manifest twice (second r13 review,
+    # the poll() double-read shape); the horizon break mirrors
+    # snapshots()' normal post-vacuum truncation
+    cur = current_snapshot(root)
+    seen: set[str] = set()
+    while cur is not None and cur not in seen:
+        seen.add(cur)
         try:
-            man = _manifest(root, s)
+            man = _manifest(root, cur)
         except FileNotFoundError:
-            continue
+            break  # retention horizon: older history is reaped
         if any(f.startswith(prefix) for f in man["files"]):
             return True
         if any(
@@ -1060,6 +1074,7 @@ def _prefix_live(root: str, sid: str) -> bool:
             for p in e["dv"]
         ):
             return True
+        cur = man.get("parent")
     return False
 
 

@@ -95,11 +95,20 @@ def manifest_cdc_source():
         with open(os.path.join(root, "_manifests", f"{sid}.json")) as fh:
             return json.load(fh)
 
-    def walk(root, head, cursor):
+    def walk(root, head, cursor, tolerate_truncation=False):
         """Manifests head→cursor exclusive, returned OLDEST FIRST,
-        paired with their parent manifests. Raises on a truncated
-        (vacuumed) walk — same contract as CommitLogConsumer."""
+        paired with their parent manifests. A truncated (vacuumed)
+        walk raises — the CommitLogConsumer contract for cursor-based
+        streams — unless ``tolerate_truncation`` (the batch
+        replay-the-WALKABLE-history semantic, second r13 review: any
+        long-lived table has been vacuumed, and snapshots() itself
+        treats truncation as the normal post-vacuum state): the walk
+        stops at the horizon and the oldest walkable manifest diffs
+        against NO parent, i.e. its full file list and mask emit as
+        the bootstrap event — exactly what a consumer re-bootstrapping
+        from a snapshot would fold."""
         chain, sid, seen = [], head, set()
+        truncated = False
         while sid is not None and sid != cursor:
             if sid in seen:
                 raise RuntimeError(f"lineage cycle at {sid!r} in {root!r}")
@@ -107,6 +116,9 @@ def manifest_cdc_source():
             try:
                 man = manifest(root, sid)
             except FileNotFoundError:
+                if tolerate_truncation and cursor is None:
+                    truncated = True
+                    break
                 raise RuntimeError(
                     f"manifest_cdc offset {cursor!r} at {root!r} is "
                     "behind the vacuum horizon; restart the query from "
@@ -115,17 +127,34 @@ def manifest_cdc_source():
                 ) from None
             chain.append(man)
             sid = man.get("parent")
-        if sid != cursor and cursor is not None:
+        if not truncated and sid != cursor and cursor is not None:
             raise RuntimeError(
                 f"manifest_cdc offset {cursor!r} is not in the live "
                 f"lineage of {root!r}; restart from a fresh checkpoint"
             )
         ordered = list(reversed(chain))
         parents = []
-        if ordered and ordered[0].get("parent") is not None:
-            parents.append(manifest(root, ordered[0]["parent"]))
+        if (
+            ordered
+            and not truncated
+            and ordered[0].get("parent") is not None
+        ):
+            try:
+                parents.append(manifest(root, ordered[0]["parent"]))
+            except FileNotFoundError:
+                # the cursor RESOLVED (its child names it) but its own
+                # manifest is reaped: the oldest event cannot be
+                # diffed — same horizon contract as an unresolvable
+                # cursor (mirrors CommitLogConsumer.poll)
+                raise RuntimeError(
+                    f"manifest_cdc offset {cursor!r} at {root!r} is "
+                    "behind the vacuum horizon (its manifest was "
+                    "reaped); restart the query from a fresh "
+                    "checkpoint after re-bootstrapping from a "
+                    "snapshot read"
+                ) from None
         else:
-            parents.append(None)
+            parents.append(None)  # genesis or horizon: bootstrap event
         parents.extend(ordered[:-1])
         return list(zip(ordered, parents))
 
@@ -154,9 +183,11 @@ def manifest_cdc_source():
             if f not in dels and f in live:
                 yield (sid, parent, "dv_remove", f, pe["rows"])
 
-    def rows_between(root, start_sid, end_sid):
+    def rows_between(root, start_sid, end_sid, tolerate_truncation=False):
         out = []
-        for man, pman in walk(root, end_sid, start_sid):
+        for man, pman in walk(
+            root, end_sid, start_sid, tolerate_truncation
+        ):
             out.extend(events(man, pman))
         return out
 
@@ -192,12 +223,24 @@ def manifest_cdc_source():
             self.root = options.get("path")
             if not self.root:
                 raise ValueError("manifest_cdc requires .option('path', <table root>)")
+            self.start_after = options.get("startingsnapshot")
 
         def partitions(self):
             # the walk is driver-side metadata work; the rows ship to
-            # executors as data inside the single partition
+            # executors as data inside the single partition. Without a
+            # startingSnapshot the batch surface replays the WALKABLE
+            # history (horizon-tolerant: the oldest walkable manifest
+            # emits as a bootstrap event); with one, the cursor must
+            # resolve exactly, like the stream
             head = read_pointer(self.root)
-            rows = [] if head is None else rows_between(self.root, None, head)
+            rows = (
+                []
+                if head is None
+                else rows_between(
+                    self.root, self.start_after, head,
+                    tolerate_truncation=self.start_after is None,
+                )
+            )
             return [_Part(rows)]
 
         def read(self, partition):

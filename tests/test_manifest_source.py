@@ -159,3 +159,44 @@ def test_missing_path_option_raises(spark, tmp_path):
     register_manifest_cdc(spark)
     with pytest.raises(Exception, match="path"):
         spark.read.format("manifest_cdc").load().collect()
+
+
+def test_batch_read_survives_vacuum_as_bootstrap_event(spark, tmp_path):
+    """Second r13 review: any long-lived table has been vacuumed, so
+    the batch surface replays the WALKABLE history — the oldest
+    walkable manifest emits as a bootstrap event (its full file list
+    and live mask), never an error. A startingSnapshot that resolves
+    still works; one behind the horizon still refuses."""
+    root = _base(spark, tmp_path)
+    M.delete_where(spark, root, "id < 9", mode="mor", snapshot_id="d1")
+    M.publish(
+        spark.range(7_000, 7_003).select("id", (F.col("id") * 2).alias("v")),
+        root, append=True, snapshot_id="a1",
+    )
+    M.vacuum(root, keep=2)  # reaps v1; d1 (bootstrap-to-be) + a1 stay
+    register_manifest_cdc(spark)
+    got = spark.read.format("manifest_cdc").option("path", root).load()
+    rows = got.collect()
+    # bootstrap event: d1's FULL file list and its mask, parent reaped
+    d1 = [r for r in rows if r.snapshot_id == "d1"]
+    assert {r.change for r in d1} == {"add_file", "dv_add"}
+    assert len([r for r in d1 if r.change == "add_file"]) == len(
+        M._manifest(root, "d1")["files"]
+    )
+    assert sum(r.rows for r in d1 if r.change == "dv_add") == 9
+    a1 = [r for r in rows if r.snapshot_id == "a1"]
+    a1_added = set(M._manifest(root, "a1")["files"]) - set(
+        M._manifest(root, "d1")["files"]
+    )
+    assert {r.change for r in a1} == {"add_file"}
+    assert {r.file for r in a1} == a1_added
+    # resolving startingSnapshot works; horizon cursor refuses
+    tail = (
+        spark.read.format("manifest_cdc")
+        .option("path", root).option("startingSnapshot", "d1").load()
+    )
+    assert {r.snapshot_id for r in tail.collect()} == {"a1"}
+    with pytest.raises(Exception, match="vacuum horizon"):
+        spark.read.format("manifest_cdc").option("path", root).option(
+            "startingSnapshot", "v1"
+        ).load().collect()
