@@ -289,6 +289,10 @@ NEXT_UP: list[str] = []
 # commits == batch manifest diffs across append/MOR/merge/COW/
 # OPTIMIZE/RESTORE in tests/test_commit_log.py.
 # (5) bench scan_units sidecar field (VERDICT r12 #6) — bench-only.
+# (6) merge_upsert gained mode="mor" (mask + append) and the shared
+# _merge_contract_checks refactor — t_snapshot_upsert (the COW merge
+# path's registry key) is IN this window as a rule-2 re-entry and the
+# MOR arm is pinned ≡ COW by pytest + raced in the 9-writer storm.
 #
 # R13 WINDOW PREP (historical, executed above): the 50 keys NOT in
 # the r12 window are the r11 window

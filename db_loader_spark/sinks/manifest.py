@@ -1147,6 +1147,7 @@ def merge_upsert(
     key_col: str,
     snapshot_id: str | None = None,
     rebase_retries: int | None = None,
+    mode: str = "cow",
 ) -> str:
     """Row-level upsert as a COPY-ON-WRITE commit (Delta's MERGE in
     miniature): rows in ``df`` replace current rows with the same
@@ -1189,7 +1190,17 @@ def merge_upsert(
     append's rows are seen (and updated if their keys match the
     batch); a concurrent merge's result is merged into last-writer-
     wins per key. ``rebase_retries=0`` restores raise-to-caller
-    (``ConcurrentPublishError``). Exhaustion re-raises."""
+    (``ConcurrentPublishError``). Exhaustion re-raises.
+
+    ``mode="mor"`` (r13 — Delta's deletion-vector MERGE shape): mask
+    the matched rows' positions with vectors and APPEND the batch as
+    new files — no parent file rewritten, commit write cost sized to
+    the BATCH. Same logical result as COW (pinned by test), same OCC
+    loop and token; the right mode for scattered-key CDC batches
+    against huge clustered tables, where COW's touched set degrades
+    toward a full rewrite. See ``_merge_mor_pinned``."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"merge_upsert mode must be 'cow' or 'mor', got {mode!r}")
     retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
 
     def attempt(parent):
@@ -1207,6 +1218,10 @@ def merge_upsert(
                 _require_parent=_NO_PARENT,
             )
         pm = _manifest(root, parent)
+        if mode == "mor":
+            return _merge_mor_pinned(
+                spark, df, root, key_col, snapshot_id, pm
+            )
         return _merge_upsert_pinned(
             spark, df, root, key_col, snapshot_id, pm,
             pm.get("files_meta", {}),
@@ -1217,6 +1232,180 @@ def merge_upsert(
         return _occ_loop(root, snapshot_id, retries, attempt)
     finally:
         df.unpersist()
+
+
+def _merge_mor_pinned(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    key_col: str,
+    snapshot_id: str | None,
+    pm: dict,
+) -> str:
+    """Merge-on-read MERGE (Delta's DV-backed MERGE shape): matched
+    rows' positions are MASKED with deletion vectors and the whole
+    batch is APPENDED as new data files — no parent file is rewritten,
+    so the commit's write cost is sized to the BATCH, not the touched
+    files. The logical result is exactly the COW merge's (masked old
+    rows ≡ anti-joined-away rows; appended batch ≡ unioned batch);
+    ``tests/test_mor_delete.py`` pins the equivalence row-for-row.
+
+    At 100 TB this is the CDC-ingest shape: a stream of small upsert
+    batches against a huge clustered table pays per-batch cost even
+    when the batch's keys scatter across thousands of files — the case
+    where COW's touched-set rewrite degrades to a near-full-table
+    write. Read-side cost is the usual vector anti-join until
+    ``purge_deletes``/``compact_snapshot`` absorbs; the batch's new
+    files carry zone maps so later reads and merges stay prunable."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    parent = pm["snapshot_id"]
+    meta = pm.get("files_meta", {})
+    _merge_contract_checks(df, pm, key_col)
+    sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+    data_dir, man_dir, _ = _paths(root)
+    os.makedirs(man_dir, exist_ok=True)
+    staged = os.path.join(data_dir, sid)
+    if os.path.isdir(staged) and _prefix_live(root, sid):
+        return sid  # committed, superseded, manifest reaped: no-op
+    keys = df.select(key_col).distinct()
+    tag = uuid.uuid4().hex[:8]
+    rc, pc = f"_dml_rel_{tag}", f"_dml_pos_{tag}"
+    ann = _annotated_scan(spark, root, pm, pm["files"], rc, pc)
+    hits = (
+        ann.join(keys, key_col, "left_semi")
+        .select(F.col(rc).alias("f"), F.col(pc).alias("pos"))
+        .repartition(_DV_FILES, "f")
+    )
+    dv_tmp = f"{staged}.dvtmp"
+    hits.write.mode("overwrite").parquet(dv_tmp)
+    back = spark.read.schema("f string, pos long").parquet(dv_tmp)
+    assoc = (
+        back.groupBy("f")
+        .agg(
+            F.count("*").alias("n"),
+            F.sort_array(
+                F.collect_set(
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+                )
+            ).alias("parts"),
+        )
+        .collect()
+    )  # driver-bounded by touched files (metadata scale)
+    # stage the BATCH as the appended data files, then move the
+    # vectors in beside them under dv- names (the overwrite clears any
+    # prior attempt's residue first, so the move must come after)
+    df.write.mode("overwrite").parquet(staged)
+    for p in os.listdir(dv_tmp):
+        if p.endswith(".parquet"):
+            os.replace(
+                os.path.join(dv_tmp, p), os.path.join(staged, f"dv-{p}")
+            )
+    shutil.rmtree(dv_tmp, ignore_errors=True)
+    data_files = sorted(
+        f for f in os.listdir(staged)
+        if f.endswith(".parquet") and not f.startswith("dv-")
+    )
+    new_files = [os.path.join(_DATA, sid, f) for f in data_files]
+    stats_cols = sorted(
+        {c for m in meta.values() for c in m.get("stats", {})}
+    ) or None
+    new_meta = (
+        {
+            os.path.join(_DATA, sid, f): _file_stats(
+                os.path.join(staged, f), stats_cols
+            )
+            for f in data_files
+        }
+        if stats_cols
+        else {}
+    )
+    known = set(pm["files"])
+    merged = {f: dict(e) for f, e in (pm.get("deletes") or {}).items()}
+    for r in assoc:
+        f = unquote(r["f"])
+        if f not in known:
+            raise RuntimeError(
+                f"merge_upsert(mor) at {root!r}: matched file {f!r} is "
+                "not in the parent manifest — file-name mapping is out "
+                "of contract"
+            )
+        entry = merged.setdefault(f, {"dv": [], "rows": 0})
+        entry["dv"] = list(entry["dv"]) + [
+            os.path.join(_DATA, sid, f"dv-{p}") for p in r["parts"]
+        ]
+        entry["rows"] = entry["rows"] + r["n"]
+    observed_gen, observed = _read_pointer(root)
+    if observed == sid:
+        return sid  # a same-token twin finished this commit
+    if observed != parent:
+        raise ConcurrentPublishError(
+            f"concurrent publish detected at {root!r}: this merge's "
+            f"positions were derived from {parent!r} but current is "
+            f"{observed!r}; re-derive on top of the new current snapshot"
+        )
+    return _commit_staged(
+        root,
+        sid,
+        new_files,
+        new_meta=new_meta,
+        append=False,
+        parent_check=True,
+        inherit_files=list(pm["files"]),
+        inherit_meta=dict(meta),
+        observed_gen=observed_gen,
+        observed=observed,
+        schema=pm.get("schema"),
+        deletes=merged,
+    )
+
+
+def _merge_contract_checks(df: DataFrame, pm: dict, key_col: str) -> None:
+    """The MERGE batch contract, shared by the COW and MOR paths:
+    batch columns must equal the recorded table schema exactly (every
+    format's rule — a narrower batch would record a narrower schema /
+    hide carried columns), shared names must have IDENTICAL types (no
+    implicit casts, ever — a widened batch type would be recorded as
+    the table contract and bind carried files' parquet wrongly), and
+    source keys must be unique (duplicated batch keys would land as
+    duplicated TABLE rows — fail loudly, never corrupt)."""
+    from pyspark.sql import functions as F
+
+    pschema = pm.get("schema")
+    if pschema is not None:
+        want = {f["name"]: f["type"] for f in pschema["fields"]}
+        # raw df.columns, not a dict: a dict would collapse DUPLICATE
+        # batch column names and let them through to a confusing
+        # AnalysisException downstream (r12 close review, pass 2)
+        if sorted(df.columns) != sorted(want):
+            raise ValueError(
+                f"merge_upsert batch columns {sorted(df.columns)} != "
+                f"table schema columns {sorted(want)} at the manifest root"
+            )
+        got = {
+            f["name"]: f["type"] for f in df.schema.jsonValue()["fields"]
+        }
+        clash = [
+            c for c in want
+            if _type_fingerprint(got[c]) != _type_fingerprint(want[c])
+        ]
+        if clash:
+            raise ValueError(
+                f"merge_upsert batch type mismatch on {clash} (batch "
+                f"{[got[c] for c in clash]} vs table "
+                f"{[want[c] for c in clash]}) — no implicit casts; "
+                "align the types explicitly"
+            )
+    counts = df.agg(
+        F.count("*").alias("n"), F.countDistinct(key_col).alias("d")
+    ).first()
+    if counts["n"] != counts["d"]:
+        raise ValueError(
+            f"merge_upsert batch has duplicate {key_col!r} values "
+            f"({counts['n']} rows, {counts['d']} distinct)"
+        )
 
 
 def _merge_upsert_pinned(
@@ -1233,49 +1422,7 @@ def _merge_upsert_pinned(
     import bisect
 
     pschema = pm.get("schema")
-    if pschema is not None:
-        want = {f["name"]: f["type"] for f in pschema["fields"]}
-        # raw df.columns, not a dict: a dict would collapse DUPLICATE
-        # batch column names and let them through to a confusing
-        # AnalysisException downstream (r12 close review, pass 2)
-        if sorted(df.columns) != sorted(want):
-            # MERGE requires the batch to match the table contract
-            # exactly (every format's rule): a narrower batch would
-            # otherwise record a narrower schema on the no-touched-file
-            # path and silently hide carried files' columns.
-            raise ValueError(
-                f"merge_upsert batch columns {sorted(df.columns)} != "
-                f"table schema columns {sorted(want)} at the manifest root"
-            )
-        got = {
-            f["name"]: f["type"] for f in df.schema.jsonValue()["fields"]
-        }
-        clash = [
-            c for c in want
-            if _type_fingerprint(got[c]) != _type_fingerprint(want[c])
-        ]
-        if clash:
-            # Types too, not just names (r12 close review): a widened
-            # batch type would survive unionByName, be RECORDED as the
-            # table schema, and bind the carried files' unchanged
-            # parquet to the wrong type — breaking every future read.
-            raise ValueError(
-                f"merge_upsert batch type mismatch on {clash} (batch "
-                f"{[got[c] for c in clash]} vs table "
-                f"{[want[c] for c in clash]}) — no implicit casts; "
-                "align the types explicitly"
-            )
-    counts = df.agg(
-        F.count("*").alias("n"), F.countDistinct(key_col).alias("d")
-    ).first()
-    if counts["n"] != counts["d"]:
-        # MERGE requires unique source keys (every table format errors
-        # here): duplicated batch keys would survive the anti-join as
-        # duplicated TABLE rows — fail loudly, never corrupt.
-        raise ValueError(
-            f"merge_upsert batch has duplicate {key_col!r} values "
-            f"({counts['n']} rows, {counts['d']} distinct)"
-        )
+    _merge_contract_checks(df, pm, key_col)
     keys = df.select(key_col).distinct()
     # Per-file targeting against the key SET, not its global range: a
     # single far-away insert key would otherwise widen [min, max] to

@@ -165,6 +165,29 @@ def sweep(spark, scale: int) -> None:
         f"read after MOR {scale}x (vector anti-join)",
         lambda: M.read_current(spark, root).count(),
     )
+    # r13b MOR MERGE: a fixed SCATTERED-key CDC batch (~1000 keys
+    # spread across every file). COW's rewrite tracks the touched
+    # files (≈ the table for scattered keys); MOR masks + appends, so
+    # its committed bytes track the BATCH.
+    M.restore_snapshot(root, "restored", snapshot_id="unscat2")
+    cdc = base.filter(
+        F.expr(f"pmod(hash(concat('m:', k)), {n}) < 1000")
+    ).select("k", "pr", (F.col("cents") + 7).alias("cents"))
+    timed(
+        f"merge COW {scale}x (scattered ~1000-key batch)",
+        lambda: M.merge_upsert(
+            spark, cdc, root, "k", snapshot_id="cow-mrg"
+        )
+        + " " + staged_bytes("cow-mrg"),
+    )
+    M.restore_snapshot(root, "unscat2", snapshot_id="unscat3")
+    timed(
+        f"merge MOR {scale}x (same batch)",
+        lambda: M.merge_upsert(
+            spark, cdc, root, "k", snapshot_id="mor-mrg", mode="mor"
+        )
+        + " " + staged_bytes("mor-mrg"),
+    )
     timed(
         f"snapshot_diff {scale}x (full-outer over n)",
         lambda: __import__(

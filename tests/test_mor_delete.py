@@ -343,6 +343,8 @@ def test_mixed_dml_storm_with_mor_and_update_is_serializable(spark, tmp_path):
             F.col("id"), F.lit(200).cast("long").alias("v"))),
         "mrg-0": ("merge", spark.createDataFrame(
             [(1, -1), (300, -1)], "id long, v long")),
+        "mrg-mor": ("merge_mor", spark.createDataFrame(
+            [(3, -3), (310, -3)], "id long, v long")),
         "mor-0": ("mor", "id >= 10 AND id < 20"),
         "mor-1": ("mor", "id >= 30 AND id < 35"),
         "cow-0": ("cow", "id >= 20 AND id < 25"),
@@ -359,6 +361,9 @@ def test_mixed_dml_storm_with_mor_and_update_is_serializable(spark, tmp_path):
         elif kind == "merge":
             M.merge_upsert(spark, payload, r, "id", snapshot_id=token,
                            rebase_retries=16)
+        elif kind == "merge_mor":
+            M.merge_upsert(spark, payload, r, "id", snapshot_id=token,
+                           rebase_retries=16, mode="mor")
         elif kind in ("cow", "mor"):
             M.delete_where(spark, r, payload, snapshot_id=token,
                            rebase_retries=16, mode=kind)
@@ -552,3 +557,121 @@ def test_manifest_row_count_is_logical_after_mor(spark, tmp_path):
     M.delete_where(spark, root, "id < 250", mode="mor", snapshot_id="d1")
     man = M._manifest(root, "d1")
     assert man["row_count"] == 750 == M.read_current(spark, root).count()
+
+
+def test_mor_merge_equals_cow_merge(spark, tmp_path):
+    """THE oracle for merge-on-read MERGE: same batch on identical
+    tables — the vectors+append result is row-for-row the
+    copy-on-write rewrite's."""
+    batch_rows = [(i, -i) for i in range(100, 111)] + [(5_000, 99), (7_777, 1)]
+    r_mor = _table(spark, tmp_path, name="mor")
+    r_cow = _table(spark, tmp_path, name="cow")
+    for r, mode in ((r_mor, "mor"), (r_cow, "cow")):
+        M.merge_upsert(
+            spark,
+            spark.createDataFrame(batch_rows, "id long, v long"),
+            r, "id", snapshot_id="m1", mode=mode,
+        )
+    a = sorted((r.id, r.v) for r in M.read_current(spark, r_mor).collect())
+    b = sorted((r.id, r.v) for r in M.read_current(spark, r_cow).collect())
+    assert a == b and len(a) == 1_002
+
+
+def test_mor_merge_commit_is_batch_sized(spark, tmp_path):
+    """Scale contract: every parent file carries BY REFERENCE (even
+    the ones containing matched keys); only batch-sized data files and
+    vectors are added; masked rows == matched keys."""
+    root = _table(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(i * 97, -1) for i in range(10)] + [(9_999, 5)], "id long, v long"
+    )  # keys scattered across files + one insert
+    M.merge_upsert(spark, batch, root, "id", snapshot_id="m1", mode="mor")
+    v1, m1 = M._manifest(root, "v1"), M._manifest(root, "m1")
+    assert set(v1["files"]) <= set(m1["files"])  # nothing rewritten away
+    added = set(m1["files"]) - set(v1["files"])
+    assert all(f.startswith("data/m1/") for f in added)
+    assert sum(e["rows"] for e in m1["deletes"].values()) == 10  # matched only
+    got = {r.id: r.v for r in M.read_current(spark, root).collect()}
+    assert got[97] == -1 and got[9_999] == 5 and got[98] == 196
+    assert len(got) == 1_001
+    # row_count stays logical
+    assert m1["row_count"] == 1_001
+
+
+def test_mor_merge_after_mor_delete_composes(spark, tmp_path):
+    """A MOR merge re-inserting a MOR-deleted key: the old position is
+    already masked (never double-masked), the batch row lands once."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id = 42", mode="mor", snapshot_id="d1")
+    M.merge_upsert(
+        spark, spark.createDataFrame([(42, 1)], "id long, v long"),
+        root, "id", snapshot_id="m1", mode="mor",
+    )
+    rows = M.read_current(spark, root).where("id = 42").collect()
+    assert [(r.id, r.v) for r in rows] == [(42, 1)]
+    assert sum(
+        e["rows"] for e in M._manifest(root, "m1")["deletes"].values()
+    ) == 1  # just d1's mask; the merge matched nothing live for id=42
+
+
+def test_mor_merge_replay_and_race(spark, tmp_path, monkeypatch):
+    root = _table(spark, tmp_path, n=100, files=2)
+    batch = spark.createDataFrame([(7, -1), (500, 1)], "id long, v long")
+    M.merge_upsert(spark, batch, root, "id", snapshot_id="e1", mode="mor")
+    M.merge_upsert(spark, batch, root, "id", snapshot_id="e1", mode="mor")
+    assert M.snapshots(root) == ["v1", "e1"]
+    assert M.read_current(spark, root).count() == 101
+    # lost race: interloper lands between derivation and commit
+    orig = M.current_snapshot
+    state = {"first": True}
+
+    def stale_then_real(r):
+        if state["first"]:
+            state["first"] = False
+            out = orig(r)
+            M.publish(
+                spark.createDataFrame([(600, 0)], "id long, v long"),
+                r, append=True, snapshot_id="interloper",
+            )
+            return out
+        return orig(r)
+
+    monkeypatch.setattr(M, "current_snapshot", stale_then_real)
+    M.merge_upsert(
+        spark, spark.createDataFrame([(600, -6)], "id long, v long"),
+        root, "id", snapshot_id="e2", mode="mor", rebase_retries=4,
+    )
+    monkeypatch.undo()
+    got = {r.id: r.v for r in M.read_current(spark, root).collect()}
+    # serial order: append, then merge — the interloper's row updated
+    # (100 base + e1's insert of 500 + interloper's 600, updated in place)
+    assert got[600] == -6 and len(got) == 102
+
+
+def test_mor_merge_purge_and_compact_absorb(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    M.merge_upsert(
+        spark,
+        spark.createDataFrame([(i, -1) for i in range(0, 1000, 50)],
+                              "id long, v long"),
+        root, "id", snapshot_id="m1", mode="mor",
+    )
+    before = sorted((r.id, r.v) for r in M.read_current(spark, root).collect())
+    M.purge_deletes(spark, root, snapshot_id="p1")
+    assert "deletes" not in M._manifest(root, "p1")
+    assert sorted(
+        (r.id, r.v) for r in M.read_current(spark, root).collect()
+    ) == before
+
+
+def test_mor_merge_mode_validated_and_contract_enforced(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    batch = spark.createDataFrame([(1, 0)], "id long, v long")
+    with pytest.raises(ValueError, match="mode"):
+        M.merge_upsert(spark, batch, root, "id", mode="hybrid")
+    dup = spark.createDataFrame([(1, 0), (1, 2)], "id long, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        M.merge_upsert(spark, dup, root, "id", mode="mor")
+    narrow = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="columns"):
+        M.merge_upsert(spark, narrow, root, "id", mode="mor")
