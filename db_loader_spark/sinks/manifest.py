@@ -1257,43 +1257,40 @@ def _merge_mor_pinned(
     write. Read-side cost is the usual vector anti-join until
     ``purge_deletes``/``compact_snapshot`` absorbs; the batch's new
     files carry zone maps so later reads and merges stay prunable."""
-    from urllib.parse import unquote
-
     from pyspark.sql import functions as F
 
     parent = pm["snapshot_id"]
     meta = pm.get("files_meta", {})
-    _merge_contract_checks(df, pm, key_col)
     sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
     data_dir, man_dir, _ = _paths(root)
     os.makedirs(man_dir, exist_ok=True)
     staged = os.path.join(data_dir, sid)
+    # guard FIRST, Spark work after (third r13 review: the delete path
+    # already ordered it this way) — a replay of a committed-then-
+    # reaped token must not pay the contract aggregation
     if os.path.isdir(staged) and _prefix_live(root, sid):
         return sid  # committed, superseded, manifest reaped: no-op
+    _merge_contract_checks(df, pm, key_col)
     keys = df.select(key_col).distinct()
+    # zone-map targeting, same as the COW path (third r13 review): the
+    # position scan reads only the files whose stats CAN contain a
+    # batch key — on a clustered table the scan is batch-localized,
+    # not table-sized
+    scan_rel = _key_touched_files(keys, key_col, pm, meta)
     tag = uuid.uuid4().hex[:8]
     rc, pc = f"_dml_rel_{tag}", f"_dml_pos_{tag}"
-    ann = _annotated_scan(spark, root, pm, pm["files"], rc, pc)
-    hits = (
-        ann.join(keys, key_col, "left_semi")
-        .select(F.col(rc).alias("f"), F.col(pc).alias("pos"))
-        .repartition(_DV_FILES, "f")
-    )
     dv_tmp = f"{staged}.dvtmp"
-    hits.write.mode("overwrite").parquet(dv_tmp)
-    back = spark.read.schema("f string, pos long").parquet(dv_tmp)
-    assoc = (
-        back.groupBy("f")
-        .agg(
-            F.count("*").alias("n"),
-            F.sort_array(
-                F.collect_set(
-                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-                )
-            ).alias("parts"),
+    if scan_rel:
+        ann = _annotated_scan(spark, root, pm, scan_rel, rc, pc)
+        hits = (
+            ann.join(keys, key_col, "left_semi")
+            .select(F.col(rc).alias("f"), F.col(pc).alias("pos"))
+            .repartition(_DV_FILES, "f")
         )
-        .collect()
-    )  # driver-bounded by touched files (metadata scale)
+    else:  # pure-insert batch: no file can match, mask nothing
+        hits = spark.createDataFrame([], "f string, pos long")
+    hits.write.mode("overwrite").parquet(dv_tmp)
+    assoc = _collect_dv_assoc(spark, dv_tmp)
     # stage the BATCH as the appended data files, then move the
     # vectors in beside them under dv- names (the overwrite clears any
     # prior attempt's residue first, so the move must come after)
@@ -1322,30 +1319,15 @@ def _merge_mor_pinned(
         if stats_cols
         else {}
     )
-    known = set(pm["files"])
-    merged = {f: dict(e) for f, e in (pm.get("deletes") or {}).items()}
-    for r in assoc:
-        f = unquote(r["f"])
-        if f not in known:
-            raise RuntimeError(
-                f"merge_upsert(mor) at {root!r}: matched file {f!r} is "
-                "not in the parent manifest — file-name mapping is out "
-                "of contract"
-            )
-        entry = merged.setdefault(f, {"dv": [], "rows": 0})
-        entry["dv"] = list(entry["dv"]) + [
-            os.path.join(_DATA, sid, f"dv-{p}") for p in r["parts"]
-        ]
-        entry["rows"] = entry["rows"] + r["n"]
-    observed_gen, observed = _read_pointer(root)
-    if observed == sid:
+    merged = _merge_dv_entries(
+        pm, assoc,
+        lambda p: os.path.join(_DATA, sid, f"dv-{p}"),
+        f"merge_upsert(mor) at {root!r}",
+    )
+    pin = _mor_pointer_precheck(root, sid, parent, "merge")
+    if pin is None:
         return sid  # a same-token twin finished this commit
-    if observed != parent:
-        raise ConcurrentPublishError(
-            f"concurrent publish detected at {root!r}: this merge's "
-            f"positions were derived from {parent!r} but current is "
-            f"{observed!r}; re-derive on top of the new current snapshot"
-        )
+    observed_gen, observed = pin
     return _commit_staged(
         root,
         sid,
@@ -1360,6 +1342,109 @@ def _merge_mor_pinned(
         schema=pm.get("schema"),
         deletes=merged,
     )
+
+
+def _key_touched_files(
+    keys: DataFrame, key_col: str, pm: dict, meta: dict
+) -> list[str]:
+    """Parent files whose zone maps CAN contain any batch key — the
+    shared targeting of the COW merge's rewrite set and the MOR
+    merge's position scan (third r13 review: the MOR path was
+    full-scanning). Per-file check against the key SET, not its global
+    range: a single far-away insert key would otherwise widen
+    [min, max] to cover every file. CDC batches are driver-bounded by
+    nature; past the cap, fall back to the range check (conservative —
+    more files scanned/rewritten, never wrongness). Files without
+    stats are conservatively included."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    key_cap = 100_000
+    sample = [r[0] for r in keys.limit(key_cap + 1).collect()]
+    key_sorted = sorted(sample) if len(sample) <= key_cap else None
+    lo = hi = None
+    if key_sorted is None:
+        b = keys.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).first()
+        lo, hi = b["lo"], b["hi"]
+
+    def touched(rel: str) -> bool:
+        fm = meta.get(rel, {})
+        nc = fm.get("nulls", {}).get(key_col)
+        if nc is not None and nc == fm.get("rows"):
+            return False  # key provably all-NULL: no batch key matches
+        st = fm.get("stats", {}).get(key_col)
+        if st is None:
+            return True  # no stats -> must assume it can match
+        if key_sorted is not None:
+            i = bisect.bisect_left(key_sorted, st[0])
+            return i < len(key_sorted) and key_sorted[i] <= st[1]
+        return lo is not None and st[1] >= lo and st[0] <= hi
+
+    return [f for f in pm["files"] if touched(f)]
+
+
+def _collect_dv_assoc(spark: SparkSession, dv_dir: str) -> list:
+    """Read back a freshly staged vector directory and return the
+    driver-bounded per-data-file association: [(f, n, [part names])].
+    One definition for both MOR verbs (third r13 review)."""
+    from pyspark.sql import functions as F
+
+    back = spark.read.schema("f string, pos long").parquet(dv_dir)
+    return (
+        back.groupBy("f")
+        .agg(
+            F.count("*").alias("n"),
+            F.sort_array(
+                F.collect_set(
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+                )
+            ).alias("parts"),
+        )
+        .collect()
+    )
+
+
+def _merge_dv_entries(pm: dict, assoc: list, rel_of_part, op: str) -> dict:
+    """The parent's deletes map extended with a commit's new vector
+    entries (``rel_of_part`` maps a staged part NAME to its final
+    manifest-relative path). Validates every matched file against the
+    parent manifest — a mapping miss is out-of-contract, never
+    silently recorded."""
+    from urllib.parse import unquote
+
+    known = set(pm["files"])
+    merged = {f: dict(e) for f, e in (pm.get("deletes") or {}).items()}
+    for r in assoc:
+        f = unquote(r["f"])
+        if f not in known:
+            raise RuntimeError(
+                f"{op}: matched file {f!r} is not in the parent "
+                "manifest — file-name mapping is out of contract"
+            )
+        entry = merged.setdefault(f, {"dv": [], "rows": 0})
+        entry["dv"] = list(entry["dv"]) + [rel_of_part(p) for p in r["parts"]]
+        entry["rows"] = entry["rows"] + r["n"]
+    return merged
+
+
+def _mor_pointer_precheck(root: str, sid: str, parent: str, op: str):
+    """The MOR commit's derivation pin: returns (gen, observed) for
+    the CAS, None if a same-token twin already finished the commit,
+    and raises ConcurrentPublishError if an interloper moved the
+    pointer past the derivation parent."""
+    observed_gen, observed = _read_pointer(root)
+    if observed == sid:
+        return None  # a same-token twin finished this commit
+    if observed != parent:
+        raise ConcurrentPublishError(
+            f"concurrent publish detected at {root!r}: this {op}'s "
+            f"positions were derived from {parent!r} but current is "
+            f"{observed!r}; re-derive on top of the new current snapshot"
+        )
+    return observed_gen, observed
 
 
 def _merge_contract_checks(df: DataFrame, pm: dict, key_col: str) -> None:
@@ -1419,37 +1504,10 @@ def _merge_upsert_pinned(
 ) -> str:
     from pyspark.sql import functions as F
 
-    import bisect
-
     pschema = pm.get("schema")
     _merge_contract_checks(df, pm, key_col)
     keys = df.select(key_col).distinct()
-    # Per-file targeting against the key SET, not its global range: a
-    # single far-away insert key would otherwise widen [min, max] to
-    # cover every file and defeat the copy-on-write. CDC batches are
-    # driver-bounded by nature; past the cap, fall back to the range
-    # check (conservative — more files rewritten, never wrongness).
-    key_cap = 100_000
-    sample = [r[0] for r in keys.limit(key_cap + 1).collect()]
-    key_sorted = sorted(sample) if len(sample) <= key_cap else None
-    if key_sorted is None:
-        b = keys.agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi")).first()
-        lo, hi = b["lo"], b["hi"]
-
-    def touched(rel: str) -> bool:
-        fm = meta.get(rel, {})
-        nc = fm.get("nulls", {}).get(key_col)
-        if nc is not None and nc == fm.get("rows"):
-            return False  # key provably all-NULL: no batch key matches
-        st = fm.get("stats", {}).get(key_col)
-        if st is None:
-            return True  # no stats -> must assume it can match
-        if key_sorted is not None:
-            i = bisect.bisect_left(key_sorted, st[0])
-            return i < len(key_sorted) and key_sorted[i] <= st[1]
-        return lo is not None and st[1] >= lo and st[0] <= hi
-
-    touched_rel = [f for f in pm["files"] if touched(f)]
+    touched_rel = _key_touched_files(keys, key_col, pm, meta)
     carried = [f for f in pm["files"] if f not in set(touched_rel)]
     if touched_rel:
         # bind to the parent's recorded schema (when present) so a
@@ -1711,8 +1769,6 @@ def _delete_mor_pinned(
     rc: str,
     pc: str,
 ) -> str:
-    from urllib.parse import unquote
-
     from pyspark.sql import functions as F
 
     parent = pm["snapshot_id"]
@@ -1735,48 +1791,19 @@ def _delete_mor_pinned(
         .repartition(_DV_FILES, "f")
     )
     hits.write.mode("overwrite").parquet(staged)
-    back = spark.read.schema("f string, pos long").parquet(staged)
-    assoc = (
-        back.groupBy("f")
-        .agg(
-            F.count("*").alias("n"),
-            # each f lands in one part file by the repartition above;
-            # collect_set is the honest guard if that ever changes
-            F.sort_array(
-                F.collect_set(
-                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-                )
-            ).alias("parts"),
-        )
-        .collect()
-    )  # driver-bounded by touched files (metadata scale)
+    assoc = _collect_dv_assoc(spark, staged)
     if not assoc:
         shutil.rmtree(staged, ignore_errors=True)
         return parent  # nothing matched: table unchanged, no commit
-    known = set(pm["files"])
-    merged = {f: dict(e) for f, e in (pm.get("deletes") or {}).items()}
-    for r in assoc:
-        f = unquote(r["f"])
-        if f not in known:
-            raise RuntimeError(
-                f"delete_where(mor) at {root!r}: matched file {f!r} is "
-                "not in the parent manifest — file-name mapping is out "
-                "of contract"
-            )
-        entry = merged.setdefault(f, {"dv": [], "rows": 0})
-        entry["dv"] = list(entry["dv"]) + [
-            os.path.join(_DATA, sid, p) for p in r["parts"]
-        ]
-        entry["rows"] = entry["rows"] + r["n"]
-    observed_gen, observed = _read_pointer(root)
-    if observed == sid:
+    merged = _merge_dv_entries(
+        pm, assoc,
+        lambda p: os.path.join(_DATA, sid, p),
+        f"delete_where(mor) at {root!r}",
+    )
+    pin = _mor_pointer_precheck(root, sid, parent, "delete")
+    if pin is None:
         return sid  # a same-token twin finished this commit
-    if observed != parent:
-        raise ConcurrentPublishError(
-            f"concurrent publish detected at {root!r}: this delete's "
-            f"positions were derived from {parent!r} but current is "
-            f"{observed!r}; re-derive on top of the new current snapshot"
-        )
+    observed_gen, observed = pin
     return _commit_staged(
         root,
         sid,

@@ -322,8 +322,9 @@ def test_update_lost_race_rebases(spark, tmp_path, monkeypatch):
 
 def test_mixed_dml_storm_with_mor_and_update_is_serializable(spark, tmp_path):
     """The r12 mixed-DML storm widened to the full r13 verb set:
-    appends, merges, COW deletes, MOR deletes, and UPDATEs racing from
-    eight real threads must produce a lineage whose SEQUENTIAL REPLAY
+    appends, COW and MOR merges, COW and MOR deletes, and UPDATEs
+    racing from nine real threads must produce a lineage whose
+    SEQUENTIAL REPLAY
     reproduces the racing table row-for-row — a stale derivation
     anywhere (resurrected MOR rows, clobbered vectors, lost updates)
     diverges the replay. Predicates are chosen to always match so the
@@ -353,8 +354,8 @@ def test_mixed_dml_storm_with_mor_and_update_is_serializable(spark, tmp_path):
     }
 
     def apply_op(r, token, kind, payload):
-        # rebase_retries=16: eight racing writers can cost one loser
-        # seven lost races plus replays' own contention
+        # rebase_retries=16: nine racing writers can cost one loser
+        # eight lost races plus replays' own contention
         if kind == "append":
             M.publish(payload, r, snapshot_id=token, append=True,
                       stats_cols=["id"])
@@ -662,6 +663,20 @@ def test_mor_merge_purge_and_compact_absorb(spark, tmp_path):
     assert sorted(
         (r.id, r.v) for r in M.read_current(spark, root).collect()
     ) == before
+    # and the OPTIMIZE leg, on a fresh mixed data+dv snapshot dir (the
+    # shape only MOR MERGE creates): compact must absorb those vectors
+    M.merge_upsert(
+        spark,
+        spark.createDataFrame([(i, -2) for i in range(3, 1000, 71)],
+                              "id long, v long"),
+        root, "id", snapshot_id="m2", mode="mor",
+    )
+    want = sorted((r.id, r.v) for r in M.read_current(spark, root).collect())
+    M.compact_snapshot(spark, root, 2, snapshot_id="c1")
+    assert "deletes" not in M._manifest(root, "c1")
+    assert sorted(
+        (r.id, r.v) for r in M.read_current(spark, root).collect()
+    ) == want
 
 
 def test_mor_merge_mode_validated_and_contract_enforced(spark, tmp_path):
@@ -675,3 +690,19 @@ def test_mor_merge_mode_validated_and_contract_enforced(spark, tmp_path):
     narrow = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="columns"):
         M.merge_upsert(spark, narrow, root, "id", mode="mor")
+
+
+def test_mor_merge_pure_insert_batch_masks_nothing(spark, tmp_path):
+    """Zone-map targeting (third r13 review): a batch whose keys fall
+    beyond every file's range scans no parent file — the commit is a
+    pure append with NO new vector entries."""
+    root = _table(spark, tmp_path)
+    M.merge_upsert(
+        spark,
+        spark.createDataFrame([(50_000, 1), (50_001, 2)], "id long, v long"),
+        root, "id", snapshot_id="m1", mode="mor",
+    )
+    m1 = M._manifest(root, "m1")
+    assert "deletes" not in m1 or m1["deletes"] == {}
+    assert set(M._manifest(root, "v1")["files"]) <= set(m1["files"])
+    assert M.read_current(spark, root).count() == 1_002
