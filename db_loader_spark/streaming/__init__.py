@@ -6,6 +6,7 @@ from db_loader_spark.streaming.commit_log import (
     CommitLogTruncated,
     read_event_appended,
     read_event_mor_deleted,
+    read_event_row_changes,
 )
 from db_loader_spark.streaming.file_ingest import stream_log_tables
 from db_loader_spark.streaming.manifest_source import (
@@ -19,6 +20,7 @@ __all__ = [
     "CommitLogTruncated",
     "read_event_appended",
     "read_event_mor_deleted",
+    "read_event_row_changes",
     "manifest_cdc_source",
     "register_manifest_cdc",
     "stream_log_tables",

@@ -287,3 +287,67 @@ def read_event_mor_deleted(
         .drop(dv["pos"])
         .drop(rc, pc)
     )
+
+
+def read_event_row_changes(
+    spark: SparkSession,
+    root: str,
+    event: CommitEvent,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level CDC for ONE commit — the file-level event upgraded to
+    ``change_op`` rows (insert/update/delete, the
+    ``operators/cdc.snapshot_diff`` contract), computed over ONLY the
+    files the commit physically changed rather than two full-snapshot
+    scans.
+
+    Soundness of the restriction: data files are immutable, so a row
+    can differ between parent and child only if its file was removed,
+    added, or had its deletion-vector mask changed — both versions of
+    any changed key therefore live inside those file sets (a COW
+    rewrite removes+adds the key's files; a MOR merge masks the old
+    position — a dv change — and appends the new file; a MOR delete is
+    a dv change alone). Everything else is bit-identical and can never
+    reach the diff. Keys must be unique per snapshot (the
+    ``snapshot_diff`` precondition).
+
+    At 100 TB this is the CDC-read shape that matters: a commit's
+    row-level changelog priced by the commit's own footprint, not the
+    table — OPTIMIZE/RESTORE-sized file churn with zero logical change
+    (a compaction) still reads only the churned files and emits zero
+    rows (pinned by test)."""
+    from pyspark.sql import functions as F
+
+    from db_loader_spark.operators.cdc import snapshot_diff
+
+    man = M._manifest(root, event.snapshot_id)
+    dv_changed = sorted(set(event.dv_added) | set(event.dv_removed))
+    old_rel = sorted(set(event.removed_files) | set(dv_changed))
+    new_rel = sorted(set(event.added_files) | set(dv_changed))
+
+    def side(manifest: dict, rel: list[str]) -> DataFrame:
+        import os
+
+        if not rel:
+            # empty side: zero rows with the snapshot's real schema
+            return M.read_snapshot(
+                spark, root, manifest["snapshot_id"]
+            ).filter(F.lit(False))
+        return M._apply_deletes(
+            spark, root, manifest,
+            M._manifest_reader(spark, manifest).parquet(
+                *[os.path.join(root, f) for f in rel]
+            ),
+            files=rel,
+        )
+
+    if event.parent is None:
+        old = side(man, [])  # genesis/bootstrap: nothing before
+    else:
+        pm = M._manifest(root, event.parent)
+        # dv-changed files are CARRIED (present in both manifests);
+        # removed files exist only in the parent
+        old = side(pm, [f for f in old_rel if f in set(pm["files"])])
+    new = side(man, [f for f in new_rel if f in set(man["files"])])
+    return snapshot_diff(old, new, key_cols, compare_cols)

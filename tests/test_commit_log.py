@@ -210,3 +210,55 @@ def test_restore_that_unmasks_emits_dv_removed(spark, tmp_path):
         }
     assert masked == {}  # back to fully unmasked
     assert sum(n for e in events for n in e.dv_removed.values()) == 80
+
+
+def test_row_changes_equal_full_snapshot_diff_per_commit(spark, tmp_path):
+    """read_event_row_changes over only the commit's changed files must
+    equal the FULL snapshot_diff of parent vs child for every DML verb
+    — and a compaction (maximal file churn, zero logical change) must
+    emit ZERO rows."""
+    from db_loader_spark.operators.cdc import snapshot_diff
+    from db_loader_spark.streaming.commit_log import read_event_row_changes
+
+    root = _base(spark, tmp_path)
+    c = CommitLogConsumer(root)
+    c.poll()
+    M.publish(
+        spark.range(9_000, 9_010).select("id", (F.col("id") * 2).alias("v")),
+        root, append=True, snapshot_id="a1", stats_cols=["id"],
+    )
+    M.delete_where(spark, root, "id % 50 = 3", mode="mor", snapshot_id="d1")
+    M.merge_upsert(
+        spark,
+        spark.createDataFrame([(10, -1), (7_777, -2)], "id long, v long"),
+        root, "id", snapshot_id="m1",
+    )
+    M.merge_upsert(
+        spark,
+        spark.createDataFrame([(20, -4), (8_888, -5)], "id long, v long"),
+        root, "id", snapshot_id="m2", mode="mor",
+    )
+    M.update_where(spark, root, "id between 30 and 35", {"v": "v + 1"},
+                   snapshot_id="u1")
+    M.compact_snapshot(spark, root, 2, snapshot_id="c1")
+    M.restore_snapshot(root, "m2", snapshot_id="r1")
+    events = {e.snapshot_id: e for e in c.poll()}
+    assert set(events) == {"a1", "d1", "m1", "m2", "u1", "c1", "r1"}
+
+    def norm(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for sid, e in events.items():
+        got = read_event_row_changes(spark, root, e, ["id"], ["v"])
+        want = snapshot_diff(
+            M.read_snapshot(spark, root, e.parent),
+            M.read_snapshot(spark, root, sid),
+            ["id"], ["v"],
+        )
+        assert norm(got) == norm(want), sid
+    # the spot meanings: compaction is logically silent; the MOR merge
+    # shows one update + one insert; the restore undoes c1+u1 exactly
+    assert norm(read_event_row_changes(spark, root, events["c1"], ["id"], ["v"])) == []
+    m2_ops = {r.change_op for r in read_event_row_changes(
+        spark, root, events["m2"], ["id"], ["v"]).collect()}
+    assert m2_ops == {"update", "insert"}
