@@ -90,11 +90,20 @@ def _diff(root: str, man: dict, parent_man: dict | None) -> CommitEvent:
     dv_removed = {}
     live = set(files)
     for f, e in dels.items():
-        before = pdels.get(f, {}).get("rows", 0)
+        pe = pdels.get(f, {})
+        before = pe.get("rows", 0)
         if e["rows"] > before:
             dv_added[f] = e["rows"] - before
         elif e["rows"] < before:
             dv_removed[f] = before - e["rows"]
+        elif e["rows"] and sorted(e["dv"]) != sorted(pe.get("dv", [])):
+            # same COUNT, different VECTORS (a restore sequence can
+            # swap WHICH positions are masked without changing how
+            # many — fourth r13 review): the mask changed; emit the
+            # full un-mask + re-mask so folding counts stay right and
+            # row-level readers see the file as changed
+            dv_removed[f] = before
+            dv_added[f] = e["rows"]
     for f, pe in pdels.items():
         # entry vanished while the file stayed live: fully un-masked
         if f not in dels and f in live:
@@ -211,6 +220,34 @@ class CommitLogConsumer:
                 time.sleep(poll_interval_s)
 
 
+def _masked_scan(
+    spark: SparkSession, root: str, manifest: dict, rel: list[str]
+) -> DataFrame:
+    """THE pruned snapshot-state scan (one definition — fourth r13
+    review: read_event_appended and read_event_row_changes had drifted
+    copies): ``manifest``'s listed ``rel`` files, deletion-vector-
+    masked, read with ``legacy_union`` so a heterogeneous pre-schema
+    lineage surfaces every column its files physically hold (a
+    restricted scan inferring from a file SUBSET would otherwise drop
+    columns only other files carry). Empty ``rel`` → zero rows with
+    the snapshot's full schema."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if not rel:
+        return M.read_snapshot(
+            spark, root, manifest["snapshot_id"]
+        ).filter(F.lit(False))
+    return M._apply_deletes(
+        spark, root, manifest,
+        M._manifest_reader(spark, manifest, legacy_union=True).parquet(
+            *[os.path.join(root, f) for f in rel]
+        ),
+        files=rel,
+    )
+
+
 def read_event_appended(
     spark: SparkSession, root: str, event: CommitEvent
 ) -> DataFrame:
@@ -220,22 +257,8 @@ def read_event_appended(
     processing contract ``read_added`` gives batch-side); for a
     rewrite commit (merge/update/COW delete/compact) they include the
     rewritten survivors — file-level CDC semantics, stated plainly."""
-    import os
-
-    from pyspark.sql import functions as F
-
     man = M._manifest(root, event.snapshot_id)
-    if not event.added_files:
-        return M.read_snapshot(spark, root, event.snapshot_id).filter(
-            F.lit(False)
-        )
-    return M._apply_deletes(
-        spark, root, man,
-        M._manifest_reader(spark, man).parquet(
-            *[os.path.join(root, f) for f in event.added_files]
-        ),
-        files=event.added_files,
-    )
+    return _masked_scan(spark, root, man, event.added_files)
 
 
 def read_event_mor_deleted(
@@ -325,29 +348,18 @@ def read_event_row_changes(
     dv_changed = sorted(set(event.dv_added) | set(event.dv_removed))
     old_rel = sorted(set(event.removed_files) | set(dv_changed))
     new_rel = sorted(set(event.added_files) | set(dv_changed))
-
-    def side(manifest: dict, rel: list[str]) -> DataFrame:
-        import os
-
-        if not rel:
-            # empty side: zero rows with the snapshot's real schema
-            return M.read_snapshot(
-                spark, root, manifest["snapshot_id"]
-            ).filter(F.lit(False))
-        return M._apply_deletes(
-            spark, root, manifest,
-            M._manifest_reader(spark, manifest).parquet(
-                *[os.path.join(root, f) for f in rel]
-            ),
-            files=rel,
-        )
-
+    live = set(man["files"])
     if event.parent is None:
-        old = side(man, [])  # genesis/bootstrap: nothing before
+        old = _masked_scan(spark, root, man, [])  # genesis: nothing before
     else:
         pm = M._manifest(root, event.parent)
         # dv-changed files are CARRIED (present in both manifests);
         # removed files exist only in the parent
-        old = side(pm, [f for f in old_rel if f in set(pm["files"])])
-    new = side(man, [f for f in new_rel if f in set(man["files"])])
+        pfiles = set(pm["files"])
+        old = _masked_scan(
+            spark, root, pm, [f for f in old_rel if f in pfiles]
+        )
+    new = _masked_scan(
+        spark, root, man, [f for f in new_rel if f in live]
+    )
     return snapshot_diff(old, new, key_cols, compare_cols)

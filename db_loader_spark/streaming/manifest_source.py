@@ -174,11 +174,18 @@ def manifest_cdc_source():
         for f in sorted(pfiles - live):
             yield (sid, parent, "remove_file", f, pmeta.get(f, {}).get("rows"))
         for f, e in dels.items():
-            before = pdels.get(f, {}).get("rows", 0)
+            pe = pdels.get(f, {})
+            before = pe.get("rows", 0)
             if e["rows"] > before:
                 yield (sid, parent, "dv_add", f, e["rows"] - before)
             elif e["rows"] < before:
                 yield (sid, parent, "dv_remove", f, before - e["rows"])
+            elif e["rows"] and sorted(e["dv"]) != sorted(pe.get("dv", [])):
+                # same count, different vectors (a restore can swap
+                # WHICH positions are masked): full un-mask + re-mask,
+                # mirroring CommitLogConsumer (fourth r13 review)
+                yield (sid, parent, "dv_remove", f, before)
+                yield (sid, parent, "dv_add", f, e["rows"])
         for f, pe in pdels.items():
             if f not in dels and f in live:
                 yield (sid, parent, "dv_remove", f, pe["rows"])

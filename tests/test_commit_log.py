@@ -262,3 +262,43 @@ def test_row_changes_equal_full_snapshot_diff_per_commit(spark, tmp_path):
     m2_ops = {r.change_op for r in read_event_row_changes(
         spark, root, events["m2"], ["id"], ["v"]).collect()}
     assert m2_ops == {"update", "insert"}
+
+
+def test_position_swap_with_equal_mask_counts_is_visible(spark, tmp_path):
+    """Fourth r13 review: a restore sequence can leave a file's mask
+    COUNT unchanged while swapping WHICH positions are masked — the
+    event must still surface the change (full un-mask + re-mask) and
+    row-level CDC must equal the full snapshot diff."""
+    from db_loader_spark.operators.cdc import snapshot_diff
+    from db_loader_spark.streaming.commit_log import read_event_row_changes
+
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+        root, snapshot_id="v1", stats_cols=["id"],
+    )  # single-partition range: positions 0..9 in one file
+    c = CommitLogConsumer(root)
+    M.delete_where(spark, root, "id = 2", mode="mor", snapshot_id="dA")
+    M.restore_snapshot(root, "v1", snapshot_id="rA")
+    M.delete_where(spark, root, "id = 7", mode="mor", snapshot_id="dB")
+    c.cursor = "dB"  # consumer positioned just before the swap commit
+    M.restore_snapshot(root, "dA", snapshot_id="rB")  # count 1 -> 1, swapped
+    (ev,) = c.poll()
+    assert ev.snapshot_id == "rB"
+    # the swap is visible: one file fully un-masked and re-masked
+    assert sum(ev.dv_removed.values()) == 1
+    assert sum(ev.dv_added.values()) == 1
+    got = sorted(
+        tuple(r) for r in read_event_row_changes(
+            spark, root, ev, ["id"], ["v"]).collect()
+    )
+    want = sorted(
+        tuple(r) for r in snapshot_diff(
+            M.read_snapshot(spark, root, "dB"),
+            M.read_snapshot(spark, root, "rB"),
+            ["id"], ["v"],
+        ).collect()
+    )
+    assert got == want
+    ops = {r[0] for r in got}
+    assert ops == {"insert", "delete"}  # 7 resurrects, 2 re-deleted
