@@ -113,102 +113,78 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
 # so a miscounted edit can't silently shift which keys get witnessed.
 DRIVER_WINDOW_SIZE = 50
 
-# ROUND-13 WINDOW: the staged rotation runs exactly as the r12 prep
-# note committed. CORRECTNESS_r12 landed non-empty and 50/50 GREEN,
-# so this window fronts the complement cohort — the r11 window minus
-# the three r12 re-entries plus the three r12-displaced keys
-# (q5_region_revenue / text_bpe_tokenize / w_running_sum — r10
-# evidence, rule-1-oldest, fronting here by contract) — MINUS two
-# displacements paying for two rule-2 re-entries, so the
-# every-key-within-2-rounds invariant holds everywhere except the two
-# documented displacement slots (each sibling-witnessed; both front
-# r14 by construction).
-#
-# Rule-2 re-entries (r12-window keys whose code changed THIS round —
-# changed lines need external witness now, not in r14):
-# - t_snapshot_upsert — merge_upsert's empty-table path gained the
-#   _NO_PARENT derivation pin (ADVICE r12 #1, lost-update window),
-#   its no-touched-file path now records the parent's column order
-#   (ADVICE r12 #3), and every commit's recorded schema relaxes
-#   nested nullability (ADVICE r12 #2, _relax_type_json).
-# - t_stream_lakehouse — same manifest lineage from the streaming
-#   side (publish/_commit_staged record schemas through the new
-#   _relax_type_json; compact/vacuum walk unchanged).
-# Shared-lineage note: the manifest touches are also in the lineage
-# of scan_manifest_pruned / t_snapshot_incremental / cdc_snapshot_diff
-# — all three are IN this window by rotation anyway, so every
-# registry-reachable manifest path is externally witnessed this round.
-#
-# Displacements (2 slots, most-sibling-witnessed members of the r13
-# cohort; both front r14):
-# - w_moving_avg — window-frame machinery externally witnessed this
-#   round by the windowed w_running_sum (and r12's green
-#   w_topk_per_group / w_event_gap); its own row was green in r11.
-# - q1_pricing_summary — plain groupBy/agg pricing machinery
-#   externally witnessed this round by the windowed q5_region_revenue
-#   (and r12's green a6_run_summary / rollup_revenue /
-#   a3_filtered_count); its own row was green in r11.
+# ROUND-14 WINDOW: the staged rotation runs exactly as the r13 prep
+# note committed. CORRECTNESS_r13 landed non-empty and 50/50 GREEN
+# (verified at round start), so this window fronts the complement
+# cohort — the r12 window minus the two r13 rule-2 re-entries
+# (t_snapshot_upsert / t_stream_lakehouse, both green in r13) plus
+# the two r13-displaced keys (w_moving_avg / q1_pricing_summary —
+# r11 evidence, rule-1-oldest, fronting here by contract). ZERO
+# rule-2 re-entries this round — every r14 engine change is on a
+# path no registry value traverses (see the r14 staged-touches
+# ledger below) — so the window is the pure complement and the
+# every-key-within-2-rounds invariant is restored for ALL 100 keys
+# (r13+r14 jointly cover the registry with no displacement debt).
 #
 # HARNESS INSURANCE (VERDICT r8 #4, carried): ordered CHEAPEST FIRST
 # by measured per-key sweep cost at sf0.01 (Spark + DuckDB oracle
 # wall time, scripts/window_cost.py --complement, re-measured
-# 2026-08-16 at r13 start: 75.7s/50 keys, 50/50 OK) — a
+# 2026-08-16 at r14 start: 55.4s/50 keys, 50/50 OK) — a
 # wall-clock-capped prefix run lands the maximum number of rows.
 # Ordering is evidence-neutral (driver checks set membership of the
-# first 50); the three r12-displaced keys front among cost-equals.
-# Tags: [t] = rule-2 re-entry this round, [d] = r12-displaced key
-# fronting by contract.
+# first 50); the two r13-displaced keys front among cost-equals.
+# Tags: [d] = r13-displaced key fronting by contract.
 WINDOW = [
-    "multimodal_frame_sample",  # 0.25s
-    "scan_manifest_pruned",  # 0.26s
-    "a_hash_sample",  # 0.26s
-    "dedup_exact",  # 0.27s
-    "curation_weighted_sample",  # 0.27s
-    "w_running_sum",  # [d] r10 evidence, fronts; 0.28s
-    "jn_fuzzy_join",  # 0.34s
-    "a_histogram",  # 0.35s
-    "t_sliding_counts",  # 0.37s
-    "a_moments",  # 0.38s
-    "t_snapshot_incremental",  # 0.40s
-    "a_salted_agg",  # 0.42s
-    "t_snapshot_upsert",  # [t] manifest ADVICE-r12 fixes; 0.42s (r12 cost)
-    "jn1_dim_lookup_join",  # 0.43s
-    "jn4_anti_join_idempotence",  # 0.43s
-    "cdc_snapshot_diff",  # 0.43s
-    "jn7_fk_validation",  # 0.43s
-    "a_hll_distinct",  # 0.47s
-    "t_session_window",  # 0.48s
-    "text_cms_topk",  # 0.53s
-    "q5_region_revenue",  # [d] r10 evidence, fronts; 0.61s
-    "text_lm_score",  # 0.66s
-    "a_profile_stats",  # 0.67s
-    "text_bpe_pack",  # 0.68s
-    "a_table_fingerprint",  # 0.69s
-    "text_pack_bins",  # 0.72s
-    "text_bm25_topk",  # 0.80s
-    "p_parse_suite",  # 0.83s
-    "t_sliding_hll",  # 0.90s
-    "a_quantile_sketch",  # 0.94s
-    "dedup_bloom_prefilter",  # 0.98s
-    "text_decontaminate",  # 1.20s
-    "ann_bruteforce_topk",  # 1.51s
-    "jn2_contains_join",  # 1.63s
-    "multimodal_features",  # 1.67s
-    "t_stream_ann_index",  # 2.29s
-    "ann_ivf_disk_topk",  # 2.51s
-    "t_stream_mview",  # 2.57s
-    "ann_pq_topk",  # 2.80s
-    "dedup_embedding_components",  # 3.18s
-    "g_pagerank",  # 3.33s
-    "text_bpe_tokenize",  # [d] r10 evidence, fronts; 3.68s
-    "e2e_cli_ingest",  # 3.75s
-    "g_triangle_count",  # 3.77s
-    "ann_ivfpq_topk",  # 4.31s
-    "t_stream_lakehouse",  # [t] manifest lineage, streaming side; 4.29s (r12 cost)
-    "t_stream_sessions",  # 4.92s
-    "curation_funnel",  # 5.11s
-    "dedup_semantic",  # 5.18s
-    "curation_e2e",  # 6.03s
+    "a2_max_id",  # 0.18s
+    "text_fingerprint",  # 0.24s
+    "w_moving_avg",  # [d] r11 evidence, fronts; 0.25s
+    "a3_filtered_count",  # 0.25s
+    "text_pii_scrub",  # 0.28s
+    "p9_summary_parse",  # 0.29s
+    "j1_sessionize",  # 0.31s
+    "p10_find_first",  # 0.31s
+    "a1_distinct_pairs",  # 0.31s
+    "curation_shard_assign",  # 0.34s
+    "a6_run_summary",  # 0.35s
+    "text_chunk",  # 0.35s
+    "text_lang_id",  # 0.36s
+    "eav_pivot",  # 0.36s
+    "jn5_sidecar_join",  # 0.39s
+    "jn_asof_join",  # 0.40s
+    "w_event_gap",  # 0.40s
+    "p_json_props",  # 0.40s
+    "j2_section_routing",  # 0.41s
+    "text_quality_score",  # 0.41s
+    "a4_count_distinct",  # 0.41s
+    "text_repetition",  # 0.43s
+    "p14_continuation_merge",  # 0.43s
+    "curation_source_cap",  # 0.43s
+    "jn_range_join",  # 0.43s
+    "w_topk_per_group",  # 0.45s
+    "a7_id_assignment",  # 0.50s
+    "q_top_customers",  # 0.51s
+    "text_kmv_vocab",  # 0.52s
+    "q1_pricing_summary",  # [d] r11 evidence, fronts; 0.54s
+    "set_ops",  # 0.67s
+    "rollup_revenue",  # 0.71s
+    "curation_dsir_weight",  # 0.74s
+    "text_tfidf_topterms",  # 0.80s
+    "text_repeated_passages",  # 0.87s
+    "a_outlier_filter",  # 0.92s
+    "q3_segment_revenue",  # 0.97s
+    "q10_returned_items",  # 1.01s
+    "ecj_star",  # 1.34s
+    "dedup_simhash",  # 1.83s
+    "ann_sq_rerank",  # 2.02s
+    "ann_lsh_topk",  # 2.38s
+    "multimodal_decode_jpeg",  # 2.43s
+    "t_stream_rollup",  # 2.87s
+    "t_stream_join",  # 3.60s
+    "t_stream_signatures",  # 3.60s
+    "dedup_minhash_lsh",  # 3.62s
+    "text_bpe_train",  # 3.95s
+    "t_stream_dedup",  # 4.53s
+    "ann_ivf_topk",  # 5.27s
 ]
 
 # WINDOW-OVERFLOW QUEUE (policy, r6): brand-new keys beyond window
@@ -335,18 +311,52 @@ NEXT_UP: list[str] = []
 # ann_ivfpq_topk 5.36 / dedup_semantic 6.66 / curation_e2e 7.61 /
 # t_stream_sessions 8.39
 #
-# R14 WINDOW PREP: the 50 keys NOT in this window are the r12 window
-# minus the two re-entered keys (t_snapshot_upsert /
-# t_stream_lakehouse) plus the two displaced ones (w_moving_avg /
-# q1_pricing_summary — r11 evidence, rule-1-oldest, MUST front r14).
-# If CORRECTNESS_r13 lands non-empty, r14 fronts that complement,
-# re-measured by scripts/window_cost.py --complement at round start
-# and ordered cheapest-first with the two displaced keys first among
-# equals. Rule-2 touches of r14 whose keys sit in THIS window
-# re-enter, displacing the most sibling-witnessed members of the r14
-# cohort (document at the site). CONTINGENCY, unchanged: if
-# CORRECTNESS_r13 comes back empty/unreadable, re-front THIS window —
-# never rotate past a window with zero external rows.
+# R14 ROTATION EXECUTED (this window): CORRECTNESS_r13 landed 50/50
+# green, so the r13 prep note ran verbatim — the complement fronted
+# (incl. the two r13-displaced keys w_moving_avg /
+# q1_pricing_summary), re-measured at r14 start (window_cost.py
+# --complement, 55.4s/50, 50/50 OK), ZERO rule-2 re-entries and
+# therefore zero displacements: the invariant is whole again.
+#
+# STAGED TOUCHES LEDGER (r14): the round's engine changes and their
+# witnesses — every change is on a path no registry value traverses
+# (the r12 precedent: pytest-witnessed, no slot), verified by the
+# full both-SF sweeps at round close:
+# (1) _dv_anti_join large-mask prefilter switched from an isin
+#     literal to a broadcast semi-join past a threshold (ADVICE r13
+#     #2) — _apply_deletes returns DV-free scans untouched
+#     (manifest.py) and no registry table carries deletion vectors,
+#     so no registry plan contains the changed expression;
+#     pytest-witnessed (tests/test_mor_delete.py + a dedicated
+#     large-mask branch pin).
+# (2) read_event_mor_deleted parent-scope fix (ADVICE r13 #3) —
+#     streaming/commit_log.py has no registry key (pytest-tier per
+#     VERDICT r12 #4 / r13 Missing #3's diagnostic).
+# (3) update_where(mode="mor") — new MOR arm on existing
+#     _merge_mor_pinned machinery (VERDICT r13 #4); the COW arm and
+#     all shared helpers it rides (_key_touched_files,
+#     _collect_dv_assoc) are MOR-only lineage with no registry key;
+#     pytest-witnessed (race/replay/no-op + 10-verb storm) plus the
+#     t_mor_delete_update oracle diagnostic now covering MOR UPDATE.
+# (4) row-level change feed (VERDICT r13 #2) — new composition in
+#     streaming/commit_log.py / manifest_source.py; no registry key;
+#     pytest pin (checkpointed stream over a multi-verb history
+#     emits per-commit snapshot_diff rows exactly once).
+# (5) commit-log walk oracle-graded (VERDICT r13 #3) — new
+#     diagnostics-tier spec (27th), value-checked against DuckDB in
+#     tests/test_oracle_queries.py; diagnostics occupy no slot.
+# (6) bench DV scan-unit witness (VERDICT r13 #7) — bench-only.
+#
+# R15 WINDOW PREP: the 50 keys NOT in this window are exactly the
+# r13 window (zero r14 re-entries / displacements — the complement
+# is pure). If CORRECTNESS_r14 lands non-empty, r15 fronts that
+# complement, re-measured by scripts/window_cost.py --complement at
+# round start and ordered cheapest-first. Rule-2 touches of r15
+# whose keys sit in THIS window re-enter, displacing the most
+# sibling-witnessed members of the r15 cohort (document at the
+# site). CONTINGENCY, unchanged: if CORRECTNESS_r14 comes back
+# empty/unreadable, re-front THIS window — never rotate past a
+# window with zero external rows.
 
 
 def all_queries() -> dict[str, QuerySpec]:
