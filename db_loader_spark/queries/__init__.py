@@ -252,7 +252,8 @@ NEXT_UP: list[str] = []
 # carry no vectors, so values are unchanged — verified by the full
 # sweeps); the MOR semantics themselves are pytest-tier per the
 # verdict's explicit no-slot alternative (tests/test_mor_delete.py:
-# MOR read == COW read oracle, 24 tests + 8-writer storm) PLUS a
+# MOR read == COW read oracle, 24 tests + 9-writer storm; r14
+# widens it to 10 writers / 7 verbs with the MOR update) PLUS a
 # DuckDB-oracle diagnostic (t_mor_delete_update — MOR delete + COW
 # update read with live vectors, value-checked in
 # tests/test_oracle_queries.py, diagnostics tier now 26 specs).

@@ -464,6 +464,12 @@ def _apply_deletes(
     return _dv_anti_join(spark, root, dels, ann, rc, pc).drop(rc, pc)
 
 
+# masked-file count above which the DV prefilter switches from an
+# isin literal (embeds one expression per file in the plan) to a
+# broadcast semi-join (plan size constant in the mask count)
+_DV_ISIN_MAX = 64
+
+
 def _dv_anti_join(
     spark: SparkSession, root: str, dels: dict, ann: DataFrame,
     rc: str, pc: str,
@@ -491,8 +497,18 @@ def _dv_anti_join(
     # positions hash-cluster into _DV_FILES shared sidecars, so a
     # pruned one-file read would otherwise feed the sidecar's WHOLE
     # position set into the join build side; rows for other files
-    # store the path as _metadata renders it, URL-encoded)
-    dv = dv.where(F.col("f").isin([_uri_rel(f) for f in dels]))
+    # store the path as _metadata renders it, URL-encoded). Small
+    # masked-file sets inline as an IN literal (min-max'd by codegen);
+    # past the threshold an isin literal embeds O(n) expressions in
+    # the plan — after sustained MOR ingest thousands of masked files
+    # would bloat analysis time (ADVICE r13 #2) — so large sets go
+    # through a broadcast semi-join against a file-count-sized frame.
+    rels = [_uri_rel(f) for f in dels]
+    if len(rels) <= _DV_ISIN_MAX:
+        dv = dv.where(F.col("f").isin(rels))
+    else:
+        scanned = spark.createDataFrame([(r,) for r in rels], "f string")
+        dv = dv.join(F.broadcast(scanned), "f", "left_semi")
     return ann.join(
         dv, (F.col(rc) == dv["f"]) & (F.col(pc) == dv["pos"]), "left_anti"
     )
@@ -1894,6 +1910,57 @@ def purge_deletes(
     return _occ_loop(root, snapshot_id, retries, attempt)
 
 
+def _check_set_columns(set_exprs: dict, data_cols: list[str]) -> None:
+    """UPDATE's SET contract, shared by the COW and MOR arms: only
+    existing columns may be named — UPDATE never adds columns."""
+    unknown = sorted(set(set_exprs) - set(data_cols))
+    if unknown:
+        raise ValueError(
+            f"update_where SET names columns {unknown} not in the "
+            f"table (columns: {data_cols}) — UPDATE cannot add "
+            "columns; use merge_schema on an append for evolution"
+        )
+
+
+def _apply_set_exprs(df, set_exprs: dict, data_cols: list[str], cond):
+    """Project ``data_cols`` with each SET expression applied where
+    ``cond`` holds (evaluated against the PRE-update row — standard
+    SQL UPDATE semantics; ``{"a": "b", "b": "a"}`` swaps), enforcing
+    the module-wide no-implicit-casts rule: an expression that changes
+    the column's exact type is refused (a widened type would be
+    recorded as the table contract and bind every carried file's
+    parquet to the wrong type). One definition for both arms so the
+    when/otherwise type coercion can never diverge between them."""
+    from pyspark.sql import functions as F
+
+    updated = df.select(
+        *[
+            (
+                F.when(cond, F.expr(set_exprs[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+            )
+            for c in data_cols
+        ]
+    )
+    before = {
+        f.name: f.dataType for f in df.schema.fields if f.name in set_exprs
+    }
+    clash = [
+        c for c, t in before.items() if updated.schema[c].dataType != t
+    ]
+    if clash:
+        raise ValueError(
+            f"update_where SET changes column types on {clash} "
+            f"({[str(updated.schema[c].dataType) for c in clash]} vs "
+            f"table {[str(before[c]) for c in clash]}) — no implicit "
+            "casts; cast explicitly in the expression"
+        )
+    return updated
+
+
 def update_where(
     spark: SparkSession,
     root: str,
@@ -1901,31 +1968,45 @@ def update_where(
     set_exprs: dict[str, str],
     snapshot_id: str | None = None,
     rebase_retries: int | None = None,
+    mode: str = "cow",
 ) -> str:
-    """Row-level ``UPDATE … SET … WHERE …`` as a COPY-ON-WRITE commit
-    — the named surface the r12 verdict called the cheap completeness
-    item: it IS ``delete_where``'s touched-file machinery with a
-    column rewrite instead of a row drop. Rows where ``predicate``
-    evaluates TRUE get each ``set_exprs`` column replaced by its Spark
-    SQL expression (evaluated against the PRE-update row, standard SQL
-    UPDATE semantics — ``{"a": "b", "b": "a"}`` swaps); rows where it
-    is NULL or FALSE are rewritten byte-identical. Only files
-    containing matching rows are rewritten; every other file carries
-    over by reference with its deletion-vector entries intact. A
-    predicate matching nothing is the documented no-op (parent id
+    """Row-level ``UPDATE … SET … WHERE …`` as a manifest commit.
+    Rows where ``predicate`` evaluates TRUE get each ``set_exprs``
+    column replaced by its Spark SQL expression (evaluated against the
+    PRE-update row, standard SQL UPDATE semantics — ``{"a": "b",
+    "b": "a"}`` swaps); rows where it is NULL or FALSE are untouched.
+    A predicate matching nothing is the documented no-op (parent id
     returned, no commit).
+
+    ``mode="cow"`` (default) is ``delete_where``'s touched-file
+    machinery with a column rewrite instead of a row drop: only files
+    containing matching rows are rewritten; every other file carries
+    over by reference with its deletion-vector entries intact. Write
+    cost = the TOUCHED FILES.
+
+    ``mode="mor"`` (VERDICT r13 #4) is ``_merge_mor_pinned``'s
+    mask-and-append machinery keyed by the predicate instead of a
+    batch join: the matched positions are masked with deletion-vector
+    sidecars and the updated versions of exactly those rows are
+    appended as new data files — no parent file is rewritten, so the
+    commit's write cost is sized to the MATCHED ROWS. The scattered
+    small update (a handful of rows across thousands of clustered
+    files — where COW degrades toward a full-table rewrite) commits at
+    rows-matched cost; read-side pays the usual vector anti-join until
+    ``purge_deletes``/``compact_snapshot`` absorbs. Result is pinned
+    row-for-row ≡ the COW update in tests/test_mor_delete.py.
 
     ``set_exprs`` may only name EXISTING columns and each expression
     must preserve the column's exact type — no implicit casts, ever
-    (the module-wide rule): a widened type would be recorded as the
-    table contract and bind every carried file's parquet to the wrong
-    type. Cast explicitly in the expression if you mean it.
+    (the module-wide rule). Cast explicitly if you mean it.
 
     CONCURRENCY: the same OCC rebase loop and exactly-once
     ``snapshot_id`` token as the other DML verbs; a lost pointer race
-    re-derives the touched set and rewrite against the fresh current."""
+    re-derives the matched set against the fresh current."""
     from pyspark.sql import functions as F
 
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"update_where mode must be cow|mor, got {mode!r}")
     retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
 
     def attempt(parent):
@@ -1934,19 +2015,17 @@ def update_where(
         if parent is None:
             raise FileNotFoundError(f"no current snapshot at {root!r}")
         pm = _manifest(root, parent)
+        if mode == "mor":
+            return _update_mor_pinned(
+                spark, root, predicate, set_exprs, snapshot_id, pm
+            )
         meta = pm.get("files_meta", {})
         dels = pm.get("deletes") or {}
         tag = uuid.uuid4().hex[:8]
         rc, pc = f"_dml_rel_{tag}", f"_dml_pos_{tag}"
         ann = _annotated_scan(spark, root, pm, pm["files"], rc, pc)
         data_cols = [c for c in ann.columns if c not in (rc, pc)]
-        unknown = sorted(set(set_exprs) - set(data_cols))
-        if unknown:
-            raise ValueError(
-                f"update_where SET names columns {unknown} not in the "
-                f"table (columns: {data_cols}) — UPDATE cannot add "
-                "columns; use merge_schema on an append for evolution"
-            )
+        _check_set_columns(set_exprs, data_cols)
         hit_rel = {
             unquote(r["f"])
             for r in ann.where(predicate)
@@ -1966,33 +2045,7 @@ def update_where(
         carried = [f for f in pm["files"] if f not in set(touched_rel)]
         rewrite = _annotated_scan(spark, root, pm, touched_rel, rc, pc)
         cond = F.coalesce(F.expr(predicate), F.lit(False))
-        updated = rewrite.select(
-            *[
-                (
-                    F.when(cond, F.expr(set_exprs[c]))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                    if c in set_exprs
-                    else F.col(c)
-                )
-                for c in data_cols
-            ]
-        )
-        before = {
-            f.name: f.dataType for f in rewrite.schema.fields
-            if f.name in set_exprs
-        }
-        clash = [
-            c for c, t in before.items()
-            if updated.schema[c].dataType != t
-        ]
-        if clash:
-            raise ValueError(
-                f"update_where SET changes column types on {clash} "
-                f"({[str(updated.schema[c].dataType) for c in clash]} vs "
-                f"table {[str(before[c]) for c in clash]}) — no implicit "
-                "casts; cast explicitly in the expression"
-            )
+        updated = _apply_set_exprs(rewrite, set_exprs, data_cols, cond)
         stats_cols = sorted(
             {c for m in meta.values() for c in m.get("stats", {})}
         ) or None
@@ -2009,6 +2062,116 @@ def update_where(
         )
 
     return _occ_loop(root, snapshot_id, retries, attempt)
+
+
+def _update_mor_pinned(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    set_exprs: dict,
+    snapshot_id: str | None,
+    pm: dict,
+) -> str:
+    """Merge-on-read UPDATE against a PINNED parent manifest: mask the
+    matched positions with deletion-vector sidecars, append the
+    updated versions of exactly those rows as new data files — the
+    ``_merge_mor_pinned`` shape with the matched set coming from the
+    predicate instead of a batch key join. The parent's file list
+    carries verbatim; the commit's write cost is the matched rows.
+
+    Scan-side pruning note: the matched-row scan is a single pass over
+    the parent's files with ``predicate`` pushed into the parquet
+    reader (row-group stats skip non-matching groups); there is no
+    manifest-level zone-map prefilter here because the predicate is
+    arbitrary SQL, not a key set — the pushed filter is what bounds
+    the read. The matched frame is persisted (matched-rows-sized) so
+    the vector write and the updated-batch write share one scan."""
+    from pyspark.sql import functions as F
+
+    parent = pm["snapshot_id"]
+    meta = pm.get("files_meta", {})
+    sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+    data_dir, man_dir, _ = _paths(root)
+    os.makedirs(man_dir, exist_ok=True)
+    staged = os.path.join(data_dir, sid)
+    # guard FIRST, Spark work after: a replay of a committed-then-
+    # reaped token must not pay the matched-row scan
+    if os.path.isdir(staged) and _prefix_live(root, sid):
+        return sid  # committed, superseded, manifest reaped: no-op
+    tag = uuid.uuid4().hex[:8]
+    rc, pc = f"_dml_rel_{tag}", f"_dml_pos_{tag}"
+    ann = _annotated_scan(spark, root, pm, pm["files"], rc, pc)
+    data_cols = [c for c in ann.columns if c not in (rc, pc)]
+    _check_set_columns(set_exprs, data_cols)
+    matched = ann.where(predicate).persist()
+    try:
+        dv_tmp = f"{staged}.dvtmp"
+        (
+            matched.select(F.col(rc).alias("f"), F.col(pc).alias("pos"))
+            .repartition(_DV_FILES, "f")
+            .write.mode("overwrite")
+            .parquet(dv_tmp)
+        )
+        assoc = _collect_dv_assoc(spark, dv_tmp)
+        if not assoc:  # nothing matched: the table is unchanged
+            shutil.rmtree(dv_tmp, ignore_errors=True)
+            return parent
+        # every row in `matched` satisfies the predicate, so the gate
+        # is constant-true — routed through the same when/otherwise as
+        # the COW arm so type coercion cannot diverge between modes
+        updated = _apply_set_exprs(
+            matched, set_exprs, data_cols, F.lit(True)
+        )
+        updated.write.mode("overwrite").parquet(staged)
+    finally:
+        matched.unpersist()
+    for p in os.listdir(dv_tmp):
+        if p.endswith(".parquet"):
+            os.replace(
+                os.path.join(dv_tmp, p), os.path.join(staged, f"dv-{p}")
+            )
+    shutil.rmtree(dv_tmp, ignore_errors=True)
+    data_files = sorted(
+        f for f in os.listdir(staged)
+        if f.endswith(".parquet") and not f.startswith("dv-")
+    )
+    new_files = [os.path.join(_DATA, sid, f) for f in data_files]
+    stats_cols = sorted(
+        {c for m in meta.values() for c in m.get("stats", {})}
+    ) or None
+    new_meta = (
+        {
+            os.path.join(_DATA, sid, f): _file_stats(
+                os.path.join(staged, f), stats_cols
+            )
+            for f in data_files
+        }
+        if stats_cols
+        else {}
+    )
+    merged = _merge_dv_entries(
+        pm, assoc,
+        lambda p: os.path.join(_DATA, sid, f"dv-{p}"),
+        f"update_where(mor) at {root!r}",
+    )
+    pin = _mor_pointer_precheck(root, sid, parent, "update")
+    if pin is None:
+        return sid  # a same-token twin finished this commit
+    observed_gen, observed = pin
+    return _commit_staged(
+        root,
+        sid,
+        new_files,
+        new_meta=new_meta,
+        append=False,
+        parent_check=True,
+        inherit_files=list(pm["files"]),
+        inherit_meta=dict(meta),
+        observed_gen=observed_gen,
+        observed=observed,
+        schema=pm.get("schema"),
+        deletes=merged,
+    )
 
 
 def compact_snapshot(

@@ -268,18 +268,27 @@ def read_event_mor_deleted(
     snapshot's rows at the newly added vector positions — the
     row-level "D" side of the changelog, produced without any data
     having been rewritten. Empty frame (parent schema) when the event
-    added no vectors."""
+    added no vectors. Scope (ADVICE r13 #3): only vectors on files
+    PRESENT IN THE PARENT count — a RESTORE can re-introduce a file
+    the parent had dropped, mask included (a dv_added on a file
+    outside the parent snapshot); those rows were never visible in
+    the parent, so they are not "deleted by this commit" and reading
+    the file under parent state would scan outside the snapshot."""
     import os
 
     from pyspark.sql import functions as F
 
-    man = M._manifest(root, event.snapshot_id)
-    pfiles = list(event.dv_added)
-    if not pfiles or event.parent is None:
+    if not event.dv_added or event.parent is None:
         return M.read_snapshot(spark, root, event.snapshot_id).filter(
             F.lit(False)
         )
+    man = M._manifest(root, event.snapshot_id)
     pm = M._manifest(root, event.parent)
+    pfiles = [f for f in event.dv_added if f in set(pm["files"])]
+    if not pfiles:
+        return M.read_snapshot(spark, root, event.snapshot_id).filter(
+            F.lit(False)
+        )
     import uuid as _uuid
 
     tag = _uuid.uuid4().hex[:8]

@@ -188,6 +188,28 @@ def sweep(spark, scale: int) -> None:
         )
         + " " + staged_bytes("mor-mrg"),
     )
+    # r14 MOR UPDATE: the same scattered-row shape as the delete pair
+    # — a fixed ~2000 matched rows across every file. COW rewrites the
+    # touched files (≈ the table); MOR masks the positions and appends
+    # the updated rows, so its committed bytes track the matched rows.
+    M.restore_snapshot(root, "restored", snapshot_id="unscat4")
+    timed(
+        f"update_where COW {scale}x (scattered ~2000 rows)",
+        lambda: M.update_where(
+            spark, root, scattered, {"cents": "cents + 1"},
+            snapshot_id="cow-upd", mode="cow",
+        )
+        + " " + staged_bytes("cow-upd"),
+    )
+    M.restore_snapshot(root, "unscat4", snapshot_id="unscat5")
+    timed(
+        f"update_where MOR {scale}x (same rows)",
+        lambda: M.update_where(
+            spark, root, scattered, {"cents": "cents + 1"},
+            snapshot_id="mor-upd", mode="mor",
+        )
+        + " " + staged_bytes("mor-upd"),
+    )
     timed(
         f"snapshot_diff {scale}x (full-outer over n)",
         lambda: __import__(

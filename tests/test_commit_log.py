@@ -212,6 +212,29 @@ def test_restore_that_unmasks_emits_dv_removed(spark, tmp_path):
     assert sum(n for e in events for n in e.dv_removed.values()) == 80
 
 
+def test_restore_reintroducing_masked_files_is_not_mor_deleted(spark, tmp_path):
+    """ADVICE r13 #3: a RESTORE can emit dv_added for files the PARENT
+    snapshot had dropped (compaction absorbed them; the restore brings
+    them back mask-and-all). Those rows were never visible in the
+    parent, so read_event_mor_deleted must NOT label them deleted —
+    and must not scan files outside the parent snapshot at all."""
+    root = _base(spark, tmp_path)
+    c = CommitLogConsumer(root)
+    c.poll()
+    M.delete_where(spark, root, "id < 50", mode="mor", snapshot_id="d1")
+    M.compact_snapshot(spark, root, 2, snapshot_id="c1")  # absorbs vectors
+    M.restore_snapshot(root, "d1", snapshot_id="r1")  # re-adds masked files
+    d1, c1, r1 = c.poll()
+    # the restore event really does carry vectors on parent-absent files
+    assert r1.dv_added and all(
+        f not in set(M._manifest(root, "c1")["files"]) for f in r1.dv_added
+    )
+    assert read_event_mor_deleted(spark, root, r1).count() == 0
+    # the genuine MOR delete still reads its masked rows
+    got = sorted(r.id for r in read_event_mor_deleted(spark, root, d1).collect())
+    assert got == list(range(50))
+
+
 def test_row_changes_equal_full_snapshot_diff_per_commit(spark, tmp_path):
     """read_event_row_changes over only the commit's changed files must
     equal the FULL snapshot_diff of parent vs child for every DML verb

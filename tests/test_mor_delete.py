@@ -202,6 +202,33 @@ def test_read_pruned_applies_vectors_on_the_kept_slice(spark, tmp_path):
     assert got == list(range(100, 120)) + list(range(131, 151))
 
 
+def test_dv_prefilter_large_mask_uses_semi_join(spark, tmp_path, monkeypatch):
+    """Past _DV_ISIN_MAX masked files the DV prefilter must switch
+    from an isin literal (O(n) expressions embedded in the plan) to a
+    broadcast semi-join (plan size constant in the mask count,
+    ADVICE r13 #2) — and the read must stay value-identical to the
+    isin branch and to COW."""
+    pred = "id % 7 = 3"
+    r_mor = _table(spark, tmp_path, name="mor")
+    r_cow = _table(spark, tmp_path, name="cow")
+    M.delete_where(spark, r_mor, pred, mode="mor", snapshot_id="d1")
+    M.delete_where(spark, r_cow, pred, mode="cow", snapshot_id="d1")
+    expected = sorted(
+        (r.id, r.v) for r in M.read_current(spark, r_cow).collect()
+    )
+    monkeypatch.setattr(M, "_DV_ISIN_MAX", 0)  # every mask is "large"
+    df = M.read_current(spark, r_mor)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # the semi-join branch, not isin
+    assert sorted((r.id, r.v) for r in df.collect()) == expected
+    monkeypatch.undo()
+    # the isin branch on the SAME vectors agrees
+    assert (
+        sorted((r.id, r.v) for r in M.read_current(spark, r_mor).collect())
+        == expected
+    )
+
+
 def test_mor_lost_race_rebases_on_fresh_current(spark, tmp_path, monkeypatch):
     """An append landing between the MOR derivation read and its
     pointer check surfaces as ConcurrentPublishError and the OCC loop
@@ -321,9 +348,9 @@ def test_update_lost_race_rebases(spark, tmp_path, monkeypatch):
 
 
 def test_mixed_dml_storm_with_mor_and_update_is_serializable(spark, tmp_path):
-    """The r12 mixed-DML storm widened to the full r13 verb set:
-    appends, COW and MOR merges, COW and MOR deletes, and UPDATEs
-    racing from nine real threads must produce a lineage whose
+    """The r12 mixed-DML storm widened to the full r14 verb set:
+    appends, COW and MOR merges, COW and MOR deletes, and COW and MOR
+    UPDATEs racing from ten real threads must produce a lineage whose
     SEQUENTIAL REPLAY
     reproduces the racing table row-for-row — a stale derivation
     anywhere (resurrected MOR rows, clobbered vectors, lost updates)
@@ -351,11 +378,12 @@ def test_mixed_dml_storm_with_mor_and_update_is_serializable(spark, tmp_path):
         "cow-0": ("cow", "id >= 20 AND id < 25"),
         "upd-0": ("update", ("id < 5", {"v": "v + 1000"})),
         "upd-1": ("update", ("id >= 5 AND id < 10", {"v": "v - 7"})),
+        "upd-mor": ("update_mor", ("id >= 25 AND id < 30", {"v": "v + 50"})),
     }
 
     def apply_op(r, token, kind, payload):
-        # rebase_retries=16: nine racing writers can cost one loser
-        # eight lost races plus replays' own contention
+        # rebase_retries=16: ten racing writers can cost one loser
+        # nine lost races plus replays' own contention
         if kind == "append":
             M.publish(payload, r, snapshot_id=token, append=True,
                       stats_cols=["id"])
@@ -371,7 +399,8 @@ def test_mixed_dml_storm_with_mor_and_update_is_serializable(spark, tmp_path):
         else:
             pred, sets = payload
             M.update_where(spark, r, pred, sets, snapshot_id=token,
-                           rebase_retries=16)
+                           rebase_retries=16,
+                           mode="mor" if kind == "update_mor" else "cow")
 
     errors = []
 
@@ -414,6 +443,138 @@ def test_mixed_dml_storm_with_mor_and_update_is_serializable(spark, tmp_path):
         )
 
     assert total_masked(root) == total_masked(replay)
+
+
+def test_mor_update_equals_cow_update(spark, tmp_path):
+    """THE oracle (VERDICT r13 #4): for the same predicate and SET on
+    identical tables, the merge-on-read update result is row-for-row
+    the copy-on-write result."""
+    pred = "id % 97 = 13 or id between 400 and 420"
+    sets = {"v": "v + 100000"}
+    r_mor = _table(spark, tmp_path, name="mor")
+    r_cow = _table(spark, tmp_path, name="cow")
+    M.update_where(spark, r_mor, pred, sets, mode="mor", snapshot_id="u1")
+    M.update_where(spark, r_cow, pred, sets, mode="cow", snapshot_id="u1")
+    a = sorted((r.id, r.v) for r in M.read_current(spark, r_mor).collect())
+    b = sorted((r.id, r.v) for r in M.read_current(spark, r_cow).collect())
+    assert a == b and len(a) == 1_000
+
+
+def test_mor_update_commit_is_matched_rows_sized(spark, tmp_path):
+    """Scale contract: the MOR update rewrites NO parent file — the
+    parent's list carries verbatim, the commit adds only the updated
+    rows as new files plus vectors sized to the matched rows exactly,
+    and the new files carry zone maps."""
+    root = _table(spark, tmp_path)
+    M.update_where(
+        spark, root, "id % 100 = 7", {"v": "-v"}, mode="mor",
+        snapshot_id="u1",
+    )
+    v1, u1 = M._manifest(root, "v1"), M._manifest(root, "u1")
+    assert set(v1["files"]) <= set(u1["files"])  # nothing rewritten
+    added = sorted(set(u1["files"]) - set(v1["files"]))
+    assert added and all(f.startswith("data/u1/") for f in added)
+    assert sum(e["rows"] for e in u1["deletes"].values()) == 10
+    assert sum(
+        u1["files_meta"][f]["rows"] for f in added
+    ) == 10  # the appended batch is exactly the updated rows
+    assert all("id" in u1["files_meta"][f]["stats"] for f in added)
+
+
+def test_mor_update_set_swap_and_guards(spark, tmp_path):
+    """The MOR arm shares the COW arm's SET contract: pre-update-row
+    semantics (swap works), unknown columns and implicit casts
+    refused, nothing-matched is a no-op, bad mode refused."""
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.createDataFrame([(1, 10, 20), (2, 1, 2)],
+                              "id long, a long, b long"),
+        root, snapshot_id="v1", stats_cols=["id"],
+    )
+    M.update_where(spark, root, "id = 1", {"a": "b", "b": "a"},
+                   mode="mor", snapshot_id="u1")
+    got = {r.id: (r.a, r.b) for r in M.read_current(spark, root).collect()}
+    assert got == {1: (20, 10), 2: (1, 2)}
+    assert M.update_where(spark, root, "id = -5", {"a": "0"},
+                          mode="mor") == "u1"  # no-op
+    with pytest.raises(ValueError, match="not in the table"):
+        M.update_where(spark, root, "id = 1", {"nope": "1"}, mode="mor")
+    with pytest.raises(ValueError, match="changes column types"):
+        M.update_where(spark, root, "id = 1", {"a": "a + 0.5"}, mode="mor")
+    with pytest.raises(ValueError, match="mode"):
+        M.update_where(spark, root, "id = 1", {"a": "0"}, mode="merge")
+
+
+def test_mor_update_replay_is_exactly_once(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    for _ in range(2):
+        M.update_where(spark, root, "id = 5", {"v": "v + 1"},
+                       mode="mor", snapshot_id="e1")
+    assert {
+        r.v for r in M.read_current(spark, root).where("id = 5").collect()
+    } == {11}
+    assert M.snapshots(root) == ["v1", "e1"]
+
+
+def test_mor_update_after_mor_delete_composes(spark, tmp_path):
+    """An update whose predicate overlaps already-masked rows must see
+    only LIVE rows (masked rows stay dead, not updated-and-revived)."""
+    root = _table(spark, tmp_path)
+    M.delete_where(spark, root, "id between 0 and 99", mode="mor",
+                   snapshot_id="d1")
+    M.update_where(spark, root, "id between 50 and 149", {"v": "-v"},
+                   mode="mor", snapshot_id="u1")
+    got = {r.id: r.v for r in M.read_current(spark, root).collect()}
+    assert len(got) == 900
+    assert 50 not in got and got[149] == -298 and got[150] == 300
+
+
+def test_mor_update_purge_and_compact_absorb(spark, tmp_path):
+    """PURGE materializes the update's mask (vectors gone, logical
+    table unchanged); OPTIMIZE likewise."""
+    for absorber in ("purge", "compact"):
+        root = _table(spark, tmp_path, name=f"t_{absorber}")
+        M.update_where(spark, root, "id % 10 = 3", {"v": "v + 1"},
+                       mode="mor", snapshot_id="u1")
+        before = sorted(
+            (r.id, r.v) for r in M.read_current(spark, root).collect()
+        )
+        if absorber == "purge":
+            M.purge_deletes(spark, root, snapshot_id="z1")
+        else:
+            M.compact_snapshot(spark, root, 2, snapshot_id="z1")
+        man = M._manifest(root, "z1")
+        assert not man.get("deletes")
+        after = sorted(
+            (r.id, r.v) for r in M.read_current(spark, root).collect()
+        )
+        assert after == before
+
+
+def test_mor_update_lost_race_rebases(spark, tmp_path, monkeypatch):
+    root = _table(spark, tmp_path, n=100, files=2)
+    orig = M.current_snapshot
+    state = {"first": True}
+
+    def stale_then_real(r):
+        if state["first"]:
+            state["first"] = False
+            out = orig(r)
+            M.publish(
+                spark.createDataFrame([(7_000, 1)], "id long, v long"),
+                r, append=True, snapshot_id="interloper",
+            )
+            return out
+        return orig(r)
+
+    monkeypatch.setattr(M, "current_snapshot", stale_then_real)
+    M.update_where(spark, root, "id >= 50", {"v": "0"}, mode="mor",
+                   snapshot_id="u1")
+    monkeypatch.undo()
+    got = {r.id: r.v for r in M.read_current(spark, root).collect()}
+    # serial order: append, then update — the interloper's row matched
+    assert got[7_000] == 0 and got[99] == 0 and got[10] == 20
+    assert M.snapshots(root) == ["v1", "interloper", "u1"]
 
 
 def test_purge_deletes_rewrites_only_masked_files(spark, tmp_path):
