@@ -1537,6 +1537,125 @@ FROM live GROUP BY pr
 """
 
 
+def t_commit_log_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit-log WALK itself, oracle-graded (r14, VERDICT r13
+    #3): a staged orders-derived manifest table runs a six-verb
+    history — publish → append → MOR delete → MOR merge → MOR update
+    → OPTIMIZE — and the query reconstructs the FINAL table purely
+    from the changelog: every commit's ``read_event_row_changes``
+    frame (each priced by that commit's own changed files) unioned
+    with a commit sequence number, folded by last-change-per-key
+    (window over ``_seq``), non-deletes kept. The folded aggregate is
+    value-checked against DuckDB recomputing the same DML sequence
+    from the raw parquet — a missing event, a duplicated or mislabeled
+    change row, a wrong old/new side, or a compaction that leaks
+    phantom changes all flip the fold. The compaction commit is part
+    of the fold on purpose: its row-changes frame must be EMPTY for
+    the result to match."""
+    import hashlib
+    import tempfile
+    from functools import reduce
+
+    from db_loader_spark.sinks import manifest as M
+    from db_loader_spark.staging import build_stage
+    from db_loader_spark.streaming.commit_log import (
+        CommitLogConsumer,
+        read_event_row_changes,
+    )
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"db_loader_clog_{key}")
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v1"
+
+    def build(scratch: str) -> None:
+        base = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pr"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        M.publish(
+            base.repartitionByRange(16, F.col("k")),
+            scratch, snapshot_id="base", stats_cols=["k"],
+        )
+        M.publish(
+            base.where("k % 97 = 0").select(
+                (F.col("k") + 10_000_000).alias("k"),
+                "pr", (F.col("cents") + 1).alias("cents"),
+            ),
+            scratch, append=True, snapshot_id="a1", stats_cols=["k"],
+        )
+        M.delete_where(
+            spark, scratch, "k % 131 = 0", mode="mor", snapshot_id="d1"
+        )
+        batch = base.where("k % 127 = 0").select(
+            "k", "pr", (F.col("cents") + 7).alias("cents")
+        ).unionByName(
+            base.where("k % 89 = 0").select(
+                (F.col("k") + 20_000_000).alias("k"), "pr", "cents"
+            )
+        )
+        M.merge_upsert(spark, batch, scratch, "k", snapshot_id="m1",
+                       mode="mor")
+        M.update_where(
+            spark, scratch, "k % 113 = 0", {"cents": "cents + 101"},
+            mode="mor", snapshot_id="u1",
+        )
+        M.compact_snapshot(spark, scratch, 4, snapshot_id="c1")
+
+    build_stage(root, stamp, build)
+    events = CommitLogConsumer(root).poll()
+    frames = [
+        read_event_row_changes(spark, root, ev, ["k"], ["pr", "cents"])
+        .select("change_op", "k", "new_pr", "new_cents",
+                F.lit(i).alias("_seq"))
+        for i, ev in enumerate(events)
+    ]
+    log = reduce(lambda a, b: a.unionByName(b), frames)
+    last = W.partitionBy("k").orderBy(F.desc("_seq"))
+    final = (
+        log.withColumn("_rn", F.row_number().over(last))
+        .where("_rn = 1 AND change_op <> 'delete'")
+        .select(F.col("new_pr").alias("pr"),
+                F.col("new_cents").alias("cents"))
+    )
+    return final.groupBy("pr").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+_COMMIT_LOG_FOLD_ORACLE = """
+WITH base AS MATERIALIZED (
+  SELECT o_orderkey AS k, o_orderpriority AS pr,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), t0 AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT k + 10000000 AS k, pr, cents + 1 AS cents
+  FROM base WHERE k % 97 = 0
+), t1 AS (
+  SELECT * FROM t0 WHERE k % 131 <> 0
+), batch AS MATERIALIZED (
+  SELECT k, pr, cents + 7 AS cents FROM base WHERE k % 127 = 0
+  UNION ALL
+  SELECT k + 20000000 AS k, pr, cents FROM base WHERE k % 89 = 0
+), t2 AS (
+  SELECT t1.k, t1.pr, t1.cents FROM t1
+  WHERE t1.k NOT IN (SELECT k FROM batch)
+  UNION ALL
+  SELECT * FROM batch
+), t3 AS (
+  SELECT k, pr,
+         CASE WHEN k % 113 = 0 THEN cents + 101 ELSE cents END AS cents
+  FROM t2
+)
+SELECT pr, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t3 GROUP BY pr
+"""
+
+
 DIAGNOSTICS: dict[str, QuerySpec] = {
     "a_quantiles": QuerySpec(
         a_quantiles, _QUANTILES_ORACLE, "exact grouped quantiles (diagnostic)"
@@ -1545,5 +1664,10 @@ DIAGNOSTICS: dict[str, QuerySpec] = {
         t_mor_delete_update,
         _MOR_DELETE_UPDATE_ORACLE,
         "merge-on-read DELETE vectors + COW UPDATE, read with live vectors",
+    ),
+    "t_commit_log_fold": QuerySpec(
+        t_commit_log_fold,
+        _COMMIT_LOG_FOLD_ORACLE,
+        "six-verb commit-log walk folded to the final table (r14)",
     ),
 }

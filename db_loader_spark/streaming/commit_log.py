@@ -372,3 +372,128 @@ def read_event_row_changes(
         spark, root, man, [f for f in new_rel if f in live]
     )
     return snapshot_diff(old, new, key_cols, compare_cols)
+
+
+def row_changes_for_batch(
+    spark: SparkSession,
+    root: str,
+    events_batch: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame | None:
+    """Upgrade ONE ``manifest_cdc`` micro-batch (file-level change
+    rows) to the Delta-CDF-shaped ROW-level changelog (VERDICT r13
+    #2): one frame of ``_commit_snapshot_id``, ``_change_type``
+    (insert/update/delete), the key columns, and the old_/new_ value
+    pairs — every commit in the batch diffed via
+    ``read_event_row_changes`` (priced by the commit's own changed
+    files, never the table) in COMMIT ORDER, reconstructed from the
+    batch's (snapshot_id, parent) pairs (the lineage is linear, so a
+    micro-batch is a contiguous chain). ``None`` when the batch holds
+    no commits.
+
+    Driver-side work is metadata-sized: one distinct-collect of the
+    commit ids (a micro-batch holds few commits; each contributes
+    file-count rows, not data rows) and one manifest JSON pair per
+    commit; the per-commit union grows the PLAN linearly in commits
+    per batch, which the poll cadence bounds. Intended for the stream
+    path, where every parent manifest is walkable by construction — a
+    horizon-bootstrap batch read (parent reaped) raises the same
+    truncation error the consumer would."""
+    from pyspark.sql import functions as F
+
+    pairs = {
+        r["snapshot_id"]: r["parent"]
+        for r in events_batch.select("snapshot_id", "parent")
+        .distinct()
+        .collect()
+    }
+    if not pairs:
+        return None
+    sids = set(pairs)
+    starts = [s for s, p in pairs.items() if p not in sids]
+    if len(starts) != 1:
+        raise RuntimeError(
+            f"manifest_cdc batch at {root!r} is not one contiguous "
+            f"commit chain (chain starts: {sorted(starts)}) — the "
+            "lineage is linear, so this indicates a corrupted batch"
+        )
+    child = {p: s for s, p in pairs.items() if p is not None}
+    order = [starts[0]]
+    while order[-1] in child:
+        order.append(child[order[-1]])
+    out = None
+    for sid in order:
+        parent = pairs[sid]
+        man = M._manifest(root, sid)
+        try:
+            pman = M._manifest(root, parent) if parent is not None else None
+        except FileNotFoundError:
+            raise CommitLogTruncated(
+                f"commit {sid!r} at {root!r}: parent {parent!r} is "
+                "behind the vacuum horizon; bootstrap from a snapshot "
+                "read and resume the feed after it"
+            ) from None
+        ev = _diff(root, man, pman)
+        df = read_event_row_changes(spark, root, ev, key_cols, compare_cols)
+        df = df.select(
+            F.lit(sid).alias("_commit_snapshot_id"),
+            F.col("change_op").alias("_change_type"),
+            *[c for c in df.columns if c != "change_op"],
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def start_row_change_feed(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+    checkpoint_dir: str,
+    sink,
+    start_after: str | None = None,
+    available_now: bool = True,
+):
+    """The row-level change feed as a CONSUMABLE STREAM (VERDICT r13
+    #2): ``manifest_cdc`` (whose checkpointed offset is the commit
+    cursor) composed with ``row_changes_for_batch`` in
+    ``foreachBatch`` — the glue recipe a downstream training-data
+    pipeline runs verbatim. ``sink(changes_df, epoch_id)`` receives
+    each micro-batch's Delta-CDF-shaped rows (skipped when the epoch
+    carries no commits); returns the started StreamingQuery.
+
+    Delivery: Structured Streaming checkpoints the source offset, so
+    every commit's rows arrive in exactly one SUCCESSFUL epoch —
+    restart-and-drain emits only commits landed since (pinned in
+    tests/test_commit_log.py). A sink interrupted between its write
+    and the epoch commit sees that epoch replayed (the standard
+    foreachBatch at-least-once edge); key idempotence on
+    ``_commit_snapshot_id`` — e.g. a manifest-table write tokened by
+    it — upgrades the sink to exactly-once end-to-end.
+
+    ``available_now=True`` (default) drains the backlog and stops —
+    the incremental-batch shape; ``False`` tails continuously."""
+    from db_loader_spark.streaming.manifest_source import (
+        register_manifest_cdc,
+    )
+
+    register_manifest_cdc(spark)
+    reader = spark.readStream.format("manifest_cdc").option("path", root)
+    if start_after is not None:
+        reader = reader.option("startingSnapshot", start_after)
+    events = reader.load()
+
+    def _each(batch_df, epoch_id):
+        changes = row_changes_for_batch(
+            spark, root, batch_df, key_cols, compare_cols
+        )
+        if changes is not None:
+            sink(changes, epoch_id)
+
+    writer = events.writeStream.foreachBatch(_each).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
