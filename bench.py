@@ -724,6 +724,79 @@ def _bench_manifest_zonemap(spark, sf_dir: str, timings, spreads) -> None:
         timings[name], spreads[name] = _timed_runs(lambda: agg.count())
 
 
+def _bench_mor_read(spark, sf_dir: str, timings, spreads) -> None:
+    """The merge-on-read READ-side price and the purge's payoff as an
+    A/B pair (VERDICT r13 #7): the SAME logical table aggregated with
+    its deletion vectors LIVE (every reader pays the (file, pos)
+    anti-join) vs after ``purge_deletes`` materialized the mask
+    (vectors gone, plain scan). Results are value-identical by the
+    purge contract; the timing delta is the anti-join, and the
+    scan_units row makes the state deterministic across rounds:
+    masked_rows / dv_files / dv_mb for the masked arm, zeros after
+    the purge. Staged once per source stamp like the other layouts —
+    a scattered delete (~1/37 of rows, touching every file) is the
+    shape where vectors accumulate in practice."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from db_loader_spark.sinks import manifest as M
+    from db_loader_spark.staging import build_stage
+    from db_loader_spark.tables import load_table
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"db_loader_morbench_{key}")
+    stamp = _source_stamp(os.path.join(sf_dir, "events.parquet")) + ":v1"
+
+    def build(scratch: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+        M.publish(
+            ev.repartitionByRange(16, F.col("cents")),
+            scratch, snapshot_id="v1", stats_cols=["cents"],
+        )
+        M.delete_where(
+            spark, scratch, "cents % 37 = 0", mode="mor", snapshot_id="d1"
+        )
+        M.purge_deletes(spark, scratch, snapshot_id="p1")
+
+    build_stage(root, stamp, build)
+
+    def units(sid: str) -> dict:
+        man = M._manifest(root, sid)
+        dels = man.get("deletes") or {}
+        dv = sorted({p for e in dels.values() for p in e["dv"]})
+        return {
+            "files": len(man["files"]),
+            "mb": round(sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in man["files"]
+            ) / 1e6, 2),
+            "masked_rows": sum(e["rows"] for e in dels.values()),
+            "dv_files": len(dv),
+            "dv_mb": round(sum(
+                os.path.getsize(os.path.join(root, p)) for p in dv
+            ) / 1e6, 3),
+        }
+
+    variants = {
+        "ev_mor_masked_read": "d1",  # vectors live: anti-join on read
+        "ev_mor_purged_read": "p1",  # mask materialized: plain scan
+    }
+    for name, sid in variants.items():
+        SCAN_UNITS[name] = units(sid)
+        df = M.read_snapshot(spark, root, sid)
+        agg = df.groupBy("event_type").agg(F.sum("cents").alias("s"))
+        agg.count()  # warm
+        spark._jvm.System.gc()
+        timings[name], spreads[name] = _timed_runs(lambda: agg.count())
+
+
 def main() -> None:
     t_start = time.monotonic()  # budget clock covers Spark startup too
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -816,6 +889,7 @@ def main() -> None:
     _bench_sorted(spark, sf_dir, timings, spreads)
     _bench_runtime_filters(spark, sf_dir, timings, spreads)
     _bench_manifest_zonemap(spark, sf_dir, timings, spreads)
+    _bench_mor_read(spark, sf_dir, timings, spreads)
 
     total = round(sum(timings.values()), 4)
     # the layout micro-bench rows (everything added after the headline
