@@ -422,10 +422,26 @@ def row_changes_for_batch(
     order = [starts[0]]
     while order[-1] in child:
         order.append(child[order[-1]])
+    return _cdf_union(spark, root, order, key_cols, compare_cols)
+
+
+def _cdf_union(
+    spark: SparkSession,
+    root: str,
+    order: list[str],
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame | None:
+    """The Delta-CDF projection shared by the stream glue and the
+    batch surface: per-commit ``read_event_row_changes`` frames for
+    the ordered commit ids, unioned with ``_commit_snapshot_id`` and
+    ``_change_type`` columns. ``None`` for an empty run."""
+    from pyspark.sql import functions as F
+
     out = None
     for sid in order:
-        parent = pairs[sid]
         man = M._manifest(root, sid)
+        parent = man.get("parent")
         try:
             pman = M._manifest(root, parent) if parent is not None else None
         except FileNotFoundError:
@@ -443,6 +459,42 @@ def row_changes_for_batch(
         )
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def read_table_changes(
+    spark: SparkSession,
+    root: str,
+    key_cols: list[str],
+    compare_cols: list[str],
+    start_after: str | None = None,
+    end: str | None = None,
+) -> DataFrame | None:
+    """The BATCH row-level change feed (Delta's ``table_changes``
+    shape): every commit AFTER ``start_after`` up to ``end`` (default
+    the current snapshot), upgraded to Delta-CDF rows —
+    ``_commit_snapshot_id``, ``_change_type`` insert/update/delete,
+    keys, old_/new_ value pairs — each commit priced by its own
+    changed files. ``None`` when the range holds no commits.
+    ``start_after=None`` replays from genesis; a range behind the
+    vacuum horizon raises ``CommitLogTruncated`` (bootstrap from a
+    snapshot read instead). The incremental-reprocessing recipe: fold
+    the returned rows by last-change-per-key, or hand them to a
+    downstream MERGE keyed on ``key_cols``."""
+    consumer = CommitLogConsumer(root, start_after=start_after)
+    events = consumer.poll()
+    if end is not None:
+        sids = [e.snapshot_id for e in events]
+        if end not in sids:
+            raise ValueError(
+                f"end snapshot {end!r} is not after {start_after!r} in "
+                f"the live lineage of {root!r}"
+            )
+        events = events[: sids.index(end) + 1]
+    if not events:
+        return None
+    return _cdf_union(
+        spark, root, [e.snapshot_id for e in events], key_cols, compare_cols
+    )
 
 
 def start_row_change_feed(

@@ -399,3 +399,66 @@ def test_row_change_feed_checkpointed_exactly_once(spark, tmp_path):
     before = {k: list(v) for k, v in got.items()}
     drain()  # third drain: nothing new, nothing re-emitted
     assert got == before
+
+
+def test_read_table_changes_batch_cdf(spark, tmp_path):
+    """The batch twin of the feed: read_table_changes over a commit
+    range returns exactly the per-commit snapshot_diff rows in commit
+    order; start_after/end bound the range; empty range is None; a
+    fold by last-change-per-key reproduces the final table."""
+    from db_loader_spark.operators.cdc import snapshot_diff
+    from db_loader_spark.streaming.commit_log import read_table_changes
+
+    root = _base(spark, tmp_path)
+    M.delete_where(spark, root, "id < 100", mode="mor", snapshot_id="d1")
+    M.update_where(spark, root, "id between 100 and 104", {"v": "-v"},
+                   mode="mor", snapshot_id="u1")
+
+    full = read_table_changes(spark, root, ["id"], ["v"])
+    per_commit = {
+        sid: sorted(
+            (r["_change_type"], r["id"], r["old_v"], r["new_v"])
+            for r in full.where(
+                F.col("_commit_snapshot_id") == sid
+            ).collect()
+        )
+        for sid in ("v1", "d1", "u1")
+    }
+    assert per_commit["v1"] == [("insert", i, None, 2 * i) for i in range(500)]
+    assert per_commit["d1"] == [("delete", i, 2 * i, None) for i in range(100)]
+    assert per_commit["u1"] == sorted(
+        (r["change_op"], r["id"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(
+            M.read_snapshot(spark, root, "d1"),
+            M.read_snapshot(spark, root, "u1"),
+            ["id"], ["v"],
+        ).collect()
+    )
+    assert full.count() == 605
+
+    # range bounds: (v1, u1] excludes genesis; end=d1 stops early
+    ranged = read_table_changes(spark, root, ["id"], ["v"],
+                                start_after="v1", end="d1")
+    assert {r["_commit_snapshot_id"] for r in ranged.collect()} == {"d1"}
+    assert read_table_changes(spark, root, ["id"], ["v"],
+                              start_after="u1") is None
+    with pytest.raises(ValueError, match="not after"):
+        read_table_changes(spark, root, ["id"], ["v"],
+                           start_after="d1", end="v1")
+
+    # the CDF fold reproduces the final table
+    from pyspark.sql import Window as W
+    last = W.partitionBy("id").orderBy(
+        F.desc("_seq")
+    )
+    seq = F.when(F.col("_commit_snapshot_id") == "v1", 0).when(
+        F.col("_commit_snapshot_id") == "d1", 1
+    ).otherwise(2)
+    folded = (
+        full.withColumn("_seq", seq)
+        .withColumn("_rn", F.row_number().over(last))
+        .where("_rn = 1 AND _change_type <> 'delete'")
+        .select("id", F.col("new_v").alias("v"))
+    )
+    want = sorted((r.id, r.v) for r in M.read_current(spark, root).collect())
+    assert sorted((r.id, r.v) for r in folded.collect()) == want
