@@ -256,7 +256,8 @@ NEXT_UP: list[str] = []
 # widens it to 10 writers / 7 verbs with the MOR update) PLUS a
 # DuckDB-oracle diagnostic (t_mor_delete_update — MOR delete + COW
 # update read with live vectors, value-checked in
-# tests/test_oracle_queries.py, diagnostics tier now 26 specs).
+# tests/test_oracle_queries.py, diagnostics tier 26 specs at r13;
+# 27 from r14, t_commit_log_fold).
 # (3) update_where — new surface, no registry key; pytest-tier
 # (race/replay/no-op suite mirroring DELETE, per VERDICT r12 #7) plus
 # the same oracle diagnostic.

@@ -1275,7 +1275,6 @@ def _merge_mor_pinned(
     files carry zone maps so later reads and merges stay prunable."""
     from pyspark.sql import functions as F
 
-    parent = pm["snapshot_id"]
     meta = pm.get("files_meta", {})
     sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
     data_dir, man_dir, _ = _paths(root)
@@ -1307,10 +1306,38 @@ def _merge_mor_pinned(
         hits = spark.createDataFrame([], "f string, pos long")
     hits.write.mode("overwrite").parquet(dv_tmp)
     assoc = _collect_dv_assoc(spark, dv_tmp)
+    return _mor_mask_append_commit(
+        root, sid, pm, staged, dv_tmp, assoc, df,
+        "merge_upsert(mor)", "merge",
+    )
+
+
+def _mor_mask_append_commit(
+    root: str,
+    sid: str,
+    pm: dict,
+    staged: str,
+    dv_tmp: str,
+    assoc: list,
+    batch: DataFrame,
+    op_label: str,
+    verb: str,
+) -> str:
+    """The shared mask-and-append commit tail of the MOR MERGE and MOR
+    UPDATE (one definition — r14 review: the two verbs had ~45
+    duplicated lines, exactly the DML-divergence class the r13
+    extractions closed for vector loading): stage ``batch`` as the
+    appended data files, move the freshly written vector parts in
+    beside them under dv- names, harvest zone maps for the new files,
+    extend the parent's delete map, precheck the pointer against the
+    derivation parent, and CAS-commit the parent's file list verbatim
+    plus the appends."""
+    parent = pm["snapshot_id"]
+    meta = pm.get("files_meta", {})
     # stage the BATCH as the appended data files, then move the
     # vectors in beside them under dv- names (the overwrite clears any
     # prior attempt's residue first, so the move must come after)
-    df.write.mode("overwrite").parquet(staged)
+    batch.write.mode("overwrite").parquet(staged)
     for p in os.listdir(dv_tmp):
         if p.endswith(".parquet"):
             os.replace(
@@ -1338,9 +1365,9 @@ def _merge_mor_pinned(
     merged = _merge_dv_entries(
         pm, assoc,
         lambda p: os.path.join(_DATA, sid, f"dv-{p}"),
-        f"merge_upsert(mor) at {root!r}",
+        f"{op_label} at {root!r}",
     )
-    pin = _mor_pointer_precheck(root, sid, parent, "merge")
+    pin = _mor_pointer_precheck(root, sid, parent, verb)
     if pin is None:
         return sid  # a same-token twin finished this commit
     observed_gen, observed = pin
@@ -2122,56 +2149,25 @@ def _update_mor_pinned(
         updated = _apply_set_exprs(
             matched, set_exprs, data_cols, F.lit(True)
         )
-        updated.write.mode("overwrite").parquet(staged)
+        # bound the appended FILE COUNT to the batch, not the scan
+        # (r14 review): `matched` inherits the table-sized scan
+        # partitioning, so a scattered predicate would otherwise emit
+        # ~one row-sized file per scan partition — table-sized small-
+        # file debris on a matched-rows-sized commit. Size the append
+        # like the table's own files (average rows/file from manifest
+        # metadata); the shuffle this costs is matched-rows-sized.
+        matched_rows = sum(r["n"] for r in assoc)
+        per_file = [m["rows"] for m in meta.values() if m.get("rows")]
+        target = (
+            max(1, sum(per_file) // len(per_file)) if per_file else 1_000_000
+        )
+        n_out = min(256, max(1, -(-matched_rows // target)))
+        return _mor_mask_append_commit(
+            root, sid, pm, staged, dv_tmp, assoc,
+            updated.repartition(n_out), "update_where(mor)", "update",
+        )
     finally:
         matched.unpersist()
-    for p in os.listdir(dv_tmp):
-        if p.endswith(".parquet"):
-            os.replace(
-                os.path.join(dv_tmp, p), os.path.join(staged, f"dv-{p}")
-            )
-    shutil.rmtree(dv_tmp, ignore_errors=True)
-    data_files = sorted(
-        f for f in os.listdir(staged)
-        if f.endswith(".parquet") and not f.startswith("dv-")
-    )
-    new_files = [os.path.join(_DATA, sid, f) for f in data_files]
-    stats_cols = sorted(
-        {c for m in meta.values() for c in m.get("stats", {})}
-    ) or None
-    new_meta = (
-        {
-            os.path.join(_DATA, sid, f): _file_stats(
-                os.path.join(staged, f), stats_cols
-            )
-            for f in data_files
-        }
-        if stats_cols
-        else {}
-    )
-    merged = _merge_dv_entries(
-        pm, assoc,
-        lambda p: os.path.join(_DATA, sid, f"dv-{p}"),
-        f"update_where(mor) at {root!r}",
-    )
-    pin = _mor_pointer_precheck(root, sid, parent, "update")
-    if pin is None:
-        return sid  # a same-token twin finished this commit
-    observed_gen, observed = pin
-    return _commit_staged(
-        root,
-        sid,
-        new_files,
-        new_meta=new_meta,
-        append=False,
-        parent_check=True,
-        inherit_files=list(pm["files"]),
-        inherit_meta=dict(meta),
-        observed_gen=observed_gen,
-        observed=observed,
-        schema=pm.get("schema"),
-        deletes=merged,
-    )
 
 
 def compact_snapshot(

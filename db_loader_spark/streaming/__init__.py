@@ -7,6 +7,9 @@ from db_loader_spark.streaming.commit_log import (
     read_event_appended,
     read_event_mor_deleted,
     read_event_row_changes,
+    read_table_changes,
+    row_changes_for_batch,
+    start_row_change_feed,
 )
 from db_loader_spark.streaming.file_ingest import stream_log_tables
 from db_loader_spark.streaming.manifest_source import (
@@ -21,6 +24,9 @@ __all__ = [
     "read_event_appended",
     "read_event_mor_deleted",
     "read_event_row_changes",
+    "read_table_changes",
+    "row_changes_for_batch",
+    "start_row_change_feed",
     "manifest_cdc_source",
     "register_manifest_cdc",
     "stream_log_tables",

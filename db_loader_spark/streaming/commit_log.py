@@ -284,7 +284,8 @@ def read_event_mor_deleted(
         )
     man = M._manifest(root, event.snapshot_id)
     pm = M._manifest(root, event.parent)
-    pfiles = [f for f in event.dv_added if f in set(pm["files"])]
+    pfset = set(pm["files"])  # hoisted: not once per dv_added entry
+    pfiles = [f for f in event.dv_added if f in pfset]
     if not pfiles:
         return M.read_snapshot(spark, root, event.snapshot_id).filter(
             F.lit(False)
@@ -302,8 +303,8 @@ def read_event_mor_deleted(
         {
             p
             for f in pfiles
-            for p in new_dels[f]["dv"]
-            if p not in set(old_dels.get(f, {}).get("dv", []))
+            for p in set(new_dels[f]["dv"])
+            - set(old_dels.get(f, {}).get("dv", []))
         }
     )
     dv = spark.read.schema("f string, pos long").parquet(
@@ -422,23 +423,7 @@ def row_changes_for_batch(
     order = [starts[0]]
     while order[-1] in child:
         order.append(child[order[-1]])
-    return _cdf_union(spark, root, order, key_cols, compare_cols)
-
-
-def _cdf_union(
-    spark: SparkSession,
-    root: str,
-    order: list[str],
-    key_cols: list[str],
-    compare_cols: list[str],
-) -> DataFrame | None:
-    """The Delta-CDF projection shared by the stream glue and the
-    batch surface: per-commit ``read_event_row_changes`` frames for
-    the ordered commit ids, unioned with ``_commit_snapshot_id`` and
-    ``_change_type`` columns. ``None`` for an empty run."""
-    from pyspark.sql import functions as F
-
-    out = None
+    events = []
     for sid in order:
         man = M._manifest(root, sid)
         parent = man.get("parent")
@@ -450,10 +435,30 @@ def _cdf_union(
                 "behind the vacuum horizon; bootstrap from a snapshot "
                 "read and resume the feed after it"
             ) from None
-        ev = _diff(root, man, pman)
+        events.append(_diff(root, man, pman))
+    return _cdf_union(spark, root, events, key_cols, compare_cols)
+
+
+def _cdf_union(
+    spark: SparkSession,
+    root: str,
+    events: list[CommitEvent],
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame | None:
+    """The Delta-CDF projection shared by the stream glue and the
+    batch surface: per-commit ``read_event_row_changes`` frames for
+    the ALREADY-BUILT events (r14 review: taking sids here made
+    read_table_changes re-read every manifest poll() had just read),
+    unioned with ``_commit_snapshot_id`` and ``_change_type`` columns.
+    ``None`` for an empty run."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for ev in events:
         df = read_event_row_changes(spark, root, ev, key_cols, compare_cols)
         df = df.select(
-            F.lit(sid).alias("_commit_snapshot_id"),
+            F.lit(ev.snapshot_id).alias("_commit_snapshot_id"),
             F.col("change_op").alias("_change_type"),
             *[c for c in df.columns if c != "change_op"],
         )
@@ -492,9 +497,7 @@ def read_table_changes(
         events = events[: sids.index(end) + 1]
     if not events:
         return None
-    return _cdf_union(
-        spark, root, [e.snapshot_id for e in events], key_cols, compare_cols
-    )
+    return _cdf_union(spark, root, events, key_cols, compare_cols)
 
 
 def start_row_change_feed(

@@ -474,6 +474,10 @@ def test_mor_update_commit_is_matched_rows_sized(spark, tmp_path):
     assert set(v1["files"]) <= set(u1["files"])  # nothing rewritten
     added = sorted(set(u1["files"]) - set(v1["files"]))
     assert added and all(f.startswith("data/u1/") for f in added)
+    # file COUNT bounded to the batch, not the scan (r14 review): 10
+    # scattered matched rows must land in ONE file, not one per scan
+    # partition of the 8-file table
+    assert len(added) == 1
     assert sum(e["rows"] for e in u1["deletes"].values()) == 10
     assert sum(
         u1["files_meta"][f]["rows"] for f in added
