@@ -328,6 +328,8 @@ def read_event_row_changes(
     event: CommitEvent,
     key_cols: list[str],
     compare_cols: list[str],
+    _man: dict | None = None,
+    _pman: dict | None = None,
 ) -> DataFrame:
     """Row-level CDC for ONE commit — the file-level event upgraded to
     ``change_op`` rows (insert/update/delete, the
@@ -349,12 +351,17 @@ def read_event_row_changes(
     row-level changelog priced by the commit's own footprint, not the
     table — OPTIMIZE/RESTORE-sized file churn with zero logical change
     (a compaction) still reads only the churned files and emits zero
-    rows (pinned by test)."""
+    rows (pinned by test).
+
+    ``_man``/``_pman`` let a caller that ALREADY holds the commit's
+    and its parent's manifests (the change-feed loop) pass them in —
+    the module's one-JSON-per-commit economics (second r14 review:
+    without this the feed re-read every manifest up to 4x)."""
     from pyspark.sql import functions as F
 
     from db_loader_spark.operators.cdc import snapshot_diff
 
-    man = M._manifest(root, event.snapshot_id)
+    man = _man if _man is not None else M._manifest(root, event.snapshot_id)
     dv_changed = sorted(set(event.dv_added) | set(event.dv_removed))
     old_rel = sorted(set(event.removed_files) | set(dv_changed))
     new_rel = sorted(set(event.added_files) | set(dv_changed))
@@ -362,7 +369,7 @@ def read_event_row_changes(
     if event.parent is None:
         old = _masked_scan(spark, root, man, [])  # genesis: nothing before
     else:
-        pm = M._manifest(root, event.parent)
+        pm = _pman if _pman is not None else M._manifest(root, event.parent)
         # dv-changed files are CARRIED (present in both manifests);
         # removed files exist only in the parent
         pfiles = set(pm["files"])
@@ -395,14 +402,19 @@ def row_changes_for_batch(
 
     Driver-side work is metadata-sized: one distinct-collect of the
     commit ids (a micro-batch holds few commits; each contributes
-    file-count rows, not data rows) and one manifest JSON pair per
-    commit; the per-commit union grows the PLAN linearly in commits
-    per batch, which the poll cadence bounds. Intended for the stream
-    path, where every parent manifest is walkable by construction — a
-    horizon-bootstrap batch read (parent reaped) raises the same
-    truncation error the consumer would."""
-    from pyspark.sql import functions as F
+    file-count rows, not data rows) and ~one manifest JSON per commit
+    (sequential parent reuse); the per-commit union grows the PLAN
+    linearly in commits per batch, which the poll cadence bounds.
 
+    COMMIT ORDER is reconstructed from the batch's (snapshot_id,
+    parent) pairs, BRIDGING GAPS through parent links (second r14
+    review): a commit whose manifest is IDENTICAL to its parent's — a
+    repeated RESTORE — emits zero file-change rows, so it is absent
+    from the batch while the offset still advanced past it; a naive
+    contiguity check would wedge the stream permanently on checkpoint
+    replay. The head candidate whose parent walk covers every batch
+    sid wins (the lineage is linear, so it is unique); gap commits
+    contribute zero row changes by construction and are skipped."""
     pairs = {
         r["snapshot_id"]: r["parent"]
         for r in events_batch.select("snapshot_id", "parent")
@@ -412,57 +424,103 @@ def row_changes_for_batch(
     if not pairs:
         return None
     sids = set(pairs)
-    starts = [s for s, p in pairs.items() if p not in sids]
-    if len(starts) != 1:
+    batch_parents = set(pairs.values())
+    heads = sorted(s for s in sids if s not in batch_parents)
+    hop_cap = 10 * len(sids) + 64  # gap commits are rare; bound reads
+    order: list[str] | None = None
+    for cand in heads:
+        chain: list[str] = []
+        cur, hops = cand, 0
+        while cur is not None and hops <= hop_cap:
+            if cur in sids:
+                chain.append(cur)
+                if len(chain) == len(sids):
+                    break
+            cur = (
+                pairs[cur] if cur in pairs
+                else _man_or_truncated(root, cur).get("parent")
+            )
+            hops += 1
+        if len(chain) == len(sids):
+            order = list(reversed(chain))
+            break
+    if order is None:
         raise RuntimeError(
-            f"manifest_cdc batch at {root!r} is not one contiguous "
-            f"commit chain (chain starts: {sorted(starts)}) — the "
-            "lineage is linear, so this indicates a corrupted batch"
+            f"manifest_cdc batch at {root!r} does not resolve to one "
+            f"commit chain (head candidates: {heads}) — the lineage "
+            "is linear, so this indicates a corrupted batch"
         )
-    child = {p: s for s, p in pairs.items() if p is not None}
-    order = [starts[0]]
-    while order[-1] in child:
-        order.append(child[order[-1]])
     events = []
+    prev_sid, prev_man = None, None
     for sid in order:
-        man = M._manifest(root, sid)
+        man = _man_or_truncated(root, sid)
         parent = man.get("parent")
-        try:
-            pman = M._manifest(root, parent) if parent is not None else None
-        except FileNotFoundError:
-            raise CommitLogTruncated(
-                f"commit {sid!r} at {root!r}: parent {parent!r} is "
-                "behind the vacuum horizon; bootstrap from a snapshot "
-                "read and resume the feed after it"
-            ) from None
-        events.append(_diff(root, man, pman))
+        if parent is None:
+            pman = None
+        elif parent == prev_sid:
+            pman = prev_man
+        else:
+            pman = _man_or_truncated(root, parent)
+        events.append((_diff(root, man, pman), man, pman))
+        prev_sid, prev_man = sid, man
     return _cdf_union(spark, root, events, key_cols, compare_cols)
+
+
+def _man_or_truncated(root: str, sid: str) -> dict:
+    """Manifest read with the module's horizon contract: a reaped
+    manifest surfaces as the typed ``CommitLogTruncated`` (with the
+    bootstrap guidance), never a bare FileNotFoundError (second r14
+    review: the commit's own read was untranslated)."""
+    try:
+        return M._manifest(root, sid)
+    except FileNotFoundError:
+        raise CommitLogTruncated(
+            f"manifest {sid!r} at {root!r} is behind the vacuum "
+            "horizon; bootstrap from a snapshot read and resume the "
+            "feed after it"
+        ) from None
 
 
 def _cdf_union(
     spark: SparkSession,
     root: str,
-    events: list[CommitEvent],
+    events: list,
     key_cols: list[str],
     compare_cols: list[str],
 ) -> DataFrame | None:
     """The Delta-CDF projection shared by the stream glue and the
-    batch surface: per-commit ``read_event_row_changes`` frames for
-    the ALREADY-BUILT events (r14 review: taking sids here made
-    read_table_changes re-read every manifest poll() had just read),
+    batch surface: per-commit ``read_event_row_changes`` frames,
     unioned with ``_commit_snapshot_id`` and ``_change_type`` columns.
-    ``None`` for an empty run."""
+    ``events`` holds ``CommitEvent``s or ``(event, man, pman)``
+    triples when the caller already read the manifests (r14 review:
+    never re-read what the loop just read; bare events fall back to
+    sequential parent reuse). ``None`` for an empty run."""
     from pyspark.sql import functions as F
 
     out = None
-    for ev in events:
-        df = read_event_row_changes(spark, root, ev, key_cols, compare_cols)
+    prev_sid, prev_man = None, None
+    for item in events:
+        if isinstance(item, tuple):
+            ev, man, pman = item
+        else:
+            ev = item
+            man = _man_or_truncated(root, ev.snapshot_id)
+            if ev.parent is None:
+                pman = None
+            elif ev.parent == prev_sid:
+                pman = prev_man
+            else:
+                pman = _man_or_truncated(root, ev.parent)
+        df = read_event_row_changes(
+            spark, root, ev, key_cols, compare_cols, _man=man, _pman=pman
+        )
         df = df.select(
             F.lit(ev.snapshot_id).alias("_commit_snapshot_id"),
             F.col("change_op").alias("_change_type"),
             *[c for c in df.columns if c != "change_op"],
         )
         out = df if out is None else out.unionByName(df)
+        prev_sid, prev_man = ev.snapshot_id, man
     return out
 
 

@@ -462,3 +462,53 @@ def test_read_table_changes_batch_cdf(spark, tmp_path):
     )
     want = sorted((r.id, r.v) for r in M.read_current(spark, root).collect())
     assert sorted((r.id, r.v) for r in folded.collect()) == want
+
+
+def test_row_change_feed_bridges_zero_change_commits(spark, tmp_path):
+    """Second r14 review: a commit whose manifest is IDENTICAL to its
+    parent's (a repeated RESTORE) emits zero manifest_cdc rows while
+    the offset advances past it — the chain reconstruction must bridge
+    the gap through parent links instead of wedging the checkpointed
+    stream on a contiguity error."""
+    from db_loader_spark.streaming.commit_log import start_row_change_feed
+
+    root = _base(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    got: dict[str, list] = {}
+
+    def sink(changes, epoch_id):
+        for r in changes.collect():
+            got.setdefault(r["_commit_snapshot_id"], []).append(
+                (r["_change_type"], r["id"], r["old_v"], r["new_v"])
+            )
+
+    def drain():
+        q = start_row_change_feed(
+            spark, root, ["id"], ["v"], ckpt, sink, available_now=True
+        )
+        q.awaitTermination()
+
+    drain()  # consume genesis
+    M.publish(
+        spark.range(9_000, 9_010).select("id", (F.col("id") * 2).alias("v")),
+        root, append=True, snapshot_id="a1", stats_cols=["id"],
+    )
+    M.restore_snapshot(root, "v1", snapshot_id="r1")  # drops a1's rows
+    M.restore_snapshot(root, "v1", snapshot_id="r2")  # ZERO-change commit
+    M.merge_upsert(
+        spark, spark.createDataFrame([(1, -1)], "id long, v long"),
+        root, "id", snapshot_id="m1",
+    )
+    # batch pairs: a1->v1, r1->a1, m1->r2 — r2 is the invisible gap
+    drain()
+    assert set(got) == {"v1", "a1", "r1", "m1"}  # r2: zero rows
+    assert sorted(got["a1"]) == [
+        ("insert", i, None, 2 * i) for i in range(9_000, 9_010)
+    ]
+    assert sorted(got["r1"]) == [
+        ("delete", i, 2 * i, None) for i in range(9_000, 9_010)
+    ]
+    assert got["m1"] == [("update", 1, 2, -1)]
+    before = {k: list(v) for k, v in got.items()}
+    drain()  # and the stream is NOT wedged: third drain is clean
+    assert got == before
