@@ -1306,10 +1306,33 @@ def _merge_mor_pinned(
         hits = spark.createDataFrame([], "f string, pos long")
     hits.write.mode("overwrite").parquet(dv_tmp)
     assoc = _collect_dv_assoc(spark, dv_tmp)
+    # the batch write pays the same file-count bound as MOR UPDATE
+    # (r14 review, same class): a 200-shuffle-partition CDC batch
+    # would otherwise land 200 tiny files on EVERY epoch commit.
+    # df.count() reads the cache merge_upsert pinned; range-clustering
+    # on the key keeps the appended files' zone maps selective.
+    batch = _sized_batch(df, df.count(), pm.get("files_meta", {}), key_col)
     return _mor_mask_append_commit(
-        root, sid, pm, staged, dv_tmp, assoc, df,
+        root, sid, pm, staged, dv_tmp, assoc, batch,
         "merge_upsert(mor)", "merge",
     )
+
+
+def _sized_batch(df: DataFrame, rows: int, meta: dict, cluster_col):
+    """Bound an appended batch's FILE COUNT to its ROW count: size the
+    output like the table's own files (average rows/file from manifest
+    metadata; 1M-row default on stat-less tables, 256-file cap) so a
+    mask-and-append commit can never strew scan-partition-count tiny
+    files (r14 review). ``cluster_col`` range-clusters the output so
+    the new files carry selective zone maps — round-robin would give
+    every appended file the full key range and poison later pruning.
+    The shuffle this costs is batch-sized."""
+    per_file = [m["rows"] for m in meta.values() if m.get("rows")]
+    target = max(1, sum(per_file) // len(per_file)) if per_file else 1_000_000
+    n_out = min(256, max(1, -(-rows // target)))
+    if cluster_col is not None:
+        return df.repartitionByRange(n_out, cluster_col)
+    return df.repartition(n_out)
 
 
 def _mor_mask_append_commit(
@@ -2153,18 +2176,17 @@ def _update_mor_pinned(
         # (r14 review): `matched` inherits the table-sized scan
         # partitioning, so a scattered predicate would otherwise emit
         # ~one row-sized file per scan partition — table-sized small-
-        # file debris on a matched-rows-sized commit. Size the append
-        # like the table's own files (average rows/file from manifest
-        # metadata); the shuffle this costs is matched-rows-sized.
-        matched_rows = sum(r["n"] for r in assoc)
-        per_file = [m["rows"] for m in meta.values() if m.get("rows")]
-        target = (
-            max(1, sum(per_file) // len(per_file)) if per_file else 1_000_000
+        # file debris on a matched-rows-sized commit. Cluster on the
+        # table's recorded stats column so the appended files keep
+        # selective zone maps; the shuffle is matched-rows-sized.
+        sc = sorted({c for m in meta.values() for c in m.get("stats", {})})
+        batch = _sized_batch(
+            updated, sum(r["n"] for r in assoc), meta,
+            sc[0] if sc else None,
         )
-        n_out = min(256, max(1, -(-matched_rows // target)))
         return _mor_mask_append_commit(
-            root, sid, pm, staged, dv_tmp, assoc,
-            updated.repartition(n_out), "update_where(mor)", "update",
+            root, sid, pm, staged, dv_tmp, assoc, batch,
+            "update_where(mor)", "update",
         )
     finally:
         matched.unpersist()

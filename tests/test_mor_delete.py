@@ -756,6 +756,9 @@ def test_mor_merge_commit_is_batch_sized(spark, tmp_path):
     assert set(v1["files"]) <= set(m1["files"])  # nothing rewritten away
     added = set(m1["files"]) - set(v1["files"])
     assert all(f.startswith("data/m1/") for f in added)
+    # file COUNT bounded to the batch (r14 review): 11 batch rows land
+    # in ONE file, not one per shuffle partition of the batch frame
+    assert len(added) == 1
     assert sum(e["rows"] for e in m1["deletes"].values()) == 10  # matched only
     got = {r.id: r.v for r in M.read_current(spark, root).collect()}
     assert got[97] == -1 and got[9_999] == 5 and got[98] == 196
