@@ -348,6 +348,18 @@ NEXT_UP: list[str] = []
 #     diagnostics-tier spec (27th), value-checked against DuckDB in
 #     tests/test_oracle_queries.py; diagnostics occupy no slot.
 # (6) bench DV scan-unit witness (VERDICT r13 #7) — bench-only.
+# (7) read_table_changes — batch twin of the feed; same no-registry
+#     lineage as (4); pytest-pinned against per-commit snapshot_diff.
+# (8) two independent code-review passes fixed nine findings in the
+#     NEW r14 surfaces (stream wedge on zero-change commits, MOR
+#     update/merge appended-file-count bounds via _sized_batch,
+#     shared _mor_mask_append_commit tail, feed manifest-read reuse,
+#     typed truncation errors, export/doc gaps) — all inside the
+#     MOR/feed lineage that no registry value traverses;
+#     pytest-witnessed (wedge regression, file-count pins).
+# (9) model-based randomized DML sequences (tests/test_dml_model.py)
+#     — test-only; pins the verb algebra against a Python model and
+#     the changelog fold end-to-end.
 #
 # R15 WINDOW PREP: the 50 keys NOT in this window are exactly the
 # r13 window (zero r14 re-entries / displacements — the complement
