@@ -1311,11 +1311,22 @@ def _merge_mor_pinned(
     # would otherwise land 200 tiny files on EVERY epoch commit.
     # df.count() reads the cache merge_upsert pinned; range-clustering
     # on the key keeps the appended files' zone maps selective.
-    batch = _sized_batch(df, df.count(), pm.get("files_meta", {}), key_col)
+    batch = _sized_batch(df, df.count(), meta, key_col)
     return _mor_mask_append_commit(
         root, sid, pm, staged, dv_tmp, assoc, batch,
         "merge_upsert(mor)", "merge",
     )
+
+
+def _stats_cols(meta: dict) -> list[str]:
+    """Every column any file's zone map records — ONE definition for
+    the stats-column derivation (r14 review: the expression was copied
+    across the DML verbs). The r14 MOR sites use this; the pre-r14 COW
+    sites keep their inline copies until their registry lineage next
+    fronts the window (consolidating _merge_upsert_pinned now would
+    force a rule-2 re-entry of t_snapshot_upsert for a mechanical
+    refactor — r15's window contains it, do it then)."""
+    return sorted({c for m in meta.values() for c in m.get("stats", {})})
 
 
 def _sized_batch(df: DataFrame, rows: int, meta: dict, cluster_col):
@@ -1372,9 +1383,7 @@ def _mor_mask_append_commit(
         if f.endswith(".parquet") and not f.startswith("dv-")
     )
     new_files = [os.path.join(_DATA, sid, f) for f in data_files]
-    stats_cols = sorted(
-        {c for m in meta.values() for c in m.get("stats", {})}
-    ) or None
+    stats_cols = _stats_cols(meta) or None
     new_meta = (
         {
             os.path.join(_DATA, sid, f): _file_stats(
@@ -2179,7 +2188,7 @@ def _update_mor_pinned(
         # file debris on a matched-rows-sized commit. Cluster on the
         # table's recorded stats column so the appended files keep
         # selective zone maps; the shuffle is matched-rows-sized.
-        sc = sorted({c for m in meta.values() for c in m.get("stats", {})})
+        sc = _stats_cols(meta)
         batch = _sized_batch(
             updated, sum(r["n"] for r in assoc), meta,
             sc[0] if sc else None,

@@ -203,7 +203,21 @@ class CommitLogConsumer:
             for man, pman in zip(ordered, parents)
         ]
         self.cursor = head
+        self._last_manifests = list(zip(ordered, parents))
         return events
+
+    def poll_full(self) -> list[tuple]:
+        """``poll()`` plus the manifests it already read: a list of
+        ``(event, manifest, parent_manifest)`` triples, oldest first —
+        for callers (the batch change feed) that would otherwise
+        re-read every manifest the walk just held (third r14 review:
+        read_table_changes paid 2x the advertised metadata I/O)."""
+        events = self.poll()
+        mans = getattr(self, "_last_manifests", []) if events else []
+        return [
+            (ev, man, pman)
+            for ev, (man, pman) in zip(events, mans)
+        ]
 
     def tail(self, poll_interval_s: float = 1.0, max_polls: int | None = None):
         """Generator form: yield events as they land, sleeping
@@ -425,44 +439,65 @@ def row_changes_for_batch(
         return None
     sids = set(pairs)
     batch_parents = set(pairs.values())
-    heads = sorted(s for s in sids if s not in batch_parents)
+    # try candidates NEWEST-first (default sids are timestamp-prefixed,
+    # so reverse-lexicographic puts the true head first and the common
+    # gap case costs one walk); order is an efficiency heuristic only —
+    # correctness never depends on it, because a stale candidate's walk
+    # FAILS (below) instead of raising
+    heads = sorted((s for s in sids if s not in batch_parents), reverse=True)
     hop_cap = 10 * len(sids) + 64  # gap commits are rare; bound reads
+    mans: dict[str, dict] = {}  # every manifest this call reads, once
+
+    def man_of(s: str) -> dict:
+        if s not in mans:
+            mans[s] = _man_or_truncated(root, s)
+        return mans[s]
+
     order: list[str] | None = None
+    saw_horizon = False
     for cand in heads:
         chain: list[str] = []
         cur, hops = cand, 0
-        while cur is not None and hops <= hop_cap:
-            if cur in sids:
-                chain.append(cur)
-                if len(chain) == len(sids):
-                    break
-            cur = (
-                pairs[cur] if cur in pairs
-                else _man_or_truncated(root, cur).get("parent")
-            )
-            hops += 1
+        try:
+            while cur is not None and hops <= hop_cap:
+                if cur in sids:
+                    chain.append(cur)
+                    if len(chain) == len(sids):
+                        break
+                cur = (
+                    pairs[cur] if cur in pairs
+                    else man_of(cur).get("parent")
+                )
+                hops += 1
+        except CommitLogTruncated:
+            # a STALE candidate legitimately descends into consumed
+            # history, which vacuum may have reaped (third r14 review:
+            # raising here wedged the stream even though the true head
+            # resolves) — candidate fails, try the next
+            saw_horizon = True
+            continue
         if len(chain) == len(sids):
             order = list(reversed(chain))
             break
     if order is None:
+        if saw_horizon:
+            raise CommitLogTruncated(
+                f"manifest_cdc batch at {root!r}: no head candidate "
+                f"({heads}) resolves the chain above the vacuum "
+                "horizon; bootstrap from a snapshot read and resume "
+                "the feed after it"
+            )
         raise RuntimeError(
             f"manifest_cdc batch at {root!r} does not resolve to one "
             f"commit chain (head candidates: {heads}) — the lineage "
             "is linear, so this indicates a corrupted batch"
         )
     events = []
-    prev_sid, prev_man = None, None
     for sid in order:
-        man = _man_or_truncated(root, sid)
+        man = man_of(sid)  # walk-read manifests reused, never re-read
         parent = man.get("parent")
-        if parent is None:
-            pman = None
-        elif parent == prev_sid:
-            pman = prev_man
-        else:
-            pman = _man_or_truncated(root, parent)
+        pman = None if parent is None else man_of(parent)
         events.append((_diff(root, man, pman), man, pman))
-        prev_sid, prev_man = sid, man
     return _cdf_union(spark, root, events, key_cols, compare_cols)
 
 
@@ -491,26 +526,13 @@ def _cdf_union(
     """The Delta-CDF projection shared by the stream glue and the
     batch surface: per-commit ``read_event_row_changes`` frames,
     unioned with ``_commit_snapshot_id`` and ``_change_type`` columns.
-    ``events`` holds ``CommitEvent``s or ``(event, man, pman)``
-    triples when the caller already read the manifests (r14 review:
-    never re-read what the loop just read; bare events fall back to
-    sequential parent reuse). ``None`` for an empty run."""
+    ``events`` holds ``(event, man, pman)`` triples — both callers
+    already read the manifests (r14 review: never re-read what the
+    walk just held). ``None`` for an empty run."""
     from pyspark.sql import functions as F
 
     out = None
-    prev_sid, prev_man = None, None
-    for item in events:
-        if isinstance(item, tuple):
-            ev, man, pman = item
-        else:
-            ev = item
-            man = _man_or_truncated(root, ev.snapshot_id)
-            if ev.parent is None:
-                pman = None
-            elif ev.parent == prev_sid:
-                pman = prev_man
-            else:
-                pman = _man_or_truncated(root, ev.parent)
+    for ev, man, pman in events:
         df = read_event_row_changes(
             spark, root, ev, key_cols, compare_cols, _man=man, _pman=pman
         )
@@ -520,7 +542,6 @@ def _cdf_union(
             *[c for c in df.columns if c != "change_op"],
         )
         out = df if out is None else out.unionByName(df)
-        prev_sid, prev_man = ev.snapshot_id, man
     return out
 
 
@@ -544,18 +565,18 @@ def read_table_changes(
     the returned rows by last-change-per-key, or hand them to a
     downstream MERGE keyed on ``key_cols``."""
     consumer = CommitLogConsumer(root, start_after=start_after)
-    events = consumer.poll()
+    triples = consumer.poll_full()  # events + the manifests poll read
     if end is not None:
-        sids = [e.snapshot_id for e in events]
+        sids = [t[0].snapshot_id for t in triples]
         if end not in sids:
             raise ValueError(
                 f"end snapshot {end!r} is not after {start_after!r} in "
                 f"the live lineage of {root!r}"
             )
-        events = events[: sids.index(end) + 1]
-    if not events:
+        triples = triples[: sids.index(end) + 1]
+    if not triples:
         return None
-    return _cdf_union(spark, root, events, key_cols, compare_cols)
+    return _cdf_union(spark, root, triples, key_cols, compare_cols)
 
 
 def start_row_change_feed(

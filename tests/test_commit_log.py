@@ -512,3 +512,61 @@ def test_row_change_feed_bridges_zero_change_commits(spark, tmp_path):
     before = {k: list(v) for k, v in got.items()}
     drain()  # and the stream is NOT wedged: third drain is clean
     assert got == before
+
+
+def test_gap_batch_with_vacuumed_history_below_does_not_wedge(spark, tmp_path):
+    """Third r14 review: a STALE head candidate's walk legitimately
+    descends into already-consumed history, which vacuum may have
+    reaped — that must fail the CANDIDATE (the true head still
+    resolves the chain), not raise through and wedge the checkpointed
+    stream. Scenario: consumed history vacuumed away, then a gap batch
+    (zero-change double restore) whose stale candidate sorts first and
+    walks straight into the reaped region."""
+    from db_loader_spark.streaming.commit_log import start_row_change_feed
+
+    root = _base(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    got: dict[str, list] = {}
+
+    def sink(changes, epoch_id):
+        for r in changes.collect():
+            got.setdefault(r["_commit_snapshot_id"], []).append(
+                (r["_change_type"], r["id"], r["old_v"], r["new_v"])
+            )
+
+    def drain():
+        q = start_row_change_feed(
+            spark, root, ["id"], ["v"], ckpt, sink, available_now=True
+        )
+        q.awaitTermination()
+
+    M.publish(
+        spark.range(9_000, 9_005).select("id", (F.col("id") * 2).alias("v")),
+        root, append=True, snapshot_id="a1", stats_cols=["id"],
+    )
+    drain()  # consume v1 + a1; cursor = a1
+    M.vacuum(root, keep=1)  # reap v1's manifest (consumed history)
+    with pytest.raises(FileNotFoundError):
+        M._manifest(root, "v1")  # the horizon is real, not hypothetical
+    M.publish(
+        spark.range(9_100, 9_103).select("id", (F.col("id") * 2).alias("v")),
+        root, append=True, snapshot_id="a2", stats_cols=["id"],
+    )
+    M.restore_snapshot(root, "a1", snapshot_id="r1")  # drops a2's rows
+    M.restore_snapshot(root, "a1", snapshot_id="r2")  # ZERO-change gap
+    M.merge_upsert(
+        spark, spark.createDataFrame([(2, -2)], "id long, v long"),
+        root, "id", snapshot_id="m1",
+    )
+    # batch pairs {a2: a1, r1: a2, m1: r2}; candidates sorted
+    # newest-first = [r1, m1]: r1 is STALE and its walk descends
+    # a1 -> v1 (reaped). Must fail over to m1, not raise.
+    drain()
+    assert {"a2", "r1", "m1"} <= set(got) and "r2" not in got
+    assert sorted(got["a2"]) == [
+        ("insert", i, None, 2 * i) for i in range(9_100, 9_103)
+    ]
+    assert sorted(got["r1"]) == [
+        ("delete", i, 2 * i, None) for i in range(9_100, 9_103)
+    ]
+    assert got["m1"] == [("update", 2, 4, -2)]

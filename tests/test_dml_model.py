@@ -78,10 +78,9 @@ def _apply_random_op(spark, root, rng, model, snapshots, next_id, sid):
         return next_id + n_ins
     if verb == "purge":
         # threshold 0 purges every masked file; a clean table no-ops
-        # (returns the parent, no commit — drop the unused sid)
-        out = M.purge_deletes(spark, root, snapshot_id=sid)
-        if out != sid:
-            snapshots.pop(sid, None)
+        # (returns the parent, no commit — the caller's
+        # current_snapshot check then skips recording sid)
+        M.purge_deletes(spark, root, snapshot_id=sid)
         return next_id
     if verb == "compact":
         M.compact_snapshot(spark, root, rng.randint(1, 4), snapshot_id=sid)
