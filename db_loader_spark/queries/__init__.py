@@ -365,6 +365,11 @@ NEXT_UP: list[str] = []
 # (9) model-based randomized DML sequences (tests/test_dml_model.py)
 #     — test-only; pins the verb algebra against a Python model and
 #     the changelog fold end-to-end.
+# (10) merge_apply (MERGE with deletes in one MOR commit) +
+#     apply_table_changes (CDF fold -> replica sync) — new verbs on
+#     the same non-registry MOR lineage; pytest-witnessed (one-commit
+#     semantics, pure-delete mask-only, guards, replica ≡ source
+#     across sync rounds, 11-writer storm, model sequences).
 #
 # R15 WINDOW PREP: the 50 keys NOT in this window are exactly the
 # r13 window (zero r14 re-entries / displacements — the complement

@@ -1353,7 +1353,7 @@ def _mor_mask_append_commit(
     staged: str,
     dv_tmp: str,
     assoc: list,
-    batch: DataFrame,
+    batch: DataFrame | None,
     op_label: str,
     verb: str,
 ) -> str:
@@ -1370,8 +1370,14 @@ def _mor_mask_append_commit(
     meta = pm.get("files_meta", {})
     # stage the BATCH as the appended data files, then move the
     # vectors in beside them under dv- names (the overwrite clears any
-    # prior attempt's residue first, so the move must come after)
-    batch.write.mode("overwrite").parquet(staged)
+    # prior attempt's residue first, so the move must come after).
+    # batch=None = mask-only commit (merge_apply's pure-delete case):
+    # no data file is written at all, not even a 0-row part.
+    if batch is not None:
+        batch.write.mode("overwrite").parquet(staged)
+    else:
+        shutil.rmtree(staged, ignore_errors=True)  # prior-attempt residue
+        os.makedirs(staged, exist_ok=True)
     for p in os.listdir(dv_tmp):
         if p.endswith(".parquet"):
             os.replace(
@@ -2199,6 +2205,117 @@ def _update_mor_pinned(
         )
     finally:
         matched.unpersist()
+
+
+def merge_apply(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str,
+    key_col: str,
+    delete_col: str = "_delete",
+    snapshot_id: str | None = None,
+    rebase_retries: int | None = None,
+) -> str:
+    """MERGE with deletes in ONE merge-on-read commit (Delta's
+    ``WHEN MATCHED [AND cond] DELETE`` / the CDC-apply primitive,
+    r14): ``batch`` carries the table's full schema plus a boolean
+    ``delete_col``. Every batch key's current position is MASKED with
+    deletion vectors (zone-map-targeted scan, same machinery as the
+    MOR merge); only the NON-delete rows are appended. The result
+    equals delete-then-upsert, in one atomic snapshot and at
+    batch-sized write cost — exactly what applying a change-feed
+    micro-batch to a downstream replica needs
+    (``streaming.commit_log.apply_table_changes`` is that glue).
+
+    Contract: batch keys unique; batch-minus-flag columns must equal
+    the recorded table schema exactly (the shared MERGE contract);
+    ``delete_col`` must be BOOLEAN and non-NULL. Deleting an absent
+    key is a no-op (its position scan finds nothing); an EMPTY batch
+    is the documented no-op (parent id, no commit). Same OCC rebase
+    loop and exactly-once ``snapshot_id`` token as every DML verb."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
+    if delete_col not in batch.columns:
+        raise ValueError(
+            f"merge_apply batch is missing the {delete_col!r} flag column"
+        )
+    if not isinstance(batch.schema[delete_col].dataType, BooleanType):
+        raise ValueError(
+            f"merge_apply {delete_col!r} must be BOOLEAN, got "
+            f"{batch.schema[delete_col].dataType}"
+        )
+
+    def attempt(parent):
+        if parent is None:
+            raise FileNotFoundError(f"no current snapshot at {root!r}")
+        pm = _manifest(root, parent)
+        return _merge_apply_pinned(
+            spark, batch, root, key_col, delete_col, snapshot_id, pm
+        )
+
+    batch_p = batch.persist()
+    try:
+        return _occ_loop(root, snapshot_id, retries, attempt)
+    finally:
+        batch_p.unpersist()
+
+
+def _merge_apply_pinned(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str,
+    key_col: str,
+    delete_col: str,
+    snapshot_id: str | None,
+    pm: dict,
+) -> str:
+    """merge_apply against a PINNED parent manifest — the MOR merge
+    body with the append side filtered to the non-delete rows."""
+    from pyspark.sql import functions as F
+
+    meta = pm.get("files_meta", {})
+    sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+    data_dir, man_dir, _ = _paths(root)
+    os.makedirs(man_dir, exist_ok=True)
+    staged = os.path.join(data_dir, sid)
+    if os.path.isdir(staged) and _prefix_live(root, sid):
+        return sid  # committed, superseded, manifest reaped: no-op
+    rows = batch.select(key_col, delete_col)
+    if rows.where(F.col(delete_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"merge_apply {delete_col!r} must be non-NULL (TRUE=delete, "
+            "FALSE=upsert) — NULL is refused, not guessed"
+        )
+    _merge_contract_checks(batch.drop(delete_col), pm, key_col)
+    keys = batch.select(key_col).distinct()
+    if keys.limit(1).count() == 0:
+        return pm["snapshot_id"]  # empty batch: the table is unchanged
+    scan_rel = _key_touched_files(keys, key_col, pm, meta)
+    tag = uuid.uuid4().hex[:8]
+    rc, pc = f"_dml_rel_{tag}", f"_dml_pos_{tag}"
+    dv_tmp = f"{staged}.dvtmp"
+    if scan_rel:
+        ann = _annotated_scan(spark, root, pm, scan_rel, rc, pc)
+        hits = (
+            ann.join(keys, key_col, "left_semi")
+            .select(F.col(rc).alias("f"), F.col(pc).alias("pos"))
+            .repartition(_DV_FILES, "f")
+        )
+    else:  # every key is new: mask nothing
+        hits = spark.createDataFrame([], "f string, pos long")
+    hits.write.mode("overwrite").parquet(dv_tmp)
+    assoc = _collect_dv_assoc(spark, dv_tmp)
+    upserts = batch.where(~F.col(delete_col)).drop(delete_col)
+    n_up = upserts.count()
+    sized = (
+        _sized_batch(upserts, n_up, meta, key_col) if n_up else None
+    )  # pure-delete batch: mask-only commit, zero data files
+    return _mor_mask_append_commit(
+        root, sid, pm, staged, dv_tmp, assoc, sized,
+        "merge_apply", "merge",
+    )
 
 
 def compact_snapshot(

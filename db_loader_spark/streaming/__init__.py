@@ -4,6 +4,7 @@ from db_loader_spark.streaming.commit_log import (
     CommitEvent,
     CommitLogConsumer,
     CommitLogTruncated,
+    apply_table_changes,
     read_event_appended,
     read_event_mor_deleted,
     read_event_row_changes,
@@ -19,6 +20,7 @@ from db_loader_spark.streaming.manifest_source import (
 
 __all__ = [
     "CommitEvent",
+    "apply_table_changes",
     "CommitLogConsumer",
     "CommitLogTruncated",
     "read_event_appended",

@@ -528,16 +528,20 @@ def _cdf_union(
     unioned with ``_commit_snapshot_id`` and ``_change_type`` columns.
     ``events`` holds ``(event, man, pman)`` triples — both callers
     already read the manifests (r14 review: never re-read what the
-    walk just held). ``None`` for an empty run."""
+    walk just held). ``_commit_seq`` numbers the commits within THIS
+    range (oldest = 0) so a consumer can fold last-change-per-key
+    without parsing snapshot ids; across stream epochs the epoch id
+    is the outer order. ``None`` for an empty run."""
     from pyspark.sql import functions as F
 
     out = None
-    for ev, man, pman in events:
+    for i, (ev, man, pman) in enumerate(events):
         df = read_event_row_changes(
             spark, root, ev, key_cols, compare_cols, _man=man, _pman=pman
         )
         df = df.select(
             F.lit(ev.snapshot_id).alias("_commit_snapshot_id"),
+            F.lit(i).alias("_commit_seq"),
             F.col("change_op").alias("_change_type"),
             *[c for c in df.columns if c != "change_op"],
         )
@@ -631,3 +635,53 @@ def start_row_change_feed(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_table_changes(
+    spark: SparkSession,
+    changes: DataFrame,
+    target_root: str,
+    key_col: str,
+    value_cols: list[str],
+    snapshot_id: str | None = None,
+) -> str | None:
+    """Apply a Delta-CDF frame (``read_table_changes`` /
+    ``row_changes_for_batch`` shape) to a DOWNSTREAM manifest table in
+    ONE merge-on-read commit — the replica-sync recipe: source table →
+    changelog → ``apply_table_changes`` → replica, each hop priced by
+    the change set, never the table.
+
+    Folds the frame to the LAST change per key (by ``_commit_seq``,
+    the within-range commit order the CDF carries), turns it into a
+    full-schema batch with a delete flag, and hands it to
+    ``sinks.manifest.merge_apply`` (mask matched positions + append
+    surviving upserts, atomically). The target's schema must be
+    ``key_col`` + ``value_cols`` — the source projection the CDF was
+    built from. Returns the commit id, or ``None`` for an empty frame.
+
+    Exactly-once to the replica: pass a ``snapshot_id`` derived from
+    the range (e.g. the last ``_commit_snapshot_id``) — replays of the
+    same applied range become manifest-token no-ops, upgrading an
+    at-least-once feed to exactly-once end-to-end."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    if changes is None:
+        return None
+    last = (
+        changes.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(key_col).orderBy(F.desc("_commit_seq"))
+            ),
+        )
+        .where("_rn = 1")
+    )
+    batch = last.select(
+        F.col(key_col),
+        *[F.col(f"new_{c}").alias(c) for c in value_cols],
+        (F.col("_change_type") == F.lit("delete")).alias("_delete"),
+    )
+    return M.merge_apply(
+        spark, batch, target_root, key_col, snapshot_id=snapshot_id
+    )

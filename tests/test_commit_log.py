@@ -570,3 +570,63 @@ def test_gap_batch_with_vacuumed_history_below_does_not_wedge(spark, tmp_path):
         ("delete", i, 2 * i, None) for i in range(9_100, 9_103)
     ]
     assert got["m1"] == [("update", 2, 4, -2)]
+
+
+def test_apply_table_changes_syncs_a_replica(spark, tmp_path):
+    """The full CDC circle: source table → read_table_changes →
+    apply_table_changes → replica, each hop priced by the change set.
+    The replica must equal the source after every sync round, a
+    replayed apply must be a no-op (token idempotence), and a key
+    changed MULTIPLE times inside one range must fold to its last
+    state."""
+    from db_loader_spark.streaming.commit_log import (
+        apply_table_changes,
+        read_table_changes,
+    )
+
+    src = _base(spark, tmp_path, name="src")
+    replica = str(tmp_path / "replica")
+    # bootstrap the replica from the source genesis snapshot
+    M.publish(
+        M.read_snapshot(spark, src, "v1"), replica,
+        snapshot_id="boot-v1", stats_cols=["id"],
+    )
+
+    def synced():
+        a = sorted((r.id, r.v) for r in M.read_current(spark, src).collect())
+        b = sorted(
+            (r.id, r.v) for r in M.read_current(spark, replica).collect()
+        )
+        return a == b
+
+    # round 1: multi-verb history with a multi-change key (id 7:
+    # updated by u1 then deleted by d1; id 3 deleted then re-merged)
+    M.update_where(spark, src, "id in (7, 8)", {"v": "v + 1"},
+                   mode="mor", snapshot_id="u1")
+    M.delete_where(spark, src, "id in (3, 7)", mode="mor", snapshot_id="d1")
+    M.merge_upsert(
+        spark, spark.createDataFrame([(3, -3), (9_000, 1)], "id long, v long"),
+        src, "id", snapshot_id="m1", mode="mor",
+    )
+    cdf = read_table_changes(spark, src, ["id"], ["v"], start_after="v1")
+    out = apply_table_changes(spark, cdf, replica, "id", ["v"],
+                              snapshot_id="sync-m1")
+    assert out == "sync-m1" and synced()
+    # replay of the same applied range: manifest-token no-op
+    apply_table_changes(spark, cdf, replica, "id", ["v"],
+                        snapshot_id="sync-m1")
+    assert M.snapshots(replica) == ["boot-v1", "sync-m1"] and synced()
+
+    # round 2: incremental — only the new commits travel
+    M.delete_where(spark, src, "id < 5", mode="cow", snapshot_id="d2")
+    M.update_where(spark, src, "id = 9000", {"v": "42"}, snapshot_id="u2")
+    cdf2 = read_table_changes(spark, src, ["id"], ["v"], start_after="m1")
+    apply_table_changes(spark, cdf2, replica, "id", ["v"],
+                        snapshot_id="sync-u2")
+    assert synced()
+    assert M.snapshots(replica) == ["boot-v1", "sync-m1", "sync-u2"]
+
+    # empty range: None in, no-op out
+    assert read_table_changes(spark, src, ["id"], ["v"],
+                              start_after="u2") is None
+    assert apply_table_changes(spark, None, replica, "id", ["v"]) is None

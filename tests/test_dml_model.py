@@ -1,6 +1,7 @@
 """Model-based randomized DML sequences (r14): every manifest verb —
-append, COW/MOR delete, COW/MOR update, COW/MOR merge, REORG PURGE,
-OPTIMIZE, RESTORE — interleaved by a seeded RNG against a plain
+append, COW/MOR delete, COW/MOR update, COW/MOR merge, delete-flagged
+merge_apply, REORG PURGE, OPTIMIZE, RESTORE — interleaved by a seeded
+RNG against a plain
 Python dict model applying the same logic. After EVERY commit the
 logical table must equal the model; at the end, the row-level
 changelog (read_table_changes) folded by last-change-per-key must
@@ -32,7 +33,7 @@ def _apply_random_op(spark, root, rng, model, snapshots, next_id, sid):
     state for restore targets."""
     verb = rng.choice(
         ["append", "delete", "delete", "update", "update",
-         "merge", "merge", "purge", "compact", "restore"]
+         "merge", "merge", "apply", "purge", "compact", "restore"]
     )
     if verb == "append":
         n = rng.randint(3, 20)
@@ -75,6 +76,27 @@ def _apply_random_op(spark, root, rng, model, snapshots, next_id, sid):
             root, "id", snapshot_id=sid, mode=mode,
         )
         model.update(dict(batch))
+        return next_id + n_ins
+    if verb == "apply":
+        hits = rng.sample(sorted(model), min(len(model), rng.randint(0, 6)))
+        dels, ups = hits[: len(hits) // 2], hits[len(hits) // 2:]
+        n_ins = rng.randint(0, 3)
+        rows = (
+            [(k, rng.randint(-50, 50), False) for k in ups]
+            + [(next_id + i, rng.randint(-50, 50), False)
+               for i in range(n_ins)]
+            + [(k, 0, True) for k in dels]
+        )
+        M.merge_apply(
+            spark,
+            spark.createDataFrame(rows, "id long, v long, _delete boolean"),
+            root, "id", snapshot_id=sid,
+        )
+        for k, v, is_del in rows:
+            if is_del:
+                model.pop(k, None)
+            else:
+                model[k] = v
         return next_id + n_ins
     if verb == "purge":
         # threshold 0 purges every masked file; a clean table no-ops

@@ -349,8 +349,9 @@ def test_update_lost_race_rebases(spark, tmp_path, monkeypatch):
 
 def test_mixed_dml_storm_with_mor_and_update_is_serializable(spark, tmp_path):
     """The r12 mixed-DML storm widened to the full r14 verb set:
-    appends, COW and MOR merges, COW and MOR deletes, and COW and MOR
-    UPDATEs racing from ten real threads must produce a lineage whose
+    appends, COW and MOR merges, COW and MOR deletes, COW and MOR
+    UPDATEs, and a delete-flagged merge_apply racing from eleven real
+    threads must produce a lineage whose
     SEQUENTIAL REPLAY
     reproduces the racing table row-for-row — a stale derivation
     anywhere (resurrected MOR rows, clobbered vectors, lost updates)
@@ -379,11 +380,12 @@ def test_mixed_dml_storm_with_mor_and_update_is_serializable(spark, tmp_path):
         "upd-0": ("update", ("id < 5", {"v": "v + 1000"})),
         "upd-1": ("update", ("id >= 5 AND id < 10", {"v": "v - 7"})),
         "upd-mor": ("update_mor", ("id >= 25 AND id < 30", {"v": "v + 50"})),
+        "apply-0": ("apply", [(35, -35, False), (36, 0, True), (400, -4, False)]),
     }
 
     def apply_op(r, token, kind, payload):
-        # rebase_retries=16: ten racing writers can cost one loser
-        # nine lost races plus replays' own contention
+        # rebase_retries=16: eleven racing writers can cost one loser
+        # ten lost races plus replays' own contention
         if kind == "append":
             M.publish(payload, r, snapshot_id=token, append=True,
                       stats_cols=["id"])
@@ -396,6 +398,13 @@ def test_mixed_dml_storm_with_mor_and_update_is_serializable(spark, tmp_path):
         elif kind in ("cow", "mor"):
             M.delete_where(spark, r, payload, snapshot_id=token,
                            rebase_retries=16, mode=kind)
+        elif kind == "apply":
+            M.merge_apply(
+                spark,
+                spark.createDataFrame(payload,
+                                      "id long, v long, _delete boolean"),
+                r, "id", snapshot_id=token, rebase_retries=16,
+            )
         else:
             pred, sets = payload
             M.update_where(spark, r, pred, sets, snapshot_id=token,
@@ -874,3 +883,73 @@ def test_mor_merge_pure_insert_batch_masks_nothing(spark, tmp_path):
     assert "deletes" not in m1 or m1["deletes"] == {}
     assert set(M._manifest(root, "v1")["files"]) <= set(m1["files"])
     assert M.read_current(spark, root).count() == 1_002
+
+
+def test_merge_apply_upserts_and_deletes_one_commit(spark, tmp_path):
+    """merge_apply (r14): one MOR commit == delete-then-upsert, with
+    matched positions masked and only non-delete rows appended."""
+    root = _table(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(5, -5, False), (100, -100, False), (7_777, 7, False),
+         (10, 0, True), (11, 0, True), (99_999, 0, True)],
+        "id long, v long, _delete boolean",
+    )  # 2 updates + 1 insert + 2 real deletes + 1 absent-key delete
+    M.merge_apply(spark, batch, root, "id", snapshot_id="x1")
+    got = {r.id: r.v for r in M.read_current(spark, root).collect()}
+    assert len(got) == 1_000 - 2 + 1
+    assert got[5] == -5 and got[100] == -100 and got[7_777] == 7
+    assert 10 not in got and 11 not in got and 99_999 not in got
+    assert got[12] == 24  # untouched
+    v1, x1 = M._manifest(root, "v1"), M._manifest(root, "x1")
+    assert set(v1["files"]) <= set(x1["files"])  # nothing rewritten
+    added = sorted(set(x1["files"]) - set(v1["files"]))
+    assert len(added) == 1  # batch-sized, file-count-bounded
+    # masked = every batch key PRESENT in the parent (4 of 6: the
+    # insert 7_777 and the absent-key delete 99_999 match nothing)
+    assert sum(e["rows"] for e in x1["deletes"].values()) == 4
+    assert M.snapshots(root) == ["v1", "x1"]  # ONE commit
+    # replay is exactly-once
+    M.merge_apply(spark, batch, root, "id", snapshot_id="x1")
+    assert M.snapshots(root) == ["v1", "x1"]
+
+
+def test_merge_apply_pure_delete_is_mask_only(spark, tmp_path):
+    """A pure-delete batch commits vectors + metadata ONLY — zero data
+    files appended, not even a 0-row part."""
+    root = _table(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(3, 0, True), (700, 0, True)], "id long, v long, _delete boolean"
+    )
+    M.merge_apply(spark, batch, root, "id", snapshot_id="x1")
+    v1, x1 = M._manifest(root, "v1"), M._manifest(root, "x1")
+    assert x1["files"] == v1["files"]  # no data file added or removed
+    assert sum(e["rows"] for e in x1["deletes"].values()) == 2
+    got = sorted(r.id for r in M.read_current(spark, root).collect())
+    assert len(got) == 998 and 3 not in got and 700 not in got
+
+
+def test_merge_apply_guards_and_noop(spark, tmp_path):
+    root = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="flag column"):
+        M.merge_apply(
+            spark, spark.createDataFrame([(1, 2)], "id long, v long"),
+            root, "id",
+        )
+    with pytest.raises(ValueError, match="BOOLEAN"):
+        M.merge_apply(
+            spark,
+            spark.createDataFrame([(1, 2, 1)],
+                                  "id long, v long, _delete long"),
+            root, "id",
+        )
+    with pytest.raises(ValueError, match="non-NULL"):
+        M.merge_apply(
+            spark,
+            spark.createDataFrame([(1, 2, None)],
+                                  "id long, v long, _delete boolean"),
+            root, "id",
+        )
+    # empty batch: documented no-op, no commit
+    empty = spark.createDataFrame([], "id long, v long, _delete boolean")
+    assert M.merge_apply(spark, empty, root, "id") == "v1"
+    assert M.snapshots(root) == ["v1"]
