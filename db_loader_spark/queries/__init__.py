@@ -350,7 +350,7 @@ NEXT_UP: list[str] = []
 # (6) bench DV scan-unit witness (VERDICT r13 #7) — bench-only.
 # (7) read_table_changes — batch twin of the feed; same no-registry
 #     lineage as (4); pytest-pinned against per-commit snapshot_diff.
-# (8) THREE independent code-review passes fixed seventeen findings
+# (8) FOUR independent code-review passes fixed twenty-three findings
 #     in the NEW r14 surfaces (two stream-wedge classes: zero-change
 #     commits splitting the chain, and a stale head candidate's walk
 #     crossing the vacuum horizon; MOR update/merge appended-file-
@@ -359,9 +359,14 @@ NEXT_UP: list[str] = []
 #     a walk-read cache; typed truncation errors; export/doc gaps) —
 #     all inside the MOR/feed lineage that no registry value
 #     traverses; pytest-witnessed (two wedge regressions, file-count
-#     pins). NOTE for r15: consolidate the remaining inline
-#     stats-cols derivations onto _stats_cols while t_snapshot_upsert
-#     is in-window (deferred here to keep zero re-entries).
+#     pins). Pass 4 (over the merge_apply diff): net-zero batches
+#     commit NOTHING (lineage growth under at-least-once replay),
+#     apply_table_changes' None-when-no-commit return contract,
+#     _mor_mask_hits extraction, verb-correct contract errors, one
+#     probe job instead of two. NOTE for r15: consolidate the
+#     remaining inline stats-cols derivations onto _stats_cols while
+#     t_snapshot_upsert is in-window (deferred to keep zero
+#     re-entries).
 # (9) model-based randomized DML sequences (tests/test_dml_model.py)
 #     — test-only; pins the verb algebra against a Python model and
 #     the changelog fold end-to-end.

@@ -1290,22 +1290,8 @@ def _merge_mor_pinned(
     # zone-map targeting, same as the COW path (third r13 review): the
     # position scan reads only the files whose stats CAN contain a
     # batch key — on a clustered table the scan is batch-localized,
-    # not table-sized
-    scan_rel = _key_touched_files(keys, key_col, pm, meta)
-    tag = uuid.uuid4().hex[:8]
-    rc, pc = f"_dml_rel_{tag}", f"_dml_pos_{tag}"
-    dv_tmp = f"{staged}.dvtmp"
-    if scan_rel:
-        ann = _annotated_scan(spark, root, pm, scan_rel, rc, pc)
-        hits = (
-            ann.join(keys, key_col, "left_semi")
-            .select(F.col(rc).alias("f"), F.col(pc).alias("pos"))
-            .repartition(_DV_FILES, "f")
-        )
-    else:  # pure-insert batch: no file can match, mask nothing
-        hits = spark.createDataFrame([], "f string, pos long")
-    hits.write.mode("overwrite").parquet(dv_tmp)
-    assoc = _collect_dv_assoc(spark, dv_tmp)
+    # not table-sized (shared with merge_apply via _mor_mask_hits)
+    assoc, dv_tmp = _mor_mask_hits(spark, root, pm, keys, key_col, staged)
     # the batch write pays the same file-count bound as MOR UPDATE
     # (r14 review, same class): a 200-shuffle-partition CDC batch
     # would otherwise land 200 tiny files on EVERY epoch commit.
@@ -2233,7 +2219,6 @@ def merge_apply(
     key is a no-op (its position scan finds nothing); an EMPTY batch
     is the documented no-op (parent id, no commit). Same OCC rebase
     loop and exactly-once ``snapshot_id`` token as every DML verb."""
-    from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType
 
     retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
@@ -2282,16 +2267,72 @@ def _merge_apply_pinned(
     staged = os.path.join(data_dir, sid)
     if os.path.isdir(staged) and _prefix_live(root, sid):
         return sid  # committed, superseded, manifest reaped: no-op
-    rows = batch.select(key_col, delete_col)
-    if rows.where(F.col(delete_col).isNull()).limit(1).count():
+    # one probe job for emptiness + the NULL-flag guard (fourth r14
+    # review: two separate limit(1).count() jobs multiplied under the
+    # OCC retry loop)
+    probe = batch.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col(delete_col).isNull(), 1)).alias("nulls"),
+    ).first()
+    if probe["n"] == 0:
+        return pm["snapshot_id"]  # empty batch: the table is unchanged
+    if probe["nulls"]:
         raise ValueError(
             f"merge_apply {delete_col!r} must be non-NULL (TRUE=delete, "
             "FALSE=upsert) — NULL is refused, not guessed"
         )
-    _merge_contract_checks(batch.drop(delete_col), pm, key_col)
+    try:
+        _merge_contract_checks(batch.drop(delete_col), pm, key_col)
+    except ValueError as e:
+        # the shared check names merge_upsert and sees the batch with
+        # the flag already stripped — rewrite so the error points at
+        # the call the user actually made (registry-lineage rule: the
+        # shared helper itself is not touched)
+        raise ValueError(
+            str(e).replace("merge_upsert", "merge_apply")
+            + f" (the {delete_col!r} flag column is stripped before "
+            "this check)"
+        ) from None
     keys = batch.select(key_col).distinct()
-    if keys.limit(1).count() == 0:
-        return pm["snapshot_id"]  # empty batch: the table is unchanged
+    assoc, dv_tmp = _mor_mask_hits(
+        spark, root, pm, keys, key_col, staged
+    )
+    upserts = batch.where(~F.col(delete_col)).drop(delete_col)
+    n_up = upserts.count()
+    if not assoc and n_up == 0:
+        # nets to nothing (absent-key deletes only, or a token-less
+        # replay whose keys are already gone): the documented DML
+        # convention is NO commit — a zero-change snapshot per
+        # at-least-once replay would grow the lineage unboundedly
+        # (fourth r14 review)
+        shutil.rmtree(dv_tmp, ignore_errors=True)
+        return pm["snapshot_id"]
+    sized = (
+        _sized_batch(upserts, n_up, meta, key_col) if n_up else None
+    )  # pure-delete batch: mask-only commit, zero data files
+    return _mor_mask_append_commit(
+        root, sid, pm, staged, dv_tmp, assoc, sized,
+        "merge_apply", "merge",
+    )
+
+
+def _mor_mask_hits(
+    spark: SparkSession,
+    root: str,
+    pm: dict,
+    keys: DataFrame,
+    key_col: str,
+    staged: str,
+) -> tuple:
+    """The shared mask-derivation prelude of the MOR merge and
+    merge_apply (fourth r14 review: it had been copied verbatim):
+    zone-map-target the parent files that CAN contain a batch key,
+    scan them annotated with (file, position), semi-join to the keys,
+    stage the hit positions as vector parquet under ``staged``.dvtmp,
+    and return (driver-bounded association, dv_tmp path)."""
+    from pyspark.sql import functions as F
+
+    meta = pm.get("files_meta", {})
     scan_rel = _key_touched_files(keys, key_col, pm, meta)
     tag = uuid.uuid4().hex[:8]
     rc, pc = f"_dml_rel_{tag}", f"_dml_pos_{tag}"
@@ -2303,19 +2344,10 @@ def _merge_apply_pinned(
             .select(F.col(rc).alias("f"), F.col(pc).alias("pos"))
             .repartition(_DV_FILES, "f")
         )
-    else:  # every key is new: mask nothing
+    else:  # no parent file can match: mask nothing
         hits = spark.createDataFrame([], "f string, pos long")
     hits.write.mode("overwrite").parquet(dv_tmp)
-    assoc = _collect_dv_assoc(spark, dv_tmp)
-    upserts = batch.where(~F.col(delete_col)).drop(delete_col)
-    n_up = upserts.count()
-    sized = (
-        _sized_batch(upserts, n_up, meta, key_col) if n_up else None
-    )  # pure-delete batch: mask-only commit, zero data files
-    return _mor_mask_append_commit(
-        root, sid, pm, staged, dv_tmp, assoc, sized,
-        "merge_apply", "merge",
-    )
+    return _collect_dv_assoc(spark, dv_tmp), dv_tmp
 
 
 def compact_snapshot(

@@ -657,7 +657,13 @@ def apply_table_changes(
     ``sinks.manifest.merge_apply`` (mask matched positions + append
     surviving upserts, atomically). The target's schema must be
     ``key_col`` + ``value_cols`` — the source projection the CDF was
-    built from. Returns the commit id, or ``None`` for an empty frame.
+    built from. Returns the commit id, or ``None`` when NO commit was
+    minted — an empty/None frame, or a range that nets to zero change
+    on the replica (the source saw only compactions/identity
+    restores, or an at-least-once replay whose keys are already
+    applied): merge_apply then returns the replica's head unchanged,
+    which must not be booked as this range's commit (fourth r14
+    review).
 
     Exactly-once to the replica: pass a ``snapshot_id`` derived from
     the range (e.g. the last ``_commit_snapshot_id``) — replays of the
@@ -682,6 +688,13 @@ def apply_table_changes(
         *[F.col(f"new_{c}").alias(c) for c in value_cols],
         (F.col("_change_type") == F.lit("delete")).alias("_delete"),
     )
-    return M.merge_apply(
+    before = M.current_snapshot(target_root)
+    out = M.merge_apply(
         spark, batch, target_root, key_col, snapshot_id=snapshot_id
     )
+    if snapshot_id is not None:
+        # tokened: the range's commit either minted now or already
+        # exists (replay) — both return the token; a no-op returns
+        # the parent, which is never the token
+        return out if out == snapshot_id else None
+    return None if out == before else out

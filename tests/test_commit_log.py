@@ -630,3 +630,33 @@ def test_apply_table_changes_syncs_a_replica(spark, tmp_path):
     assert read_table_changes(spark, src, ["id"], ["v"],
                               start_after="u2") is None
     assert apply_table_changes(spark, None, replica, "id", ["v"]) is None
+
+
+def test_apply_table_changes_return_contract(spark, tmp_path):
+    """Fourth r14 review: a range that nets to zero on the replica
+    must return None — never the replica's previous head, which a
+    caller would book as this range's commit."""
+    from db_loader_spark.streaming.commit_log import (
+        apply_table_changes,
+        read_table_changes,
+    )
+
+    src = _base(spark, tmp_path, name="src")
+    replica = str(tmp_path / "replica")
+    M.publish(M.read_snapshot(spark, src, "v1"), replica,
+              snapshot_id="boot", stats_cols=["id"])
+    # source change: a compaction only — zero row changes
+    M.compact_snapshot(spark, src, 2, snapshot_id="c1")
+    cdf = read_table_changes(spark, src, ["id"], ["v"], start_after="v1")
+    assert cdf is not None and cdf.count() == 0
+    assert apply_table_changes(spark, cdf, replica, "id", ["v"],
+                               snapshot_id="sync-c1") is None
+    assert M.snapshots(replica) == ["boot"]  # nothing minted
+    # a real change returns its token; the replay returns it again
+    M.delete_where(spark, src, "id < 3", mode="mor", snapshot_id="d1")
+    cdf2 = read_table_changes(spark, src, ["id"], ["v"], start_after="c1")
+    assert apply_table_changes(spark, cdf2, replica, "id", ["v"],
+                               snapshot_id="sync-d1") == "sync-d1"
+    assert apply_table_changes(spark, cdf2, replica, "id", ["v"],
+                               snapshot_id="sync-d1") == "sync-d1"
+    assert M.snapshots(replica) == ["boot", "sync-d1"]

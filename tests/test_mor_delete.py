@@ -953,3 +953,23 @@ def test_merge_apply_guards_and_noop(spark, tmp_path):
     empty = spark.createDataFrame([], "id long, v long, _delete boolean")
     assert M.merge_apply(spark, empty, root, "id") == "v1"
     assert M.snapshots(root) == ["v1"]
+
+
+def test_merge_apply_net_zero_batch_commits_nothing(spark, tmp_path):
+    """Fourth r14 review: a batch that nets to nothing — absent-key
+    deletes only, or an at-least-once replay whose keys are already
+    gone — must return the parent and commit NOTHING (a zero-change
+    snapshot per replay would grow the lineage unboundedly)."""
+    root = _table(spark, tmp_path)
+    ghosts = spark.createDataFrame(
+        [(77_777, 0, True), (88_888, 0, True)],
+        "id long, v long, _delete boolean",
+    )
+    assert M.merge_apply(spark, ghosts, root, "id") == "v1"
+    assert M.snapshots(root) == ["v1"]
+    # tokenless replay of an already-applied delete also nets to zero
+    real = spark.createDataFrame([(3, 0, True)],
+                                 "id long, v long, _delete boolean")
+    M.merge_apply(spark, real, root, "id", snapshot_id="x1")
+    assert M.merge_apply(spark, real, root, "id") == "x1"  # no new commit
+    assert M.snapshots(root) == ["v1", "x1"]
