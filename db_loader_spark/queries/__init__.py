@@ -374,7 +374,10 @@ NEXT_UP: list[str] = []
 #     apply_table_changes (CDF fold -> replica sync) — new verbs on
 #     the same non-registry MOR lineage; pytest-witnessed (one-commit
 #     semantics, pure-delete mask-only, guards, replica ≡ source
-#     across sync rounds, 11-writer storm, model sequences).
+#     across sync rounds, 11-writer storm, model sequences) AND
+#     DuckDB-graded end-to-end by the 28th diagnostic t_replica_sync
+#     (replica synced purely through the feed == DuckDB recomputing
+#     the source history from raw parquet).
 #
 # R15 WINDOW PREP: the 50 keys NOT in this window are exactly the
 # r13 window (zero r14 re-entries / displacements — the complement

@@ -1537,31 +1537,17 @@ FROM live GROUP BY pr
 """
 
 
-def t_commit_log_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The commit-log WALK itself, oracle-graded (r14, VERDICT r13
-    #3): a staged orders-derived manifest table runs a six-verb
-    history — publish → append → MOR delete → MOR merge → MOR update
-    → OPTIMIZE — and the query reconstructs the FINAL table purely
-    from the changelog: every commit's ``read_event_row_changes``
-    frame (each priced by that commit's own changed files) unioned
-    with a commit sequence number, folded by last-change-per-key
-    (window over ``_seq``), non-deletes kept. The folded aggregate is
-    value-checked against DuckDB recomputing the same DML sequence
-    from the raw parquet — a missing event, a duplicated or mislabeled
-    change row, a wrong old/new side, or a compaction that leaks
-    phantom changes all flip the fold. The compaction commit is part
-    of the fold on purpose: its row-changes frame must be EMPTY for
-    the result to match."""
+def _clog_root(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per sf_dir + source stamp) the six-verb commit-log
+    history table shared by the t_commit_log_fold and t_replica_sync
+    diagnostics: orders-derived, publish → append → MOR delete → MOR
+    merge → MOR update → OPTIMIZE, every op deterministic from the raw
+    parquet so DuckDB can recompute the final state."""
     import hashlib
     import tempfile
-    from functools import reduce
 
     from db_loader_spark.sinks import manifest as M
     from db_loader_spark.staging import build_stage
-    from db_loader_spark.streaming.commit_log import (
-        CommitLogConsumer,
-        read_event_row_changes,
-    )
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     root = os.path.join(tempfile.gettempdir(), f"db_loader_clog_{key}")
@@ -1603,7 +1589,33 @@ def t_commit_log_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         M.compact_snapshot(spark, scratch, 4, snapshot_id="c1")
 
-    build_stage(root, stamp, build)
+    return build_stage(root, stamp, build)
+
+
+def t_commit_log_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit-log WALK itself, oracle-graded (r14, VERDICT r13
+    #3): a staged orders-derived manifest table runs a six-verb
+    history — publish → append → MOR delete → MOR merge → MOR update
+    → OPTIMIZE — and the query reconstructs the FINAL table purely
+    from the changelog: every commit's ``read_event_row_changes``
+    frame (each priced by that commit's own changed files) unioned
+    with a commit sequence number, folded by last-change-per-key
+    (window over ``_seq``), non-deletes kept. The folded aggregate is
+    value-checked against DuckDB recomputing the same DML sequence
+    from the raw parquet — a missing event, a duplicated or mislabeled
+    change row, a wrong old/new side, or a compaction that leaks
+    phantom changes all flip the fold. The compaction commit is part
+    of the fold on purpose: its row-changes frame must be EMPTY for
+    the result to match."""
+    from functools import reduce
+
+    from db_loader_spark.sinks import manifest as M
+    from db_loader_spark.streaming.commit_log import (
+        CommitLogConsumer,
+        read_event_row_changes,
+    )
+
+    root = _clog_root(spark, sf_dir)
     events = CommitLogConsumer(root).poll()
     frames = [
         read_event_row_changes(spark, root, ev, ["k"], ["pr", "cents"])
@@ -1656,6 +1668,59 @@ FROM t3 GROUP BY pr
 """
 
 
+def t_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC APPLY side, oracle-graded (r14): a replica is
+    bootstrapped from the staged six-verb table's GENESIS snapshot and
+    then synced purely through the change feed —
+    ``read_table_changes`` over the whole history applied by
+    ``apply_table_changes`` (fold to last change per key →
+    ``merge_apply``: mask matched positions, append survivors, one MOR
+    commit). The query aggregates the REPLICA, and the oracle is
+    DuckDB recomputing the SOURCE's history from raw parquet — a fold
+    bug, a lost delete, a double-applied upsert, or a mask/append
+    divergence in merge_apply all flip the replica's aggregate against
+    the source recomputation. Shares the source staging (and therefore
+    the oracle SQL) with t_commit_log_fold."""
+    import hashlib
+    import tempfile
+
+    from db_loader_spark.sinks import manifest as M
+    from db_loader_spark.staging import build_stage
+    from db_loader_spark.streaming.commit_log import (
+        apply_table_changes,
+        read_table_changes,
+    )
+
+    src = _clog_root(spark, sf_dir)
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"db_loader_replica_{key}")
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v1"
+
+    def build(scratch: str) -> None:
+        M.publish(
+            M.read_snapshot(spark, src, "base"),
+            scratch, snapshot_id="boot", stats_cols=["k"],
+        )
+        cdf = read_table_changes(
+            spark, src, ["k"], ["pr", "cents"], start_after="base"
+        )
+        apply_table_changes(
+            spark, cdf, scratch, "k", ["pr", "cents"],
+            snapshot_id="sync-c1",
+        )
+
+    build_stage(root, stamp, build)
+    return (
+        M.read_current(spark, root)
+        .groupBy("pr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
 DIAGNOSTICS: dict[str, QuerySpec] = {
     "a_quantiles": QuerySpec(
         a_quantiles, _QUANTILES_ORACLE, "exact grouped quantiles (diagnostic)"
@@ -1669,5 +1734,10 @@ DIAGNOSTICS: dict[str, QuerySpec] = {
         t_commit_log_fold,
         _COMMIT_LOG_FOLD_ORACLE,
         "six-verb commit-log walk folded to the final table (r14)",
+    ),
+    "t_replica_sync": QuerySpec(
+        t_replica_sync,
+        _COMMIT_LOG_FOLD_ORACLE,
+        "replica synced via the CDC apply side equals the source (r14)",
     ),
 }
