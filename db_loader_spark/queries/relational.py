@@ -1537,22 +1537,35 @@ FROM live GROUP BY pr
 """
 
 
+def _clog_paths(sf_dir: str) -> tuple:
+    """(source root, replica root, stamp) for the staged six-verb
+    commit-log tables — ONE derivation (fifth r14 review: a second
+    inline copy of the key/stamp would let the two stage versions
+    silently drift on a recipe bump)."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v1"
+    tmp = tempfile.gettempdir()
+    return (
+        os.path.join(tmp, f"db_loader_clog_{key}"),
+        os.path.join(tmp, f"db_loader_replica_{key}"),
+        stamp,
+    )
+
+
 def _clog_root(spark: SparkSession, sf_dir: str) -> str:
     """Stage (once per sf_dir + source stamp) the six-verb commit-log
     history table shared by the t_commit_log_fold and t_replica_sync
     diagnostics: orders-derived, publish → append → MOR delete → MOR
     merge → MOR update → OPTIMIZE, every op deterministic from the raw
     parquet so DuckDB can recompute the final state."""
-    import hashlib
-    import tempfile
-
     from db_loader_spark.sinks import manifest as M
     from db_loader_spark.staging import build_stage
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"db_loader_clog_{key}")
-    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v1"
+    root, _, stamp = _clog_paths(sf_dir)
 
     def build(scratch: str) -> None:
         base = _t(spark, sf_dir, "orders").select(
@@ -1609,7 +1622,6 @@ def t_commit_log_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result to match."""
     from functools import reduce
 
-    from db_loader_spark.sinks import manifest as M
     from db_loader_spark.streaming.commit_log import (
         CommitLogConsumer,
         read_event_row_changes,
@@ -1681,9 +1693,6 @@ def t_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence in merge_apply all flip the replica's aggregate against
     the source recomputation. Shares the source staging (and therefore
     the oracle SQL) with t_commit_log_fold."""
-    import hashlib
-    import tempfile
-
     from db_loader_spark.sinks import manifest as M
     from db_loader_spark.staging import build_stage
     from db_loader_spark.streaming.commit_log import (
@@ -1691,13 +1700,13 @@ def t_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table_changes,
     )
 
-    src = _clog_root(spark, sf_dir)
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"db_loader_replica_{key}")
-    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v1"
+    _, root, stamp = _clog_paths(sf_dir)
 
     def build(scratch: str) -> None:
+        # the SOURCE stages lazily, inside build: when the replica
+        # stage is already current the source is never read, so the
+        # six-verb staging run must not be paid (fifth r14 review)
+        src = _clog_root(spark, sf_dir)
         M.publish(
             M.read_snapshot(spark, src, "base"),
             scratch, snapshot_id="boot", stats_cols=["k"],
