@@ -350,7 +350,7 @@ NEXT_UP: list[str] = []
 # (6) bench DV scan-unit witness (VERDICT r13 #7) — bench-only.
 # (7) read_table_changes — batch twin of the feed; same no-registry
 #     lineage as (4); pytest-pinned against per-commit snapshot_diff.
-# (8) FOUR independent code-review passes fixed twenty-three findings
+# (8) FIVE independent code-review passes fixed twenty-six findings
 #     in the NEW r14 surfaces (two stream-wedge classes: zero-change
 #     commits splitting the chain, and a stale head candidate's walk
 #     crossing the vacuum horizon; MOR update/merge appended-file-
@@ -363,7 +363,9 @@ NEXT_UP: list[str] = []
 #     commit NOTHING (lineage growth under at-least-once replay),
 #     apply_table_changes' None-when-no-commit return contract,
 #     _mor_mask_hits extraction, verb-correct contract errors, one
-#     probe job instead of two. NOTE for r15: consolidate the
+#     probe job instead of two. Pass 5 (clog diagnostics): shared
+#     stage-path derivation, lazy source staging, dead import.
+#     NOTE for r15: consolidate the
 #     remaining inline stats-cols derivations onto _stats_cols while
 #     t_snapshot_upsert is in-window (deferred to keep zero
 #     re-entries).
