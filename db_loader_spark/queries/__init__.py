@@ -113,78 +113,80 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
 # so a miscounted edit can't silently shift which keys get witnessed.
 DRIVER_WINDOW_SIZE = 50
 
-# ROUND-14 WINDOW: the staged rotation runs exactly as the r13 prep
-# note committed. CORRECTNESS_r13 landed non-empty and 50/50 GREEN
-# (verified at round start), so this window fronts the complement
-# cohort — the r12 window minus the two r13 rule-2 re-entries
-# (t_snapshot_upsert / t_stream_lakehouse, both green in r13) plus
-# the two r13-displaced keys (w_moving_avg / q1_pricing_summary —
-# r11 evidence, rule-1-oldest, fronting here by contract). ZERO
-# rule-2 re-entries this round — every r14 engine change is on a
-# path no registry value traverses (see the r14 staged-touches
-# ledger below) — so the window is the pure complement and the
-# every-key-within-2-rounds invariant is restored for ALL 100 keys
-# (r13+r14 jointly cover the registry with no displacement debt).
+# ROUND-15 WINDOW: the staged rotation runs exactly as the r14 prep
+# note committed. CORRECTNESS_r14 landed non-empty and 50/50 GREEN
+# (verified at round start), so this window fronts the pure
+# complement cohort — exactly the r13 window (r14 had zero rule-2
+# re-entries and zero displacements, so the complement is pure and
+# no key carries displacement debt). The r15 engine work lands on
+# two kinds of path: (a) streaming/commit_log.py + manifest_source.py
+# surfaces with no registry key (pytest/diagnostics-tier, per the
+# r12 precedent), and (b) the _stats_cols consolidation in the
+# manifest write paths (VERDICT r14 #2) whose registry witnesses —
+# t_snapshot_upsert, t_stream_lakehouse, scan_manifest_pruned,
+# t_snapshot_incremental, cdc_snapshot_diff — are ALL already inside
+# this window by construction, so rule 2 is satisfied with ZERO
+# re-entries and the every-key-within-2-rounds invariant carries
+# through r14+r15 as a second consecutive pure partition.
 #
 # HARNESS INSURANCE (VERDICT r8 #4, carried): ordered CHEAPEST FIRST
 # by measured per-key sweep cost at sf0.01 (Spark + DuckDB oracle
 # wall time, scripts/window_cost.py --complement, re-measured
-# 2026-08-16 at r14 start: 55.4s/50 keys, 50/50 OK) — a
+# 2026-08-16 at r15 start: 91.8s/50 keys, 50/50 OK) — a
 # wall-clock-capped prefix run lands the maximum number of rows.
 # Ordering is evidence-neutral (driver checks set membership of the
-# first 50); the two r13-displaced keys front among cost-equals.
-# Tags: [d] = r13-displaced key fronting by contract.
+# first 50). No displaced keys front this round (none exist).
 WINDOW = [
-    "a2_max_id",  # 0.18s
-    "text_fingerprint",  # 0.24s
-    "w_moving_avg",  # [d] r11 evidence, fronts; 0.25s
-    "a3_filtered_count",  # 0.25s
-    "text_pii_scrub",  # 0.28s
-    "p9_summary_parse",  # 0.29s
-    "j1_sessionize",  # 0.31s
-    "p10_find_first",  # 0.31s
-    "a1_distinct_pairs",  # 0.31s
-    "curation_shard_assign",  # 0.34s
-    "a6_run_summary",  # 0.35s
-    "text_chunk",  # 0.35s
-    "text_lang_id",  # 0.36s
-    "eav_pivot",  # 0.36s
-    "jn5_sidecar_join",  # 0.39s
-    "jn_asof_join",  # 0.40s
-    "w_event_gap",  # 0.40s
-    "p_json_props",  # 0.40s
-    "j2_section_routing",  # 0.41s
-    "text_quality_score",  # 0.41s
-    "a4_count_distinct",  # 0.41s
-    "text_repetition",  # 0.43s
-    "p14_continuation_merge",  # 0.43s
-    "curation_source_cap",  # 0.43s
-    "jn_range_join",  # 0.43s
-    "w_topk_per_group",  # 0.45s
-    "a7_id_assignment",  # 0.50s
-    "q_top_customers",  # 0.51s
-    "text_kmv_vocab",  # 0.52s
-    "q1_pricing_summary",  # [d] r11 evidence, fronts; 0.54s
-    "set_ops",  # 0.67s
-    "rollup_revenue",  # 0.71s
-    "curation_dsir_weight",  # 0.74s
-    "text_tfidf_topterms",  # 0.80s
-    "text_repeated_passages",  # 0.87s
-    "a_outlier_filter",  # 0.92s
-    "q3_segment_revenue",  # 0.97s
-    "q10_returned_items",  # 1.01s
-    "ecj_star",  # 1.34s
-    "dedup_simhash",  # 1.83s
-    "ann_sq_rerank",  # 2.02s
-    "ann_lsh_topk",  # 2.38s
-    "multimodal_decode_jpeg",  # 2.43s
-    "t_stream_rollup",  # 2.87s
-    "t_stream_join",  # 3.60s
-    "t_stream_signatures",  # 3.60s
-    "dedup_minhash_lsh",  # 3.62s
-    "text_bpe_train",  # 3.95s
-    "t_stream_dedup",  # 4.53s
-    "ann_ivf_topk",  # 5.27s
+    "t_snapshot_upsert",  # 0.31s
+    "curation_weighted_sample",  # 0.31s
+    "scan_manifest_pruned",  # 0.31s
+    "multimodal_frame_sample",  # 0.32s
+    "w_running_sum",  # 0.37s
+    "dedup_exact",  # 0.37s
+    "a_hash_sample",  # 0.44s
+    "t_snapshot_incremental",  # 0.46s
+    "t_sliding_counts",  # 0.48s
+    "a_histogram",  # 0.48s
+    "jn_fuzzy_join",  # 0.51s
+    "jn4_anti_join_idempotence",  # 0.52s
+    "t_session_window",  # 0.53s
+    "cdc_snapshot_diff",  # 0.53s
+    "a_moments",  # 0.55s
+    "jn1_dim_lookup_join",  # 0.58s
+    "a_salted_agg",  # 0.59s
+    "a_hll_distinct",  # 0.59s
+    "jn7_fk_validation",  # 0.62s
+    "text_cms_topk",  # 0.71s
+    "text_bpe_pack",  # 0.74s
+    "a_profile_stats",  # 0.80s
+    "a_table_fingerprint",  # 0.92s
+    "q5_region_revenue",  # 0.96s
+    "text_bm25_topk",  # 1.03s
+    "text_pack_bins",  # 1.05s
+    "text_lm_score",  # 1.06s
+    "t_sliding_hll",  # 1.11s
+    "text_decontaminate",  # 1.16s
+    "p_parse_suite",  # 1.16s
+    "a_quantile_sketch",  # 1.17s
+    "dedup_bloom_prefilter",  # 1.22s
+    "t_stream_lakehouse",  # 1.67s
+    "ann_bruteforce_topk",  # 1.70s
+    "jn2_contains_join",  # 1.76s
+    "multimodal_features",  # 2.07s
+    "t_stream_ann_index",  # 2.68s
+    "ann_ivf_disk_topk",  # 2.94s
+    "t_stream_mview",  # 3.07s
+    "dedup_embedding_components",  # 3.29s
+    "curation_funnel",  # 3.86s
+    "ann_pq_topk",  # 3.96s
+    "g_pagerank",  # 4.47s
+    "text_bpe_tokenize",  # 4.69s
+    "e2e_cli_ingest",  # 4.77s
+    "g_triangle_count",  # 4.82s
+    "ann_ivfpq_topk",  # 5.42s
+    "dedup_semantic",  # 5.89s
+    "t_stream_sessions",  # 6.24s
+    "curation_e2e",  # 6.59s
 ]
 
 # WINDOW-OVERFLOW QUEUE (policy, r6): brand-new keys beyond window
@@ -381,14 +383,49 @@ NEXT_UP: list[str] = []
 #     (replica synced purely through the feed == DuckDB recomputing
 #     the source history from raw parquet).
 #
-# R15 WINDOW PREP: the 50 keys NOT in this window are exactly the
-# r13 window (zero r14 re-entries / displacements — the complement
-# is pure). If CORRECTNESS_r14 lands non-empty, r15 fronts that
-# complement, re-measured by scripts/window_cost.py --complement at
-# round start and ordered cheapest-first. Rule-2 touches of r15
-# whose keys sit in THIS window re-enter, displacing the most
-# sibling-witnessed members of the r15 cohort (document at the
-# site). CONTINGENCY, unchanged: if CORRECTNESS_r14 comes back
+# R15 ROTATION EXECUTED (this window): CORRECTNESS_r14 landed 50/50
+# green, so the r14 prep note ran verbatim — the pure complement
+# (= the r13 window) fronted, re-measured at r15 start
+# (window_cost.py --complement, 91.8s/50, 50/50 OK), ZERO rule-2
+# re-entries needed: every r15 registry-lineage change (_stats_cols
+# consolidation) has all five of its manifest witnesses inside this
+# window already (see the window header).
+#
+# STAGED TOUCHES LEDGER (r15): the round's engine changes and their
+# witnesses —
+# (1) _stats_cols consolidation (VERDICT r14 #2): the inline
+#     stats-cols derivations in the manifest write paths collapsed
+#     onto the shared helper; witnessed in-window by
+#     t_snapshot_upsert / t_stream_lakehouse / scan_manifest_pruned /
+#     t_snapshot_incremental / cdc_snapshot_diff (all five in this
+#     window by construction) plus the manifest pytest suite.
+# (2) ADVICE r14 all closed in streaming/commit_log.py (no registry
+#     key; pytest-tier per the r12 precedent): merge_apply explicit
+#     no-op signal (committed flag) instead of head-inference;
+#     hop-cap exhaustion raises a distinct CommitLogTruncated-style
+#     diagnosis, not 'corrupted batch'; read_table_changes unions
+#     per-commit frames in a balanced tree with the plan-depth note.
+# (3) change feed across schema evolution (VERDICT r14 #3):
+#     read_table_changes / start_row_change_feed over a
+#     merge_schema=True history backfill NULL for pre-evolution
+#     commits (Delta-CDF semantics); regression pytest + the widened
+#     t_replica_sync diagnostic replaying an evolving history.
+# (4) batch DataSource face for manifest tables (VERDICT r14 #5):
+#     spark.read.format('manifest') serves read_snapshot/read_pruned
+#     (+ time travel); CDF rows gain _commit_timestamp; pytest pins
+#     format read ≡ function read. No registry key (the function
+#     faces keep theirs — scan_manifest_pruned is in-window anyway).
+# (5) dedup_minhash_lsh adjudication (VERDICT r14 #4): clean paired
+#     timing at sf0.1, result recorded in README watch row.
+#
+# R16 WINDOW PREP: the 50 keys NOT in this window are exactly the
+# r14 window (zero r15 re-entries / displacements — the complement
+# is pure again). If CORRECTNESS_r15 lands non-empty, r16 fronts
+# that complement, re-measured by scripts/window_cost.py
+# --complement at round start and ordered cheapest-first. Rule-2
+# touches of r16 whose keys sit in THIS window re-enter, displacing
+# the most sibling-witnessed members of the r16 cohort (document at
+# the site). CONTINGENCY, unchanged: if CORRECTNESS_r15 comes back
 # empty/unreadable, re-front THIS window — never rotate past a
 # window with zero external rows.
 
