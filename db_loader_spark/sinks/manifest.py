@@ -2201,7 +2201,8 @@ def merge_apply(
     delete_col: str = "_delete",
     snapshot_id: str | None = None,
     rebase_retries: int | None = None,
-) -> str:
+    return_status: bool = False,
+) -> str | tuple[str, bool]:
     """MERGE with deletes in ONE merge-on-read commit (Delta's
     ``WHEN MATCHED [AND cond] DELETE`` / the CDC-apply primitive,
     r14): ``batch`` carries the table's full schema plus a boolean
@@ -2218,7 +2219,16 @@ def merge_apply(
     ``delete_col`` must be BOOLEAN and non-NULL. Deleting an absent
     key is a no-op (its position scan finds nothing); an EMPTY batch
     is the documented no-op (parent id, no commit). Same OCC rebase
-    loop and exactly-once ``snapshot_id`` token as every DML verb."""
+    loop and exactly-once ``snapshot_id`` token as every DML verb.
+
+    ``return_status=True`` returns ``(sid, committed)`` where
+    ``committed`` says whether THIS CALL minted a new snapshot —
+    False on every no-op path (empty batch, nets-to-zero, and the
+    tokened replay whose commit already exists). Callers that must
+    distinguish "this range minted a commit" from "the head moved"
+    (the untokened CDC apply path) need the flag: inferring it from a
+    pre-read head races a concurrent writer committing between the
+    read and a net-zero apply (ADVICE r14 #1)."""
     from pyspark.sql.types import BooleanType
 
     retries = _REBASE_RETRIES if rebase_retries is None else rebase_retries
@@ -2231,20 +2241,26 @@ def merge_apply(
             f"merge_apply {delete_col!r} must be BOOLEAN, got "
             f"{batch.schema[delete_col].dataType}"
         )
+    # reset by every attempt (OCC may retry); only the path that calls
+    # _mor_mask_append_commit sets it True, so replays resolved inside
+    # _occ_loop (which never reach attempt) correctly read False
+    status = {"committed": False}
 
     def attempt(parent):
         if parent is None:
             raise FileNotFoundError(f"no current snapshot at {root!r}")
         pm = _manifest(root, parent)
         return _merge_apply_pinned(
-            spark, batch, root, key_col, delete_col, snapshot_id, pm
+            spark, batch, root, key_col, delete_col, snapshot_id, pm,
+            _status=status,
         )
 
     batch_p = batch.persist()
     try:
-        return _occ_loop(root, snapshot_id, retries, attempt)
+        out = _occ_loop(root, snapshot_id, retries, attempt)
     finally:
         batch_p.unpersist()
+    return (out, status["committed"]) if return_status else out
 
 
 def _merge_apply_pinned(
@@ -2255,11 +2271,17 @@ def _merge_apply_pinned(
     delete_col: str,
     snapshot_id: str | None,
     pm: dict,
+    _status: dict | None = None,
 ) -> str:
     """merge_apply against a PINNED parent manifest — the MOR merge
-    body with the append side filtered to the non-delete rows."""
+    body with the append side filtered to the non-delete rows.
+    ``_status['committed']`` reports whether this attempt minted a
+    snapshot (set fresh per attempt: an OCC retry must not inherit a
+    prior attempt's verdict)."""
     from pyspark.sql import functions as F
 
+    if _status is not None:
+        _status["committed"] = False
     meta = pm.get("files_meta", {})
     sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
     data_dir, man_dir, _ = _paths(root)
@@ -2310,10 +2332,13 @@ def _merge_apply_pinned(
     sized = (
         _sized_batch(upserts, n_up, meta, key_col) if n_up else None
     )  # pure-delete batch: mask-only commit, zero data files
-    return _mor_mask_append_commit(
+    out = _mor_mask_append_commit(
         root, sid, pm, staged, dv_tmp, assoc, sized,
         "merge_apply", "merge",
     )
+    if _status is not None:
+        _status["committed"] = True
+    return out
 
 
 def _mor_mask_hits(

@@ -455,15 +455,26 @@ def row_changes_for_batch(
 
     order: list[str] | None = None
     saw_horizon = False
+    saw_cap = False
     for cand in heads:
         chain: list[str] = []
         cur, hops = cand, 0
         try:
-            while cur is not None and hops <= hop_cap:
+            while cur is not None:
                 if cur in sids:
                     chain.append(cur)
                     if len(chain) == len(sids):
                         break
+                if hops >= hop_cap:
+                    # cap exhaustion is NOT non-resolution (ADVICE r14
+                    # #2): a legitimate-but-pathological run of
+                    # zero-change gap commits longer than the cap cuts
+                    # every candidate's walk short of the chain —
+                    # track it apart from a genuinely broken lineage
+                    # so the diagnosis below is actionable, not
+                    # 'corrupted batch'
+                    saw_cap = True
+                    break
                 cur = (
                     pairs[cur] if cur in pairs
                     else man_of(cur).get("parent")
@@ -480,6 +491,18 @@ def row_changes_for_batch(
             order = list(reversed(chain))
             break
     if order is None:
+        if saw_cap:
+            # same remedy as truncation (re-bootstrap past the gap
+            # run), so the same typed error — but its own message:
+            # the history is intact, the WALK BOUND was the limit
+            raise CommitLogTruncated(
+                f"manifest_cdc batch at {root!r}: a run of zero-change "
+                f"gap commits exceeded the walk bound ({hop_cap} hops "
+                f"for {len(sids)} batch commits) before the chain "
+                "resolved — the lineage is intact but unwalkably "
+                "gappy from this cursor; bootstrap from a snapshot "
+                "read and resume the feed after the current head"
+            )
         if saw_horizon:
             raise CommitLogTruncated(
                 f"manifest_cdc batch at {root!r}: no head candidate "
@@ -531,22 +554,38 @@ def _cdf_union(
     walk just held). ``_commit_seq`` numbers the commits within THIS
     range (oldest = 0) so a consumer can fold last-change-per-key
     without parsing snapshot ids; across stream epochs the epoch id
-    is the outer order. ``None`` for an empty run."""
+    is the outer order. ``None`` for an empty run.
+
+    The per-commit frames union as a BALANCED pairwise tree, not a
+    left-deep chain (ADVICE r14 #3): a from-genesis batch replay over
+    thousands of commits would otherwise build an O(n)-deep Union
+    plan whose driver-side analysis/optimization blows up long before
+    any data moves; depth is now O(log n). The stream path is bounded
+    by poll cadence anyway — the batch surface is the one with no
+    such bound."""
     from pyspark.sql import functions as F
 
-    out = None
+    frames = []
     for i, (ev, man, pman) in enumerate(events):
         df = read_event_row_changes(
             spark, root, ev, key_cols, compare_cols, _man=man, _pman=pman
         )
-        df = df.select(
-            F.lit(ev.snapshot_id).alias("_commit_snapshot_id"),
-            F.lit(i).alias("_commit_seq"),
-            F.col("change_op").alias("_change_type"),
-            *[c for c in df.columns if c != "change_op"],
+        frames.append(
+            df.select(
+                F.lit(ev.snapshot_id).alias("_commit_snapshot_id"),
+                F.lit(i).alias("_commit_seq"),
+                F.col("change_op").alias("_change_type"),
+                *[c for c in df.columns if c != "change_op"],
+            )
         )
-        out = df if out is None else out.unionByName(df)
-    return out
+    while len(frames) > 1:
+        frames = [
+            frames[i].unionByName(frames[i + 1])
+            if i + 1 < len(frames)
+            else frames[i]
+            for i in range(0, len(frames), 2)
+        ]
+    return frames[0] if frames else None
 
 
 def read_table_changes(
@@ -567,7 +606,17 @@ def read_table_changes(
     vacuum horizon raises ``CommitLogTruncated`` (bootstrap from a
     snapshot read instead). The incremental-reprocessing recipe: fold
     the returned rows by last-change-per-key, or hand them to a
-    downstream MERGE keyed on ``key_cols``."""
+    downstream MERGE keyed on ``key_cols``.
+
+    Plan size: the result unions one diff sub-plan PER COMMIT —
+    balanced to O(log n) depth (ADVICE r14 #3) but still O(n) wide,
+    so a single call over a history of many thousands of commits
+    pays proportionate driver-side analysis. For such ranges, chunk:
+    walk the ids with ``CommitLogConsumer`` and call this in bounded
+    ``(start_after, end)`` windows, folding per chunk — or skip the
+    log replay entirely and diff snapshots
+    (``operators/cdc.snapshot_diff``), which is one plan regardless
+    of commit count."""
     consumer = CommitLogConsumer(root, start_after=start_after)
     triples = consumer.poll_full()  # events + the manifests poll read
     if end is not None:
@@ -661,9 +710,11 @@ def apply_table_changes(
     minted — an empty/None frame, or a range that nets to zero change
     on the replica (the source saw only compactions/identity
     restores, or an at-least-once replay whose keys are already
-    applied): merge_apply then returns the replica's head unchanged,
-    which must not be booked as this range's commit (fourth r14
-    review).
+    applied). The no-op verdict comes from merge_apply's OWN
+    ``return_status`` flag, not from comparing heads read before and
+    after (ADVICE r14 #1: the pre-read raced a concurrent writer
+    committing between the read and a net-zero apply, handing the
+    caller the OTHER writer's head as if this range minted it).
 
     Exactly-once to the replica: pass a ``snapshot_id`` derived from
     the range (e.g. the last ``_commit_snapshot_id``) — replays of the
@@ -688,13 +739,15 @@ def apply_table_changes(
         *[F.col(f"new_{c}").alias(c) for c in value_cols],
         (F.col("_change_type") == F.lit("delete")).alias("_delete"),
     )
-    before = M.current_snapshot(target_root)
-    out = M.merge_apply(
-        spark, batch, target_root, key_col, snapshot_id=snapshot_id
+    out, committed = M.merge_apply(
+        spark, batch, target_root, key_col, snapshot_id=snapshot_id,
+        return_status=True,
     )
-    if snapshot_id is not None:
-        # tokened: the range's commit either minted now or already
-        # exists (replay) — both return the token; a no-op returns
-        # the parent, which is never the token
-        return out if out == snapshot_id else None
-    return None if out == before else out
+    if committed:
+        return out
+    if snapshot_id is not None and out == snapshot_id:
+        # tokened at-least-once replay: the range's commit already
+        # exists (a twin or an earlier attempt published it) — the
+        # token IS this range's commit id
+        return out
+    return None

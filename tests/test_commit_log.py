@@ -660,3 +660,139 @@ def test_apply_table_changes_return_contract(spark, tmp_path):
     assert apply_table_changes(spark, cdf2, replica, "id", ["v"],
                                snapshot_id="sync-d1") == "sync-d1"
     assert M.snapshots(replica) == ["boot", "sync-d1"]
+
+
+def test_merge_apply_return_status_flags_minted_commits(spark, tmp_path):
+    """ADVICE r14 #1: merge_apply's return_status=(sid, committed)
+    states explicitly whether THIS call minted a snapshot — the
+    signal apply_table_changes' untokened path needs instead of
+    inferring from a head read before the call (which races a
+    concurrent writer committing between the read and a net-zero
+    apply, booking the OTHER writer's head as this range's commit)."""
+    root = _base(spark, tmp_path)
+    # a real change mints: committed=True
+    batch = spark.createDataFrame([(1, -1, False)],
+                                  "id long, v long, _delete boolean")
+    out, committed = M.merge_apply(spark, batch, root, "id",
+                                   snapshot_id="x1", return_status=True)
+    assert (out, committed) == ("x1", True)
+    # tokened replay: the commit exists but is not minted NOW
+    out, committed = M.merge_apply(spark, batch, root, "id",
+                                   snapshot_id="x1", return_status=True)
+    assert (out, committed) == ("x1", False)
+    # empty batch: parent id back, nothing minted
+    empty = batch.where("id < 0")
+    out, committed = M.merge_apply(spark, empty, root, "id",
+                                   return_status=True)
+    assert (out, committed) == ("x1", False)
+    # net-zero batch (absent-key deletes only): nothing minted
+    ghosts = spark.createDataFrame([(777_777, 0, True)],
+                                   "id long, v long, _delete boolean")
+    out, committed = M.merge_apply(spark, ghosts, root, "id",
+                                   return_status=True)
+    assert (out, committed) == ("x1", False)
+    assert M.snapshots(root) == ["v1", "x1"]
+
+
+def test_apply_untokened_net_zero_is_none_despite_foreign_head(spark, tmp_path):
+    """ADVICE r14 #1, the caller side: the UNTOKENED apply of a
+    net-zero range returns None even when the replica's head is not
+    what it was when the range was read — the verdict comes from
+    merge_apply's committed flag, never from head comparison, so a
+    foreign commit landing at ANY point around the apply can no
+    longer be handed back as this range's commit id."""
+    from db_loader_spark.streaming.commit_log import (
+        apply_table_changes,
+        read_table_changes,
+    )
+
+    src = _base(spark, tmp_path, name="src")
+    replica = str(tmp_path / "replica")
+    M.publish(M.read_snapshot(spark, src, "v1"), replica,
+              snapshot_id="boot", stats_cols=["id"])
+    M.compact_snapshot(spark, src, 2, snapshot_id="c1")  # zero row change
+    cdf = read_table_changes(spark, src, ["id"], ["v"], start_after="v1")
+    # a FOREIGN writer commits to the replica after the range is read
+    M.merge_upsert(
+        spark, spark.createDataFrame([(0, 99)], "id long, v long"),
+        replica, "id", snapshot_id="foreign-1", mode="mor",
+    )
+    assert apply_table_changes(spark, cdf, replica, "id", ["v"]) is None
+    assert M.snapshots(replica) == ["boot", "foreign-1"]
+    # and a real untokened apply returns the commit it actually minted
+    M.delete_where(spark, src, "id = 5", mode="mor", snapshot_id="d1")
+    cdf2 = read_table_changes(spark, src, ["id"], ["v"], start_after="c1")
+    minted = apply_table_changes(spark, cdf2, replica, "id", ["v"])
+    assert minted is not None and M.snapshots(replica)[-1] == minted
+
+
+def test_gap_run_exceeding_walk_bound_is_actionable(spark, tmp_path):
+    """ADVICE r14 #2: a run of zero-change gap commits longer than the
+    walk bound cuts every head candidate's walk short of the chain —
+    that must surface as a typed, actionable bootstrap error naming
+    the WALK BOUND, not RuntimeError('corrupted batch') on an intact
+    lineage."""
+    from db_loader_spark.streaming.commit_log import row_changes_for_batch
+
+    root = _base(spark, tmp_path)
+    M.merge_upsert(
+        spark, spark.createDataFrame([(1, -1)], "id long, v long"),
+        root, "id", snapshot_id="m1", mode="mor",
+    )
+    # g000 restores m1-state back to v1-state (a REAL, batch-visible
+    # change); g001..g089 restore to v1 AGAIN — 89 consecutive
+    # zero-change commits, each minted because the current SID moved
+    # even though the state did not (restore-to-current-sid would
+    # no-op). hop_cap for a 2-commit batch is 10*2+64 = 84, so the
+    # walk from m2 down to g000 (90 hops) out-runs every candidate.
+    for i in range(90):
+        M.restore_snapshot(root, "v1", snapshot_id=f"g{i:03d}")
+    M.merge_upsert(
+        spark, spark.createDataFrame([(2, -2)], "id long, v long"),
+        root, "id", snapshot_id="m2", mode="mor",
+    )
+    batch = spark.createDataFrame(
+        [("g000", "m1"), ("m2", "g089")], "snapshot_id string, parent string"
+    )
+    with pytest.raises(CommitLogTruncated, match="walk bound"):
+        row_changes_for_batch(spark, root, batch, ["id"], ["v"])
+
+
+def test_cdf_union_plan_depth_is_logarithmic(spark, tmp_path):
+    """ADVICE r14 #3: read_table_changes unions one diff sub-plan per
+    commit — as a balanced pairwise tree, so a long-range batch replay
+    grows the ANALYZED plan's depth by O(log n), not O(n). Pinned as a
+    depth delta: 16 extra commits may add at most ~log2-many levels
+    over a single-commit read (a left-deep chain would add 16)."""
+    from db_loader_spark.streaming.commit_log import read_table_changes
+
+    root = _base(spark, tmp_path)
+    for i in range(16):
+        M.publish(
+            spark.range(10_000 + 10 * i, 10_010 + 10 * i)
+            .select("id", (F.col("id") * 2).alias("v")),
+            root, append=True, snapshot_id=f"a{i:02d}", stats_cols=["id"],
+        )
+
+    def depth(df) -> int:
+        def d(jp):
+            ch = jp.children()
+            return 1 + max(
+                (d(ch.apply(i)) for i in range(ch.size())), default=0
+            )
+        return d(df._jdf.queryExecution().analyzed())
+
+    one = read_table_changes(spark, root, ["id"], ["v"],
+                             start_after="a14", end="a15")
+    many = read_table_changes(spark, root, ["id"], ["v"],
+                              start_after="v1", end="a15")
+    assert depth(many) - depth(one) <= 8  # left-deep would be >= 15
+    # and the union is still value-correct across the whole range
+    assert many.where("_change_type <> 'insert'").count() == 0
+    assert many.count() == 160
+    seqs = {
+        r["_commit_snapshot_id"]: r["_commit_seq"]
+        for r in many.select("_commit_snapshot_id", "_commit_seq")
+        .distinct().collect()
+    }
+    assert seqs == {f"a{i:02d}": i for i in range(16)}
