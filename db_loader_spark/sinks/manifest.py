@@ -1305,13 +1305,12 @@ def _merge_mor_pinned(
 
 
 def _stats_cols(meta: dict) -> list[str]:
-    """Every column any file's zone map records — ONE definition for
-    the stats-column derivation (r14 review: the expression was copied
-    across the DML verbs). The r14 MOR sites use this; the pre-r14 COW
-    sites keep their inline copies until their registry lineage next
-    fronts the window (consolidating _merge_upsert_pinned now would
-    force a rule-2 re-entry of t_snapshot_upsert for a mechanical
-    refactor — r15's window contains it, do it then)."""
+    """Every column any file's zone map records — THE one definition
+    of the stats-column derivation (r14 review found it copied across
+    the DML verbs; r15 consolidated the remaining COW/compact inline
+    copies while their manifest witnesses were in-window, VERDICT r14
+    #2). All write paths — MOR mask-and-append, COW merge/delete/
+    update rewrites, compaction — derive the recorded columns here."""
     return sorted({c for m in meta.values() for c in m.get("stats", {})})
 
 
@@ -1614,9 +1613,7 @@ def _merge_upsert_pinned(
             if pschema is not None
             else df
         )
-    stats_cols = sorted(
-        {c for m in meta.values() for c in m.get("stats", {})}
-    ) or None
+    stats_cols = _stats_cols(meta) or None
     dels = pm.get("deletes") or {}
     return publish(
         staged_df,
@@ -1800,9 +1797,7 @@ def _delete_cow_pinned(
         .where(~F.coalesce(F.expr(predicate), F.lit(False)))
         .drop(rc2, pc2)
     )
-    stats_cols = sorted(
-        {c for m in meta.values() for c in m.get("stats", {})}
-    ) or None
+    stats_cols = _stats_cols(meta) or None
     return publish(
         survivors,
         root,
@@ -1943,9 +1938,7 @@ def purge_deletes(
         survivors = _annotated_scan(
             spark, root, pm, touched_rel, rc, pc
         ).drop(rc, pc)
-        stats_cols = sorted(
-            {c for m in meta.values() for c in m.get("stats", {})}
-        ) or None
+        stats_cols = _stats_cols(meta) or None
         return publish(
             survivors,
             root,
@@ -2097,9 +2090,7 @@ def update_where(
         rewrite = _annotated_scan(spark, root, pm, touched_rel, rc, pc)
         cond = F.coalesce(F.expr(predicate), F.lit(False))
         updated = _apply_set_exprs(rewrite, set_exprs, data_cols, cond)
-        stats_cols = sorted(
-            {c for m in meta.values() for c in m.get("stats", {})}
-        ) or None
+        stats_cols = _stats_cols(meta) or None
         return publish(
             updated,
             root,
@@ -2420,9 +2411,7 @@ def compact_snapshot(
         if parent is None:
             raise FileNotFoundError(f"no current snapshot at {root!r}")
         pm = _manifest(root, parent)
-        stats_set = {
-            c for m in pm.get("files_meta", {}).values() for c in m.get("stats", {})
-        }
+        stats_set = set(_stats_cols(pm.get("files_meta", {})))
         # merge_schema: ignored on recorded lineages (schema wins); on
         # a LEGACY lineage the rewrite must see every column of every
         # file — a plain inferring read would drop whole columns from
