@@ -1730,6 +1730,120 @@ def t_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clog_ev_paths(sf_dir: str) -> tuple:
+    """(source root, replica root, stamp) for the EVOLVING-history
+    replica-sync diagnostic — separate staging from _clog_paths so the
+    six-verb tables the other two diagnostics share stay untouched."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v1"
+    tmp = tempfile.gettempdir()
+    return (
+        os.path.join(tmp, f"db_loader_clogev_{key}"),
+        os.path.join(tmp, f"db_loader_replicaev_{key}"),
+        stamp,
+    )
+
+
+def t_replica_sync_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC circle ACROSS SCHEMA EVOLUTION, oracle-graded (r15,
+    VERDICT r14 #3): the source runs publish → merge_schema append
+    (new ``tag`` column) → MOR update ON the new column → MOR delete;
+    a replica bootstrapped from the PRE-evolution genesis is synced
+    purely through ``read_table_changes`` (whose pre-evolution commits
+    NULL-backfill ``tag``, Delta-CDF semantics) applied by
+    ``apply_table_changes(merge_schema=True)`` (metadata-only
+    ``evolve_schema`` widen, then the fold). The replica's per-tag
+    aggregate is checked against DuckDB recomputing the evolved
+    history from raw parquet — a raised old-side scan, a dropped NULL
+    backfill, a lost evolution commit, or an apply that misfolds the
+    evolved column all flip the aggregate."""
+    from db_loader_spark.sinks import manifest as M
+    from db_loader_spark.staging import build_stage
+    from db_loader_spark.streaming.commit_log import (
+        apply_table_changes,
+        read_table_changes,
+    )
+
+    src_root, rep_root, stamp = _clog_ev_paths(sf_dir)
+
+    def build_src(scratch: str) -> None:
+        base = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pr"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        M.publish(
+            base.repartitionByRange(8, F.col("k")),
+            scratch, snapshot_id="base", stats_cols=["k"],
+        )
+        M.publish(
+            base.where("k % 97 = 0").select(
+                (F.col("k") + 10_000_000).alias("k"), "pr", "cents",
+                F.lit("new").alias("tag"),
+            ),
+            scratch, append=True, snapshot_id="e1",
+            merge_schema=True, stats_cols=["k"],
+        )
+        M.update_where(
+            spark, scratch, "k % 113 = 0", {"tag": "'touched'"},
+            mode="mor", snapshot_id="u1",
+        )
+        M.delete_where(
+            spark, scratch, "k % 131 = 0", mode="mor", snapshot_id="d1"
+        )
+
+    def build_rep(scratch: str) -> None:
+        src = build_stage(src_root, stamp, build_src)
+        M.publish(
+            M.read_snapshot(spark, src, "base"),
+            scratch, snapshot_id="boot", stats_cols=["k"],
+        )
+        cdf = read_table_changes(
+            spark, src, ["k"], ["pr", "cents", "tag"], start_after="base"
+        )
+        apply_table_changes(
+            spark, cdf, scratch, "k", ["pr", "cents", "tag"],
+            snapshot_id="sync-d1", merge_schema=True,
+        )
+
+    build_stage(rep_root, stamp, build_rep)
+    return (
+        M.read_current(spark, rep_root)
+        .groupBy(F.coalesce(F.col("tag"), F.lit("none")).alias("tag"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+_REPLICA_SYNC_EVOLVE_ORACLE = """
+WITH base AS MATERIALIZED (
+  SELECT o_orderkey AS k, o_orderpriority AS pr,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), t0 AS (
+  SELECT k, pr, cents, CAST(NULL AS VARCHAR) AS tag FROM base
+  UNION ALL
+  SELECT k + 10000000 AS k, pr, cents, 'new' AS tag
+  FROM base WHERE k % 97 = 0
+), t1 AS (
+  SELECT k, pr, cents,
+         CASE WHEN k % 113 = 0 THEN 'touched' ELSE tag END AS tag
+  FROM t0
+), t2 AS (
+  SELECT * FROM t1 WHERE k % 131 <> 0
+)
+SELECT COALESCE(tag, 'none') AS tag, COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t2 GROUP BY 1
+"""
+
+
 DIAGNOSTICS: dict[str, QuerySpec] = {
     "a_quantiles": QuerySpec(
         a_quantiles, _QUANTILES_ORACLE, "exact grouped quantiles (diagnostic)"
@@ -1748,5 +1862,10 @@ DIAGNOSTICS: dict[str, QuerySpec] = {
         t_replica_sync,
         _COMMIT_LOG_FOLD_ORACLE,
         "replica synced via the CDC apply side equals the source (r14)",
+    ),
+    "t_replica_sync_evolve": QuerySpec(
+        t_replica_sync_evolve,
+        _REPLICA_SYNC_EVOLVE_ORACLE,
+        "replica follows the source's schema evolution via the feed (r15)",
     ),
 }

@@ -2570,6 +2570,83 @@ def restore_snapshot(
     )
 
 
+def evolve_schema(root: str, add, snapshot_id: str | None = None) -> str:
+    """ALTER TABLE ADD COLUMNS (Delta/Iceberg metadata evolution): a
+    METADATA-ONLY commit that widens the recorded schema with ``add``
+    (a StructType, a list of StructFields, or a schema-json dict of
+    the columns to add) — zero data movement, the same economics as
+    ``restore_snapshot``. Old files read the new columns as NULL
+    through the recorded schema (``_manifest_reader``), exactly as a
+    ``merge_schema=True`` append would bind them, but without needing
+    rows to carry. The CDC apply side uses this to make a replica
+    follow its source's evolution before applying an evolved range
+    (VERDICT r14 #3).
+
+    Rules (the ``_merge_schemas`` append contract): an added name
+    that already exists must have the IDENTICAL type (conflict = loud
+    error, never a cast); adding only already-present columns is the
+    documented idempotent no-op returning the current sid; a legacy
+    lineage (no recorded schema) cannot evolve by metadata — its old
+    files' columns are unknown — use a ``merge_schema`` append there.
+    Same retry-on-lost-race loop and exactly-once ``snapshot_id``
+    token as restore (pure-metadata rebuilds are free to re-derive)."""
+    from pyspark.sql.types import StructField, StructType
+
+    if isinstance(add, StructType):
+        add_json = add.jsonValue()
+    elif isinstance(add, (list, tuple)):
+        add_json = StructType(list(add)).jsonValue()
+    else:
+        add_json = add
+    man_dir = os.path.join(root, _MANIFESTS)
+    new_sid = snapshot_id or f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+    for _ in range(_COMMIT_RETRIES):
+        observed_gen, observed = _read_pointer(root)
+        if observed is None:
+            raise FileNotFoundError(f"no current snapshot at {root!r}")
+        if observed == new_sid:
+            return new_sid  # replayed evolution: already committed
+        if (
+            snapshot_id is not None
+            and os.path.exists(os.path.join(man_dir, f"{new_sid}.json"))
+            and _committed_in_lineage(root, new_sid, observed) is True
+        ):
+            return new_sid  # committed then superseded: idempotent no-op
+        pm = _manifest(root, observed)
+        if pm.get("schema") is None:
+            raise ValueError(
+                f"cannot evolve {root!r} by metadata: the lineage has no "
+                "recorded schema (legacy), so old files' columns are "
+                "unknown; evolve it with a merge_schema=True append"
+            )
+        merged = _merge_schemas(pm["schema"], add_json, True, root)
+        existing = {f["name"] for f in pm["schema"]["fields"]}
+        if all(f["name"] in existing for f in add_json["fields"]):
+            return observed  # every column already present: no-op
+        try:
+            return _commit_staged(
+                root,
+                new_sid,
+                [],
+                new_meta={},
+                append=False,
+                parent_check=True,
+                inherit_files=list(pm["files"]),
+                inherit_meta=dict(pm.get("files_meta", {})),
+                observed_gen=observed_gen,
+                observed=observed,
+                schema=merged,
+                deletes=dict(pm.get("deletes", {})),
+            )
+        except ConcurrentPublishError:
+            continue  # metadata-only rebuild: re-read, re-merge, re-commit
+    raise ConcurrentPublishError(
+        f"schema evolution of {root!r} lost {_COMMIT_RETRIES} "
+        "consecutive pointer races — the root is pathologically "
+        "contended"
+    )
+
+
 def added_files(root: str, from_sid: str | None, to_sid: str) -> list[str]:
     """Data files in ``to_sid``'s manifest that ``from_sid``'s lacks —
     the incremental scan set between two snapshots. Files are immutable

@@ -336,6 +336,48 @@ def read_event_mor_deleted(
     )
 
 
+def _aligned_for_diff(
+    old: DataFrame,
+    new: DataFrame,
+    needed: list[str],
+    ref_schema: dict | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-evolution alignment for one commit's diff (VERDICT r14
+    #3, Delta-CDF semantics): a requested key/compare column a side's
+    snapshot PREDATES is backfilled as a typed NULL — pre-evolution
+    rows read NULL for evolved columns, exactly as a post-evolution
+    snapshot scan of their files would surface them. Types resolve
+    from the other side first (the evolution commit's own diff), then
+    from ``ref_schema`` (the RANGE's newest recorded schema — both
+    sides of a commit older than the evolution lack the column). A
+    column in neither frame nor the reference stays missing, so the
+    diff raises Spark's own unresolved-column error for a genuinely
+    unknown name instead of silently inventing an all-NULL column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField
+
+    ref_types = {
+        f["name"]: StructField.fromJson(f).dataType
+        for f in (ref_schema or {}).get("fields", [])
+    }
+
+    def fill(df: DataFrame, other: DataFrame) -> DataFrame:
+        adds = []
+        for c in needed:
+            if c in df.columns:
+                continue
+            t = (
+                other.schema[c].dataType
+                if c in other.columns
+                else ref_types.get(c)
+            )
+            if t is not None:
+                adds.append(F.lit(None).cast(t).alias(c))
+        return df.select("*", *adds) if adds else df
+
+    return fill(old, new), fill(new, old)
+
+
 def read_event_row_changes(
     spark: SparkSession,
     root: str,
@@ -344,6 +386,7 @@ def read_event_row_changes(
     compare_cols: list[str],
     _man: dict | None = None,
     _pman: dict | None = None,
+    _ref_schema: dict | None = None,
 ) -> DataFrame:
     """Row-level CDC for ONE commit — the file-level event upgraded to
     ``change_op`` rows (insert/update/delete, the
@@ -370,7 +413,16 @@ def read_event_row_changes(
     ``_man``/``_pman`` let a caller that ALREADY holds the commit's
     and its parent's manifests (the change-feed loop) pass them in —
     the module's one-JSON-per-commit economics (second r14 review:
-    without this the feed re-read every manifest up to 4x)."""
+    without this the feed re-read every manifest up to 4x).
+
+    Schema evolution (VERDICT r14 #3): a ``merge_schema=True`` append
+    inside the range evolves the recorded schema mid-lineage, so a
+    requested column can predate one or both sides of a commit's diff.
+    Such columns are NULL-backfilled (``_aligned_for_diff``, typed
+    from the other side or from ``_ref_schema`` — the range's newest
+    recorded schema, which range-level callers pass down) — the
+    Delta-CDF contract: pre-evolution commits report NULL for evolved
+    columns, never raise."""
     from pyspark.sql import functions as F
 
     from db_loader_spark.operators.cdc import snapshot_diff
@@ -392,6 +444,11 @@ def read_event_row_changes(
         )
     new = _masked_scan(
         spark, root, man, [f for f in new_rel if f in live]
+    )
+    old, new = _aligned_for_diff(
+        old, new,
+        list(dict.fromkeys(key_cols + compare_cols)),
+        _ref_schema if _ref_schema is not None else man.get("schema"),
     )
     return snapshot_diff(old, new, key_cols, compare_cols)
 
@@ -565,10 +622,15 @@ def _cdf_union(
     such bound."""
     from pyspark.sql import functions as F
 
+    # the RANGE's newest recorded schema types the NULL backfill for
+    # columns that predate a commit (schema evolution, VERDICT r14
+    # #3); events are oldest-first, so the last manifest is newest
+    ref_schema = events[-1][1].get("schema") if events else None
     frames = []
     for i, (ev, man, pman) in enumerate(events):
         df = read_event_row_changes(
-            spark, root, ev, key_cols, compare_cols, _man=man, _pman=pman
+            spark, root, ev, key_cols, compare_cols, _man=man, _pman=pman,
+            _ref_schema=ref_schema,
         )
         frames.append(
             df.select(
@@ -693,6 +755,7 @@ def apply_table_changes(
     key_col: str,
     value_cols: list[str],
     snapshot_id: str | None = None,
+    merge_schema: bool = False,
 ) -> str | None:
     """Apply a Delta-CDF frame (``read_table_changes`` /
     ``row_changes_for_batch`` shape) to a DOWNSTREAM manifest table in
@@ -719,7 +782,18 @@ def apply_table_changes(
     Exactly-once to the replica: pass a ``snapshot_id`` derived from
     the range (e.g. the last ``_commit_snapshot_id``) — replays of the
     same applied range become manifest-token no-ops, upgrading an
-    at-least-once feed to exactly-once end-to-end."""
+    at-least-once feed to exactly-once end-to-end.
+
+    ``merge_schema=True`` lets the replica FOLLOW its source's schema
+    evolution (VERDICT r14 #3): when ``value_cols`` name columns the
+    replica's recorded schema lacks (the range spans the source's
+    ``merge_schema`` append), the replica is first widened by a
+    metadata-only ``evolve_schema`` commit — its pre-evolution rows
+    read the new columns as NULL, exactly like the source's — and the
+    fold then applies as usual. Types come from the CDF frame itself
+    (the ``new_<col>`` columns the range carried). False (default)
+    keeps merge_apply's strict schema contract: an evolved range
+    against an unevolved replica fails loudly."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -739,6 +813,24 @@ def apply_table_changes(
         *[F.col(f"new_{c}").alias(c) for c in value_cols],
         (F.col("_change_type") == F.lit("delete")).alias("_delete"),
     )
+    if merge_schema:
+        pm = M._manifest(target_root, M.current_snapshot(target_root))
+        recorded = {
+            f["name"] for f in (pm.get("schema") or {}).get("fields", [])
+        }
+        new_cols = [
+            f for f in batch.schema.fields
+            if f.name not in recorded and f.name != "_delete"
+        ] if recorded else []
+        if new_cols:
+            # token derived from the range token: replays of the same
+            # range re-arrive at the same evolution commit (no-op)
+            M.evolve_schema(
+                target_root, new_cols,
+                snapshot_id=(
+                    f"evolve-{snapshot_id}" if snapshot_id else None
+                ),
+            )
     out, committed = M.merge_apply(
         spark, batch, target_root, key_col, snapshot_id=snapshot_id,
         return_status=True,
