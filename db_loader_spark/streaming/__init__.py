@@ -15,7 +15,9 @@ from db_loader_spark.streaming.commit_log import (
 from db_loader_spark.streaming.file_ingest import stream_log_tables
 from db_loader_spark.streaming.manifest_source import (
     manifest_cdc_source,
+    manifest_table_source,
     register_manifest_cdc,
+    register_manifest_table,
 )
 
 __all__ = [
@@ -30,6 +32,8 @@ __all__ = [
     "row_changes_for_batch",
     "start_row_change_feed",
     "manifest_cdc_source",
+    "manifest_table_source",
     "register_manifest_cdc",
+    "register_manifest_table",
     "stream_log_tables",
 ]

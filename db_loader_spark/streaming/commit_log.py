@@ -605,7 +605,9 @@ def _cdf_union(
 ) -> DataFrame | None:
     """The Delta-CDF projection shared by the stream glue and the
     batch surface: per-commit ``read_event_row_changes`` frames,
-    unioned with ``_commit_snapshot_id`` and ``_change_type`` columns.
+    unioned with ``_commit_snapshot_id``, ``_commit_timestamp`` (the
+    manifest file's mtime — VERDICT r14 #5) and ``_change_type``
+    columns.
     ``events`` holds ``(event, man, pman)`` triples — both callers
     already read the manifests (r14 review: never re-read what the
     walk just held). ``_commit_seq`` numbers the commits within THIS
@@ -622,6 +624,9 @@ def _cdf_union(
     such bound."""
     from pyspark.sql import functions as F
 
+    import datetime
+    import os
+
     # the RANGE's newest recorded schema types the NULL backfill for
     # columns that predate a commit (schema evolution, VERDICT r14
     # #3); events are oldest-first, so the last manifest is newest
@@ -632,9 +637,26 @@ def _cdf_union(
             spark, root, ev, key_cols, compare_cols, _man=man, _pman=pman,
             _ref_schema=ref_schema,
         )
+        # _commit_timestamp (VERDICT r14 #5): the manifest file's
+        # mtime — the filesystem's own commit stamp, the same clock
+        # vacuum's keep_hours trusts (snapshot ids are caller-chosen
+        # tokens and cannot carry time). UTC-naive, matching the
+        # repo's timestamp convention; NULL if the manifest was
+        # reaped between the walk and this stat (bounded race)
+        try:
+            ts = datetime.datetime.utcfromtimestamp(
+                os.path.getmtime(
+                    os.path.join(
+                        root, M._MANIFESTS, f"{ev.snapshot_id}.json"
+                    )
+                )
+            )
+        except OSError:
+            ts = None
         frames.append(
             df.select(
                 F.lit(ev.snapshot_id).alias("_commit_snapshot_id"),
+                F.lit(ts).cast("timestamp").alias("_commit_timestamp"),
                 F.lit(i).alias("_commit_seq"),
                 F.col("change_op").alias("_change_type"),
                 *[c for c in df.columns if c != "change_op"],
@@ -661,8 +683,8 @@ def read_table_changes(
     """The BATCH row-level change feed (Delta's ``table_changes``
     shape): every commit AFTER ``start_after`` up to ``end`` (default
     the current snapshot), upgraded to Delta-CDF rows —
-    ``_commit_snapshot_id``, ``_change_type`` insert/update/delete,
-    keys, old_/new_ value pairs — each commit priced by its own
+    ``_commit_snapshot_id``, ``_commit_timestamp``, ``_change_type``
+    insert/update/delete, keys, old_/new_ value pairs — each commit priced by its own
     changed files. ``None`` when the range holds no commits.
     ``start_after=None`` replays from genesis; a range behind the
     vacuum horizon raises ``CommitLogTruncated`` (bootstrap from a

@@ -274,3 +274,273 @@ def register_manifest_cdc(spark) -> None:
     """Register the ``manifest_cdc`` format on this session (idempotent
     per session — Spark replaces a same-name registration)."""
     spark.dataSource.register(manifest_cdc_source())
+
+
+def manifest_table_source():
+    """Build the ``manifest`` BATCH format (VERDICT r14 #5): the
+    manifest table itself as ``spark.read.format("manifest")`` — the
+    DataFrame-reader face of ``sinks.manifest.read_snapshot`` /
+    ``read_pruned`` (manifest.py:981,1006), so a consumer that speaks
+    only ``spark.read`` gets snapshots, time travel, zone-map file
+    pruning, deletion-vector masking, and schema-evolution NULL
+    backfill without importing the library. Usage::
+
+        spark.dataSource.register(manifest_table_source())
+        df = spark.read.format("manifest").option("path", root).load()
+        old = ...option("snapshot", sid)...          # time travel
+        rng = (...option("pruneCol", "k")            # zone-map pruning
+                  .option("pruneLower", "10")
+                  .option("pruneUpper", "99")...)    # + residual filter
+
+    Scale shape: ``partitions()`` is driver-side metadata work (one
+    manifest JSON; zone maps prune FILES before any task exists — the
+    same file set ``read_pruned`` keeps), then ONE InputPartition per
+    kept data file, each read as ARROW RECORD BATCHES (pyarrow scan +
+    vectorized DV mask + residual range filter) — data crosses the
+    Python boundary as Arrow columns, never row-by-row. The function
+    faces stay the JVM-native scan path (zero Python in the data
+    plane) and remain the recommendation for fact-sized hot paths;
+    this format is the interop face, paying one Arrow hop.
+
+    The pickling constraint of the module docstring applies: classes
+    live in this factory and the manifest walk is self-contained
+    stdlib code; pyarrow/numpy/pyspark imports are worker-safe.
+
+    Pruning option typing: ``pruneLower``/``pruneUpper`` arrive as
+    strings (the DataSource options contract) and are parsed by the
+    PRUNE COLUMN's declared type — int/long/float/double/string/date
+    are supported; prune on other types via ``read_pruned`` or a
+    ``.filter`` over the plain format read. A legacy lineage (no
+    recorded schema) takes its schema from the FIRST file's footer —
+    heterogeneous legacy lineages should use
+    ``read_snapshot(merge_schema=True)`` instead."""
+    import json
+    import os
+
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    def read_pointer(root):
+        gen_dir = os.path.join(root, "_CURRENT.gen")
+        for _ in range(64):
+            try:
+                entries = [e for e in os.listdir(gen_dir) if e.isdigit()]
+            except FileNotFoundError:
+                entries = []
+            if not entries:
+                try:
+                    with open(os.path.join(root, "_CURRENT")) as fh:
+                        return fh.read().strip() or None
+                except OSError:
+                    return None
+            top = max(entries, key=int)
+            try:
+                with open(os.path.join(gen_dir, top)) as fh:
+                    return fh.read().strip() or None
+            except FileNotFoundError:
+                continue
+        raise RuntimeError(f"pointer at {root!r} would not settle")
+
+    def manifest(root, sid):
+        with open(os.path.join(root, "_manifests", f"{sid}.json")) as fh:
+            return json.load(fh)
+
+    def parse_bound(raw, spark_type_name):
+        if raw is None:
+            return None
+        t = spark_type_name
+        if t in ("integer", "long", "short", "byte"):
+            return int(raw)
+        if t in ("double", "float"):
+            return float(raw)
+        if t == "date":
+            import datetime
+
+            return datetime.date.fromisoformat(raw)
+        if t == "string":
+            return raw
+        raise ValueError(
+            f"manifest format cannot parse a {t!r} prune bound from an "
+            "option string; use read_pruned or .filter instead"
+        )
+
+    class _FilePart(InputPartition):
+        def __init__(self, abs_file, dv_abs, rel, lo, hi, col):
+            self.abs_file = abs_file
+            self.dv_abs = dv_abs  # absolute dv parquet paths masking rel
+            self.rel = rel  # manifest-relative name (dv rows key on it)
+            self.lo, self.hi, self.col = lo, hi, col
+
+    class ManifestTableReader(DataSourceReader):
+        def __init__(self, options, schema):
+            self.root = options.get("path")
+            if not self.root:
+                raise ValueError(
+                    "manifest format requires .option('path', <table root>)"
+                )
+            self.sid = options.get("snapshot")
+            self.prune_col = options.get("prunecol")
+            self.prune_lower = options.get("prunelower")
+            self.prune_upper = options.get("pruneupper")
+            if self.prune_col and (
+                self.prune_lower is None or self.prune_upper is None
+            ):
+                raise ValueError(
+                    "pruneCol requires both pruneLower and pruneUpper"
+                )
+            self.schema_struct = schema
+
+    # split so partitions() stays readable
+        def partitions(self):
+            sid = self.sid or read_pointer(self.root)
+            if sid is None:
+                raise FileNotFoundError(
+                    f"no current snapshot at {self.root!r}"
+                )
+            man = manifest(self.root, sid)
+            fields_json = (man.get("schema") or {}).get("fields")
+            meta = man.get("files_meta", {})
+            dels = man.get("deletes", {}) or {}
+            kept = man["files"]
+            lo = hi = None
+            if self.prune_col:
+                tname = None
+                if fields_json:
+                    for f in fields_json:
+                        if f["name"] == self.prune_col:
+                            tname = (
+                                f["type"]
+                                if isinstance(f["type"], str)
+                                else "other"
+                            )
+                if tname is None:
+                    # legacy lineage or unknown column: parse from the
+                    # declared (inferred) Spark schema instead
+                    for f in self.schema_struct.fields:
+                        if f.name == self.prune_col:
+                            tname = f.dataType.typeName()
+                if tname is None:
+                    raise ValueError(
+                        f"pruneCol {self.prune_col!r} is not a column "
+                        f"of {self.root!r}"
+                    )
+                lo = parse_bound(self.prune_lower, tname)
+                hi = parse_bound(self.prune_upper, tname)
+
+                def may_match(rel):
+                    fm = meta.get(rel, {})
+                    nc = fm.get("nulls", {}).get(self.prune_col)
+                    if nc is not None and nc == fm.get("rows"):
+                        return False  # provably all-NULL: no range hit
+                    st = fm.get("stats", {}).get(self.prune_col)
+                    return st is None or (st[1] >= lo and st[0] <= hi)
+
+                kept = [f for f in kept if may_match(f)]
+            out = []
+            for rel in kept:
+                dv_abs = [
+                    os.path.join(self.root, p)
+                    for p in dels.get(rel, {}).get("dv", [])
+                ]
+                out.append(
+                    _FilePart(
+                        os.path.join(self.root, rel), dv_abs, rel,
+                        lo, hi,
+                        self.prune_col if self.prune_col else None,
+                    )
+                )
+            return out
+
+        def read(self, part):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            # parquet-level column pruning: only the declared columns
+            # the file physically holds are decoded (a file with NO
+            # declared column — every requested column evolved in
+            # after it — still reads one physical column to carry the
+            # row count the NULL backfill and DV mask need)
+            declared = {f.name for f in self.schema_struct.fields}
+            physical = pq.read_schema(part.abs_file).names
+            sel = sorted(declared & set(physical)) or physical[:1]
+            tbl = pq.read_table(part.abs_file, columns=sel)
+            if part.dv_abs:
+                import numpy as np
+
+                masked = set()
+                for p in part.dv_abs:
+                    dv = pq.read_table(p, columns=["f", "pos"])
+                    hit = pc.equal(dv.column("f"), pa.scalar(part.rel))
+                    masked.update(
+                        dv.filter(hit).column("pos").to_pylist()
+                    )
+                if masked:
+                    keep = np.ones(tbl.num_rows, dtype=bool)
+                    keep[np.fromiter(masked, dtype=np.int64)] = False
+                    tbl = tbl.filter(pa.array(keep))
+            # bind to the DECLARED schema: declared order, declared
+            # arrow types (files may predate evolved columns -> NULL;
+            # physical int32 vs declared long -> cast). The declared
+            # schema is the reader's — the manifest's recorded one by
+            # default, or a user-passed .schema(...) SUBSET, which
+            # therefore column-prunes the arrow hop for free
+            want = [
+                (f.name, to_arrow_type(f.dataType))
+                for f in self.schema_struct.fields
+            ]
+            cols = []
+            for name, at in want:
+                if name in tbl.column_names:
+                    cols.append(tbl.column(name).cast(at))
+                else:
+                    cols.append(pa.nulls(tbl.num_rows, type=at))
+            out = pa.table(dict(zip([n for n, _ in want], cols)))
+            if part.col is not None:
+                c = out.column(part.col)
+                keep = pc.and_kleene(
+                    pc.greater_equal(c, pa.scalar(part.lo)),
+                    pc.less_equal(c, pa.scalar(part.hi)),
+                )
+                out = out.filter(pc.fill_null(keep, False))
+            yield from out.to_batches()
+
+    class ManifestTableDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "manifest"
+
+        def schema(self):
+            root = self.options.get("path")
+            if not root:
+                raise ValueError(
+                    "manifest format requires .option('path', <table root>)"
+                )
+            sid = self.options.get("snapshot") or read_pointer(root)
+            if sid is None:
+                raise FileNotFoundError(f"no current snapshot at {root!r}")
+            man = manifest(root, sid)
+            if man.get("schema"):
+                from pyspark.sql.types import StructType
+
+                return StructType.fromJson(man["schema"])
+            # legacy lineage: first file's footer (document caveat)
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            if not man["files"]:
+                raise ValueError(f"snapshot {sid!r} has no files")
+            return from_arrow_schema(
+                pq.read_schema(os.path.join(root, man["files"][0]))
+            )
+
+        def reader(self, schema):
+            return ManifestTableReader(self.options, schema)
+
+    return ManifestTableDataSource
+
+
+def register_manifest_table(spark) -> None:
+    """Register the batch ``manifest`` format on this session
+    (idempotent per session)."""
+    spark.dataSource.register(manifest_table_source())

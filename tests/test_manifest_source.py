@@ -200,3 +200,107 @@ def test_batch_read_survives_vacuum_as_bootstrap_event(spark, tmp_path):
         spark.read.format("manifest_cdc").option("path", root).option(
             "startingSnapshot", "v1"
         ).load().collect()
+
+
+def test_manifest_batch_format_equals_function_reads(spark, tmp_path):
+    """VERDICT r14 #5: the batch ``manifest`` format must equal the
+    function faces — read_snapshot (current + time travel, deletion
+    vectors masked, evolved columns NULL-backfilled) and read_pruned
+    (zone-map FILE pruning + the residual range filter) — and a
+    user-passed subset schema column-prunes the arrow hop."""
+    from db_loader_spark.streaming.manifest_source import (
+        register_manifest_table,
+    )
+
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(200).select("id", (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "id"),
+        root, snapshot_id="v1", stats_cols=["id"],
+    )
+    M.publish(
+        spark.range(9_000, 9_005).select(
+            "id", (F.col("id") * 2).alias("v"), F.lit("x").alias("w")
+        ),
+        root, append=True, snapshot_id="e1", merge_schema=True,
+        stats_cols=["id"],
+    )
+    M.delete_where(spark, root, "id % 7 = 0", mode="mor", snapshot_id="d1")
+    register_manifest_table(spark)
+
+    def rows(df):
+        return sorted(
+            (r.id, r.v, r.w if "w" in df.columns else None)
+            for r in df.collect()
+        )
+
+    fmt = spark.read.format("manifest").option("path", root).load()
+    assert fmt.columns == ["id", "v", "w"]
+    assert rows(fmt) == rows(M.read_current(spark, root))
+    # pre-evolution rows read w as NULL; masked rows are gone
+    # (9002 % 7 == 0, so one of the five evolved rows is masked too)
+    assert fmt.where("w IS NULL").count() == fmt.count() - 4
+    assert fmt.where("id % 7 = 0").count() == 0
+
+    # time travel binds the OLD schema
+    fmt_v1 = (spark.read.format("manifest").option("path", root)
+              .option("snapshot", "v1").load())
+    assert fmt_v1.columns == ["id", "v"]
+    assert rows(fmt_v1) == rows(M.read_snapshot(spark, root, "v1"))
+
+    # pruning: same rows as read_pruned AND fewer partitions (files)
+    fmt_pr = (spark.read.format("manifest").option("path", root)
+              .option("pruneCol", "id").option("pruneLower", "10")
+              .option("pruneUpper", "30").load())
+    assert rows(fmt_pr) == rows(M.read_pruned(spark, root, "id", 10, 30))
+    full_parts = fmt.rdd.getNumPartitions()
+    assert fmt_pr.rdd.getNumPartitions() < full_parts  # files pruned
+
+    # a subset schema column-prunes (and still masks vectors)
+    sub = (spark.read.format("manifest").option("path", root)
+           .schema("id long").load())
+    assert sub.columns == ["id"]
+    assert sorted(r.id for r in sub.collect()) == sorted(
+        r.id for r in M.read_current(spark, root).select("id").collect()
+    )
+
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("manifest").load().collect()
+
+
+def test_cdf_rows_carry_commit_timestamp(spark, tmp_path):
+    """VERDICT r14 #5: CDF rows carry ``_commit_timestamp`` (the
+    manifest file's mtime — the same clock vacuum's keep_hours
+    trusts) beside ``_commit_snapshot_id``, non-NULL and ordered with
+    the commit sequence."""
+    import os as _os
+
+    from db_loader_spark.streaming.commit_log import read_table_changes
+
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(50).select("id", (F.col("id") * 2).alias("v")),
+        root, snapshot_id="v1", stats_cols=["id"],
+    )
+    M.delete_where(spark, root, "id < 5", mode="mor", snapshot_id="d1")
+    cdf = read_table_changes(spark, root, ["id"], ["v"])
+    assert cdf.columns[:3] == [
+        "_commit_snapshot_id", "_commit_timestamp", "_commit_seq"
+    ]
+    got = {
+        r["_commit_snapshot_id"]: r["_commit_timestamp"]
+        for r in cdf.select(
+            "_commit_snapshot_id", "_commit_timestamp"
+        ).distinct().collect()
+    }
+    assert set(got) == {"v1", "d1"} and all(
+        ts is not None for ts in got.values()
+    )
+    assert got["v1"] <= got["d1"]  # commit order respects the clock
+    # the stamp IS the manifest mtime (UTC-naive, second precision)
+    import datetime
+
+    want = datetime.datetime.utcfromtimestamp(
+        _os.path.getmtime(_os.path.join(root, "_manifests", "v1.json"))
+    )
+    assert abs((got["v1"] - want).total_seconds()) < 0.001
