@@ -364,20 +364,27 @@ def manifest_table_source():
         )
 
     class _FilePart(InputPartition):
-        def __init__(self, abs_file, dv_abs, rel, lo, hi, col):
+        def __init__(self, abs_file, dv_abs, rel, lo, hi, col, tname):
             self.abs_file = abs_file
             self.dv_abs = dv_abs  # absolute dv parquet paths masking rel
             self.rel = rel  # manifest-relative name (dv rows key on it)
             self.lo, self.hi, self.col = lo, hi, col
+            self.tname = tname  # prune column's Spark type name
 
     class ManifestTableReader(DataSourceReader):
-        def __init__(self, options, schema):
+        def __init__(self, options, schema, sid):
             self.root = options.get("path")
             if not self.root:
                 raise ValueError(
                     "manifest format requires .option('path', <table root>)"
                 )
-            self.sid = options.get("snapshot")
+            # the sid is PINNED by the DataSource at plan time (review
+            # r15 #3): schema() and every partitions() call must bind
+            # the same snapshot, or a concurrent commit between plan
+            # and (re-)execution pairs snapshot A's schema with
+            # snapshot B's files — and two actions on one DataFrame
+            # could read different tables
+            self.sid = sid
             self.prune_col = options.get("prunecol")
             self.prune_lower = options.get("prunelower")
             self.prune_upper = options.get("pruneupper")
@@ -391,7 +398,7 @@ def manifest_table_source():
 
     # split so partitions() stays readable
         def partitions(self):
-            sid = self.sid or read_pointer(self.root)
+            sid = self.sid
             if sid is None:
                 raise FileNotFoundError(
                     f"no current snapshot at {self.root!r}"
@@ -402,8 +409,8 @@ def manifest_table_source():
             dels = man.get("deletes", {}) or {}
             kept = man["files"]
             lo = hi = None
+            tname = None
             if self.prune_col:
-                tname = None
                 if fields_json:
                     for f in fields_json:
                         if f["name"] == self.prune_col:
@@ -414,7 +421,11 @@ def manifest_table_source():
                             )
                 if tname is None:
                     # legacy lineage or unknown column: parse from the
-                    # declared (inferred) Spark schema instead
+                    # declared (inferred) Spark schema instead — the
+                    # prune column need NOT be in a user-passed subset
+                    # schema (filter-on-unselected-column, review r15
+                    # #2): read() fetches it for the filter and drops
+                    # it from the projection
                     for f in self.schema_struct.fields:
                         if f.name == self.prune_col:
                             tname = f.dataType.typeName()
@@ -446,6 +457,7 @@ def manifest_table_source():
                         os.path.join(self.root, rel), dv_abs, rel,
                         lo, hi,
                         self.prune_col if self.prune_col else None,
+                        tname,
                     )
                 )
             return out
@@ -456,22 +468,32 @@ def manifest_table_source():
             import pyarrow.parquet as pq
             from pyspark.sql.pandas.types import to_arrow_type
 
-            # parquet-level column pruning: only the declared columns
-            # the file physically holds are decoded (a file with NO
-            # declared column — every requested column evolved in
-            # after it — still reads one physical column to carry the
-            # row count the NULL backfill and DV mask need)
+            # parquet-level column pruning: the declared columns the
+            # file physically holds, plus the prune column (which a
+            # user-passed subset schema may omit — it is read for the
+            # filter and dropped from the projection). A file with NO
+            # needed column — every requested column evolved in after
+            # it — still reads one physical column to carry the row
+            # count the NULL backfill and DV mask need
             declared = {f.name for f in self.schema_struct.fields}
+            need = declared | ({part.col} if part.col is not None else set())
             physical = pq.read_schema(part.abs_file).names
-            sel = sorted(declared & set(physical)) or physical[:1]
+            sel = sorted(need & set(physical)) or physical[:1]
             tbl = pq.read_table(part.abs_file, columns=sel)
             if part.dv_abs:
                 import numpy as np
+                from urllib.parse import quote
 
+                # DV rows key on the URL-ENCODED relative path — the
+                # form _metadata.file_path renders (sinks.manifest
+                # _uri_rel); matching the raw path would silently
+                # resurrect deleted rows for any path that encodes
+                # differently (review r15 #1)
+                enc = quote(part.rel, safe="/")
                 masked = set()
                 for p in part.dv_abs:
                     dv = pq.read_table(p, columns=["f", "pos"])
-                    hit = pc.equal(dv.column("f"), pa.scalar(part.rel))
+                    hit = pc.equal(dv.column("f"), pa.scalar(enc))
                     masked.update(
                         dv.filter(hit).column("pos").to_pylist()
                     )
@@ -479,6 +501,28 @@ def manifest_table_source():
                     keep = np.ones(tbl.num_rows, dtype=bool)
                     keep[np.fromiter(masked, dtype=np.int64)] = False
                     tbl = tbl.filter(pa.array(keep))
+            # residual range filter BEFORE the projection, on the
+            # file's own rows (the prune column may not be declared)
+            if part.col is not None:
+                if part.col in tbl.column_names:
+                    at = {
+                        "integer": pa.int32(), "long": pa.int64(),
+                        "short": pa.int16(), "byte": pa.int8(),
+                        "float": pa.float32(), "double": pa.float64(),
+                        "string": pa.string(), "date": pa.date32(),
+                    }[part.tname]
+                    c = tbl.column(part.col).cast(at)
+                    keep = pc.and_kleene(
+                        pc.greater_equal(c, pa.scalar(part.lo, type=at)),
+                        pc.less_equal(c, pa.scalar(part.hi, type=at)),
+                    )
+                    tbl = tbl.filter(pc.fill_null(keep, False))
+                else:
+                    # the file predates the prune column: every value
+                    # reads NULL, and a range never matches NULL (the
+                    # read_pruned all-NULL rule) — stats-less files
+                    # reach here; stats-carrying ones were pruned
+                    tbl = tbl.slice(0, 0)
             # bind to the DECLARED schema: declared order, declared
             # arrow types (files may predate evolved columns -> NULL;
             # physical int32 vs declared long -> cast). The declared
@@ -496,16 +540,25 @@ def manifest_table_source():
                 else:
                     cols.append(pa.nulls(tbl.num_rows, type=at))
             out = pa.table(dict(zip([n for n, _ in want], cols)))
-            if part.col is not None:
-                c = out.column(part.col)
-                keep = pc.and_kleene(
-                    pc.greater_equal(c, pa.scalar(part.lo)),
-                    pc.less_equal(c, pa.scalar(part.hi)),
-                )
-                out = out.filter(pc.fill_null(keep, False))
             yield from out.to_batches()
 
     class ManifestTableDataSource(DataSource):
+        """The un-pinned read resolves the pointer ONCE, at
+        construction (plan time), and every later schema()/
+        partitions() binds that snapshot (review r15 #3): resolving
+        per-call would let a commit landing between plan and
+        (re-)execution pair snapshot A's schema with snapshot B's
+        files — and two actions on one DataFrame would read two
+        different tables. Re-``load()`` to see a newer snapshot, the
+        ``spark.read`` convention every table format follows."""
+
+        def __init__(self, options):
+            super().__init__(options)
+            root = options.get("path")
+            self._sid = None
+            if root:
+                self._sid = options.get("snapshot") or read_pointer(root)
+
         @classmethod
         def name(cls):
             return "manifest"
@@ -516,10 +569,9 @@ def manifest_table_source():
                 raise ValueError(
                     "manifest format requires .option('path', <table root>)"
                 )
-            sid = self.options.get("snapshot") or read_pointer(root)
-            if sid is None:
+            if self._sid is None:
                 raise FileNotFoundError(f"no current snapshot at {root!r}")
-            man = manifest(root, sid)
+            man = manifest(root, self._sid)
             if man.get("schema"):
                 from pyspark.sql.types import StructType
 
@@ -529,13 +581,13 @@ def manifest_table_source():
             from pyspark.sql.pandas.types import from_arrow_schema
 
             if not man["files"]:
-                raise ValueError(f"snapshot {sid!r} has no files")
+                raise ValueError(f"snapshot {self._sid!r} has no files")
             return from_arrow_schema(
                 pq.read_schema(os.path.join(root, man["files"][0]))
             )
 
         def reader(self, schema):
-            return ManifestTableReader(self.options, schema)
+            return ManifestTableReader(self.options, schema, self._sid)
 
     return ManifestTableDataSource
 

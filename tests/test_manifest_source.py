@@ -304,3 +304,82 @@ def test_cdf_rows_carry_commit_timestamp(spark, tmp_path):
         _os.path.getmtime(_os.path.join(root, "_manifests", "v1.json"))
     )
     assert abs((got["v1"] - want).total_seconds()) < 0.001
+
+
+def test_manifest_format_masks_url_encoding_paths(spark, tmp_path):
+    """Review r15 #1: DV rows key on the URL-ENCODED relative path
+    (the _metadata.file_path form) — a snapshot id that encodes
+    differently (space, '%', '+') must still mask its deleted rows in
+    the format face, exactly as the function face does."""
+    from db_loader_spark.streaming.manifest_source import (
+        register_manifest_table,
+    )
+
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(20).select("id", (F.col("id") * 2).alias("v")),
+        root, snapshot_id="v 1", stats_cols=["id"],  # space: encodes
+    )
+    M.delete_where(spark, root, "id < 5", mode="mor", snapshot_id="d+1")
+    register_manifest_table(spark)
+    fmt = spark.read.format("manifest").option("path", root).load()
+    fn = M.read_current(spark, root)
+    assert sorted(map(tuple, fmt.collect())) == sorted(
+        map(tuple, fn.collect())
+    )
+    assert fmt.count() == 15
+
+
+def test_manifest_format_prunes_on_unselected_column(spark, tmp_path):
+    """Review r15 #2: pruneCol combined with a user subset schema that
+    omits the prune column must read the column for the filter and
+    drop it from the projection — filter-on-unselected-column is an
+    ordinary read, not an executor KeyError."""
+    from db_loader_spark.streaming.manifest_source import (
+        register_manifest_table,
+    )
+
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(100).select("id", (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "id"),
+        root, snapshot_id="v1", stats_cols=["id"],
+    )
+    register_manifest_table(spark)
+    sub = (spark.read.format("manifest").option("path", root)
+           .schema("v long")
+           .option("pruneCol", "id").option("pruneLower", "10")
+           .option("pruneUpper", "30").load())
+    assert sub.columns == ["v"]
+    assert sorted(r.v for r in sub.collect()) == [2 * i for i in range(10, 31)]
+
+
+def test_manifest_format_pins_snapshot_at_plan_time(spark, tmp_path):
+    """Review r15 #3: an un-pinned format read resolves the pointer
+    ONCE at load() — commits landing between plan and action (or
+    between two actions on the same DataFrame) must not shift the
+    row set or pair one snapshot's schema with another's files."""
+    from db_loader_spark.streaming.manifest_source import (
+        register_manifest_table,
+    )
+
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+        root, snapshot_id="v1", stats_cols=["id"],
+    )
+    register_manifest_table(spark)
+    df = spark.read.format("manifest").option("path", root).load()
+    # a commit lands AFTER the plan, BEFORE the first action
+    M.publish(
+        spark.range(100, 105).select(
+            "id", (F.col("id") * 2).alias("v"), F.lit("x").alias("w")
+        ),
+        root, append=True, snapshot_id="e1", merge_schema=True,
+        stats_cols=["id"],
+    )
+    assert df.columns == ["id", "v"] and df.count() == 10  # still v1
+    assert df.count() == 10  # and a second action reads the SAME table
+    # a fresh load() sees the new snapshot, per the spark.read contract
+    df2 = spark.read.format("manifest").option("path", root).load()
+    assert df2.columns == ["id", "v", "w"] and df2.count() == 15
