@@ -710,14 +710,34 @@ def _bench_manifest_zonemap(spark, sf_dir: str, timings, spreads) -> None:
     from db_loader_spark.queries.relational import _zonemap_root
     from db_loader_spark.sinks import manifest as M
 
+    from db_loader_spark.streaming.manifest_source import (
+        register_manifest_table,
+    )
+
     root = _zonemap_root(spark, sf_dir)
     residual = F.col("cents").between(3000, 3500)
+    register_manifest_table(spark)
     variants = {
         "ev_manifest_unpruned": M.read_current(spark, root).filter(residual),
         "ev_manifest_pruned": M.read_pruned(spark, root, "cents", 3000, 3500),
+        # the batch 'manifest' FORMAT face (r15): identical kept-file
+        # set and result as read_pruned, but the data pays one Arrow
+        # hop through the Python DataSource — this row is the measured
+        # price of the interop face vs the JVM-native function face
+        "ev_manifest_format": (
+            spark.read.format("manifest").option("path", root)
+            .option("pruneCol", "cents").option("pruneLower", "3000")
+            .option("pruneUpper", "3500").load()
+        ),
     }
     for name, df in variants.items():
-        SCAN_UNITS[name] = _file_units(df)
+        # the format frame has no JVM file-scan node (inputFiles is
+        # empty); its kept set is read_pruned's by construction —
+        # record the same units so the pruning witness stays paired
+        SCAN_UNITS[name] = _file_units(
+            df if name != "ev_manifest_format"
+            else variants["ev_manifest_pruned"]
+        )
         agg = df.groupBy("event_type").agg(F.sum("cents").alias("s"))
         agg.count()  # warm
         spark._jvm.System.gc()

@@ -950,3 +950,69 @@ def test_apply_table_changes_follows_source_evolution(spark, tmp_path):
                                snapshot_id="sync-d1",
                                merge_schema=True) == "sync-d1"
     assert M.snapshots(rep) == ["boot", "evolve-sync-d1", "sync-d1"]
+
+
+def test_evolve_schema_concurrency_semantics(spark, tmp_path):
+    """evolve_schema under concurrency: (1) racing APPENDS all land —
+    an append of a SUBSET of the evolved schema is always legal, so
+    neither order loses — and the final table carries the new column
+    with NULL for every pre-evolution row; (2) two concurrent
+    evolutions of DIFFERENT columns both land (the loser re-merges on
+    the fresh parent); (3) a strict-schema MERGE against an evolved
+    table fails LOUDLY with the schema contract error (the Delta
+    MetadataChangedException analog) — never a silent cast."""
+    import threading
+
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    root = _base(spark, tmp_path)
+    errors = []
+
+    def run(fn):
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 - collected for assert
+            errors.append(repr(e))
+
+    threads = [
+        threading.Thread(target=run, args=(lambda: M.publish(
+            spark.range(9_000, 9_005).select(
+                "id", (F.col("id") * 2).alias("v")
+            ),
+            root, append=True, snapshot_id="a1", stats_cols=["id"],
+        ),)),
+        threading.Thread(target=run, args=(lambda: M.evolve_schema(
+            root, [StructField("w", StringType())], snapshot_id="ev-w",
+        ),)),
+        threading.Thread(target=run, args=(lambda: M.evolve_schema(
+            root, [StructField("z", LongType())], snapshot_id="ev-z",
+        ),)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    chain = M.snapshots(root)
+    assert sorted(chain[1:]) == ["a1", "ev-w", "ev-z"]
+    df = M.read_current(spark, root)
+    assert set(df.columns) == {"id", "v", "w", "z"}
+    assert df.count() == 505
+    assert df.where("w IS NOT NULL OR z IS NOT NULL").count() == 0
+    # (3) strict-schema writers fail loudly against the evolved table
+    with pytest.raises(ValueError, match="schema"):
+        M.merge_upsert(
+            spark, spark.createDataFrame([(1, -1)], "id long, v long"),
+            root, "id", snapshot_id="m1",
+        )
+    # the evolved-width batch is the remedy, and it lands
+    M.merge_upsert(
+        spark,
+        spark.createDataFrame([(1, -1, "x", 9)],
+                              "id long, v long, w string, z long"),
+        root, "id", snapshot_id="m2", mode="mor",
+    )
+    assert [(r.w, r.z) for r in
+            M.read_current(spark, root).where("id = 1").collect()] == [
+        ("x", 9)
+    ]
