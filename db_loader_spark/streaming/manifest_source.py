@@ -291,6 +291,7 @@ def manifest_table_source():
         rng = (...option("pruneCol", "k")            # zone-map pruning
                   .option("pruneLower", "10")
                   .option("pruneUpper", "99")...)    # + residual filter
+        inc = ...option("startingSnapshot", sid)...  # read_added face
 
     Scale shape: ``partitions()`` is driver-side metadata work (one
     manifest JSON; zone maps prune FILES before any task exists — the
@@ -385,6 +386,7 @@ def manifest_table_source():
             # snapshot B's files — and two actions on one DataFrame
             # could read different tables
             self.sid = sid
+            self.start_after = options.get("startingsnapshot")
             self.prune_col = options.get("prunecol")
             self.prune_lower = options.get("prunelower")
             self.prune_upper = options.get("pruneupper")
@@ -408,6 +410,23 @@ def manifest_table_source():
             meta = man.get("files_meta", {})
             dels = man.get("deletes", {}) or {}
             kept = man["files"]
+            if self.start_after is not None:
+                # the INCREMENTAL face (read_added): only the files
+                # added since startingSnapshot — files are immutable,
+                # so path set difference IS the data delta; the PINNED
+                # snapshot's vectors still mask (an incremental
+                # consumer must see the logical table's delta, never
+                # resurrected rows). Composes with zone-map pruning.
+                try:
+                    old = set(manifest(self.root, self.start_after)["files"])
+                except FileNotFoundError:
+                    raise RuntimeError(
+                        f"startingSnapshot {self.start_after!r} at "
+                        f"{self.root!r} is behind the vacuum horizon; "
+                        "read the full snapshot instead and resume "
+                        "increments from its id"
+                    ) from None
+                kept = [f for f in kept if f not in old]
             lo = hi = None
             tname = None
             if self.prune_col:

@@ -383,3 +383,36 @@ def test_manifest_format_pins_snapshot_at_plan_time(spark, tmp_path):
     # a fresh load() sees the new snapshot, per the spark.read contract
     df2 = spark.read.format("manifest").option("path", root).load()
     assert df2.columns == ["id", "v", "w"] and df2.count() == 15
+
+
+def test_manifest_format_incremental_equals_read_added(spark, tmp_path):
+    """The format's startingSnapshot option is the read_added face:
+    only files added since the cursor, the pinned snapshot's vectors
+    still masking; a vacuumed cursor is a loud bootstrap error."""
+    from db_loader_spark.streaming.manifest_source import (
+        register_manifest_table,
+    )
+
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(50).select("id", (F.col("id") * 2).alias("v")),
+        root, snapshot_id="v1", stats_cols=["id"],
+    )
+    M.publish(
+        spark.range(100, 120).select("id", (F.col("id") * 2).alias("v")),
+        root, append=True, snapshot_id="a1", stats_cols=["id"],
+    )
+    M.delete_where(spark, root, "id IN (3, 105)", mode="mor",
+                   snapshot_id="d1")
+    register_manifest_table(spark)
+    inc = (spark.read.format("manifest").option("path", root)
+           .option("startingSnapshot", "v1").load())
+    fn = M.read_added(spark, root, "v1", M.current_snapshot(root))
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, fn.collect())
+    )
+    assert inc.where("id = 105").count() == 0  # delta is DV-masked
+    assert inc.count() == 19
+    with pytest.raises(Exception, match="vacuum horizon"):
+        (spark.read.format("manifest").option("path", root)
+         .option("startingSnapshot", "never-was").load().collect())
