@@ -733,10 +733,12 @@ def _bench_manifest_zonemap(spark, sf_dir: str, timings, spreads) -> None:
     for name, df in variants.items():
         # the format frame has no JVM file-scan node (inputFiles is
         # empty); its kept set is read_pruned's by construction —
-        # record the same units so the pruning witness stays paired
-        SCAN_UNITS[name] = _file_units(
-            df if name != "ev_manifest_format"
-            else variants["ev_manifest_pruned"]
+        # reuse the already-computed units so the pruning witness
+        # stays paired without re-listing the scan
+        SCAN_UNITS[name] = (
+            dict(SCAN_UNITS["ev_manifest_pruned"])
+            if name == "ev_manifest_format"
+            else _file_units(df)
         )
         agg = df.groupBy("event_type").agg(F.sum("cents").alias("s"))
         agg.count()  # warm

@@ -2606,12 +2606,25 @@ def evolve_schema(root: str, add, snapshot_id: str | None = None) -> str:
             raise FileNotFoundError(f"no current snapshot at {root!r}")
         if observed == new_sid:
             return new_sid  # replayed evolution: already committed
-        if (
-            snapshot_id is not None
-            and os.path.exists(os.path.join(man_dir, f"{new_sid}.json"))
-            and _committed_in_lineage(root, new_sid, observed) is True
-        ):
-            return new_sid  # committed then superseded: idempotent no-op
+        if os.path.exists(os.path.join(man_dir, f"{new_sid}.json")):
+            # full token adjudication, the restore_snapshot contract
+            # (review r15 pass 2 #3): committed-then-superseded is an
+            # idempotent no-op; provable crash residue is removed and
+            # re-derived; a walk TRUNCATED at the vacuum horizon
+            # (None) is unprovable — overwriting a possibly-committed
+            # manifest would write a cycle into the chain, so refuse
+            landed = _committed_in_lineage(root, new_sid, observed)
+            if landed is True:
+                return new_sid
+            if landed is False:
+                os.unlink(os.path.join(man_dir, f"{new_sid}.json"))
+            else:
+                raise RuntimeError(
+                    f"snapshot token {new_sid!r} already has a manifest "
+                    f"at {root!r} and the lineage walk truncated at the "
+                    "vacuum horizon; evolving over it could corrupt "
+                    "the lineage — use a fresh snapshot_id"
+                )
         pm = _manifest(root, observed)
         if pm.get("schema") is None:
             raise ValueError(

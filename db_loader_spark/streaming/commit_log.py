@@ -548,6 +548,18 @@ def row_changes_for_batch(
             order = list(reversed(chain))
             break
     if order is None:
+        # the horizon diagnosis WINS when both flags are set (review
+        # r15 pass 2 #4): a stale candidate can exhaust the cap on a
+        # long retained history while the true head's walk actually
+        # failed at the vacuum horizon — the cap message's "lineage is
+        # intact" claim would then be false
+        if saw_horizon:
+            raise CommitLogTruncated(
+                f"manifest_cdc batch at {root!r}: no head candidate "
+                f"({heads}) resolves the chain above the vacuum "
+                "horizon; bootstrap from a snapshot read and resume "
+                "the feed after it"
+            )
         if saw_cap:
             # same remedy as truncation (re-bootstrap past the gap
             # run), so the same typed error — but its own message:
@@ -559,13 +571,6 @@ def row_changes_for_batch(
                 "resolved — the lineage is intact but unwalkably "
                 "gappy from this cursor; bootstrap from a snapshot "
                 "read and resume the feed after the current head"
-            )
-        if saw_horizon:
-            raise CommitLogTruncated(
-                f"manifest_cdc batch at {root!r}: no head candidate "
-                f"({heads}) resolves the chain above the vacuum "
-                "horizon; bootstrap from a snapshot read and resume "
-                "the feed after it"
             )
         raise RuntimeError(
             f"manifest_cdc batch at {root!r} does not resolve to one "
@@ -627,10 +632,25 @@ def _cdf_union(
     import datetime
     import os
 
-    # the RANGE's newest recorded schema types the NULL backfill for
-    # columns that predate a commit (schema evolution, VERDICT r14
-    # #3); events are oldest-first, so the last manifest is newest
-    ref_schema = events[-1][1].get("schema") if events else None
+    # the NULL backfill for columns that predate a commit (schema
+    # evolution, VERDICT r14 #3) types from the table's CURRENT
+    # recorded schema — the Delta-CDF convention (output schema = the
+    # latest table schema), and the reason a CHUNKED replay of an
+    # evolved history works: a chunk wholly before the evolution has
+    # no manifest that knows the column, so typing from the range's
+    # newest manifest would raise exactly where the docstring's own
+    # chunking recipe sends long-history callers (review r15 pass 2
+    # #2). Falls back to the range's newest manifest when the head is
+    # unreadable (racing vacuum) — one extra JSON read per call.
+    ref_schema = None
+    try:
+        head = M.current_snapshot(root)
+        if head is not None:
+            ref_schema = M._manifest(root, head).get("schema")
+    except FileNotFoundError:
+        pass
+    if ref_schema is None and events:
+        ref_schema = events[-1][1].get("schema")
     frames = []
     for i, (ev, man, pman) in enumerate(events):
         df = read_event_row_changes(

@@ -482,6 +482,14 @@ def manifest_table_source():
             return out
 
         def read(self, part):
+            # an EMPTY partitions() list (zone maps excluded every
+            # file, or an empty incremental delta — the common
+            # no-new-data poll) reaches here as read(None): PySpark's
+            # plan_data_source_read substitutes [None] for an empty
+            # list (review r15 pass 2 #1) — the empty DataFrame, not
+            # an AttributeError
+            if part is None:
+                return
             import pyarrow as pa
             import pyarrow.compute as pc
             import pyarrow.parquet as pq

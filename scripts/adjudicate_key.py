@@ -7,10 +7,13 @@ run — pair a fresh, alone-on-box measurement of the key at each HEAD).
 Usage: python scripts/adjudicate_key.py KEY [sf_dir] [n_samples]
 
 Methodology = bench.py's per-row protocol exactly: one warm run
-(codegen compile), System.gc(), then N timed runs (median + middle
-range), unpersisting the result between runs so CacheManager can't
-serve a settled result back to the next sample. Fresh session, no
-concurrent jobs. Prints one JSON line.
+(codegen compile), System.gc(), bench's own RESET_BEFORE_TIMING hook
+(keys like text_bpe_train cache trained state — without the reset,
+runs 2..N time a warm cache and the median adjudicates as a spurious
+speedup against bench_history rows measured under the reset), then N
+timed runs (median + middle range), unpersisting the result between
+runs so CacheManager can't serve a settled result back to the next
+sample. Fresh session, no concurrent jobs. Prints one JSON line.
 """
 
 import json
@@ -20,6 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import RESET_BEFORE_TIMING
 from db_loader_spark.queries import all_queries
 from db_loader_spark.session import get_spark
 
@@ -30,6 +34,7 @@ def main() -> int:
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     spark = get_spark("adjudicate")
     spec = all_queries()[key]
+    reset = RESET_BEFORE_TIMING.get(key)
     # JVM/codegen warmup on an unrelated trivial query first
     all_queries()["a2_max_id"].spark(spark, sf_dir).collect()
     warm = spec.spark(spark, sf_dir)
@@ -38,6 +43,8 @@ def main() -> int:
     runs = []
     for _ in range(n):
         spark._jvm.System.gc()
+        if reset is not None:
+            reset()
         t0 = time.perf_counter()
         df = spec.spark(spark, sf_dir)
         df.count()  # full plan; not an assert (python -O strips those)

@@ -855,11 +855,24 @@ def test_change_feed_across_schema_evolution(spark, tmp_path):
     assert got[("v1", "insert", 3)] == (None, None, 6, None)
     assert got[("e1", "insert", 9_102)] == (None, None, 18_204, "x")
 
-    # a STANDALONE pre-evolution range never saw the column: asking
-    # for it there is the genuinely-unknown-name error, unchanged
-    with pytest.raises(Exception, match="w"):
-        read_table_changes(spark, root, ["id"], ["v", "w"],
-                           start_after="v1", end="d0").collect()
+    # a CHUNKED replay (the long-history recipe) crosses the
+    # evolution too: a chunk wholly BEFORE the evolution types the
+    # backfill from the table's CURRENT schema (the Delta convention,
+    # review r15 pass 2) — NULL columns, never a raise — and its rows
+    # equal the whole-range read restricted to those commits
+    chunk = read_table_changes(spark, root, ["id"], ["v", "w"],
+                               start_after="v1", end="d0")
+    chunk_rows = {
+        (r["_commit_snapshot_id"], r["_change_type"], r["id"]):
+            (r["old_v"], r["old_w"], r["new_v"], r["new_w"])
+        for r in chunk.collect()
+    }
+    assert chunk_rows == {
+        k: v for k, v in rows.items() if k[0] == "d0"
+    }
+    # a column in NO schema (not current, not range) still raises
+    with pytest.raises(Exception, match="nope"):
+        read_table_changes(spark, root, ["id"], ["v", "nope"]).collect()
 
 
 def test_evolve_schema_metadata_commit(spark, tmp_path):

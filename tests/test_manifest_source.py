@@ -416,3 +416,30 @@ def test_manifest_format_incremental_equals_read_added(spark, tmp_path):
     with pytest.raises(Exception, match="vacuum horizon"):
         (spark.read.format("manifest").option("path", root)
          .option("startingSnapshot", "never-was").load().collect())
+
+
+def test_manifest_format_empty_scan_is_empty_frame(spark, tmp_path):
+    """Review r15 pass 2 #1: zero surviving files (zone maps exclude
+    everything, or an empty incremental delta — the common no-new-data
+    poll) must be the empty DataFrame, exactly like the function
+    faces — PySpark hands read(None) to a source whose partitions()
+    returned []."""
+    from db_loader_spark.streaming.manifest_source import (
+        register_manifest_table,
+    )
+
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(10).select("id", (F.col("id") * 2).alias("v")),
+        root, snapshot_id="v1", stats_cols=["id"],
+    )
+    register_manifest_table(spark)
+    pruned_out = (spark.read.format("manifest").option("path", root)
+                  .option("pruneCol", "id")
+                  .option("pruneLower", "1000000")
+                  .option("pruneUpper", "2000000").load())
+    assert pruned_out.count() == 0
+    assert pruned_out.columns == ["id", "v"]
+    empty_delta = (spark.read.format("manifest").option("path", root)
+                   .option("startingSnapshot", "v1").load())
+    assert empty_delta.count() == 0
