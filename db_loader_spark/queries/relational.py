@@ -1537,11 +1537,14 @@ FROM live GROUP BY pr
 """
 
 
-def _clog_paths(sf_dir: str) -> tuple:
-    """(source root, replica root, stamp) for the staged six-verb
-    commit-log tables — ONE derivation (fifth r14 review: a second
-    inline copy of the key/stamp would let the two stage versions
-    silently drift on a recipe bump)."""
+def _clog_paths(sf_dir: str, variant: str = "") -> tuple:
+    """(source root, replica root, stamp) for the staged commit-log
+    tables — ONE derivation (fifth r14 review: a second inline copy
+    of the key/stamp would let the stage versions silently drift on a
+    recipe bump; r15 review re-applied the rule when the evolving
+    variant almost copied it). ``variant`` suffixes the prefixes so
+    the six-verb pair and the evolving-history pair stage apart while
+    sharing key and stamp."""
     import hashlib
     import tempfile
 
@@ -1550,8 +1553,8 @@ def _clog_paths(sf_dir: str) -> tuple:
     stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v1"
     tmp = tempfile.gettempdir()
     return (
-        os.path.join(tmp, f"db_loader_clog_{key}"),
-        os.path.join(tmp, f"db_loader_replica_{key}"),
+        os.path.join(tmp, f"db_loader_clog{variant}_{key}"),
+        os.path.join(tmp, f"db_loader_replica{variant}_{key}"),
         stamp,
     )
 
@@ -1732,20 +1735,9 @@ def t_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _clog_ev_paths(sf_dir: str) -> tuple:
     """(source root, replica root, stamp) for the EVOLVING-history
-    replica-sync diagnostic — separate staging from _clog_paths so the
-    six-verb tables the other two diagnostics share stay untouched."""
-    import hashlib
-    import tempfile
-
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
-    stamp = f"{st.st_size}:{st.st_mtime_ns}:install=v1"
-    tmp = tempfile.gettempdir()
-    return (
-        os.path.join(tmp, f"db_loader_clogev_{key}"),
-        os.path.join(tmp, f"db_loader_replicaev_{key}"),
-        stamp,
-    )
+    replica-sync diagnostic — the shared derivation, staged apart from
+    the six-verb tables the other two diagnostics use."""
+    return _clog_paths(sf_dir, variant="ev")
 
 
 def t_replica_sync_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -348,8 +348,11 @@ def _aligned_for_diff(
     rows read NULL for evolved columns, exactly as a post-evolution
     snapshot scan of their files would surface them. Types resolve
     from the other side first (the evolution commit's own diff), then
-    from ``ref_schema`` (the RANGE's newest recorded schema — both
-    sides of a commit older than the evolution lack the column). A
+    from ``ref_schema`` — the table's CURRENT recorded schema (the
+    Delta-CDF convention; range-level callers pass it down, falling
+    back to the range's newest manifest only when the head is
+    unreadable), because both sides of a commit older than the
+    evolution lack the column. A
     column in neither frame nor the reference stays missing, so the
     diff raises Spark's own unresolved-column error for a genuinely
     unknown name instead of silently inventing an all-NULL column."""
@@ -419,10 +422,12 @@ def read_event_row_changes(
     inside the range evolves the recorded schema mid-lineage, so a
     requested column can predate one or both sides of a commit's diff.
     Such columns are NULL-backfilled (``_aligned_for_diff``, typed
-    from the other side or from ``_ref_schema`` — the range's newest
-    recorded schema, which range-level callers pass down) — the
-    Delta-CDF contract: pre-evolution commits report NULL for evolved
-    columns, never raise."""
+    from the other side or from ``_ref_schema`` — the table's CURRENT
+    recorded schema, which range-level callers pass down; standalone
+    calls fall back to this commit's own manifest) — the Delta-CDF
+    contract: pre-evolution commits report NULL for evolved columns,
+    never raise, even in a chunked replay whose whole chunk predates
+    the evolution."""
     from pyspark.sql import functions as F
 
     from db_loader_spark.operators.cdc import snapshot_diff
@@ -856,7 +861,14 @@ def apply_table_changes(
         (F.col("_change_type") == F.lit("delete")).alias("_delete"),
     )
     if merge_schema:
-        pm = M._manifest(target_root, M.current_snapshot(target_root))
+        head = M.current_snapshot(target_root)
+        if head is None:
+            # same contract error the merge_schema=False path gives
+            # via merge_apply — not FileNotFoundError on 'None.json'
+            raise FileNotFoundError(
+                f"no current snapshot at {target_root!r}"
+            )
+        pm = M._manifest(target_root, head)
         recorded = {
             f["name"] for f in (pm.get("schema") or {}).get("fields", [])
         }

@@ -52,6 +52,13 @@ def main() -> int:
         df.unpersist()
     runs.sort()
     med = runs[(len(runs) - 1) // 2]
+    # bench.py's spread statistic: 5+-sample rows report the TRIMMED
+    # middle-3 range so spreads stay comparable with bench_history
+    # rows regardless of sample count (bench.py's own trim rationale)
+    if len(runs) >= 5:
+        spread = (runs[-2] - runs[1]) / med if med else 0.0
+    else:
+        spread = (runs[-1] - runs[0]) / med if med else 0.0
     print(
         json.dumps(
             {
@@ -59,7 +66,7 @@ def main() -> int:
                 "sf_dir": sf_dir,
                 "median": round(med, 4),
                 "runs": [round(r, 4) for r in runs],
-                "spread": round((runs[-1] - runs[0]) / med, 3) if med else 0.0,
+                "spread": round(spread, 3),
             }
         )
     )
