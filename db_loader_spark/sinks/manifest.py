@@ -2747,6 +2747,79 @@ def snapshots(root: str) -> list[str]:
     return list(reversed(chain))
 
 
+def snapshot_as_of(root: str, ts) -> str:
+    """Resolve the NEWEST lineage snapshot committed at or before
+    ``ts`` — timestamp time travel (Delta's ``timestampAsOf``), the
+    query-side sibling of ``vacuum(keep_hours=...)`` and the CDF's
+    ``_commit_timestamp``: all three trust the SAME clock, the
+    manifest file's mtime (snapshot ids are caller-chosen tokens and
+    cannot carry time; the filesystem's commit stamp is the local
+    analog of an object store's commit-object timestamp).
+
+    ``ts`` may be a UTC-naive ``datetime`` (the repo's timestamp
+    convention), an ISO-8601 string, or epoch seconds. A ``ts`` at or
+    after the newest commit resolves to the newest snapshot (asking
+    for "the table as of now" on a quiet table must work); a ``ts``
+    before the OLDEST WALKABLE commit raises ``ValueError`` naming the
+    earliest available commit time — the requested state is behind
+    the vacuum horizon, the same before-earliest-version contract
+    every table format documents. Compose with ``read_snapshot`` /
+    ``read_pruned(sid=...)``; the batch ``manifest`` format serves the
+    same resolution as ``.option("timestampAsOf", ...)``.
+
+    The walk is newest-first and stats only as far as the answer: on a
+    warm table the common "recent ts" case reads one mtime, not the
+    lineage. A manifest reaped between the pointer read and its stat
+    (concurrent vacuum) terminates the walk as the horizon — older
+    history is gone either way."""
+    target = _epoch_seconds(ts)
+    sid = current_snapshot(root)
+    if sid is None:
+        raise FileNotFoundError(f"no current snapshot at {root!r}")
+    _, man_dir, _ = _paths(root)
+    earliest: tuple[float, str] | None = None
+    seen: set[str] = set()
+    while sid is not None and sid not in seen:
+        seen.add(sid)
+        try:
+            mt = os.path.getmtime(os.path.join(man_dir, f"{sid}.json"))
+            parent = _manifest(root, sid)["parent"]
+        except FileNotFoundError:
+            if earliest is None:
+                raise  # pointer names a missing manifest: corruption
+            break  # vacuum horizon: older history is gone
+        earliest = (mt, sid)
+        if mt <= target:
+            return sid
+        sid = parent
+    assert earliest is not None  # loop ran at least once to get here
+    raise ValueError(
+        f"timestamp {ts!r} predates the earliest available commit at "
+        f"{root!r} ({earliest[1]!r}, committed epoch {earliest[0]:.3f})"
+        " — the requested state is behind the vacuum horizon"
+    )
+
+
+def _epoch_seconds(ts) -> float:
+    """Normalize a datetime / ISO string / epoch number to epoch
+    seconds. Naive datetimes are UTC (the repo convention — the
+    container runs UTC and every oracle assumes UTC-naive)."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        try:
+            return float(ts)
+        except ValueError:
+            ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return ts.timestamp()
+    raise TypeError(f"cannot interpret {ts!r} as a commit timestamp")
+
+
 def vacuum(
     root: str, keep: int = 1, keep_hours: float | None = None
 ) -> list[str]:

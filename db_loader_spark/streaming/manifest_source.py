@@ -287,7 +287,9 @@ def manifest_table_source():
 
         spark.dataSource.register(manifest_table_source())
         df = spark.read.format("manifest").option("path", root).load()
-        old = ...option("snapshot", sid)...          # time travel
+        old = ...option("snapshot", sid)...          # time travel by id
+        ts  = ...option("timestampAsOf", "2026-08-16T12:00:00")...
+                                                     # time travel by time
         rng = (...option("pruneCol", "k")            # zone-map pruning
                   .option("pruneLower", "10")
                   .option("pruneUpper", "99")...)    # + residual filter
@@ -344,6 +346,47 @@ def manifest_table_source():
     def manifest(root, sid):
         with open(os.path.join(root, "_manifests", f"{sid}.json")) as fh:
             return json.load(fh)
+
+    def resolve_as_of(root, raw_ts):
+        """Newest lineage snapshot with manifest mtime <= the option
+        value (ISO-8601 string or epoch seconds) — the self-contained
+        twin of ``sinks.manifest.snapshot_as_of`` (same clock, same
+        newest-first walk, same horizon error; the equivalence is
+        pytest-pinned like the CDC walk's)."""
+        import datetime
+
+        try:
+            target = float(raw_ts)
+        except ValueError:
+            dt = datetime.datetime.fromisoformat(raw_ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=datetime.timezone.utc)
+            target = dt.timestamp()
+        sid = read_pointer(root)
+        if sid is None:
+            raise FileNotFoundError(f"no current snapshot at {root!r}")
+        earliest = None
+        seen = set()
+        while sid is not None and sid not in seen:
+            seen.add(sid)
+            mpath = os.path.join(root, "_manifests", f"{sid}.json")
+            try:
+                mt = os.path.getmtime(mpath)
+                parent = manifest(root, sid).get("parent")
+            except FileNotFoundError:
+                if earliest is None:
+                    raise  # pointer names a missing manifest
+                break  # vacuum horizon
+            earliest = (mt, sid)
+            if mt <= target:
+                return sid
+            sid = parent
+        raise ValueError(
+            f"timestampAsOf {raw_ts!r} predates the earliest available "
+            f"commit at {root!r} ({earliest[1]!r}, committed epoch "
+            f"{earliest[0]:.3f}) — the requested state is behind the "
+            "vacuum horizon"
+        )
 
     def parse_bound(raw, spark_type_name):
         if raw is None:
@@ -584,7 +627,17 @@ def manifest_table_source():
             root = options.get("path")
             self._sid = None
             if root:
-                self._sid = options.get("snapshot") or read_pointer(root)
+                by_id = options.get("snapshot")
+                by_ts = options.get("timestampasof")
+                if by_id and by_ts:
+                    raise ValueError(
+                        "snapshot and timestampAsOf are mutually "
+                        "exclusive — pick one time-travel axis"
+                    )
+                if by_ts:
+                    self._sid = resolve_as_of(root, by_ts)
+                else:
+                    self._sid = by_id or read_pointer(root)
 
         @classmethod
         def name(cls):

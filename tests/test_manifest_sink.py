@@ -1677,6 +1677,48 @@ def test_vacuum_time_retention_widens_the_keep_set(spark, tmp_path):
         M.read_snapshot(spark, root, sids[0])
 
 
+def test_snapshot_as_of_timestamp_time_travel(spark, tmp_path):
+    """snapshot_as_of: the newest lineage commit at or before ts, on
+    the SAME clock as vacuum keep_hours and the CDF's
+    _commit_timestamp (manifest mtime). Between-commit timestamps
+    resolve to the older commit; at-or-after-newest resolves to the
+    head; before-the-earliest raises the behind-the-horizon error;
+    the error also fires when the early history is actually vacuumed."""
+    import datetime
+
+    root = str(tmp_path / "tbl")
+    sids = [M.publish(spark.range(i + 1), root) for i in range(3)]
+    # deterministic commit times: 100s apart, ending 300s ago
+    now = __import__("time").time()
+    stamps = [now - 300, now - 200, now - 100]
+    for s, t in zip(sids, stamps):
+        os.utime(os.path.join(root, "_manifests", f"{s}.json"), (t, t))
+    # exactly-at and between-commit resolution (epoch-seconds form)
+    assert M.snapshot_as_of(root, stamps[0]) == sids[0]
+    assert M.snapshot_as_of(root, stamps[1] - 1) == sids[0]
+    assert M.snapshot_as_of(root, stamps[1]) == sids[1]
+    assert M.snapshot_as_of(root, stamps[2] + 999) == sids[2]
+    # datetime and ISO-string forms (UTC-naive, the repo convention)
+    dt = datetime.datetime.utcfromtimestamp(stamps[1] + 1)
+    assert M.snapshot_as_of(root, dt) == sids[1]
+    assert M.snapshot_as_of(root, dt.isoformat()) == sids[1]
+    # the resolved sid composes with the read faces
+    assert M.read_snapshot(
+        spark, root, M.snapshot_as_of(root, stamps[1])
+    ).count() == 2
+    with pytest.raises(ValueError, match="earliest available commit"):
+        M.snapshot_as_of(root, stamps[0] - 1)
+    # vacuum the two oldest: a ts inside the reaped era is now also
+    # behind the horizon, even though it was resolvable a moment ago
+    old = now - 7200
+    for s in sids[:2]:
+        os.utime(os.path.join(root, "_manifests", f"{s}.json"), (old, old))
+    M.vacuum(root, keep=1, keep_hours=1.0)
+    with pytest.raises(ValueError, match="vacuum horizon"):
+        M.snapshot_as_of(root, stamps[1])
+    assert M.snapshot_as_of(root, now) == sids[2]
+
+
 def test_delete_where_handles_encoded_paths(spark, tmp_path):
     """A table root containing characters that URL-encode (space) must
     not break delete's hit-file mapping — input_file_name returns

@@ -268,6 +268,67 @@ def test_manifest_batch_format_equals_function_reads(spark, tmp_path):
         spark.read.format("manifest").load().collect()
 
 
+def test_manifest_format_timestamp_as_of(spark, tmp_path):
+    """``timestampAsOf``: the format's self-contained resolver must
+    equal ``snapshot_as_of`` (same mtime clock, same newest-first
+    walk, same horizon error) for between-commit, at-commit, and
+    after-newest timestamps; ``snapshot`` and ``timestampAsOf``
+    together are a loud error (two time-travel axes, one pin)."""
+    import datetime
+    import os
+    import time
+
+    from db_loader_spark.streaming.manifest_source import (
+        register_manifest_table,
+    )
+
+    root = str(tmp_path / "tbl")
+    sids = [
+        M.publish(
+            spark.range((i + 1) * 10).select(
+                "id", (F.col("id") * 2).alias("v")
+            ),
+            root,
+        )
+        for i in range(3)
+    ]
+    now = time.time()
+    stamps = [now - 300, now - 200, now - 100]
+    for s, t in zip(sids, stamps):
+        os.utime(os.path.join(root, "_manifests", f"{s}.json"), (t, t))
+    register_manifest_table(spark)
+
+    def fmt_at(raw):
+        return (
+            spark.read.format("manifest").option("path", root)
+            .option("timestampAsOf", raw).load()
+        )
+
+    for raw, want_sid in [
+        (str(stamps[0]), sids[0]),           # epoch string, exact hit
+        (str(stamps[1] - 1), sids[0]),       # between commits
+        (
+            datetime.datetime.utcfromtimestamp(stamps[1] + 1).isoformat(),
+            sids[1],
+        ),                                    # ISO string form
+        (str(now), sids[2]),                  # after the newest commit
+    ]:
+        # the function face accepts the same raw strings the option
+        # does — ONE parse semantic on both faces
+        assert M.snapshot_as_of(root, raw) == want_sid
+        assert sorted(r.id for r in fmt_at(raw).collect()) == sorted(
+            r.id
+            for r in M.read_snapshot(spark, root, want_sid).collect()
+        )
+
+    with pytest.raises(Exception, match="earliest available commit"):
+        fmt_at(str(stamps[0] - 5)).collect()
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (spark.read.format("manifest").option("path", root)
+         .option("snapshot", sids[0])
+         .option("timestampAsOf", str(now)).load().collect())
+
+
 def test_cdf_rows_carry_commit_timestamp(spark, tmp_path):
     """VERDICT r14 #5: CDF rows carry ``_commit_timestamp`` (the
     manifest file's mtime — the same clock vacuum's keep_hours
