@@ -268,6 +268,69 @@ def test_manifest_batch_format_equals_function_reads(spark, tmp_path):
         spark.read.format("manifest").load().collect()
 
 
+@pytest.mark.parametrize("seed", [11])
+def test_manifest_format_tracks_random_history(spark, tmp_path, seed):
+    """The format face ≡ the function faces across a seeded random
+    multi-verb history — the format analog of the DML model pin, and
+    deliberately REUSING that test's verb driver (one derivation of
+    the verb algebra; a second inline copy could drift). After every
+    commit the format read must equal the model; at the end, random
+    time travel, a random prune range, and a subset schema must equal
+    their function-face twins on whatever table the history built."""
+    import random
+
+    import test_dml_model as dml
+
+    from db_loader_spark.streaming.manifest_source import (
+        register_manifest_table,
+    )
+
+    rng = random.Random(seed)
+    root = str(tmp_path / "tbl")
+    base = [(i, rng.randint(-50, 50)) for i in range(200)]
+    M.publish(
+        spark.createDataFrame(base, "id long, v long")
+        .repartitionByRange(3, "id"),
+        root, snapshot_id="s0", stats_cols=["id"],
+    )
+    model = dict(base)
+    snapshots = {"s0": dict(model)}
+    next_id = 10_000
+    register_manifest_table(spark)
+    for step in range(10):
+        sid = f"s{step + 1}"
+        next_id = dml._apply_random_op(
+            spark, root, rng, model, snapshots, next_id, sid
+        )
+        if M.current_snapshot(root) == sid:  # no-op verbs keep parent
+            snapshots[sid] = dict(model)
+        fmt = spark.read.format("manifest").option("path", root).load()
+        assert sorted((r.id, r.v) for r in fmt.collect()) == sorted(
+            model.items()
+        ), f"seed {seed} diverged at {sid}"
+    # time travel: three random committed snapshots read back exactly
+    for sid in rng.sample(sorted(snapshots), min(3, len(snapshots))):
+        fmt = (spark.read.format("manifest").option("path", root)
+               .option("snapshot", sid).load())
+        assert sorted((r.id, r.v) for r in fmt.collect()) == sorted(
+            snapshots[sid].items()
+        ), f"time travel to {sid}"
+    # a random prune range ≡ read_pruned on the final table
+    lo = rng.randint(0, 150)
+    hi = lo + rng.randint(10, 300)
+    fmt_pr = (spark.read.format("manifest").option("path", root)
+              .option("pruneCol", "id").option("pruneLower", str(lo))
+              .option("pruneUpper", str(hi)).load())
+    assert sorted((r.id, r.v) for r in fmt_pr.collect()) == sorted(
+        (r.id, r.v)
+        for r in M.read_pruned(spark, root, "id", lo, hi).collect()
+    )
+    # a subset schema ≡ the projection
+    sub = (spark.read.format("manifest").option("path", root)
+           .schema("id long").load())
+    assert sorted(r.id for r in sub.collect()) == sorted(model)
+
+
 def test_manifest_format_timestamp_as_of(spark, tmp_path):
     """``timestampAsOf``: the format's self-contained resolver must
     equal ``snapshot_as_of`` (same mtime clock, same newest-first
