@@ -2747,6 +2747,48 @@ def snapshots(root: str) -> list[str]:
     return list(reversed(chain))
 
 
+def history(root: str) -> list[dict]:
+    """Commit metadata for the walkable lineage, NEWEST FIRST — the
+    DESCRIBE HISTORY face (the ops view ``snapshot_as_of`` resolves
+    against: a user picks a ``committed_at`` from here and time-travels
+    to it). Each entry:
+
+    - ``snapshot_id`` / ``parent`` — the lineage edge
+    - ``committed_at`` — UTC-naive datetime from the manifest file's
+      mtime, the same clock ``snapshot_as_of`` / ``vacuum keep_hours``
+      / the CDF's ``_commit_timestamp`` trust
+    - ``n_files`` — data files in the snapshot
+    - ``row_count`` — LOGICAL rows (vector-masked positions already
+      subtracted, the number ``read_snapshot`` returns); None when a
+      stats-less file leaves it unknown
+    - ``masked_rows`` — positions deleted merge-on-read and not yet
+      purged (the REORG PURGE debt gauge)
+
+    Metadata only — one JSON read per walkable commit, no data I/O, so
+    at 100 TB the driver answers from manifests alone; the walk ends
+    at the vacuum horizon like ``snapshots()``."""
+    import datetime as _dt
+
+    _, man_dir, _ = _paths(root)
+    out = []
+    for sid in reversed(snapshots(root)):
+        man = _manifest(root, sid)
+        mt = os.path.getmtime(os.path.join(man_dir, f"{sid}.json"))
+        out.append(
+            {
+                "snapshot_id": sid,
+                "parent": man.get("parent"),
+                "committed_at": _dt.datetime.utcfromtimestamp(mt),
+                "n_files": len(man["files"]),
+                "row_count": man.get("row_count"),
+                "masked_rows": sum(
+                    e["rows"] for e in (man.get("deletes") or {}).values()
+                ),
+            }
+        )
+    return out
+
+
 def snapshot_as_of(root: str, ts) -> str:
     """Resolve the NEWEST lineage snapshot committed at or before
     ``ts`` — timestamp time travel (Delta's ``timestampAsOf``), the
@@ -2771,8 +2813,14 @@ def snapshot_as_of(root: str, ts) -> str:
     warm table the common "recent ts" case reads one mtime, not the
     lineage. A manifest reaped between the pointer read and its stat
     (concurrent vacuum) terminates the walk as the horizon — older
-    history is gone either way."""
-    target = _epoch_seconds(ts)
+    history is gone either way.
+
+    Comparison is at MICROSECOND grain (both sides floored): datetime
+    carries µs while the filesystem stamp carries ~ns, so an exact
+    round-trip — resolve the ``committed_at`` that ``history()`` just
+    reported — would otherwise land fractionally BEFORE the commit it
+    names and miss it."""
+    target = int(_epoch_seconds(ts) * 1_000_000)
     sid = current_snapshot(root)
     if sid is None:
         raise FileNotFoundError(f"no current snapshot at {root!r}")
@@ -2789,7 +2837,7 @@ def snapshot_as_of(root: str, ts) -> str:
                 raise  # pointer names a missing manifest: corruption
             break  # vacuum horizon: older history is gone
         earliest = (mt, sid)
-        if mt <= target:
+        if int(mt * 1_000_000) <= target:
             return sid
         sid = parent
     assert earliest is not None  # loop ran at least once to get here

@@ -362,6 +362,9 @@ def manifest_table_source():
             if dt.tzinfo is None:
                 dt = dt.replace(tzinfo=datetime.timezone.utc)
             target = dt.timestamp()
+        # µs-grain comparison, matching snapshot_as_of: a datetime
+        # round-tripped from the mtime clock must hit its own commit
+        target = int(target * 1_000_000)
         sid = read_pointer(root)
         if sid is None:
             raise FileNotFoundError(f"no current snapshot at {root!r}")
@@ -378,7 +381,7 @@ def manifest_table_source():
                     raise  # pointer names a missing manifest
                 break  # vacuum horizon
             earliest = (mt, sid)
-            if mt <= target:
+            if int(mt * 1_000_000) <= target:
                 return sid
             sid = parent
         raise ValueError(

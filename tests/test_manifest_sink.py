@@ -1677,6 +1677,48 @@ def test_vacuum_time_retention_widens_the_keep_set(spark, tmp_path):
         M.read_snapshot(spark, root, sids[0])
 
 
+def test_history_lists_commit_metadata_newest_first(spark, tmp_path):
+    """history(): one metadata entry per walkable commit, newest
+    first — committed_at on the snapshot_as_of clock (manifest mtime),
+    row_count LOGICAL (vector-masked rows subtracted), masked_rows
+    the un-purged MOR debt, and the walk truncating at the vacuum
+    horizon like snapshots()."""
+    import datetime
+
+    root = str(tmp_path / "tbl")
+    M.publish(
+        spark.range(100).repartitionByRange(2, "id"), root,
+        snapshot_id="v1", stats_cols=["id"],
+    )
+    M.publish(
+        spark.range(100, 120), root, append=True, snapshot_id="v2",
+        stats_cols=["id"],
+    )
+    M.delete_where(spark, root, "id < 10", mode="mor", snapshot_id="v3")
+    h = M.history(root)
+    assert [e["snapshot_id"] for e in h] == ["v3", "v2", "v1"]
+    assert [e["parent"] for e in h] == ["v2", "v1", None]
+    by = {e["snapshot_id"]: e for e in h}
+    assert by["v1"]["row_count"] == 100 and by["v1"]["masked_rows"] == 0
+    assert by["v2"]["row_count"] == 120
+    # v3 masks 10 rows merge-on-read: logical count drops, debt shows
+    assert by["v3"]["row_count"] == 110 and by["v3"]["masked_rows"] == 10
+    assert by["v3"]["n_files"] == by["v2"]["n_files"]  # MOR adds no file
+    # committed_at is the manifest mtime clock — the exact timestamps
+    # snapshot_as_of resolves (aging a manifest moves both in lockstep)
+    old = __import__("time").time() - 3600
+    os.utime(os.path.join(root, "_manifests", "v1.json"), (old, old))
+    h2 = {e["snapshot_id"]: e for e in M.history(root)}
+    assert h2["v1"]["committed_at"] == datetime.datetime.utcfromtimestamp(old)
+    assert M.snapshot_as_of(root, h2["v1"]["committed_at"]) == "v1"
+    assert M.snapshot_as_of(root, h2["v3"]["committed_at"]) == "v3"
+    # vacuum truncates the walk, not the function
+    for s in ("v1", "v2"):
+        os.utime(os.path.join(root, "_manifests", f"{s}.json"), (old, old))
+    M.vacuum(root, keep=1, keep_hours=0.25)
+    assert [e["snapshot_id"] for e in M.history(root)] == ["v3"]
+
+
 def test_snapshot_as_of_timestamp_time_travel(spark, tmp_path):
     """snapshot_as_of: the newest lineage commit at or before ts, on
     the SAME clock as vacuum keep_hours and the CDF's
