@@ -2764,16 +2764,33 @@ def history(root: str) -> list[dict]:
     - ``masked_rows`` — positions deleted merge-on-read and not yet
       purged (the REORG PURGE debt gauge)
 
-    Metadata only — one JSON read per walkable commit, no data I/O, so
-    at 100 TB the driver answers from manifests alone; the walk ends
-    at the vacuum horizon like ``snapshots()``."""
+    Metadata only — ONE newest-first walk, one JSON read + one stat
+    per walkable commit, no data I/O, so at 100 TB the driver answers
+    from manifests alone. The walk ends at the vacuum horizon like
+    ``snapshots()`` — including a manifest reaped by a CONCURRENT
+    vacuum mid-walk (a separate snapshots() pass then per-sid re-reads
+    would race that window and crash on the re-read); a lineage cycle
+    raises the same RuntimeError snapshots() gives, never a silent
+    truncation."""
     import datetime as _dt
 
     _, man_dir, _ = _paths(root)
-    out = []
-    for sid in reversed(snapshots(root)):
-        man = _manifest(root, sid)
-        mt = os.path.getmtime(os.path.join(man_dir, f"{sid}.json"))
+    out: list[dict] = []
+    sid = current_snapshot(root)
+    seen: set[str] = set()
+    while sid is not None:
+        if sid in seen:
+            raise RuntimeError(
+                f"snapshot lineage cycle at {sid!r} in {root!r}"
+            )
+        seen.add(sid)
+        try:
+            mt = os.path.getmtime(os.path.join(man_dir, f"{sid}.json"))
+            man = _manifest(root, sid)
+        except FileNotFoundError:
+            if not out:
+                raise  # pointer names a missing manifest: corruption
+            break  # vacuum horizon (possibly a concurrent vacuum)
         out.append(
             {
                 "snapshot_id": sid,
@@ -2786,6 +2803,7 @@ def history(root: str) -> list[dict]:
                 ),
             }
         )
+        sid = man.get("parent")
     return out
 
 
@@ -2827,19 +2845,29 @@ def snapshot_as_of(root: str, ts) -> str:
     _, man_dir, _ = _paths(root)
     earliest: tuple[float, str] | None = None
     seen: set[str] = set()
-    while sid is not None and sid not in seen:
+    while sid is not None:
+        if sid in seen:
+            # same contract as snapshots(): corruption is never
+            # diagnosed as retention truncation
+            raise RuntimeError(
+                f"snapshot lineage cycle at {sid!r} in {root!r}"
+            )
         seen.add(sid)
         try:
             mt = os.path.getmtime(os.path.join(man_dir, f"{sid}.json"))
-            parent = _manifest(root, sid)["parent"]
         except FileNotFoundError:
             if earliest is None:
                 raise  # pointer names a missing manifest: corruption
             break  # vacuum horizon: older history is gone
         earliest = (mt, sid)
         if int(mt * 1_000_000) <= target:
+            # the hit needs no manifest read at all — the warm
+            # "recent ts" case is ONE stat, as documented
             return sid
-        sid = parent
+        try:
+            sid = _manifest(root, sid)["parent"]
+        except FileNotFoundError:
+            break  # reaped between the stat and the read: horizon
     assert earliest is not None  # loop ran at least once to get here
     raise ValueError(
         f"timestamp {ts!r} predates the earliest available commit at "

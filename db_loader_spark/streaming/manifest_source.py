@@ -370,20 +370,26 @@ def manifest_table_source():
             raise FileNotFoundError(f"no current snapshot at {root!r}")
         earliest = None
         seen = set()
-        while sid is not None and sid not in seen:
+        while sid is not None:
+            if sid in seen:
+                raise RuntimeError(
+                    f"snapshot lineage cycle at {sid!r} in {root!r}"
+                )
             seen.add(sid)
             mpath = os.path.join(root, "_manifests", f"{sid}.json")
             try:
                 mt = os.path.getmtime(mpath)
-                parent = manifest(root, sid).get("parent")
             except FileNotFoundError:
                 if earliest is None:
                     raise  # pointer names a missing manifest
                 break  # vacuum horizon
             earliest = (mt, sid)
             if int(mt * 1_000_000) <= target:
-                return sid
-            sid = parent
+                return sid  # one stat, no manifest read, on a hit
+            try:
+                sid = manifest(root, sid).get("parent")
+            except FileNotFoundError:
+                break  # reaped between stat and read: horizon
         raise ValueError(
             f"timestampAsOf {raw_ts!r} predates the earliest available "
             f"commit at {root!r} ({earliest[1]!r}, committed epoch "

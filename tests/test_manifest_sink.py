@@ -1719,6 +1719,32 @@ def test_history_lists_commit_metadata_newest_first(spark, tmp_path):
     assert [e["snapshot_id"] for e in M.history(root)] == ["v3"]
 
 
+def test_history_and_as_of_cycle_and_horizon_contracts(spark, tmp_path):
+    """Review pins (r15 pass 4): (a) a manifest deleted mid-lineage —
+    the concurrent-vacuum shape — truncates history() at the horizon
+    instead of crashing the walk; (b) a CORRUPTED cyclic lineage
+    raises the same RuntimeError snapshots() gives from history() and
+    snapshot_as_of, never the misleading behind-the-horizon error."""
+    root = str(tmp_path / "tbl")
+    for i in range(3):
+        M.publish(spark.range(i + 1), root, snapshot_id=f"v{i + 1}")
+    # (a) reap the oldest manifest directly (no vacuum bookkeeping):
+    # the walk ends there, newest commits still report
+    os.remove(os.path.join(root, "_manifests", "v1.json"))
+    assert [e["snapshot_id"] for e in M.history(root)] == ["v3", "v2"]
+    # (b) splice a parent cycle: v2's parent -> v3
+    mp = os.path.join(root, "_manifests", "v2.json")
+    with open(mp) as fh:
+        man = json.load(fh)
+    man["parent"] = "v3"
+    with open(mp, "w") as fh:
+        json.dump(man, fh)
+    with pytest.raises(RuntimeError, match="cycle"):
+        M.history(root)
+    with pytest.raises(RuntimeError, match="cycle"):
+        M.snapshot_as_of(root, 0.0)
+
+
 def test_snapshot_as_of_timestamp_time_travel(spark, tmp_path):
     """snapshot_as_of: the newest lineage commit at or before ts, on
     the SAME clock as vacuum keep_hours and the CDF's
