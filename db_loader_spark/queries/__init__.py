@@ -417,6 +417,17 @@ NEXT_UP: list[str] = []
 #     faces keep theirs — scan_manifest_pruned is in-window anyway).
 # (5) dedup_minhash_lsh adjudication (VERDICT r14 #4): clean paired
 #     timing at sf0.1, result recorded in README watch row.
+# (6) timestamp time travel + DESCRIBE HISTORY (late-round, after the
+#     first battery): snapshot_as_of / history() in sinks/manifest.py
+#     (ADDITIVE — no existing function's body changed) and the
+#     format's timestampAsOf option in manifest_source.py — no
+#     registry key traverses either (scan_manifest_pruned rides
+#     read_pruned, unchanged); pytest-witnessed (time-travel pins on
+#     both faces, the µs round-trip edge, cycle/horizon contracts,
+#     the randomized format≡function history pin) per the r12
+#     precedent, with a fourth review pass fixing four findings
+#     (concurrent-vacuum crash window, double manifest reads, cycle
+#     misdiagnosed as horizon).
 #
 # R16 WINDOW PREP: the 50 keys NOT in this window are exactly the
 # r14 window (zero r15 re-entries / displacements — the complement
