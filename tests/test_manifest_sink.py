@@ -1719,6 +1719,30 @@ def test_history_lists_commit_metadata_newest_first(spark, tmp_path):
     assert [e["snapshot_id"] for e in M.history(root)] == ["v3"]
 
 
+def test_restore_to_a_time_composes(spark, tmp_path):
+    """The ops round trip the two new faces exist for: pick a
+    committed_at from history(), resolve it with snapshot_as_of, and
+    RESTORE to it — the table reads back exactly the chosen commit's
+    rows, and the restore is itself a forward commit history() then
+    reports (lineage stays linear)."""
+    root = str(tmp_path / "tbl")
+    for i in range(3):
+        M.publish(spark.range((i + 1) * 10), root, snapshot_id=f"v{i + 1}")
+    # space the commit stamps so the middle one is unambiguous
+    now = __import__("time").time()
+    for i, t in enumerate([now - 300, now - 200, now - 100]):
+        os.utime(
+            os.path.join(root, "_manifests", f"v{i + 1}.json"), (t, t)
+        )
+    mid = {e["snapshot_id"]: e for e in M.history(root)}["v2"]
+    target = M.snapshot_as_of(root, mid["committed_at"])
+    assert target == "v2"
+    M.restore_snapshot(root, target, snapshot_id="r1")
+    assert M.read_current(spark, root).count() == 20
+    h = [e["snapshot_id"] for e in M.history(root)]
+    assert h[0] == "r1" and h[1:] == ["v3", "v2", "v1"]
+
+
 def test_history_and_as_of_cycle_and_horizon_contracts(spark, tmp_path):
     """Review pins (r15 pass 4): (a) a manifest deleted mid-lineage —
     the concurrent-vacuum shape — truncates history() at the horizon

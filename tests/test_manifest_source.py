@@ -268,7 +268,7 @@ def test_manifest_batch_format_equals_function_reads(spark, tmp_path):
         spark.read.format("manifest").load().collect()
 
 
-@pytest.mark.parametrize("seed", [11])
+@pytest.mark.parametrize("seed", [11, 23])
 def test_manifest_format_tracks_random_history(spark, tmp_path, seed):
     """The format face ≡ the function faces across a seeded random
     multi-verb history — the format analog of the DML model pin, and
