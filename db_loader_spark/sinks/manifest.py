@@ -2897,7 +2897,8 @@ def _epoch_seconds(ts) -> float:
 
 
 def vacuum(
-    root: str, keep: int = 1, keep_hours: float | None = None
+    root: str, keep: int = 1, keep_hours: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data files and manifests of all but the ``keep`` most
     recent snapshots IN THE CURRENT LINEAGE, plus any unreferenced
@@ -2915,7 +2916,14 @@ def vacuum(
     commit-object timestamp (snapshot ids are caller-chosen tokens, so
     they cannot carry trusted time). Errors reading an mtime propagate
     and abort the vacuum (the r11 rule: a transient fault must never
-    shrink the keep set and reap snapshots inside the window)."""
+    shrink the keep set and reap snapshots inside the window).
+
+    ``dry_run=True`` (the Delta ``VACUUM ... DRY RUN`` shape) computes
+    and returns the SAME data-prefix list a real call would remove —
+    same keep set, same liveness walk — but deletes nothing and skips
+    the manifest/generation-log trims entirely. Retention tuning
+    composes with ``history()``: read the commit times, dry-run the
+    candidate ``keep_hours``, inspect what would go, then run it."""
     data_dir, man_dir, _ = _paths(root)
     lineage = snapshots(root)
     keep_ids = set(lineage[-keep:]) if keep > 0 else set()
@@ -2940,8 +2948,13 @@ def vacuum(
     if os.path.isdir(data_dir):
         for prefix in os.listdir(data_dir):
             if prefix not in live and prefix not in keep_ids:
-                shutil.rmtree(os.path.join(data_dir, prefix), ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(
+                        os.path.join(data_dir, prefix), ignore_errors=True
+                    )
                 removed.append(prefix)
+    if dry_run:
+        return removed
     if os.path.isdir(man_dir):
         for mf in os.listdir(man_dir):
             sid = mf[: -len(".json")] if mf.endswith(".json") else None

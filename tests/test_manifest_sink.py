@@ -1719,6 +1719,28 @@ def test_history_lists_commit_metadata_newest_first(spark, tmp_path):
     assert [e["snapshot_id"] for e in M.history(root)] == ["v3"]
 
 
+def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
+    """vacuum(dry_run=True): returns exactly the prefix list the real
+    call then removes, touches nothing (every snapshot still reads,
+    manifests and generation log intact), and composes with
+    history()/keep_hours for retention tuning."""
+    root = str(tmp_path / "tbl")
+    sids = [M.publish(spark.range(i + 1), root) for i in range(4)]
+    man_count = len(os.listdir(os.path.join(root, "_manifests")))
+    gen_count = len(os.listdir(os.path.join(root, "_CURRENT.gen")))
+    preview = M.vacuum(root, keep=1, dry_run=True)
+    assert preview  # something would go
+    # nothing happened: every snapshot still reads, metadata untouched
+    for i, s in enumerate(sids):
+        assert M.read_snapshot(spark, root, s).count() == i + 1
+    assert len(M.history(root)) == 4
+    assert len(os.listdir(os.path.join(root, "_manifests"))) == man_count
+    assert len(os.listdir(os.path.join(root, "_CURRENT.gen"))) == gen_count
+    # the real call removes exactly the previewed prefixes
+    assert sorted(M.vacuum(root, keep=1)) == sorted(preview)
+    assert [e["snapshot_id"] for e in M.history(root)] == [sids[-1]]
+
+
 def test_restore_to_a_time_composes(spark, tmp_path):
     """The ops round trip the two new faces exist for: pick a
     committed_at from history(), resolve it with snapshot_as_of, and
