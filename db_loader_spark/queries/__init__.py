@@ -428,6 +428,11 @@ NEXT_UP: list[str] = []
 #     precedent, with a fourth review pass fixing four findings
 #     (concurrent-vacuum crash window, double manifest reads, cycle
 #     misdiagnosed as horizon).
+# (7) vacuum(dry_run=True) (late-round): preview-only branch on the
+#     new parameter; the mutating path is unchanged apart from the
+#     guard; no caller inside the engine; pytest-witnessed (preview ==
+#     real removals, dry run touches nothing) with the full manifest
+#     suite green.
 #
 # R16 WINDOW PREP: the 50 keys NOT in this window are exactly the
 # r14 window (zero r15 re-entries / displacements — the complement
