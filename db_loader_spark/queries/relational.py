@@ -1316,15 +1316,28 @@ def g_pagerank(
     once, the whole power iteration is a linear chain — no
     per-iteration materialization, counting, or checkpointing; the
     driver declares all ``iterations`` rounds and Spark runs them as
-    one job. AQE sees the runtime size of each score frame (n rows)
-    and auto-broadcasts the join's small side; at billions of nodes
-    it plans the shuffled join on src instead — exactly GraphX's
-    distribution — with no code change. Two hand-built alternatives
-    lost to this on measurement: per-iteration cache+count (6 extra
-    jobs, 12→30 s at sf0.1) and a broadcast-vector SpMV via
-    `aggregate` HOFs (interpreted, not codegen'd; plus Catalyst map
-    lookup is a LINEAR scan — 190 s). The codegen'd join chain runs
-    ~7 s warm.
+    one job. Two hand-built alternatives lost to this on measurement:
+    per-iteration cache+count (6 extra jobs, 12→30 s at sf0.1) and a
+    broadcast-vector SpMV via `aggregate` HOFs (interpreted, not
+    codegen'd; plus Catalyst map lookup is a LINEAR scan — 190 s).
+
+    r15 exchange elimination (guide §2.4 "two operations keyed the
+    same way share one exchange"): when the score table is broadcast-
+    sized (measured gate on n — the g_triangle_count /
+    decontaminate idiom), the static contrib frame is hash-
+    partitioned by ``dst`` ONCE at build and the scores side carries
+    an explicit broadcast hint. The per-iteration broadcast join then
+    streams contrib in place, the joined rows stay clustered by dst,
+    and the groupBy(dst) aggregate reuses that partitioning — ZERO
+    per-iteration Exchange (plan pinned in tests/test_plan_shape.py;
+    left to AQE, the optimizer instead broadcast the larger contrib
+    side and re-shuffled all 2m joined rows every round — measured
+    4.3→0.9 s for the 6-round chain at sf0.1). Over the gate the
+    hint and the pre-partition are both omitted and AQE plans the
+    shuffled join on src — exactly GraphX's distribution — with no
+    code change; per-iteration FP sum order changes with the plan,
+    which is inside the ppm rounding by the determinism argument
+    below.
 
     Output: top 20 nodes by score with deterministic (rounded-score,
     node) ordering. Scores are compared as micro-PageRank units
@@ -1342,15 +1355,25 @@ def g_pagerank(
     deg = cache.track(directed.groupBy("src").agg(F.count("*").alias("deg")))
     n = deg.count()  # materializes e + deg; both reused below
     teleport = (1.0 - damping) / n
-    contrib = cache.track(
-        directed.join(F.broadcast(deg), "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
-        )
+    # Measured broadcast gate (~48 bytes per score row): under it, the
+    # exchange-free iteration shape documented above; over it, the
+    # plain shape where AQE owns the join strategy.
+    bcast_scores = 48 * n <= (256 << 20)
+    contrib = directed.join(F.broadcast(deg), "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
     )
+    if bcast_scores:
+        # cluster the static frame by the aggregation key ONCE; every
+        # iteration's groupBy(dst) then reuses this partitioning
+        contrib = contrib.repartition("dst")
+    contrib = cache.track(contrib)
     scores = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("score"))
     for _ in range(iterations):
+        prev = scores.withColumnRenamed("node", "src")
+        if bcast_scores:
+            prev = F.broadcast(prev)
         scores = (
-            contrib.join(scores.withColumnRenamed("node", "src"), "src")
+            contrib.join(prev, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (
