@@ -485,10 +485,29 @@ def connected_components(
     tests/test_dedup.py: a 33-node chain converges in ≤ 8 rounds where
     one-hop propagation needs 32). Same fixpoint as plain propagation —
     min id per component — so the recursive-CTE oracle is unchanged.
-    ``localCheckpoint`` truncates lineage so plans don't grow with
-    iterations. This is the one operator family (iterative fixpoint)
-    that SQL can't express — the oracle uses a recursive CTE instead.
+
+    r15 round-cost shave (guide §1.2 per-task work): each round is ONE
+    job, not two. The round frame is a LAZY ``localCheckpoint`` whose
+    materializing action is a shuffle-free decimal SUM of the label
+    column, which doubles as the convergence test — labels are
+    per-node monotone non-increasing, so the sum strictly decreases
+    iff any node changed (the old shape checkpointed eagerly and then
+    ran a second join+count job per round against the previous
+    labels; at sf0.1 the fold halved the fixed cost of every round:
+    components inside curation_e2e 3.4 → ~1.8 s). DECIMAL(38,0)
+    keeps the signature exact at any node count a cluster can hold —
+    a LONG sum would overflow silently at billions of 63-bit ids.
+    The per-round checkpoint still truncates lineage every round
+    (each round's plan references the previous labels three times, so
+    anything less re-expands the tree 3^k-fold — measured as a
+    driver OOM when tried with persist + periodic truncation). This
+    is the one operator family (iterative fixpoint) that SQL can't
+    express — the oracle uses a recursive CTE instead.
     """
+    _sig = F.coalesce(
+        F.sum(F.col("component_id").cast("decimal(38,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+    ).alias("sig")
     edges = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -501,8 +520,9 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component_id", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    prev_sig = labels.agg(_sig).first()["sig"]  # materializes the checkpoint too
     converged = False
     for _ in range(max_iter):
         prop = edges.join(
@@ -523,19 +543,15 @@ def connected_components(
         new_labels = (
             hop.join(jump, hop.component_id == F.col("j_id"), "inner")
             .select("id", F.col("j_cid").alias("component_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component_id", "old"), "id"
-            )
-            .filter(F.col("component_id") < F.col("old"))
-            .count()
-        )
+        # one job: materializes the checkpoint AND evaluates the test
+        new_sig = new_labels.agg(_sig).first()["sig"]
         labels = new_labels
-        if changed == 0:
+        if new_sig == prev_sig:
             converged = True
             break
+        prev_sig = new_sig
     edges.unpersist()
     if not converged:
         # Non-converged labels are silently WRONG (far ends of a long
