@@ -1240,11 +1240,9 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg_b.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
     )
     lower_a = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
-    oriented = cache.track(
-        ed.select(
-            F.when(lower_a, F.col("a")).otherwise(F.col("b")).alias("src"),
-            F.when(lower_a, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        )
+    oriented = ed.select(
+        F.when(lower_a, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_a, F.col("b")).otherwise(F.col("a")).alias("dst"),
     )
     # adjacency-array formulation: for each oriented edge (u,v) the
     # triangles it is the LOWEST edge of are |N+(u) ∩ N+(v)| (each
@@ -1253,7 +1251,11 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted arrays and intersect JVM-side per edge (array_intersect),
     # which cut the wedge-row version's bench time ~2x; broadcasting
     # the adjacency (total size = m entries, one per oriented edge)
-    # keeps the per-edge probe shuffle-free.
+    # keeps the per-edge probe shuffle-free. The probe derives each
+    # edge (src, dst) by EXPLODING adj itself — the exploded row
+    # already carries src's neighbor array, so only dst's array needs
+    # a join: one broadcast join instead of two, and `oriented` drops
+    # to a single consumer (the adj build) so it is not cached.
     adj = cache.track(
         oriented.groupBy("src").agg(
             F.sort_array(F.collect_list("dst")).alias("nbrs")
@@ -1261,14 +1263,10 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adj_b = _hint(adj, 16 * n_edges + 48 * n_nodes)
     per_edge = (
-        oriented.select("src", "dst")
-        .join(
-            adj_b.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
-            F.col("src") == F.col("u"),
-        )
+        adj.select(F.col("nbrs").alias("nu"), F.explode("nbrs").alias("v"))
         .join(
             adj_b.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
-            F.col("dst") == F.col("v"),
+            "v",
         )
         .select(F.size(F.array_intersect("nu", "nv")).cast("long").alias("k"))
     )
