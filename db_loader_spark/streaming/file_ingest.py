@@ -66,7 +66,13 @@ def stream_log_tables(
         if not batch_df.take(1):
             return
         lines = number_lines(batch_df)
-        tables = parse_clojush_lines(batch_df.sparkSession, lines, **parse_kwargs)
+        # persist_shared: the four per-epoch writes below would each
+        # re-run the sessionize window over this batch's lines (same
+        # 4×-scan fold as the CLI write loop, __main__.main)
+        tables = parse_clojush_lines(
+            batch_df.sparkSession, lines, persist_shared=True, **parse_kwargs
+        )
+        tables.pop("_shared")  # blocks reclaimed via ContextCleaner at batch end
         for name in TABLE_NAMES:
             df = tables[name]
             if publish is not None:
