@@ -1017,16 +1017,53 @@ def _pq_index(
     return idx
 
 
-def _fixed_dot(a: str, b: str, dim: int) -> str:
-    """0-based fixed-order double dot for Spark array columns."""
-    return " + ".join(
-        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(dim)
-    )
+def _packed_books(books: list[DataFrame]) -> DataFrame:
+    """All M subspace codebooks as ONE single-row frame
+    (``books_list``: array<struct<s, cid, m>>) — the only broadcast
+    the ADC lookup-table build needs. r15: previously every book was
+    its own broadcast underneath its own distance-table join (2M
+    broadcast builds per serve)."""
+    allb = books[0].select(F.lit(0).alias("s"), "cid", "m")
+    for s in range(1, PQ_M):
+        allb = allb.unionByName(books[s].select(F.lit(s).alias("s"), "cid", "m"))
+    return allb.agg(F.collect_list(F.struct("s", "cid", "m")).alias("books_list"))
 
 
-def _fixed_nrm2(a: str, dim: int) -> str:
-    return " + ".join(
-        f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(dim)
+def _adc_tables(z: str) -> list:
+    """Per-subspace ADC lookup maps for a query row: ``tbl{s}`` maps
+    each codeword id to struct(dot, nrm2) against the query's integer
+    codes ``z`` (full-vector codes for the PQ arm, residual codes for
+    IVF-PQ — both read at offset s*PQ_SUBDIM). The entry expressions
+    keep the identical fixed-order double-sum text the per-table
+    joins used, over the same exact-integer values, so every score is
+    bit-identical to the joined form."""
+    cols = []
+    for s in range(PQ_M):
+        dot = " + ".join(
+            f"CAST({z}[{s * PQ_SUBDIM + i}] AS DOUBLE) * CAST(b.m[{i}] AS DOUBLE)"
+            for i in range(PQ_SUBDIM)
+        )
+        nrm2 = " + ".join(
+            f"CAST(b.m[{i}] AS DOUBLE) * CAST(b.m[{i}] AS DOUBLE)"
+            for i in range(PQ_SUBDIM)
+        )
+        cols.append(
+            F.expr(
+                f"map_from_entries(transform(filter(books_list, b -> b.s = {s}),"
+                f" b -> struct(b.cid, struct({dot} AS dot, {nrm2} AS nrm2))))"
+            ).alias(f"tbl{s}")
+        )
+    return cols
+
+
+def _adc_score():
+    """ADC score = Σ_s dot_s / greatest(sqrt(Σ_s nrm2_s), 1e-300) with
+    the per-subspace entries looked up in-row via element_at —
+    identical summand values and summation order to the joined form."""
+    dot_sum = " + ".join(f"element_at(tbl{s}, code{s}).dot" for s in range(PQ_M))
+    nrm_sum = " + ".join(f"element_at(tbl{s}, code{s}).nrm2" for s in range(PQ_M))
+    return F.expr(
+        f"({dot_sum}) / greatest(sqrt({nrm_sum}), CAST('1e-300' AS DOUBLE))"
     )
 
 
@@ -1051,47 +1088,38 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ resolution, not candidate count, is the recall knob here).
     At scale the coded corpus is M small ints per vector — the
     representation that keeps billion-vector scans in memory — and
-    the ADC scan is a linear broadcast-joined projection."""
+    the ADC scan is a linear broadcast-joined projection.
+
+    r15 serving-path fold (guide §2.4/§3.1): the M per-subspace
+    distance tables were M separate broadcast-hash joins (each with
+    its own codebook broadcast underneath — 2M broadcast builds, 2M
+    driver-dispatched jobs before the scan even starts). ADC's actual
+    data structure is a per-query LOOKUP TABLE, so build exactly that:
+    ONE broadcast row per query carrying M map columns
+    (code → struct(dot, nrm2)), attached to the coded corpus in a
+    single broadcast join and scored with element_at — the in-row
+    table lookup FAISS does, with zero joins on the code columns.
+    Every per-entry double (dot, nrm2) keeps the identical fixed-order
+    sum text over the same exact-integer codes, and the final score
+    expression is unchanged, so the result hashes identically (oracle
+    re-verified at sf0.001/sf0.01)."""
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
     books, codes = _pq_index(spark, sf_dir, emb)
     q = emb.filter(F.col("vec_id") < 8)
-    # per-subspace query distance tables (tiny: queries × codewords)
-    cand = codes
-    dot_cols, nrm_cols = [], []
-    for s in range(PQ_M):
-        qs = q.select(
-            F.col("vec_id").alias("query_id"),
-            F.expr(
-                S.km_codes_sql(
-                    f"slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
-                )
-            ).alias("zq"),
-        )
-        dt = (
-            qs.crossJoin(
-                F.broadcast(
-                    books[s].select(
-                        F.col("cid").alias(f"code{s}"), F.col("m").alias("bm")
-                    )
-                )
-            )
-            .select(
-                "query_id",
-                f"code{s}",
-                F.expr(_fixed_dot("zq", "bm", PQ_SUBDIM)).alias(f"dot{s}"),
-                F.expr(_fixed_nrm2("bm", PQ_SUBDIM)).alias(f"nrm2_{s}"),
-            )
-        )
-        on = [f"code{s}"] + (["query_id"] if s > 0 else [])
-        cand = cand.join(F.broadcast(dt), on)
-        dot_cols.append(f"dot{s}")
-        nrm_cols.append(f"nrm2_{s}")
-    score = F.expr(
-        "(" + " + ".join(dot_cols) + ") / greatest(sqrt("
-        + " + ".join(nrm_cols) + "), CAST('1e-300' AS DOUBLE))"
+    # one tiny frame holding every subspace codebook, packed to a
+    # single row — the only broadcast the query side needs to build
+    # its lookup tables (queries × M × 2^PQ_NBITS entries total)
+    qz = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.expr(S.km_codes_sql("embedding")).alias("z"),
     )
+    qtbl = qz.crossJoin(F.broadcast(_packed_books(books))).select(
+        "query_id", *_adc_tables("z")
+    )
+    cand = codes.crossJoin(F.broadcast(qtbl))
+    score = _adc_score()
     wq = W.partitionBy("query_id").orderBy(F.desc("adc"), F.col("vec_id"))
     short = (
         cand.filter(F.col("vec_id") != F.col("query_id"))
@@ -1406,7 +1434,16 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells only (~19% of the corpus) and M small ints per vector
     instead of raw floats. The flat-PQ arm reaches 0.625 by scanning
     every code; IVF-PQ trades that recall for the probe bound — the
-    knob production systems turn with nprobe."""
+    knob production systems turn with nprobe.
+
+    r15 serving-path fold (the ann_pq_topk treatment, guide
+    §2.4/§3.1): the probe broadcast plus M distance-table broadcast
+    joins collapse into ONE broadcast of per-(query, cell) lookup
+    rows — M map columns of code → struct(dot, nrm2) over the
+    RESIDUAL codes — attached to the probed coded rows by a single
+    join on cell and scored in-row with element_at. Same fixed-order
+    entry sums over the same exact integers ⇒ identical hashes
+    (oracle re-verified at sf0.001/sf0.01)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _ = _ivf_index(spark, sf_dir, emb)
     books, coded = _ivfpq_index(spark, sf_dir, emb)
@@ -1438,35 +1475,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    cand = coded.join(F.broadcast(probe.select("query_id", "cell")), "cell")
-    dot_cols, nrm_cols = [], []
-    for s in range(PQ_M):
-        qs = probe.select(
-            "query_id", "cell", F.slice("qcode", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("zq")
-        )
-        dt = (
-            qs.crossJoin(
-                F.broadcast(
-                    books[s].select(
-                        F.col("cid").alias(f"code{s}"), F.col("m").alias("bm")
-                    )
-                )
-            )
-            .select(
-                "query_id",
-                "cell",
-                f"code{s}",
-                F.expr(_fixed_dot("zq", "bm", PQ_SUBDIM)).alias(f"dot{s}"),
-                F.expr(_fixed_nrm2("bm", PQ_SUBDIM)).alias(f"nrm2_{s}"),
-            )
-        )
-        cand = cand.join(F.broadcast(dt), ["query_id", "cell", f"code{s}"])
-        dot_cols.append(f"dot{s}")
-        nrm_cols.append(f"nrm2_{s}")
-    score = F.expr(
-        "(" + " + ".join(dot_cols) + ") / greatest(sqrt("
-        + " + ".join(nrm_cols) + "), CAST('1e-300' AS DOUBLE))"
+    qtbl = probe.crossJoin(F.broadcast(_packed_books(books))).select(
+        "query_id", "cell", *_adc_tables("qcode")
     )
+    cand = coded.join(F.broadcast(qtbl), "cell")
+    score = _adc_score()
     wq = W.partitionBy("query_id").orderBy(F.desc("adc"), F.col("vec_id"))
     short = (
         cand.filter(F.col("vec_id") != F.col("query_id"))

@@ -693,11 +693,16 @@ def text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximal spans falls out of counting DISTINCT covered positions.
 
     Scale shape: one in-row shingle construction (slice over the token
-    array — no (doc, token) explode), one groupBy shingle with map-side
-    combine to find multi-doc shingles, one join back (shingle-keyed
-    hash join), and a k-wide position explode over MATCHED occurrences
-    only — the corpus-wide shuffles are the same two the MinHash path
-    pays, and the position fan-out is overlap-sized, not corpus-sized."""
+    array — no (doc, token) explode), ONE shuffle of the occurrence
+    frame on shingle (r15, guide §2.4: the groupBy-then-join-back form
+    tokenized the corpus twice and shuffled the occurrences twice on
+    the same key; a min/max window over shingle — multi-doc ⟺
+    min(doc_id) ≠ max(doc_id), exactly countDistinct(doc_id) > 1 —
+    folds detection and attachment into the one exchange), and a
+    k-wide position explode over MATCHED occurrences only — the
+    position fan-out is overlap-sized, not corpus-sized."""
+    from pyspark.sql import Window as W
+
     d = load_table(spark, sf_dir, "documents")
     toksed = d.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= PASSAGE_K
@@ -713,14 +718,11 @@ def text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", "n_tokens", F.col("s.start").alias("start"), F.col("s.shingle").alias("shingle"))
-    shared = (
-        sh.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("shingle")
-    )
+    wsh = W.partitionBy("shingle")
     covered = (
-        sh.join(shared, "shingle")
+        sh.withColumn("mn", F.min("doc_id").over(wsh))
+        .withColumn("mx", F.max("doc_id").over(wsh))
+        .filter(F.col("mn") != F.col("mx"))
         .select(
             "doc_id",
             "n_tokens",
