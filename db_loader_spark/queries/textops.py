@@ -300,7 +300,19 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lm_score_of(docs: DataFrame) -> DataFrame:
     """Core of text_lm_score over any (doc_id, text) frame — also the
-    surface the property test pins against a pure-Python reference."""
+    surface the property test pins against a pure-Python reference.
+
+    r15 (guide §2.4, the text_repeated_passages fold): the bigram
+    count table was a groupBy(bg) re-aggregation of the same exploded
+    frame joined straight back onto it — a second tokenize+explode
+    scan and a second exchange on the same key. count(*) over a
+    bg-partitioned window IS that inner join (every row matches its
+    own group), so the count rides the one exchange. The unigram
+    table stays a separate aggregate by necessity: it counts ALL
+    token occurrences (including each doc's final token), not the
+    bigram frame's w1 occurrences."""
+    from pyspark.sql import Window as W
+
     toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
     bg = (
         toks.filter(F.size("t") >= 2)
@@ -318,9 +330,8 @@ def lm_score_of(docs: DataFrame) -> DataFrame:
     uni = toks.select(F.explode("t").alias("w1")).groupBy("w1").agg(
         F.count("*").alias("c_uni")
     )
-    bgc = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
     return (
-        bg.join(bgc, "bg")
+        bg.withColumn("c_bg", F.count("*").over(W.partitionBy("bg")))
         .join(uni, "w1")
         .groupBy("doc_id")
         .agg(
