@@ -1068,13 +1068,13 @@ def _adc_score():
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC ANN with exact rerank: per-query distance TABLES against
-    each subspace codebook (|queries| × 2^PQ_NBITS rows per subspace —
-    broadcast), an ADC scan over the CODED corpus (M equi-joins on the
-    code columns, score = fixed-order sum of the M table entries — no
-    raw vector is touched), candidate cut at PQ_CAND per query, then
-    exact-cosine rerank of the short list to the final top-3. Output
-    shape and rounding match the other ANN arms.
+    """PQ-ADC ANN with exact rerank: per-query lookup TABLES against
+    each subspace codebook (M map columns of code → (dot, nrm2) on one
+    broadcast row per query), an ADC scan over the CODED corpus (score
+    = fixed-order sum of M in-row element_at lookups — no raw vector
+    and no join on the code columns), candidate cut at PQ_CAND per
+    query, then exact-cosine rerank of the short list to the final
+    top-3. Output shape and rounding match the other ANN arms.
 
     Every FP site is the established cross-engine channel: integer
     codebooks (exact trainer), fixed-order double sums with identical
@@ -1420,13 +1420,14 @@ def _ivfpq_index(
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ serving: probe the IVFPQ_NPROBE most-similar cells per
     query (the IVF probe path), compute the query's RESIDUAL against
-    each probed centroid, build per-(query, cell) distance tables
-    against the broadcast residual codebooks, ADC-score only the
-    probed cells' coded rows (M equi-joins on the code columns — the
-    scan fraction × coded-bytes cost that serves billions), cut at
-    IVFPQ_CAND, exact-rerank to top-3. Same rounding/tie contract as
-    every other arm; the oracle unrolls coarse trainer + probe +
-    residual sub-trainers + the identical fixed-order score.
+    each probed centroid, build per-(query, cell) lookup tables
+    against the residual codebooks (M map columns on one broadcast
+    row per probed pair), ADC-score only the probed cells' coded rows
+    in-row via element_at — the scan fraction × coded-bytes cost that
+    serves billions — cut at IVFPQ_CAND, exact-rerank to top-3. Same
+    rounding/tie contract as every other arm; the oracle unrolls
+    coarse trainer + probe + residual sub-trainers + the identical
+    fixed-order score.
 
     Measured at sf0.01: recall@3 = 0.50 at nprobe=3 — between the
     plain-IVF arm (0.583, exact vectors in probed cells) and what the

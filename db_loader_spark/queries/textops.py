@@ -302,17 +302,17 @@ def lm_score_of(docs: DataFrame) -> DataFrame:
     """Core of text_lm_score over any (doc_id, text) frame — also the
     surface the property test pins against a pure-Python reference.
 
-    r15 (guide §2.4, the text_repeated_passages fold): the bigram
-    count table was a groupBy(bg) re-aggregation of the same exploded
-    frame joined straight back onto it — a second tokenize+explode
-    scan and a second exchange on the same key. count(*) over a
-    bg-partitioned window IS that inner join (every row matches its
-    own group), so the count rides the one exchange. The unigram
-    table stays a separate aggregate by necessity: it counts ALL
-    token occurrences (including each doc's final token), not the
-    bigram frame's w1 occurrences."""
-    from pyspark.sql import Window as W
-
+    r15 NEGATIVE RESULT, kept as the groupBy+join-back shape ON
+    PURPOSE: folding the bigram count into a bg-partitioned window
+    (the text_repeated_passages treatment) removes one corpus scan
+    but FORFEITS skew immunity — count(*) is ALGEBRAIC, so this
+    groupBy's map-side partial aggregation collapses every map task's
+    occurrences of a Zipf-hot bigram ('of the' class) to one row
+    before the shuffle, and the join-back is AQE-skew-splittable; a
+    window instead co-locates every occurrence of the hot key on a
+    single task, which AQE cannot split (guide §2.5: skew handling
+    applies to joins only). tests/test_plan_shape.py::
+    test_lm_score_joins_stay_hash pins exactly this property."""
     toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
     bg = (
         toks.filter(F.size("t") >= 2)
@@ -330,8 +330,9 @@ def lm_score_of(docs: DataFrame) -> DataFrame:
     uni = toks.select(F.explode("t").alias("w1")).groupBy("w1").agg(
         F.count("*").alias("c_uni")
     )
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
     return (
-        bg.withColumn("c_bg", F.count("*").over(W.partitionBy("bg")))
+        bg.join(bgc, "bg")
         .join(uni, "w1")
         .groupBy("doc_id")
         .agg(
@@ -711,7 +712,19 @@ def text_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(doc_id) ≠ max(doc_id), exactly countDistinct(doc_id) > 1 —
     folds detection and attachment into the one exchange), and a
     k-wide position explode over MATCHED occurrences only — the
-    position fan-out is overlap-sized, not corpus-sized."""
+    position fan-out is overlap-sized, not corpus-sized.
+
+    Hot-shingle skew, stated honestly (r15 review): a boilerplate
+    shingle repeated across millions of docs lands every occurrence
+    on ONE window task, and AQE cannot split a window partition. The
+    fold does NOT make this worse than the old shape, because
+    countDistinct is NOT algebraic — the old groupBy(shingle) shipped
+    every distinct (shingle, doc_id) pair of the hot key to a single
+    reduce task too (AQE skew handling applies to joins only, guide
+    §2.5), and boilerplate repeats ≈ once per doc, so occurrence and
+    pair counts coincide. Equal worst case, one less corpus scan and
+    exchange everywhere else. Contrast lm_score_of, where the count
+    IS algebraic and the fold was therefore rejected."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
