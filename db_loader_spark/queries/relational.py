@@ -1321,8 +1321,9 @@ def g_pagerank(
 
     r15 exchange elimination (guide §2.4 "two operations keyed the
     same way share one exchange"): when the score table is broadcast-
-    sized (measured gate on n — the g_triangle_count /
-    decontaminate idiom), the static contrib frame is hash-
+    sized (measured gate on n AND m — n budgeted for all `iterations`
+    concurrently-live relations, m bounding the per-broadcast build
+    pass; see the inline comment), the static contrib frame is hash-
     partitioned by ``dst`` ONCE at build and the scores side carries
     an explicit broadcast hint. The per-iteration broadcast join then
     streams contrib in place, the joined rows stay clustered by dst,
@@ -1352,11 +1353,28 @@ def g_pagerank(
     ).unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     deg = cache.track(directed.groupBy("src").agg(F.count("*").alias("deg")))
     n = deg.count()  # materializes e + deg; both reused below
+    m = e.count()  # cached by the line above — a metadata-cost job
     teleport = (1.0 - damping) / n
-    # Measured broadcast gate (~48 bytes per score row): under it, the
-    # exchange-free iteration shape documented above; over it, the
-    # plain shape where AQE owns the join strategy.
-    bcast_scores = 48 * n <= (256 << 20)
+    # Measured broadcast gate (~48 bytes per score row), sized for the
+    # WORST case the single lazily-declared plan creates (r15 review):
+    #  - memory: every iteration's BroadcastExchange stays referenced
+    #    by the one plan until the job finishes, so ALL `iterations`
+    #    score relations are live at once — the 256 MB budget divides
+    #    by the iteration count (unlike the triangle / decontaminate
+    #    gates, which hold one relation at a time);
+    #  - build time: each broadcast BUILD runs one full join+agg pass
+    #    over the 2m-row contrib frame inside spark.sql.broadcastTimeout
+    #    (guide §7.4: "building the broadcast side is itself a slow
+    #    job"), so the shape is also bounded by edge count — 2m ≤ 128M
+    #    rows is well inside the 300 s default on any plausible
+    #    cluster, while an unbounded m (a dense near-gate graph) could
+    #    abort the query where the shuffled shape just runs slower.
+    # Over either bound: hint and pre-partition omitted, AQE plans the
+    # GraphX-style shuffled join — no code change, results identical.
+    bcast_scores = (
+        48 * n * max(iterations, 1) <= (256 << 20)
+        and 2 * m <= (128 << 20)
+    )
     contrib = directed.join(F.broadcast(deg), "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
     )

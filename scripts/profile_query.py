@@ -7,11 +7,12 @@ Usage:
   python scripts/profile_query.py --plan-out DIR --suffix before <key> ...
 
 Timing methodology mirrors bench.py (warm run, System.gc, then N timed
-runs taking the median) so numbers here are comparable to the bench
-rows. The job breakdown uses a SparkListener to attribute wall time to
-individual jobs (description, stages, task time) — the local stand-in
-for the Spark UI the guide's §1 empirical loop wants (UI is disabled
-in the shared session factory).
+runs taking the median, with bench's RESET_BEFORE_TIMING cache resets
+applied before every timed run — without them a key like
+text_bpe_train times its warm memo, not the computation) so numbers
+here are comparable to the bench rows. For a per-job wall-time
+breakdown use the Spark event-log probe instead; this script reports
+per-key medians and plan dumps only.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from db_loader_spark.queries import all_queries
 from db_loader_spark.session import get_spark
@@ -28,9 +29,11 @@ from db_loader_spark.session import get_spark
 N_TIMED = 3
 
 
-def timed(fn, n=N_TIMED):
+def timed(fn, n=N_TIMED, reset=None):
     runs = []
     for _ in range(n):
+        if reset:
+            reset()
         t0 = time.perf_counter()
         out = fn()
         runs.append(time.perf_counter() - t0)
@@ -94,7 +97,9 @@ def main() -> int:
             df.count()
             return df
 
-        med, runs = timed(run_once)
+        from bench import RESET_BEFORE_TIMING
+
+        med, runs = timed(run_once, reset=RESET_BEFORE_TIMING.get(key))
         print(
             f"{key:32s} med={med:7.3f}s warm={warm_s:7.3f}s "
             f"runs={[round(r, 3) for r in runs]}",

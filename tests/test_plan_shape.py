@@ -503,11 +503,19 @@ def test_cdc_diff_single_full_outer_join(plans):
 
 def test_triangle_count_joins_all_broadcast(plans):
     """Under the measured gate every join in the triangle pipeline —
-    two degree annotations and two adjacency probes — broadcasts at
-    this scale; the big oriented-edge frame never re-shuffles, and
-    nothing degenerates to a nested loop."""
+    two degree annotations and ONE adjacency probe (r15: the probe
+    edge list is derived by exploding the adjacency itself, so the
+    second adjacency join is gone) — broadcasts at this scale; the
+    big oriented-edge frame never re-shuffles, and nothing
+    degenerates to a nested loop. Count basis: TREE nodes only (the
+    detail section prints each node a second time), and plan_only
+    expands the uncached ``adj`` subtree under both sides of the
+    probe join, so the 3 logical joins appear as 8 tree nodes — an
+    exact pin, so a shape change (a dropped broadcast, a
+    re-duplicated probe) fails loudly instead of hiding inside a >=."""
     s = plans("g_triangle_count")
-    assert s.count("BroadcastHashJoin") >= 4, s
+    tree_joins = s.count("BroadcastHashJoin Inner BuildRight (")
+    assert tree_joins == 8, f"{tree_joins} tree BroadcastHashJoin nodes:\n{s}"
     assert "SortMergeJoin" not in s, s
     assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s, s
 

@@ -145,8 +145,10 @@ def test_stateful_sessions_match_batch(spark, sf_dir, chunked_events_dir, tmp_pa
 
 def test_registry_stream_sessions_equals_batch_exactly(spark, sf_dir):
     """The registry key's sentinel-flush protocol upgrades the subset
-    relation (test above) to EQUALITY: after the two past-horizon
-    sentinel batches, every real session has flushed, so the streamed
+    relation (test above) to EQUALITY: after the past-horizon
+    sentinels drain (r15 layout: the +2h sentinel rides in the last
+    data chunk and only the +4h sentinel gets its own file — 3
+    micro-batches), every real session has flushed, so the streamed
     set must match the native-operator batch answer row for row."""
     from db_loader_spark.queries.eventops import t_session_window
     from db_loader_spark.queries.streamingq import t_stream_sessions
