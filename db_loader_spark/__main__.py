@@ -224,10 +224,33 @@ def main(argv: list[str] | None = None) -> int:
             jdbc_write(tables[name], jdbc_url, name)
             print(f"loaded {name} via jdbc")
     else:
-        for name in TABLE_NAMES:
-            out = str(Path(csv_dir) / name)
-            write_csv_table(tables[name], out)
-            print(f"appended {name} -> {out}")
+        # First write alone: its job materializes the shared lazy
+        # checkpoint (concurrent first actions on an unmaterialized
+        # lazy checkpoint would each recompute the scan pipeline).
+        # The remaining three are then independent single-table jobs
+        # over the checkpointed blocks, each appending to its own
+        # disjoint dir — submit them from a small thread pool (guide
+        # §2.6 "overlap independent jobs") so one job's straggler tail
+        # back-fills with the next job's tasks instead of idling the
+        # executors. FIFO scheduling gives exactly that back-fill.
+        # (The JDBC branch above stays sequential: one remote DB, and
+        # the streaming ingest's per-epoch loop also stays sequential
+        # because its pluggable publish callback may assume order.)
+        first, *rest = TABLE_NAMES
+        out = str(Path(csv_dir) / first)
+        write_csv_table(tables[first], out)
+        print(f"appended {first} -> {out}")
+
+        def _append(name: str) -> str:
+            dest = str(Path(csv_dir) / name)
+            write_csv_table(tables[name], dest)
+            return f"appended {name} -> {dest}"
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(rest)) as pool:
+            for msg in pool.map(_append, rest):
+                print(msg)
     del shared_lines  # checkpoint blocks reclaimed via ContextCleaner
     return 0
 
