@@ -236,20 +236,30 @@ def main(argv: list[str] | None = None) -> int:
         # (The JDBC branch above stays sequential: one remote DB, and
         # the streaming ingest's per-epoch loop also stays sequential
         # because its pluggable publish callback may assume order.)
-        first, *rest = TABLE_NAMES
-        out = str(Path(csv_dir) / first)
-        write_csv_table(tables[first], out)
-        print(f"appended {first} -> {out}")
-
+        # Appends were never atomic ACROSS tables (a mid-loop failure
+        # always left earlier tables appended); overlap widens that
+        # window to in-flight siblings of a failed write — same
+        # recovery either way: fix the cause, ':clean', re-run.
         def _append(name: str) -> str:
             dest = str(Path(csv_dir) / name)
             write_csv_table(tables[name], dest)
             return f"appended {name} -> {dest}"
 
+        first, *rest = TABLE_NAMES
+        print(_append(first))
+
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark import inheritable_thread_target
+
+        # inheritable_thread_target: under py4j's pinned-thread mode
+        # (the PySpark default) a plain Python thread's paired JVM
+        # thread outlives it — repeated in-process main() calls (the
+        # bench, the test suite) would accumulate ~3 JVM threads per
+        # run. The wrapper ties the connection to the Python thread's
+        # lifetime (and inherits the JVM-thread-local properties).
         with ThreadPoolExecutor(max_workers=len(rest)) as pool:
-            for msg in pool.map(_append, rest):
+            for msg in pool.map(inheritable_thread_target(_append), rest):
                 print(msg)
     del shared_lines  # checkpoint blocks reclaimed via ContextCleaner
     return 0
