@@ -117,3 +117,27 @@ def release() -> int:
         df.unpersist()
         n += 1
     return n
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release a SUPERSEDED lazy ``localCheckpoint`` frame's storage
+    blocks NOW instead of waiting for the ContextCleaner to GC the
+    Python/JVM references (guide §5; VERDICT r15 #3: the iterative
+    fixpoint loops — connected components, BPE training — otherwise
+    keep every round's checkpoint blocks live until the cleaner gets
+    around to them, which at 100 TB label/vocab sizes is real executor
+    storage pressure growing with the round count).
+
+    ``df`` must be a frame returned by ``DataFrame.localCheckpoint``
+    whose data is no longer needed: the unpersist truncates it
+    irrecoverably (locally checkpointed RDDs drop their lineage), so
+    callers only pass round k-1's frame AFTER round k's checkpoint has
+    materialized. Best-effort by design — the analyzed plan of a
+    checkpointed frame is a ``LogicalRDD`` whose ``rdd()`` accessor is
+    internal API; if the reach-through ever fails on a future Spark,
+    the ContextCleaner remains the (lazy) backstop, exactly the
+    pre-r16 behavior."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass

@@ -131,13 +131,26 @@ def bpe_train(
     broadcast-join build). Measured at sf0.1 (bench protocol, median
     of 3): 4.08 → 3.79 s (~7%) — the job-count halves but each argmax
     job now carries the fold, so the win is overhead, not compute.
+
+    r16 storage bound (guide §5; VERDICT r15 #3): round k's argmax
+    materializes vocab_k's checkpoint, at which point vocab_{k-1}'s
+    blocks are superseded — they are freed explicitly instead of
+    accumulating O(n_merges) vocab tables in executor storage until
+    the ContextCleaner notices (the connected_components treatment).
+    At most two rounds' blocks are live at once: the materialized
+    round and its (still-needed) predecessor — the predecessor of the
+    FINAL lazy vocab is deliberately kept, since the returned frame
+    materializes from it on the consumer's first action.
     """
+    from db_loader_spark import cache
+
     spark = docs.sparkSession
     vocab = (
         word_vocab(docs, text_col)
         .select("word", "freq", F.expr(_initial_syms()).alias("syms"))
         .localCheckpoint(eager=False)
     )
+    prev_vocab = None  # the round before the one the argmax materializes
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(n_merges):
         best = (
@@ -148,10 +161,15 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # the argmax materialized `vocab`'s checkpoint: its predecessor
+        # is superseded — free its blocks now (r16; see the docstring)
+        if prev_vocab is not None:
+            cache.free_local_checkpoint(prev_vocab)
         if not best:
             break  # every word fully merged — nothing left to learn
         lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
         merges.append((rank, lhs, rhs, lhs + rhs, cnt))
+        prev_vocab = vocab
         vocab = vocab.select(
             "word", "freq", F.expr(_apply_merge("syms", lhs, rhs)).alias("syms")
         ).localCheckpoint(eager=False)

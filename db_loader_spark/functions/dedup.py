@@ -503,6 +503,16 @@ def connected_components(
     driver OOM when tried with persist + periodic truncation). This
     is the one operator family (iterative fixpoint) that SQL can't
     express — the oracle uses a recursive CTE instead.
+
+    r16 storage bound (guide §5; VERDICT r15 #3): once round k's
+    checkpoint has materialized (the signature job), round k-1's
+    checkpoint blocks are dead weight — but they stay live until the
+    ContextCleaner GCs the superseded frame, so a long fixpoint held
+    O(rounds) label tables in executor storage. Each round now frees
+    the superseded frame's blocks explicitly
+    (cache.free_local_checkpoint), holding exactly one live label
+    table plus the one being built. Fault tolerance is unchanged:
+    local checkpoints were never recomputable after executor loss.
     """
     _sig = F.coalesce(
         F.sum(F.col("component_id").cast("decimal(38,0)")),
@@ -547,6 +557,12 @@ def connected_components(
         )
         # one job: materializes the checkpoint AND evaluates the test
         new_sig = new_labels.agg(_sig).first()["sig"]
+        # round k is materialized: round k-1's blocks are superseded —
+        # free them now instead of leaving O(rounds) label tables to
+        # the ContextCleaner (r16; see the docstring)
+        from db_loader_spark import cache
+
+        cache.free_local_checkpoint(labels)
         labels = new_labels
         if new_sig == prev_sig:
             converged = True

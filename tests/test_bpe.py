@@ -64,6 +64,36 @@ def test_bpe_train_matches_python_reference(spark):
     assert got_segs == ref_segs
 
 
+def test_bpe_train_frees_superseded_round_checkpoints(spark):
+    """r16 storage bound (guide §5; VERDICT r15 #3): round k's argmax
+    materializes vocab_k's checkpoint, after which vocab_{k-1}'s
+    blocks are freed explicitly instead of accumulating O(n_merges)
+    vocab tables until the ContextCleaner reaps them. At most TWO
+    loop frames' blocks may remain on return: the last materialized
+    vocab (the lazy returned frame computes from it) and nothing
+    older."""
+    from db_loader_spark.functions.bpe import bpe_train
+    from db_loader_spark.tables import load_table
+
+    def persisted():
+        return len([
+            i
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.numCachedPartitions() > 0
+        ])
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 120)
+    before = persisted()
+    merges, final_vocab = bpe_train(docs, n_merges=12)
+    assert merges.count() == 12
+    after = persisted()
+    assert after - before <= 2, (
+        f"superseded BPE round checkpoints leaked: {before} persisted "
+        f"RDDs before, {after} after (expected at most +2: the last "
+        "materialized round + the returned lazy frame's parent)"
+    )
+
+
 def test_bpe_segmentation_roundtrips_words(spark):
     """Concatenating a word's final symbols (marker stripped) must give
     back the word — merges recombine, never lose or duplicate chars."""
