@@ -387,6 +387,49 @@ def lsh_candidate_pairs(
     )
 
 
+def eval_shingle_side(
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The benchmark side of :func:`decontaminate`, split out so a
+    composed pipeline can run the sizing pass CONCURRENTLY with
+    unrelated stages (guide §2.6 — curation_e2e overlaps it with the
+    connected-components fixpoint instead of paying it as a blocking
+    step between them; measured ~0.4 s execution + ~0.4 s planning on
+    the sf0.1 critical path).
+
+    Returns ``(bench_sh, sizing)``: the tracked distinct-shingle frame
+    and the UNEXECUTED one-row sizing aggregate over it. Run
+    ``sizing.first()`` (on a driver thread if overlapping) and hand
+    ``prepared=(bench_sh, that_row)`` to :func:`decontaminate` — the
+    broadcast decision and join are then identical to the inline path,
+    byte for byte."""
+    from db_loader_spark import cache
+
+    bench_sh = cache.track(
+        shingle_frame(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    sizing = bench_sh.agg(
+        F.count("*").alias("n_rows"),
+        F.coalesce(F.sum(F.length("shingle")), F.lit(0)).alias("n_chars"),
+    )
+    return bench_sh, sizing
+
+
+def _sized_eval_side(bench_sh: DataFrame, stats, broadcast_limit_bytes: int):
+    """The measured broadcast decision shared by both decontaminate
+    entry paths: ~2 bytes/char UTF-16 + ~48 bytes/row of object and
+    hash-table overhead vs the limit; over it the hint is OMITTED so
+    Spark plans the genuine shuffle-join degraded mode."""
+    est_bytes = 2 * stats["n_chars"] + 48 * stats["n_rows"]
+    return F.broadcast(bench_sh) if est_bytes <= broadcast_limit_bytes else bench_sh
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -394,6 +437,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_limit_bytes: int | None = 256 << 20,
+    prepared: tuple[DataFrame, object] | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus docs that share any word
     n-gram with an evaluation/benchmark set — the training-data hygiene
@@ -424,26 +468,33 @@ def decontaminate(
     join on the shingle key (the genuine degraded mode — an
     unconditional ``F.broadcast`` would instead force the oversized
     build side onto the driver and OOM). Pass ``None`` to skip the
-    sizing job and defer entirely to ``autoBroadcastJoinThreshold``."""
-    corp_sh = shingle_frame(corpus, id_col, text_col, n)
-    bench_sh = (
-        shingle_frame(benchmark, id_col, text_col, n)
-        .select("shingle")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    bench_side = bench_sh
-    if broadcast_limit_bytes is not None:
-        from db_loader_spark import cache
+    sizing job and defer entirely to ``autoBroadcastJoinThreshold``.
 
-        bench_sh = cache.track(bench_sh)
-        stats = bench_sh.agg(
-            F.count("*").alias("n_rows"),
-            F.coalesce(F.sum(F.length("shingle")), F.lit(0)).alias("n_chars"),
-        ).first()
-        est_bytes = 2 * stats["n_chars"] + 48 * stats["n_rows"]
+    ``prepared`` (r16, guide §2.6): a ``(bench_sh, stats_row)`` pair
+    from :func:`eval_shingle_side` whose sizing aggregate the caller
+    already executed — possibly on a concurrent driver thread while
+    other stages ran. The broadcast decision is re-derived from the
+    row with the same formula, so the two entry paths plan the same
+    join."""
+    corp_sh = shingle_frame(corpus, id_col, text_col, n)
+    if prepared is not None:
+        bench_sh, stats = prepared
         bench_side = (
-            F.broadcast(bench_sh) if est_bytes <= broadcast_limit_bytes else bench_sh
+            _sized_eval_side(bench_sh, stats, broadcast_limit_bytes)
+            if broadcast_limit_bytes is not None
+            else bench_sh
+        )
+    elif broadcast_limit_bytes is not None:
+        bench_sh, sizing = eval_shingle_side(benchmark, n, id_col, text_col)
+        bench_side = _sized_eval_side(
+            bench_sh, sizing.first(), broadcast_limit_bytes
+        )
+    else:
+        bench_side = (
+            shingle_frame(benchmark, id_col, text_col, n)
+            .select("shingle")
+            .distinct()
+            .withColumn("hit", F.lit(1))
         )
     return (
         corp_sh.join(bench_side, "shingle", "left")

@@ -251,38 +251,61 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curation_e2e_sized(spark, sf_dir, D, TX, PACK_BUDGET, pack_doc_bins) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) = '0'")
     bench = docs.filter(is_bench)
     corpus = docs.filter(~is_bench)
 
-    # stage 1: exact dedup (reuse the operator, same keep policy)
-    keep1 = D.exact_duplicates(corpus).select(F.col("keep_id").alias("doc_id"))
-    s1 = corpus.join(keep1, "doc_id", "left_semi").persist()
+    # r16 (guide §2.6): decontamination's measured-broadcast sizing
+    # pass depends only on the benchmark split, yet it ran as a
+    # blocking step BETWEEN the CC fixpoint and the settle — ~0.4 s of
+    # execution plus ~0.4 s of planning on the sf0.1 critical path
+    # (event-log probe, scripts/job_gap_probe.py). Submit it from a
+    # one-thread pool now so it materializes the eval-shingle cache
+    # while the components rounds run; decontaminate() consumes the
+    # finished row via prepared=. The frame is tracked on THIS thread
+    # (eval_shingle_side), so settle_drained still releases it.
+    bench_sh, sizing = D.eval_shingle_side(bench, n=3)
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        sizing_fut = pool.submit(inheritable_thread_target(spark)(sizing.first))
 
-    # stage 2: near-dup components + quality-weighted canonical select
-    sig = D.minhash_signatures(s1, num_hashes=8)
-    pairs = D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2, min_est_sim=0.5)
-    comps = D.connected_components(pairs)
-    qual = s1.select(
-        "doc_id",
-        F.round(TX.quality_score_of(TX.tokens(F.col("text"))), 4).alias("quality"),
-    )
-    w = W.partitionBy("component_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
-    drop2 = (
-        comps.join(qual, "doc_id")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") > 1)
-        .select("doc_id")
-    )
-    s2 = s1.join(drop2, "doc_id", "left_anti")
+        # stage 1: exact dedup (reuse the operator, same keep policy)
+        keep1 = D.exact_duplicates(corpus).select(F.col("keep_id").alias("doc_id"))
+        s1 = corpus.join(keep1, "doc_id", "left_semi").persist()
 
-    # stage 3: benchmark decontamination (drop by contamination fraction)
-    flagged = (
-        D.decontaminate(s2, bench, n=3)
-        .filter(F.col("contamination") >= 0.2)
-        .select("doc_id")
-    )
+        # stage 2: near-dup components + quality-weighted canonical select
+        sig = D.minhash_signatures(s1, num_hashes=8)
+        pairs = D.lsh_candidate_pairs(sig, num_hashes=8, band_size=2, min_est_sim=0.5)
+        comps = D.connected_components(pairs)
+        qual = s1.select(
+            "doc_id",
+            F.round(TX.quality_score_of(TX.tokens(F.col("text"))), 4).alias("quality"),
+        )
+        w = W.partitionBy("component_id").orderBy(
+            F.col("quality").desc(), F.col("doc_id")
+        )
+        drop2 = (
+            comps.join(qual, "doc_id")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") > 1)
+            .select("doc_id")
+        )
+        s2 = s1.join(drop2, "doc_id", "left_anti")
+
+        # stage 3: benchmark decontamination (drop by contamination
+        # fraction); the sizing row was computed concurrently above
+        flagged = (
+            D.decontaminate(s2, bench, n=3, prepared=(bench_sh, sizing_fut.result()))
+            .filter(F.col("contamination") >= 0.2)
+            .select("doc_id")
+        )
+    finally:
+        pool.shutdown(wait=True)
     s3 = s2.join(flagged, "doc_id", "left_anti")
 
     # stage 4: quality gate
