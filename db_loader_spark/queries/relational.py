@@ -1380,8 +1380,22 @@ def g_pagerank(
     )
     if bcast_scores:
         # cluster the static frame by the aggregation key ONCE; every
-        # iteration's groupBy(dst) then reuses this partitioning
-        contrib = contrib.repartition("dst")
+        # iteration's groupBy(dst) then reuses this partitioning.
+        # r16 (VERDICT r15 #5): the partition COUNT follows the contrib
+        # frame's own volume (~48 B × 2m rows under the repo's 32 MB/
+        # partition rule, session-ceiling-clamped) instead of
+        # inheriting spark.sql.shuffle.partitions — at the local SF
+        # that is the 8-partition floor (fewer tasks per iteration);
+        # at a gate-boundary graph (2m = 128M rows) it is ~192
+        # partitions regardless of how a deployment seeded the session
+        # default. Any count satisfies the groupBy's clustered-
+        # distribution requirement, so the zero-in-loop-Exchange pin
+        # is unaffected.
+        from db_loader_spark.session import sized_partitions
+
+        contrib = contrib.repartition(
+            sized_partitions(spark, 48 * 2 * m), "dst"
+        )
     contrib = cache.track(contrib)
     scores = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("score"))
     for _ in range(iterations):

@@ -70,6 +70,25 @@ def stop_spark() -> None:
         active.stop()
 
 
+def sized_partitions(
+    spark: SparkSession,
+    est_bytes: int,
+    bytes_per_partition: int = 32 * 1024 * 1024,
+    floor: int = 8,
+) -> int:
+    """The data_sized_shuffle rule as a NUMBER, for a single explicit
+    ``repartition`` whose input size the caller already knows (e.g.
+    g_pagerank's contrib frame: ~48 B × 2m edge rows) — bytes-per-
+    partition bound, floored, clamped to the session's configured
+    ceiling exactly like the context manager. Scale-correct by
+    construction: the same formula that yields the floor on a MB-sized
+    frame yields hundreds of partitions on a 100 TB one (then capped
+    at the cluster's configured budget)."""
+    target = max(floor, est_bytes // bytes_per_partition)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    return int(min(int(prev), target)) if str(prev).isdigit() else int(target)
+
+
 @__import__("contextlib").contextmanager
 def data_sized_shuffle(
     spark: SparkSession,
