@@ -258,8 +258,11 @@ def main(argv: list[str] | None = None) -> int:
         # bench, the test suite) would accumulate ~3 JVM threads per
         # run. The wrapper ties the connection to the Python thread's
         # lifetime (and inherits the JVM-thread-local properties).
+        # Session-aware form (ADVICE r15): the bare-callable form
+        # neither propagates session tags to the pooled threads nor
+        # stays quiet about it (a UserWarning per CSV-mode run).
         with ThreadPoolExecutor(max_workers=len(rest)) as pool:
-            for msg in pool.map(inheritable_thread_target(_append), rest):
+            for msg in pool.map(inheritable_thread_target(spark)(_append), rest):
                 print(msg)
     del shared_lines  # checkpoint blocks reclaimed via ContextCleaner
     return 0
