@@ -577,10 +577,24 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # r16 fused first round (guide §1.2 — don't compute what a cheaper
+    # pass gives exactly): with identity initial labels, round 1's
+    # hop is min(id, min over neighbors of label(dst)=dst) and its
+    # pointer jump goes through the identity table (a no-op), so
+    # labels_1 = least(src, min(dst)) — ONE map-side-combined
+    # aggregate over the edge list instead of a full
+    # join + union + aggregate + jump-join round. Initialization IS
+    # round 1; the loop below starts at round 2. Same fixpoint, same
+    # monotone-label argument; ``max_iter`` now bounds the rounds
+    # AFTER the fused first (a one-round-looser bound than before —
+    # callers pinning round counts get strictly faster convergence).
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component_id", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("mn")).alias("component_id"),
+        )
         .localCheckpoint(eager=False)
     )
     prev_sig = labels.agg(_sig).first()["sig"]  # materializes the checkpoint too
