@@ -162,7 +162,9 @@ N_TIMED = 3
 # reserve and the (room, budget] 2-sample band absorb that, and the
 # budget is soft by design (the harness cap is not exact either).
 BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "780"))
-TAIL_RESERVE_S = 60.0  # layout micro-benches + JSON emission after headline
+# layout micro-benches + the two scaled data-path witnesses (r16,
+# ~50 s at 2 samples each) + JSON emission after the headline loop
+TAIL_RESERVE_S = 120.0
 
 
 def _samples_for_projection(
@@ -819,6 +821,113 @@ def _bench_mor_read(spark, sf_dir: str, timings, spreads) -> None:
         timings[name], spreads[name] = _timed_runs(lambda: agg.count())
 
 
+def _bench_scaled_datapath(spark, sf_dir: str, timings, spreads) -> None:
+    """Data-path witnesses above the bench SF (r16, VERDICT r15 #6):
+    the r15 scaling block proved the suite's slowest keys measure
+    FIXED COST at sf0.1 (8c/32c ratios ≈ 1), so data-path wins on the
+    changed-shape keys were invisible in the driver's artifact. These
+    two rows run the REGISTRY implementations of the two keys whose
+    shapes the optimization rounds changed — g_pagerank (broadcast
+    iteration, dst-clustered contrib) and curation_e2e (CC fixpoint,
+    overlap-sized decontamination) — over a staged, deterministic
+    k-fold replica of their input tables, where the data path is a
+    measurable fraction of the wall:
+
+    - lineitem ×8 with orderkey/partkey shifted per replica — eight
+      DISJOINT copies of the co-occurrence graph (8× nodes and edges,
+      identical degree structure);
+    - documents ×4 with shifted doc_id and a per-replica token
+      appended to the text (without the perturbation, stage-1 exact
+      dedup would collapse the replicas and the pipeline would
+      process 1× data again; with it, replicas survive to the
+      MinHash/CC stages as genuine near-duplicates).
+
+    Staging is one-time derived-layout work, source-stamped and
+    excluded from the timings like every other staged layout here.
+    ADDITIONS ONLY: existing keys, methodology, and the output
+    contract are untouched. These two rows are deliberately timed at
+    n=2 samples (they cost ~10-13 s each; a third sample would buy
+    ~35 s of suite wall for witnesses whose job is direction, not a
+    tight median) and are EXCLUDED from the suite noise band so the
+    band stays comparable across rounds; TAIL_RESERVE_S covers their
+    wall so the headline loop's deadline projection stays honest."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from db_loader_spark.tables import load_table
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    root = os.path.join(warehouse, "bench_scaled_datapath")
+    stamp = _source_stamp(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        os.path.join(sf_dir, "documents.parquet"),
+    ) + ":li8:doc4:v1"
+    if not _layout_current(root, stamp):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        (
+            li.withColumn("rep", F.explode(F.expr("sequence(0, 7)")))
+            .select(
+                (
+                    F.col("l_orderkey").cast("long")
+                    + F.col("rep").cast("long") * 1_000_000_000
+                ).alias("l_orderkey"),
+                (
+                    F.col("l_partkey").cast("long")
+                    + F.col("rep").cast("long") * 1_000_000_000
+                ).alias("l_partkey"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "lineitem.parquet"))
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.withColumn("rep", F.explode(F.expr("sequence(0, 3)")))
+            .select(
+                (
+                    F.col("doc_id").cast("long")
+                    + F.col("rep").cast("long") * 1_000_000_000
+                ).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" replica"), F.col("rep")
+                ).alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "documents.parquet"))
+        )
+        _write_stamp(root, stamp)
+    registry = all_queries()
+    for name, key in (
+        ("g_pagerank_x8", "g_pagerank"),
+        ("curation_e2e_x4", "curation_e2e"),
+    ):
+        spec = registry[key]
+        warm = spec.spark(spark, root)
+        warm.count()
+        warm.unpersist()
+        spark._jvm.System.gc()
+
+        def run_once(spec=spec):
+            df = spec.spark(spark, root)
+            assert df.count() >= 0
+            return df
+
+        timings[name], spreads[name] = _timed_runs(
+            run_once, cleanup=lambda df: df.unpersist(), n=2
+        )
+        print(
+            f"[bench] {name} med={timings[name]}s",
+            file=sys.stderr,
+            flush=True,
+        )
+
+
 def main() -> None:
     t_start = time.monotonic()  # budget clock covers Spark startup too
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -912,6 +1021,7 @@ def main() -> None:
     _bench_runtime_filters(spark, sf_dir, timings, spreads)
     _bench_manifest_zonemap(spark, sf_dir, timings, spreads)
     _bench_mor_read(spark, sf_dir, timings, spreads)
+    _bench_scaled_datapath(spark, sf_dir, timings, spreads)
 
     total = round(sum(timings.values()), 4)
     # the layout micro-bench rows (everything added after the headline
@@ -919,7 +1029,12 @@ def main() -> None:
     # rows are excluded from the suite band — a 1-sample "spread" of
     # 0.0 would read as phantom stability and shrink the band
     headline_set = set(HEADLINE)
-    full_sample_rows.update(k for k in spreads if k not in headline_set)
+    # the scaled data-path witnesses run 2 samples by design (their
+    # docstring) — keep them out of the band like degraded rows
+    scaled_witnesses = {"g_pagerank_x8", "curation_e2e_x4"}
+    full_sample_rows.update(
+        k for k in spreads if k not in headline_set and k not in scaled_witnesses
+    )
     band = sorted(v for k, v in spreads.items() if k in full_sample_rows)
     full = {
         "metric": "headline_queries_total",
