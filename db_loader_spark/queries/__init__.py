@@ -113,80 +113,94 @@ def diagnostic_queries() -> dict[str, QuerySpec]:
 # so a miscounted edit can't silently shift which keys get witnessed.
 DRIVER_WINDOW_SIZE = 50
 
-# ROUND-15 WINDOW: the staged rotation runs exactly as the r14 prep
-# note committed. CORRECTNESS_r14 landed non-empty and 50/50 GREEN
-# (verified at round start), so this window fronts the pure
-# complement cohort — exactly the r13 window (r14 had zero rule-2
-# re-entries and zero displacements, so the complement is pure and
-# no key carries displacement debt). The r15 engine work lands on
-# two kinds of path: (a) streaming/commit_log.py + manifest_source.py
-# surfaces with no registry key (pytest/diagnostics-tier, per the
-# r12 precedent), and (b) the _stats_cols consolidation in the
-# manifest write paths (VERDICT r14 #2) whose registry witnesses —
-# t_snapshot_upsert, t_stream_lakehouse, scan_manifest_pruned,
-# t_snapshot_incremental, cdc_snapshot_diff — are ALL already inside
-# this window by construction, so rule 2 is satisfied with ZERO
-# re-entries and the every-key-within-2-rounds invariant carries
-# through r14+r15 as a second consecutive pure partition.
+# ROUND-16 WINDOW: CORRECTNESS_r15 landed non-empty and 50/50 GREEN
+# (verified at round start), so this window fronts that run's
+# complement — exactly the r14 window (r15 had zero re-entries and
+# zero displacements, so the complement was pure) — PLUS six rule-2
+# re-entries for the r16 optimization round's touched lineages:
+#   curation_e2e (sizing-pass overlap + CC fused round + checkpoint
+#     debris release), dedup_embedding_components (CC internals),
+#   text_bpe_tokenize (bpe_train loop internals), g_pagerank
+#     (data-sized dst clustering), e2e_cli_ingest (CSV write pool
+#     thread-target form), text_decontaminate (decontaminate's
+#     prepared= refactor).
+# (text_bpe_train and ecj_star are also touched but sit in the
+# complement already; dedup_components is diagnostics-tier.)
+# Six displacements, each with its sibling witness IN this window:
+#   a2_max_id (metadata MIN/MAX pushdown; also executed as the warmup
+#     of every bench/oracle session) — siblings a4/a6/a7 stay;
+#   a3_filtered_count — same filtered-aggregate family as
+#     a1_distinct_pairs / a4_count_distinct / a6_run_summary;
+#   q1_pricing_summary — scan-agg family witnessed by
+#     q3_segment_revenue / q10_returned_items / q_top_customers;
+#   w_moving_avg — bounded-frame window family: w_event_gap /
+#     w_topk_per_group stay;
+#   text_quality_score — its exact expression (quality_score_of)
+#     executes INSIDE the re-entered curation_e2e's hash this round;
+#     text_repetition / text_lang_id stay;
+#   curation_shard_assign — md5-bucket assignment idiom witnessed by
+#     curation_dsir_weight / curation_source_cap and inside
+#     curation_e2e's split stage.
+# All six displaced keys carry r14 green rows and MUST front the r17
+# window (rule-1-oldest by construction — see the prep note below).
 #
 # HARNESS INSURANCE (VERDICT r8 #4, carried): ordered CHEAPEST FIRST
 # by measured per-key sweep cost at sf0.01 (Spark + DuckDB oracle
-# wall time, scripts/window_cost.py --complement, re-measured
-# 2026-08-16 at r15 start: 91.8s/50 keys, 50/50 OK) — a
-# wall-clock-capped prefix run lands the maximum number of rows.
-# Ordering is evidence-neutral (driver checks set membership of the
-# first 50). No displaced keys front this round (none exist).
+# wall time, scripts/window_cost.py, measured 2026-08-18 at r16
+# close: 84.3s/50 keys, 50/50 OK) — a wall-clock-capped prefix run
+# lands the maximum number of rows. Ordering is evidence-neutral
+# (driver checks set membership of the first 50).
 WINDOW = [
-    "t_snapshot_upsert",  # 0.31s
-    "curation_weighted_sample",  # 0.31s
-    "scan_manifest_pruned",  # 0.31s
-    "multimodal_frame_sample",  # 0.32s
-    "w_running_sum",  # 0.37s
-    "dedup_exact",  # 0.37s
-    "a_hash_sample",  # 0.44s
-    "t_snapshot_incremental",  # 0.46s
-    "t_sliding_counts",  # 0.48s
-    "a_histogram",  # 0.48s
-    "jn_fuzzy_join",  # 0.51s
-    "jn4_anti_join_idempotence",  # 0.52s
-    "t_session_window",  # 0.53s
-    "cdc_snapshot_diff",  # 0.53s
-    "a_moments",  # 0.55s
-    "jn1_dim_lookup_join",  # 0.58s
-    "a_salted_agg",  # 0.59s
-    "a_hll_distinct",  # 0.59s
-    "jn7_fk_validation",  # 0.62s
-    "text_cms_topk",  # 0.71s
-    "text_bpe_pack",  # 0.74s
-    "a_profile_stats",  # 0.80s
-    "a_table_fingerprint",  # 0.92s
-    "q5_region_revenue",  # 0.96s
-    "text_bm25_topk",  # 1.03s
-    "text_pack_bins",  # 1.05s
-    "text_lm_score",  # 1.06s
-    "t_sliding_hll",  # 1.11s
-    "text_decontaminate",  # 1.16s
-    "p_parse_suite",  # 1.16s
-    "a_quantile_sketch",  # 1.17s
-    "dedup_bloom_prefilter",  # 1.22s
-    "t_stream_lakehouse",  # 1.67s
-    "ann_bruteforce_topk",  # 1.70s
-    "jn2_contains_join",  # 1.76s
-    "multimodal_features",  # 2.07s
-    "t_stream_ann_index",  # 2.68s
-    "ann_ivf_disk_topk",  # 2.94s
-    "t_stream_mview",  # 3.07s
-    "dedup_embedding_components",  # 3.29s
-    "curation_funnel",  # 3.86s
-    "ann_pq_topk",  # 3.96s
-    "g_pagerank",  # 4.47s
-    "text_bpe_tokenize",  # 4.69s
-    "e2e_cli_ingest",  # 4.77s
-    "g_triangle_count",  # 4.82s
-    "ann_ivfpq_topk",  # 5.42s
-    "dedup_semantic",  # 5.89s
-    "t_stream_sessions",  # 6.24s
-    "curation_e2e",  # 6.59s
+    "text_fingerprint",  # 0.23s
+    "a1_distinct_pairs",  # 0.30s
+    "p10_find_first",  # 0.32s
+    "p9_summary_parse",  # 0.34s
+    "j1_sessionize",  # 0.36s
+    "text_chunk",  # 0.38s
+    "text_pii_scrub",  # 0.41s
+    "a6_run_summary",  # 0.41s
+    "p_json_props",  # 0.44s
+    "eav_pivot",  # 0.44s
+    "w_topk_per_group",  # 0.44s
+    "w_event_gap",  # 0.46s
+    "text_lang_id",  # 0.47s
+    "a4_count_distinct",  # 0.48s
+    "j2_section_routing",  # 0.49s
+    "jn5_sidecar_join",  # 0.52s
+    "p14_continuation_merge",  # 0.52s
+    "a7_id_assignment",  # 0.52s
+    "jn_asof_join",  # 0.52s
+    "text_repetition",  # 0.54s
+    "curation_source_cap",  # 0.54s
+    "q_top_customers",  # 0.56s
+    "jn_range_join",  # 0.57s
+    "text_kmv_vocab",  # 0.60s
+    "text_tfidf_topterms",  # 0.76s
+    "rollup_revenue",  # 0.80s
+    "set_ops",  # 0.81s
+    "curation_dsir_weight",  # 0.87s
+    "a_outlier_filter",  # 0.90s
+    "text_bpe_tokenize",  # 0.99s
+    "q10_returned_items",  # 1.01s
+    "q3_segment_revenue",  # 1.01s
+    "text_repeated_passages",  # 1.01s
+    "text_decontaminate",  # 1.42s
+    "ecj_star",  # 1.69s
+    "dedup_simhash",  # 2.01s
+    "ann_sq_rerank",  # 2.71s
+    "t_stream_rollup",  # 2.77s
+    "ann_lsh_topk",  # 2.86s
+    "dedup_embedding_components",  # 3.05s
+    "e2e_cli_ingest",  # 4.05s
+    "t_stream_signatures",  # 4.12s
+    "t_stream_join",  # 4.15s
+    "multimodal_decode_jpeg",  # 4.19s
+    "g_pagerank",  # 4.53s
+    "dedup_minhash_lsh",  # 4.55s
+    "t_stream_dedup",  # 4.99s
+    "text_bpe_train",  # 5.17s
+    "ann_ivf_topk",  # 6.15s
+    "curation_e2e",  # 6.92s
 ]
 
 # WINDOW-OVERFLOW QUEUE (policy, r6): brand-new keys beyond window
@@ -434,16 +448,48 @@ NEXT_UP: list[str] = []
 #     real removals, dry run touches nothing) with the full manifest
 #     suite green.
 #
-# R16 WINDOW PREP: the 50 keys NOT in this window are exactly the
-# r14 window (zero r15 re-entries / displacements — the complement
-# is pure again). If CORRECTNESS_r15 lands non-empty, r16 fronts
-# that complement, re-measured by scripts/window_cost.py
-# --complement at round start and ordered cheapest-first. Rule-2
-# touches of r16 whose keys sit in THIS window re-enter, displacing
-# the most sibling-witnessed members of the r16 cohort (document at
-# the site). CONTINGENCY, unchanged: if CORRECTNESS_r15 comes back
-# empty/unreadable, re-front THIS window — never rotate past a
-# window with zero external rows.
+# R16 ROTATION EXECUTED (this window): CORRECTNESS_r15 landed 50/50
+# green, so the r15 prep note ran verbatim — the complement (= the
+# r14 window) fronted with six rule-2 re-entries against six
+# sibling-witnessed displacements (documented at the window header).
+#
+# STAGED TOUCHES LEDGER (r16, optimization round 2): every change is
+# perf-shape only (no semantics; all oracle hashes green both SFs) —
+# (1) CC/BPE fixpoint loops free superseded localCheckpoint blocks
+#     (cache.free_local_checkpoint; VERDICT r15 #3) — witnessed by
+#     the re-entered curation_e2e / dedup_embedding_components /
+#     text_bpe_tokenize + in-window text_bpe_train;
+# (2) decontaminate sizing pass split out (eval_shingle_side /
+#     prepared=) and overlapped with the CC rounds in curation_e2e
+#     (guide §2.6) — witnessed by the re-entered curation_e2e +
+#     text_decontaminate;
+# (3) connected-components round 1 fused into label initialization
+#     (least(src, min(dst)); one full join round gone per fixpoint) —
+#     same witnesses as (1);
+# (4) g_pagerank's contrib dst-clustering sized by edge volume
+#     (session.sized_partitions; VERDICT r15 #5) — re-entered;
+# (5) ecj_star's duplicated parse chain folded via lazy
+#     localCheckpoint (re-opened r15 negative with a noop-sink A/B,
+#     scripts/ecj_scale.py) — in-window;
+# (6) CLI CSV write pool thread target made session-aware (ADVICE
+#     r15) — witnessed by the re-entered e2e_cli_ingest;
+# (7) bench additions only: scaled data-path witness rows
+#     g_pagerank_x8 / curation_e2e_x4 (VERDICT r15 #6), no registry
+#     surface.
+#
+# R17 WINDOW PREP: the 50 keys NOT in this window are the r15 window
+# minus the six re-entered keys plus the six displaced ones
+# (a2_max_id, a3_filtered_count, q1_pricing_summary, w_moving_avg,
+# text_quality_score, curation_shard_assign — r14 evidence, so they
+# are the rule-1-oldest members and MUST front r17). If
+# CORRECTNESS_r16 lands non-empty, r17 fronts that complement,
+# re-measured by scripts/window_cost.py --complement at round start
+# and ordered cheapest-first with the six displaced keys FIRST among
+# equals. Rule-2 touches of r17 whose keys sit in THIS window
+# re-enter, displacing the most sibling-witnessed members of the r17
+# cohort (document at the site). CONTINGENCY, unchanged: if
+# CORRECTNESS_r16 comes back empty/unreadable, re-front THIS window —
+# never rotate past a window with zero external rows.
 
 
 def all_queries() -> dict[str, QuerySpec]:
